@@ -1,0 +1,530 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** The relational/SQL query surface (SURVEY.md §2.3–2.7, tier [A]).
+  *
+  * The reference delegates all analytics to Athena's ANSI SQL
+  * (README.md:155-164, SDP.py:578-629); here that surface is expressed
+  * Spark-first with the DataFrame API so Catalyst handles pushdown, column
+  * pruning, join strategy selection, partial aggregation, and AQE.
+  *
+  * Conventions shared with the DuckDB oracle (see
+  * [[graft.SparkEntry.oracleSql]]):
+  *  - every computed column is aliased identically on both sides;
+  *  - every query has a total ORDER BY (ties broken by a unique key) so the
+  *    result is deterministic row-for-row;
+  *  - double-valued aggregates are rounded so the two engines' floating-point
+  *    accumulation order cannot flip a hash compare.
+  *
+  * Scale notes (the 100 TB story): all queries below are shuffle-minimal —
+  * filters sit directly on the scan (parquet pushdown), small dimension sides
+  * are broadcast explicitly, and aggregations rely on Spark's partial (map-
+  * side) aggregation. Nothing collects to the driver.
+  */
+object RelationalQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** q01: TPC-H Q1-style pricing summary — grouped aggregation with partial
+    * (map-side) combine; one shuffle on the 2 grouping keys. */
+  def q01PricingSummary(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") <= lit("1998-09-01").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity")).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(avg(col("l_quantity")), 6).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** q02: TPC-H Q6-style selective filter + aggregate. The three predicates
+    * are pushed into the parquet scan (row-group min/max skipping at scale). */
+  def q02FilterAgg(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(
+        col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") <  lit("1997-01-01").cast("timestamp") &&
+        col("l_discount").between(0.05, 0.07) &&
+        col("l_quantity") < 24)
+      .agg(
+        round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"),
+        count(lit(1)).as("n_rows"))
+
+  /** q03: TPC-H Q5-style multi-way join: lineitem⋈orders⋈customer⋈nation⋈region.
+    * nation/region are broadcast (tiny dims); customer⋈orders⋈lineitem shuffle
+    * on their join keys. Flagship query. */
+  def q03JoinRevenue(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val o  = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("o_orderdate") <  lit("1998-01-01").cast("timestamp"))
+    val c  = Tables.customer(s, d)
+    val n  = Tables.nation(s, d)
+    val r  = Tables.region(s, d).filter(col("r_name") === "ASIA")
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+           count(lit(1)).as("n_items"))
+      .orderBy(col("n_name"))
+  }
+
+  /** q04: left outer join — customers kept even with zero orders; count(o_orderkey)
+    * skips the null-extended rows while count(*) keeps them. */
+  def q04LeftJoin(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(col("o_orderkey")).as("n_orders"), count(lit(1)).as("n_rows"))
+      .orderBy(col("c_mktsegment"))
+
+  /** q05: full outer join of two pre-aggregated sides (suppliers vs customers
+    * per nation) — aggregate-before-join shrinks both shuffle inputs. */
+  def q05FullJoin(s: SparkSession, d: String): DataFrame = {
+    val su = Tables.supplier(s, d).groupBy(col("s_nationkey").as("nationkey"))
+      .agg(count(lit(1)).as("n_supp"))
+    val cu = Tables.customer(s, d).groupBy(col("c_nationkey").as("nationkey"))
+      .agg(count(lit(1)).as("n_cust"))
+    su.join(cu, Seq("nationkey"), "full")
+      .select(col("nationkey"),
+              coalesce(col("n_supp"), lit(0L)).as("n_supp"),
+              coalesce(col("n_cust"), lit(0L)).as("n_cust"))
+      .orderBy(col("nationkey"))
+  }
+
+  /** q06: left-semi join (SQL EXISTS) — customers having at least one big order. */
+  def q06SemiJoin(s: SparkSession, d: String): DataFrame = {
+    val bigOrders = Tables.orders(s, d).filter(col("o_totalprice") > 100000.0)
+    Tables.customer(s, d)
+      .join(bigOrders, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** q07: left-anti join (SQL NOT EXISTS) — the reference's DLQ-exclusion
+    * pattern (SURVEY §2.3): customers with no orders at all. */
+  def q07AntiJoin(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_no_order"))
+      .orderBy(col("c_mktsegment"))
+
+  /** q08: self theta-join — nation pairs within a region (equi key + `<`
+    * residual keeps it a hash join, not a nested loop). */
+  def q08ThetaJoin(s: SparkSession, d: String): DataFrame = {
+    val n1 = Tables.nation(s, d).select(
+      col("n_nationkey").as("k1"), col("n_name").as("nation_a"), col("n_regionkey").as("rk1"))
+    val n2 = Tables.nation(s, d).select(
+      col("n_nationkey").as("k2"), col("n_name").as("nation_b"), col("n_regionkey").as("rk2"))
+    n1.join(n2, col("rk1") === col("rk2") && col("k1") < col("k2"))
+      .select(col("nation_a"), col("nation_b"))
+      .orderBy(col("nation_a"), col("nation_b"))
+  }
+
+  /** q09: cross join (tiny × tiny — Catalyst plans a broadcast nested loop). */
+  def q09CrossJoin(s: SparkSession, d: String): DataFrame =
+    Tables.region(s, d).crossJoin(Tables.nation(s, d))
+      .select(col("r_name"), col("n_name"))
+      .orderBy(col("r_name"), col("n_name"))
+
+  /** q10: ranking window — top-3 orders per customer. Window ORDER BY is made
+    * total with the unique o_orderkey tie-break so results are deterministic. */
+  def q10WindowRank(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(s, d)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rk"))
+      .orderBy(col("o_custkey"), col("rk"))
+  }
+
+  /** q11: analytic windows — running sum / lag / lead over a per-supplier
+    * timeline (restricted to a supplier subset to bound output size). */
+  def q11WindowRunning(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+    Tables.lineitem(s, d)
+      .filter(col("l_suppkey") <= 10)
+      .withColumn("running_qty", sum(col("l_quantity"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("prev_qty", lag(col("l_quantity"), 1).over(w))
+      .withColumn("next_qty", lead(col("l_quantity"), 1).over(w))
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+              col("l_quantity"), col("running_qty"), col("prev_qty"), col("next_qty"))
+      .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
+  }
+
+  /** q12: exact distinct aggregation (expands to two-phase agg in Spark). */
+  def q12DistinctAgg(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("d_parts"),
+           countDistinct(col("l_suppkey")).as("d_supps"),
+           count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag"))
+
+  /** q13: ROLLUP — hierarchy subtotals; grouping nulls made explicit with a
+    * marker so both engines agree (the data itself has no nulls). */
+  def q13Rollup(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n_rows"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+        col("sum_qty"), col("n_rows"))
+      .orderBy(col("rf"), col("ls"))
+
+  /** q14: CUBE — all grouping combinations. */
+  def q14Cube(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(round(sum(col("o_totalprice")), 2).as("sum_price"), count(lit(1)).as("n_rows"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("sum_price"), col("n_rows"))
+      .orderBy(col("status"), col("priority"))
+
+  /** q15: GROUPING SETS via the SQL surface (spark.sql over a temp view). */
+  def q15GroupingSets(s: SparkSession, d: String): DataFrame = {
+    Tables.lineitem(s, d).createOrReplaceTempView("gs_lineitem")
+    s.sql("""
+      SELECT coalesce(l_returnflag, 'ALL') AS rf,
+             coalesce(l_linestatus, 'ALL') AS ls,
+             sum(l_quantity) AS sum_qty
+      FROM gs_lineitem
+      GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+      ORDER BY rf, ls
+    """)
+  }
+
+  /** q16: top-k — ORDER BY ... LIMIT k plans as TakeOrderedAndProject (per-
+    * partition top-k then a single merge; no global sort at scale). */
+  def q16TopK(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(10)
+
+  /** q17: set operations — INTERSECT / EXCEPT / UNION over customer key sets. */
+  def q17SetOps(s: SparkSession, d: String): DataFrame = {
+    def buyers(year: Int) = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit(f"$year-01-01").cast("timestamp") &&
+              col("o_orderdate") <  lit(f"${year + 1}-01-01").cast("timestamp"))
+      .select(col("o_custkey")).distinct()
+    val b96 = buyers(1996)
+    val b97 = buyers(1997)
+    val both   = b96.intersect(b97).agg(count(lit(1)).as("n")).withColumn("op", lit("both"))
+    val only96 = b96.except(b97).agg(count(lit(1)).as("n")).withColumn("op", lit("only96"))
+    val any    = b96.union(b97).distinct().agg(count(lit(1)).as("n")).withColumn("op", lit("any"))
+    both.union(only96).union(any).select(col("op"), col("n")).orderBy(col("op"))
+  }
+
+  /** q18: scalar function sweep — string / math functions in one projection
+    * (all codegen'd builtins, SURVEY §2.7). */
+  def q18ScalarFuncs(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d)
+      .select(
+        col("p_partkey"),
+        upper(substring(col("p_name"), 1, 8)).as("name8"),
+        concat(col("p_brand"), lit("#"), col("p_type")).as("brand_type"),
+        round(col("p_retailprice") * 1.1, 2).as("bumped"),
+        abs(col("p_size") - lit(25)).as("dsize"),
+        floor(log(col("p_retailprice"))).as("ln_floor"),
+        length(col("p_name")).as("name_len"))
+      .orderBy(col("p_partkey"))
+
+  /** q19: timestamp part derivation — the reference's partition-projection
+    * columns (SDP.py:197 `year=/month=/day=/hour=`), SURVEY P5. */
+  def q19DateParts(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(
+        col("event_id"),
+        year(col("ts")).as("year"),
+        month(col("ts")).as("month"),
+        dayofmonth(col("ts")).as("day"),
+        hour(col("ts")).as("hour"),
+        date_format(col("ts"), "yyyy-MM-dd HH").as("bucket"))
+      .orderBy(col("event_id"))
+
+  /** q20: JSON extraction — the reference ingests JSON payloads and routes on
+    * JSONPath expressions (SDP.py:406, :413); here over events.props. */
+  def q20Json(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("event_type"),
+              get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("n"))
+      .orderBy(col("event_type"))
+
+  /** q21: tumbling time window (1 h) — batch form of the streaming T2 rollup;
+    * date_trunc keeps the bucket comparable across engines. */
+  def q21TimeWindow(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(date_trunc("hour", col("ts")).as("hour_bucket"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .orderBy(col("hour_bucket"), col("event_type"))
+
+  /** q22: exact percentiles per group (SURVEY G6). */
+  def q22Percentiles(s: SparkSession, d: String): DataFrame = {
+    Tables.lineitem(s, d).createOrReplaceTempView("pct_lineitem")
+    s.sql("""
+      SELECT l_returnflag,
+             round(percentile(l_quantity, 0.5), 6)  AS p50,
+             round(percentile(l_quantity, 0.95), 6) AS p95,
+             round(percentile(l_extendedprice, 0.99), 4) AS price_p99
+      FROM pct_lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag
+    """)
+  }
+
+  /** q23: broadcast-join enrichment (SURVEY P3) — fact rows enriched from a
+    * dimension with an explicit broadcast hint. */
+  def q23BroadcastEnrich(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+           count(lit(1)).as("n_items"))
+      .orderBy(col("p_brand"))
+
+  /** q24: correlated scalar subquery via SQL — orders above their customer's
+    * average order value. */
+  def q24Subquery(s: SparkSession, d: String): DataFrame = {
+    Tables.orders(s, d).createOrReplaceTempView("sq_orders")
+    s.sql("""
+      SELECT o_custkey, count(*) AS n_above
+      FROM sq_orders o
+      WHERE o_totalprice > (SELECT avg(o_totalprice) * 1.5 FROM sq_orders i
+                            WHERE i.o_custkey = o.o_custkey)
+      GROUP BY o_custkey
+      ORDER BY o_custkey
+    """)
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q01_pricing_summary" -> q01PricingSummary _,
+    "q02_filter_agg"      -> q02FilterAgg _,
+    "q03_join_revenue"    -> q03JoinRevenue _,
+    "q04_left_join"       -> q04LeftJoin _,
+    "q05_full_join"       -> q05FullJoin _,
+    "q06_semi_join"       -> q06SemiJoin _,
+    "q07_anti_join"       -> q07AntiJoin _,
+    "q08_theta_join"      -> q08ThetaJoin _,
+    "q09_cross_join"      -> q09CrossJoin _,
+    "q10_window_rank"     -> q10WindowRank _,
+    "q11_window_running"  -> q11WindowRunning _,
+    "q12_distinct_agg"    -> q12DistinctAgg _,
+    "q13_rollup"          -> q13Rollup _,
+    "q14_cube"            -> q14Cube _,
+    "q15_grouping_sets"   -> q15GroupingSets _,
+    "q16_topk"            -> q16TopK _,
+    "q17_set_ops"         -> q17SetOps _,
+    "q18_scalar_funcs"    -> q18ScalarFuncs _,
+    "q19_date_parts"      -> q19DateParts _,
+    "q20_json"            -> q20Json _,
+    "q21_time_window"     -> q21TimeWindow _,
+    "q22_percentiles"     -> q22Percentiles _,
+    "q23_broadcast_enrich"-> q23BroadcastEnrich _,
+    "q24_subquery"        -> q24Subquery _,
+  )
+
+  /** DuckDB-equivalent SQL (driver runs these over the same parquet tables). */
+  val oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" -> """
+      SELECT l_returnflag, l_linestatus,
+             sum(l_quantity) AS sum_qty,
+             round(sum(l_extendedprice), 2) AS sum_base_price,
+             round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+             round(avg(l_quantity), 6) AS avg_qty,
+             count(*) AS count_order
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus""",
+    "q02_filter_agg" -> """
+      SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+             count(*) AS n_rows
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1997-01-01'
+        AND l_discount BETWEEN 0.05 AND 0.07
+        AND l_quantity < 24""",
+    "q03_join_revenue" -> """
+      SELECT n_name,
+             round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+             count(*) AS n_items
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation   ON c_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA'
+        AND o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate <  TIMESTAMP '1998-01-01'
+      GROUP BY n_name
+      ORDER BY n_name""",
+    "q04_left_join" -> """
+      SELECT c_mktsegment, count(o_orderkey) AS n_orders, count(*) AS n_rows
+      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_mktsegment
+      ORDER BY c_mktsegment""",
+    "q05_full_join" -> """
+      SELECT coalesce(su.nationkey, cu.nationkey) AS nationkey,
+             coalesce(n_supp, 0) AS n_supp,
+             coalesce(n_cust, 0) AS n_cust
+      FROM (SELECT s_nationkey AS nationkey, count(*) AS n_supp FROM supplier GROUP BY 1) su
+      FULL JOIN (SELECT c_nationkey AS nationkey, count(*) AS n_cust FROM customer GROUP BY 1) cu
+      USING (nationkey)
+      ORDER BY nationkey""",
+    "q06_semi_join" -> """
+      SELECT c_custkey, c_name, c_mktsegment
+      FROM customer
+      WHERE EXISTS (SELECT 1 FROM orders
+                    WHERE o_custkey = c_custkey AND o_totalprice > 100000.0)
+      ORDER BY c_custkey""",
+    "q07_anti_join" -> """
+      SELECT c_mktsegment, count(*) AS n_no_order
+      FROM customer
+      WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      GROUP BY c_mktsegment
+      ORDER BY c_mktsegment""",
+    "q08_theta_join" -> """
+      SELECT n1.n_name AS nation_a, n2.n_name AS nation_b
+      FROM nation n1 JOIN nation n2
+        ON n1.n_regionkey = n2.n_regionkey AND n1.n_nationkey < n2.n_nationkey
+      ORDER BY nation_a, nation_b""",
+    "q09_cross_join" -> """
+      SELECT r_name, n_name FROM region CROSS JOIN nation
+      ORDER BY r_name, n_name""",
+    "q10_window_rank" -> """
+      SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        FROM orders) t
+      WHERE rk <= 3
+      ORDER BY o_custkey, rk""",
+    "q11_window_running" -> """
+      SELECT l_suppkey, l_orderkey, l_linenumber, l_quantity,
+             sum(l_quantity) OVER w AS running_qty,
+             lag(l_quantity, 1) OVER w AS prev_qty,
+             lead(l_quantity, 1) OVER w AS next_qty
+      FROM lineitem
+      WHERE l_suppkey <= 10
+      WINDOW w AS (PARTITION BY l_suppkey
+                   ORDER BY l_shipdate, l_orderkey, l_linenumber
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      ORDER BY l_suppkey, l_orderkey, l_linenumber""",
+    "q12_distinct_agg" -> """
+      SELECT l_returnflag,
+             count(DISTINCT l_partkey) AS d_parts,
+             count(DISTINCT l_suppkey) AS d_supps,
+             count(*) AS n_rows
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag""",
+    "q13_rollup" -> """
+      SELECT coalesce(l_returnflag, 'ALL') AS rf,
+             coalesce(l_linestatus, 'ALL') AS ls,
+             sum(l_quantity) AS sum_qty, count(*) AS n_rows
+      FROM lineitem
+      GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      ORDER BY rf, ls""",
+    "q14_cube" -> """
+      SELECT coalesce(o_orderstatus, 'ALL') AS status,
+             coalesce(o_orderpriority, 'ALL') AS priority,
+             round(sum(o_totalprice), 2) AS sum_price, count(*) AS n_rows
+      FROM orders
+      GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      ORDER BY status, priority""",
+    "q15_grouping_sets" -> """
+      SELECT coalesce(l_returnflag, 'ALL') AS rf,
+             coalesce(l_linestatus, 'ALL') AS ls,
+             sum(l_quantity) AS sum_qty
+      FROM lineitem
+      GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+      ORDER BY rf, ls""",
+    "q16_topk" -> """
+      SELECT o_orderkey, o_custkey, o_totalprice
+      FROM orders
+      ORDER BY o_totalprice DESC, o_orderkey
+      LIMIT 10""",
+    "q17_set_ops" -> """
+      WITH b96 AS (SELECT DISTINCT o_custkey FROM orders
+                   WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+                     AND o_orderdate <  TIMESTAMP '1997-01-01'),
+           b97 AS (SELECT DISTINCT o_custkey FROM orders
+                   WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+                     AND o_orderdate <  TIMESTAMP '1998-01-01')
+      SELECT 'any' AS op, count(*) AS n FROM (SELECT * FROM b96 UNION SELECT * FROM b97) t
+      UNION ALL
+      SELECT 'both' AS op, count(*) AS n FROM (SELECT * FROM b96 INTERSECT SELECT * FROM b97) t
+      UNION ALL
+      SELECT 'only96' AS op, count(*) AS n FROM (SELECT * FROM b96 EXCEPT SELECT * FROM b97) t
+      ORDER BY op""",
+    "q18_scalar_funcs" -> """
+      SELECT p_partkey,
+             upper(substr(p_name, 1, 8)) AS name8,
+             concat(p_brand, '#', p_type) AS brand_type,
+             round(p_retailprice * 1.1, 2) AS bumped,
+             abs(p_size - 25) AS dsize,
+             floor(ln(p_retailprice)) AS ln_floor,
+             length(p_name) AS name_len
+      FROM part
+      ORDER BY p_partkey""",
+    "q19_date_parts" -> """
+      SELECT event_id,
+             year(ts) AS year, month(ts) AS month, day(ts) AS day, hour(ts) AS hour,
+             strftime(ts, '%Y-%m-%d %H') AS bucket
+      FROM events
+      ORDER BY event_id""",
+    "q20_json" -> """
+      SELECT event_type,
+             sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+             count(*) AS n
+      FROM events
+      GROUP BY event_type
+      ORDER BY event_type""",
+    "q21_time_window" -> """
+      SELECT date_trunc('hour', ts) AS hour_bucket, event_type,
+             count(*) AS n, round(sum(value), 2) AS sum_value
+      FROM events
+      GROUP BY 1, 2
+      ORDER BY hour_bucket, event_type""",
+    "q22_percentiles" -> """
+      SELECT l_returnflag,
+             round(quantile_cont(l_quantity, 0.5), 6)  AS p50,
+             round(quantile_cont(l_quantity, 0.95), 6) AS p95,
+             round(quantile_cont(l_extendedprice, 0.99), 4) AS price_p99
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag""",
+    "q23_broadcast_enrich" -> """
+      SELECT p_brand,
+             round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+             count(*) AS n_items
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      GROUP BY p_brand
+      ORDER BY p_brand""",
+    "q24_subquery" -> """
+      SELECT o_custkey, count(*) AS n_above
+      FROM orders o
+      WHERE o_totalprice > (SELECT avg(o_totalprice) * 1.5 FROM orders i
+                            WHERE i.o_custkey = o.o_custkey)
+      GROUP BY o_custkey
+      ORDER BY o_custkey""",
+  )
+}
