@@ -110,12 +110,15 @@ object RelationalQueries {
   }
 
   /** q07: left-anti join (SQL NOT EXISTS) — the reference's DLQ-exclusion
-    * pattern (SURVEY §2.3): customers with no orders at all. */
+    * pattern (SURVEY §2.3): customers with no high-value order. (The
+    * threshold keeps the result non-empty at every test SF — every customer
+    * has *some* order, so anti-joining on all orders checks nothing.) */
   def q07AntiJoin(s: SparkSession, d: String): DataFrame =
     Tables.customer(s, d)
-      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(Tables.orders(s, d).filter(col("o_totalprice") > 300000.0),
+            col("c_custkey") === col("o_custkey"), "left_anti")
       .groupBy(col("c_mktsegment"))
-      .agg(count(lit(1)).as("n_no_order"))
+      .agg(count(lit(1)).as("n_no_big_order"))
       .orderBy(col("c_mktsegment"))
 
   /** q08: self theta-join — nation pairs within a region (equi key + `<`
@@ -396,9 +399,10 @@ object RelationalQueries {
                     WHERE o_custkey = c_custkey AND o_totalprice > 100000.0)
       ORDER BY c_custkey""",
     "q07_anti_join" -> """
-      SELECT c_mktsegment, count(*) AS n_no_order
+      SELECT c_mktsegment, count(*) AS n_no_big_order
       FROM customer
-      WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      WHERE NOT EXISTS (SELECT 1 FROM orders
+                        WHERE o_custkey = c_custkey AND o_totalprice > 300000.0)
       GROUP BY c_mktsegment
       ORDER BY c_mktsegment""",
     "q08_theta_join" -> """
