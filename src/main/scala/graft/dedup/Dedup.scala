@@ -1,0 +1,228 @@
+package graft.dedup
+
+import graft.Tables
+import graft.text.TextAnalysis.{normText, tokens}
+import graft.functions.VectorFunctions
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators (SURVEY build plan §7.2 item 6; north-star [N]):
+  * exact/keyed dedup, n-gram Jaccard, MinHash+LSH, SimHash, and
+  * embedding-cosine near-dup — the dedup pass of a training-data pipeline.
+  *
+  * Scale design (the 100 TB story):
+  *  - Exact dedup groups by a 128-bit fingerprint, never by document body —
+  *    the shuffle carries 16 bytes + ids per row.
+  *  - Near-dup NEVER does an all-pairs join at scale: MinHash signatures are
+  *    banded (LSH) so the only shuffle key is (band, band_hash) and
+  *    candidate pairs are generated within buckets; exact Jaccard then
+  *    verifies candidates only. d02 keeps the direct shingle-inverted-index
+  *    form (shuffle on shingle) as the exactness baseline the LSH variant is
+  *    verified against.
+  *  - SimHash reduces each document to 64 bits; banding the bits into four
+  *    16-bit chunks (pigeonhole on Hamming distance ≤ 3) gives bucketed
+  *    candidate generation with the same no-all-pairs property.
+  *  - Embedding near-dup at test SF is a broadcast self-join; at corpus
+  *    scale the same verify kernel runs behind the LSH bucketer in
+  *    [[graft.similarity.Similarity]].
+  *
+  * Everything is built from codegen'd builtins (`xxhash64`, `transform`,
+  * `array_min`, `explode`) — no UDFs, no driver-side loops.
+  */
+object Dedup {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Word 3-gram shingle set of a document (distinct). */
+  def shingles(c: Column): Column = {
+    val toks = tokens(c)
+    array_distinct(
+      filter(
+        transform(toks, (_, i) =>
+          when(i < size(toks) - 2,
+            concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2),
+              element_at(toks, i + 3)))),
+        s => s.isNotNull))
+  }
+
+  /** d01: exact keyed dedup over `events` — hash-groupBy on the dedup key,
+    * keep-first (min event_id) semantics. 10k events → ~750 survivors. */
+  def d01ExactDedup(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(min(col("event_id")).as("first_event_id"),
+           count(lit(1)).as("n_dups"))
+      .orderBy(col("user_id"), col("event_type"))
+
+  private def docShingles(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(col("doc_id"), shingles(col("text")).as("sh"))
+
+  /** d02: n-gram Jaccard near-dup — shingle inverted index (explode →
+    * self-join on shingle → common counts), exact Jaccard ≥ 0.6. The
+    * shuffle key is the shingle, so only documents *sharing* a shingle ever
+    * meet; there is no all-pairs product. */
+  def d02NgramJaccard(s: SparkSession, d: String): DataFrame = {
+    val ds = docShingles(s, d).cache()
+    val sizes = ds.select(col("doc_id"), size(col("sh")).as("n"))
+    val inv = ds.select(col("doc_id"), explode(col("sh")).as("s"))
+    val common = inv.as("a").join(inv.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("c"))
+    common
+      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .withColumn("jaccard",
+        col("c").cast("double") / (col("sa.n") + col("sb.n") - col("c")).cast("double"))
+      .filter(col("jaccard") >= 0.6)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** MinHash parameters: 128 hashes = 32 bands × 4 rows. At the planted
+    * similarity (J ≥ 0.9) the miss probability is (1-0.9⁴)³² ≈ 1e-15, so the
+    * LSH output equals the exact-Jaccard output and shares its oracle. */
+  val NumHashes = 128
+  val BandRows  = 4
+  val NumBands: Int = NumHashes / BandRows
+
+  /** d03: MinHash + LSH near-dup. Per doc: hash each shingle once
+    * (xxhash64), derive the i-th permutation as xxhash64(shingle_hash, i),
+    * signature = per-permutation minima; band the signature, bucket-join on
+    * (band, band_hash), then verify candidates with exact Jaccard ≥ 0.6
+    * (array_intersect / array_union on the cached shingle sets). */
+  def d03MinHashLsh(s: SparkSession, d: String): DataFrame = {
+    val ds = docShingles(s, d).cache()
+    val hashed = ds.withColumn("shh", transform(col("sh"), x => xxhash64(x)))
+    val sig = (0 until NumHashes).map { i =>
+      array_min(transform(col("shh"), x => xxhash64(x, lit(i)))).as(s"m$i")
+    }
+    val bands = (0 until NumBands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64((0 until BandRows).map(r => col(s"m${b * BandRows + r}")): _*).as("bh"))
+    }
+    val buckets = hashed.select((col("doc_id") +: sig): _*)
+      .select(col("doc_id"), explode(array(bands: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
+    val candidates = buckets.as("a").join(buckets.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    candidates
+      .join(ds.select(col("doc_id").as("doc_a"), col("sh").as("sha")), "doc_a")
+      .join(ds.select(col("doc_id").as("doc_b"), col("sh").as("shb")), "doc_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("sha"), col("shb"))).cast("double") /
+        size(array_union(col("sha"), col("shb"))).cast("double"))
+      .filter(col("jaccard") >= 0.6)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** d04: SimHash near-dup. 64-bit signature from per-token hash bit votes
+    * (term frequency weighted — duplicates vote repeatedly); candidates from
+    * four 16-bit chunk buckets (pigeonhole: Hamming ≤ 3 ⇒ some chunk equal);
+    * verified with bit_count(a XOR b) ≤ 3. Hash-defined, so no SQL oracle —
+    * DedupSpec checks it finds exactly the planted d02 pairs. */
+  def d04SimHash(s: SparkSession, d: String): DataFrame = {
+    val th = Tables.documents(s, d)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val votes = (0 until 64).map { k =>
+      sum(when(shiftright(col("h"), k).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v$k")
+    }
+    val sig = (0 until 64).map { k =>
+      shiftleft(when(col(s"v$k") > 0, 1L).otherwise(0L), k)
+    }.reduce(_.bitwiseOR(_))
+    val simhash = th.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"), sig.as("sim"))
+    val chunks = (0 until 4).map { c =>
+      struct(lit(c).as("chunk"),
+        shiftright(col("sim"), c * 16).bitwiseAND(0xFFFFL).as("ck"))
+    }
+    val buckets = simhash.select(col("doc_id"), col("sim"),
+      explode(array(chunks: _*)).as("bk"))
+      .select(col("doc_id"), col("sim"), col("bk.chunk").as("chunk"), col("bk.ck").as("ck"))
+    buckets.as("a").join(buckets.as("b"),
+        col("a.chunk") === col("b.chunk") && col("a.ck") === col("b.ck") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.sim").bitwiseXOR(col("b.sim"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 3)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** d05: embedding-cosine near-dup — pairs with cos ≥ 0.4 (the synthetic
+    * embeddings are near-orthogonal; max observed ≈ 0.51). Test-SF plan: a
+    * broadcast self-join; the verify kernel ([[VectorFunctions.cosine]]) is
+    * what runs behind LSH buckets at corpus scale. */
+  def d05EmbeddingNearDup(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    e.as("a").join(broadcast(e.as("b")), col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos", VectorFunctions.cosine(col("a.embedding"), col("b.embedding")))
+      .filter(round(col("cos"), 4) >= 0.4)
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        round(col("cos"), 6).as("cos"))
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "d01_exact_dedup"       -> d01ExactDedup _,
+    "d02_ngram_jaccard"     -> d02NgramJaccard _,
+    "d03_minhash_lsh"       -> d03MinHashLsh _,
+    "d04_simhash"           -> d04SimHash _,
+    "d05_embedding_neardup" -> d05EmbeddingNearDup _,
+  )
+
+  /** Jaccard-pair SQL shared by d02 and d03 (LSH verified output = exact
+    * output; see [[NumHashes]]). d04 is hash-defined → rows-only check. */
+  private val JaccardPairsSql = """
+    WITH toks AS (
+      SELECT doc_id,
+             string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+      FROM documents),
+    sh AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(range(1, len(t) - 1),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS s
+      FROM toks),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT doc_a, doc_b,
+           round(c * 1.0 / (sa.n + sb.n - c), 6) AS jaccard
+    FROM common
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.6
+    ORDER BY doc_a, doc_b"""
+
+  val oracleSql: Map[String, String] = Map(
+    "d01_exact_dedup" -> """
+      SELECT user_id, event_type, min(event_id) AS first_event_id,
+             count(*) AS n_dups
+      FROM events
+      GROUP BY user_id, event_type
+      ORDER BY user_id, event_type""",
+    "d02_ngram_jaccard" -> JaccardPairsSql,
+    "d03_minhash_lsh"   -> JaccardPairsSql,
+    "d05_embedding_neardup" -> """
+      WITH e AS (SELECT vec_id, embedding FROM embeddings),
+      p AS (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               list_sum(list_transform(range(1, len(a.embedding) + 1),
+                 i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(a.embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                * sqrt(list_sum(list_transform(b.embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
+        FROM e a JOIN e b ON a.vec_id < b.vec_id)
+      SELECT vec_a, vec_b, round(cos, 6) AS cos
+      FROM p WHERE round(cos, 4) >= 0.4
+      ORDER BY vec_a, vec_b""",
+  )
+}

@@ -1,0 +1,140 @@
+package graft.similarity
+
+import graft.Tables
+import graft.functions.VectorFunctions.cosine
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import scala.util.Random
+
+/** Approximate-nearest-neighbor search over the `embeddings` table
+  * (north-star [N]): brute-force cosine top-k as the exactness baseline,
+  * and a random-hyperplane LSH variant as the scale path.
+  *
+  * Scale design: brute force is O(Q·N) — fine when the query set is small
+  * enough to broadcast (it is here, and usually is: queries ≪ corpus).
+  * The scan side stays partitioned; each partition computes its local
+  * candidates and the per-query top-k window reduces them. At 100 TB the
+  * LSH variant replaces the full scan with bucket-equijoins: corpus rows
+  * shuffle once on (table, bucket_signature) and only same-bucket pairs are
+  * scored — candidate generation with no all-pairs product, then exact
+  * re-ranking of candidates only.
+  */
+object Similarity {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Queries = the first [[NumQueries]] vectors; neighbors exclude self. */
+  val NumQueries = 5
+  val TopK = 10
+
+  /** s01: brute-force cosine top-k — the exact baseline, oracle-checked.
+    * The tiny query side is broadcast; ranking is a per-query window. */
+  def s01BruteForceTopK(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val q = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("cos", cosine(col("qe"), col("embedding")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(col("cos"), 6).as("cos"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** LSH geometry: [[NumTables]] independent tables of [[NumPlanes]]
+    * hyperplanes each. Seeded-deterministic plane coefficients (seed 42)
+    * are generated on the driver and enter the plan as literals — a few KB,
+    * broadcast with the plan itself.
+    *
+    * Tuned to the corpus: these embeddings are near-orthogonal (true
+    * neighbors at cos ≈ 0.5, i.e. θ ≈ 60°, per-plane collision p ≈ 0.67),
+    * so selectivity must come from table count, not plane count:
+    * recall ≈ 1-(1-p^6)^16 ≈ 0.78 while a cos-0 pair collides in ≈ 22 % of
+    * tables — a ~5× candidate reduction. Corpora with real cluster
+    * structure (higher neighbor cos) support more planes and sharper
+    * filtering; with no angular gap at all, the honest scale path is IVF
+    * over a trained coarse quantizer instead. */
+  val NumTables = 16
+  val NumPlanes = 6
+  val Dim = 64
+
+  private def planes(table: Int): Array[Array[Double]] = {
+    val rnd = new Random(42L + table)
+    Array.fill(NumPlanes, Dim)(rnd.nextGaussian())
+  }
+
+  /** Bucket signature of `vecCol` in LSH table `t`: one bit per hyperplane
+    * (sign of the projection), packed into a long — all codegen'd builtins. */
+  private def signature(t: Int, vecCol: org.apache.spark.sql.Column) = {
+    (0 until NumPlanes).map { p =>
+      val coef = planes(t)(p)
+      val proj = aggregate(
+        zip_with(vecCol, lit(coef), (x, c) => x.cast("double") * c),
+        lit(0.0), (acc, x) => acc + x)
+      shiftleft(when(proj >= 0, 1L).otherwise(0L), p)
+    }.reduce(_.bitwiseOR(_))
+  }
+
+  /** s02: LSH-bucketed ANN — candidates from any-table bucket collisions,
+    * exact cosine re-rank, top-k per query. Approximate by construction
+    * (hash-defined) → rows-only driver check; SimilaritySpec measures
+    * recall against s01. */
+  def s02LshTopK(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val sigs = (0 until NumTables).map(t =>
+      struct(lit(t).as("t"), signature(t, col("embedding")).as("sig")))
+    val buckets = e.select(col("vec_id"), col("embedding"),
+        explode(array(sigs: _*)).as("bk"))
+      .select(col("vec_id"), col("embedding"),
+        col("bk.t").as("t"), col("bk.sig").as("sig"))
+    val qb = buckets.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("t"), col("sig"))
+    val cand = buckets.join(broadcast(qb), Seq("t", "sig"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("qe"), col("vec_id"), col("embedding"))
+      .dropDuplicates("query_id", "vec_id")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    cand
+      .withColumn("cos", cosine(col("qe"), col("embedding")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(col("cos"), 6).as("cos"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "s01_topk_bruteforce" -> s01BruteForceTopK _,
+    "s02_topk_lsh"        -> s02LshTopK _,
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "s01_topk_bruteforce" -> s"""
+      WITH e AS (SELECT vec_id, embedding FROM embeddings),
+      q AS (SELECT vec_id AS query_id, embedding AS qe FROM e WHERE vec_id < $NumQueries),
+      scored AS (
+        SELECT q.query_id, e.vec_id,
+               list_sum(list_transform(range(1, len(q.qe) + 1),
+                 i -> CAST(q.qe[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(q.qe,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                * sqrt(list_sum(list_transform(e.embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
+        FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+      ranked AS (
+        SELECT query_id, vec_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, vec_id) AS rank, cos
+        FROM scored)
+      SELECT query_id, vec_id AS neighbor_id, round(cos, 6) AS cos, rank
+      FROM ranked WHERE rank <= $TopK
+      ORDER BY query_id, rank""",
+  )
+}
