@@ -1,0 +1,173 @@
+package graft.queries
+
+import graft.Tables
+import graft.quality.Quality
+import graft.quality.Quality.Check
+import graft.transform.Transform
+import graft.validate.SchemaValidator
+import graft.validate.SchemaValidator.Rule
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Oracle-checked queries exercising the pipeline operators (SURVEY §2.2
+  * P1-P6, §2.4 G1-G2) over the `events`/`documents`/`customer` tables.
+  *
+  * Each query routes through the real module ([[SchemaValidator]],
+  * [[Transform]], [[Quality]]) rather than inlining expressions, so the
+  * driver's DuckDB compare validates the modules themselves. Rule/check
+  * thresholds are chosen to split the synthetic data non-trivially
+  * (events.value tops out ~490, props.k is 0..99, event_type has 5 values).
+  */
+object PipelineQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** The shared demo rule set over `events`. */
+  private def eventRules = Seq(
+    Rule("value_le_300", col("value") <= 300.0),
+    Rule("known_type", col("event_type").isin("click", "view", "purchase", "signup")),
+    Rule("k_lt_80", get_json_object(col("props"), "$.k").cast("long") < 80))
+
+  private def eventChecks = eventRules.map(r => Check(r.name, r.predicate))
+
+  /** p01: rule validation + routing counts (P1/P6) — per event type, how
+    * many rows pass all rules, fail any, and fail each interesting rule.
+    * `errors` carries the failed-rule names, as the orchestrator routes on. */
+  def p01ValidateEvents(s: SparkSession, d: String): DataFrame =
+    SchemaValidator.applyRules(Tables.events(s, d), eventRules)
+      .groupBy(col("event_type"))
+      .agg(
+        sum(when(col(SchemaValidator.IsValidCol), 1L).otherwise(0L)).as("n_valid"),
+        sum(when(!col(SchemaValidator.IsValidCol), 1L).otherwise(0L)).as("n_invalid"),
+        sum(when(array_contains(col(SchemaValidator.ErrorsCol), "value_le_300"), 1L)
+          .otherwise(0L)).as("n_value_err"),
+        sum(when(array_contains(col(SchemaValidator.ErrorsCol), "k_lt_80"), 1L)
+          .otherwise(0L)).as("n_k_err"))
+      .orderBy(col("event_type"))
+
+  /** p02: cleaning + exact dedup keep-first (P2) — canonicalize text,
+    * fingerprint, keep the lowest doc_id per fingerprint. */
+  def p02CleanDedup(s: SparkSession, d: String): DataFrame = {
+    val step = Transform.pipeline(
+      Transform.cleanStrings("text"),
+      df => df.withColumn("fp", md5(lower(col("text")))),
+      Transform.dedupByKey(Seq("fp"), "doc_id"))
+    step(Tables.documents(s, d))
+      .select(col("doc_id"), col("lang"), col("source"), col("fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** p03: broadcast enrichment (P3) — events enriched with the customer
+    * dimension (user_id = c_custkey), rolled up by market segment. The
+    * dimension broadcasts; the fact side never shuffles for the join. */
+  def p03EnrichEvents(s: SparkSession, d: String): DataFrame = {
+    val dim = Tables.customer(s, d)
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+    Transform.enrichOn(dim, "user_id")(Tables.events(s, d))
+      .groupBy(coalesce(col("c_mktsegment"), lit("UNKNOWN")).as("segment"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+      .orderBy(col("segment"))
+  }
+
+  /** p05: partition-column derivation (P5) — the reference's Firehose
+    * `year=/month=/day=/hour=` projection (SDP.py:197), aggregated to the
+    * hourly bucket counts the partitioned sink would produce. */
+  def p05DerivePartitions(s: SparkSession, d: String): DataFrame =
+    Transform.derivePartitions("ts")(Tables.events(s, d))
+      .groupBy(col("year"), col("month"), col("day"), col("hour"))
+      .agg(count(lit(1)).as("n_rows"))
+      .orderBy(col("year"), col("month"), col("day"), col("hour"))
+
+  /** g01: quality scoring (G1) — per-check pass rates, composite score, and
+    * the 0.8 gate verdict (SDP.py:413), per event type. One partial+final
+    * aggregate regardless of scale. */
+  def g01QualityScore(s: SparkSession, d: String): DataFrame = {
+    val checks = eventChecks
+    Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(
+        round(Quality.perCheck(checks)(0), 6).as("value_ok_rate"),
+        round(Quality.perCheck(checks)(1), 6).as("type_ok_rate"),
+        round(Quality.perCheck(checks)(2), 6).as("k_ok_rate"),
+        round(Quality.scoreAll(checks), 6).as("quality"),
+        (round(Quality.scoreAll(checks), 6) > 0.8).as("gate_pass"))
+      .orderBy(col("event_type"))
+  }
+
+  /** g02: pipeline-health metrics (G2) — hourly success/error rates, the
+    * shape of the state-log rollup behind the reference's dashboards
+    * (README:236-241); `error` events stand in for failed stages. */
+  def g02HourlyMetrics(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(date_trunc("hour", col("ts")).as("hour_bucket"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("n_errors"),
+        round(sum(when(col("event_type") =!= "error", 1.0).otherwise(0.0)) / count(lit(1)), 6)
+          .as("success_rate"))
+      .orderBy(col("hour_bucket"))
+
+  val queries: Map[String, Q] = Map(
+    "p01_validate_events"   -> p01ValidateEvents _,
+    "p02_clean_dedup"       -> p02CleanDedup _,
+    "p03_enrich_events"     -> p03EnrichEvents _,
+    "p05_derive_partitions" -> p05DerivePartitions _,
+    "g01_quality_score"     -> g01QualityScore _,
+    "g02_hourly_metrics"    -> g02HourlyMetrics _,
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "p01_validate_events" -> """
+      WITH v AS (
+        SELECT event_type,
+               (value <= 300.0) AS r1,
+               (event_type IN ('click','view','purchase','signup')) AS r2,
+               (CAST(json_extract_string(props, '$.k') AS BIGINT) < 80) AS r3
+        FROM events)
+      SELECT event_type,
+             sum(CASE WHEN r1 AND r2 AND r3 THEN 1 ELSE 0 END) AS n_valid,
+             sum(CASE WHEN NOT (r1 AND r2 AND r3) THEN 1 ELSE 0 END) AS n_invalid,
+             sum(CASE WHEN NOT r1 THEN 1 ELSE 0 END) AS n_value_err,
+             sum(CASE WHEN NOT r3 THEN 1 ELSE 0 END) AS n_k_err
+      FROM v GROUP BY event_type ORDER BY event_type""",
+    "p02_clean_dedup" -> """
+      WITH c AS (
+        SELECT doc_id, lang, source,
+               md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+        FROM documents),
+      r AS (SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM c)
+      SELECT doc_id, lang, source, fp FROM r WHERE rn = 1 ORDER BY doc_id""",
+    "p03_enrich_events" -> """
+      SELECT coalesce(c_mktsegment, 'UNKNOWN') AS segment,
+             count(*) AS n_events, round(sum(value), 2) AS sum_value
+      FROM events LEFT JOIN customer ON user_id = c_custkey
+      GROUP BY 1 ORDER BY segment""",
+    "p05_derive_partitions" -> """
+      SELECT year(ts) AS year, month(ts) AS month, day(ts) AS day, hour(ts) AS hour,
+             count(*) AS n_rows
+      FROM events GROUP BY 1, 2, 3, 4 ORDER BY year, month, day, hour""",
+    "g01_quality_score" -> """
+      WITH v AS (
+        SELECT event_type,
+               CASE WHEN value <= 300.0 THEN 1.0 ELSE 0.0 END AS r1,
+               CASE WHEN event_type IN ('click','view','purchase','signup')
+                    THEN 1.0 ELSE 0.0 END AS r2,
+               CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) < 80
+                    THEN 1.0 ELSE 0.0 END AS r3
+        FROM events)
+      SELECT event_type,
+             round(avg(r1), 6) AS value_ok_rate,
+             round(avg(r2), 6) AS type_ok_rate,
+             round(avg(r3), 6) AS k_ok_rate,
+             round(avg(r1 * r2 * r3), 6) AS quality,
+             (round(avg(r1 * r2 * r3), 6) > 0.8) AS gate_pass
+      FROM v GROUP BY event_type ORDER BY event_type""",
+    "g02_hourly_metrics" -> """
+      SELECT date_trunc('hour', ts) AS hour_bucket,
+             count(*) AS n_events,
+             sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_errors,
+             round(sum(CASE WHEN event_type <> 'error' THEN 1.0 ELSE 0.0 END) / count(*), 6)
+               AS success_rate
+      FROM events GROUP BY 1 ORDER BY hour_bucket""",
+  )
+}

@@ -1,0 +1,60 @@
+package graft.transform
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Composable transformation steps (SURVEY §2.2 P2-P5) — the reference's
+  * transformation stage does "cleaning, enrichment, format conversion"
+  * (README:316) with the output partitioned `year=/month=/day=/hour=`
+  * (SDP.py:197).
+  *
+  * A step is just `DataFrame => DataFrame`; [[Transform.pipeline]] folds a
+  * sequence of steps. Each step is declarative so Catalyst can fuse the
+  * whole chain into one projection over the scan — a Transform pipeline
+  * of clean→enrich→derive compiles to a single WholeStageCodegen stage
+  * plus (only if enrichment joins) one broadcast join.
+  */
+object Transform {
+
+  type Step = DataFrame => DataFrame
+
+  def pipeline(steps: Step*): Step = df => steps.foldLeft(df)((d, s) => s(d))
+
+  /** P2: trim + collapse whitespace on the given string columns. */
+  def cleanStrings(cols: String*): Step = df =>
+    cols.foldLeft(df)((d, c) =>
+      d.withColumn(c, regexp_replace(trim(col(c)), "\\s+", " ")))
+
+  /** P2: fill numeric nulls with a default. */
+  def fillNulls(defaults: Map[String, Any]): Step = _.na.fill(defaults)
+
+  /** P2: drop rows with nulls in required columns. */
+  def requireColumns(cols: String*): Step = _.na.drop("any", cols)
+
+  /** P2: exact dedup on a key, keeping an arbitrary-but-deterministic row
+    * (min of `tieBreak`) per key — hash-shuffle on the key only. */
+  def dedupByKey(keys: Seq[String], tieBreak: String): Step = df => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(tieBreak))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** P3: enrichment via broadcast join against a small dimension —
+    * dimension rows ship with the plan, no shuffle of the fact side. */
+  def enrich(dim: DataFrame, joinExpr: Column): Step = df =>
+    df.join(broadcast(dim), joinExpr, "left")
+
+  /** P3 (simple form): left broadcast join on equal column names. */
+  def enrichOn(dim: DataFrame, key: String): Step = df =>
+    df.join(broadcast(dim), Seq(key), "left")
+
+  /** P5: derive the reference's partition-projection columns from a
+    * timestamp (SDP.py:197 `year=!{timestamp:yyyy}/month=.../day=.../hour=`). */
+  def derivePartitions(tsCol: String): Step = df =>
+    df.withColumn("year", year(col(tsCol)))
+      .withColumn("month", month(col(tsCol)))
+      .withColumn("day", dayofmonth(col(tsCol)))
+      .withColumn("hour", hour(col(tsCol)))
+}

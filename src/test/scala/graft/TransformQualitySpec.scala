@@ -1,0 +1,62 @@
+package graft
+
+import graft.model.PipelineOutcome
+import graft.quality.Quality
+import graft.quality.Quality.Check
+import graft.transform.Transform
+import org.apache.spark.sql.functions._
+
+class TransformQualitySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cleanStrings trims and collapses whitespace") {
+    val df = Seq("  a   b  c ", "x").toDF("s")
+    val out = Transform.cleanStrings("s")(df).as[String].collect().toSet
+    assert(out == Set("a b c", "x"))
+  }
+
+  test("dedupByKey keeps the min-tiebreak row per key") {
+    val df = Seq((1L, "k1"), (2L, "k1"), (3L, "k2")).toDF("id", "k")
+    val out = Transform.dedupByKey(Seq("k"), "id")(df)
+      .select("id").as[Long].collect().toSet
+    assert(out == Set(1L, 3L))
+  }
+
+  test("enrichOn broadcast-joins and keeps unmatched fact rows") {
+    val fact = Seq((1L, 10.0), (9L, 20.0)).toDF("k", "v")
+    val dim = Seq((1L, "one")).toDF("k", "name")
+    val out = Transform.enrichOn(dim, "k")(fact)
+    assert(out.count() == 2)
+    assert(out.filter(col("name").isNull).select("k").as[Long].head() == 9L)
+    // the join must be planned as a broadcast, not a shuffle
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("derivePartitions emits the reference's year/month/day/hour columns") {
+    val df = Seq("2024-03-05 17:30:00").toDF("s")
+      .select(to_timestamp(col("s")).as("ts"))
+    val row = Transform.derivePartitions("ts")(df)
+      .select("year", "month", "day", "hour").head()
+    assert((row.getInt(0), row.getInt(1), row.getInt(2), row.getInt(3)) == ((2024, 3, 5, 17)))
+  }
+
+  test("quality score is the pass-all fraction; gate at 0.8 is strict") {
+    val df = Seq(1.0, 2.0, -1.0, 3.0, -2.0).toDF("v") // 3/5 pass
+    val checks = Seq(Check("positive", col("v") > 0))
+    val score = Quality.batchScore(df, checks)
+    assert(math.abs(score - 0.6) < 1e-12)
+    assert(Quality.gate(score) == PipelineOutcome.Failed("Data quality score below threshold"))
+    assert(Quality.gate(0.81).isSuccess)
+    assert(!Quality.gate(0.8).isSuccess) // strictly-greater, SDP.py:413
+  }
+
+  test("quality score on clean input is exactly 1.0 and weighted normalizes") {
+    val df = Seq(1.0, 2.0).toDF("v")
+    assert(Quality.batchScore(df, Seq(Check("pos", col("v") > 0))) == 1.0)
+    val w = df.agg(Quality.weighted(Seq(
+      Check("pos", col("v") > 0) -> 3.0,
+      Check("small", col("v") < 1.5) -> 1.0)).as("s")).head().getDouble(0)
+    assert(math.abs(w - (1.0 * 0.75 + 0.5 * 0.25)) < 1e-12)
+  }
+}
