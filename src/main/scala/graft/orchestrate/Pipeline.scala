@@ -1,0 +1,109 @@
+package graft.orchestrate
+
+import graft.model.{PipelineConfig, PipelineOutcome, PipelineStatus}
+import graft.state.StateLog
+import org.apache.spark.sql.DataFrame
+
+import scala.annotation.tailrec
+
+/** Orchestration DSL (SURVEY §2.10) — the reference's Step Functions
+  * machine re-expressed as a driver-side flow over DataFrames.
+  *
+  * The reference's "query plan" is a DAG of Lambda tasks with conditional
+  * routing (SDP.py:342-421): Task → Choice → Parallel → Succeed/Fail, with
+  * per-stage retry/backoff (README:44, max-retries=3 SDP.py:703-707) and a
+  * whole-run deadline (2 h, SDP.py:427). In the Spark collapse the bulk
+  * data never leaves the cluster — a [[Flow.Task]] transforms a (lazy)
+  * DataFrame, so chaining tasks composes one Catalyst plan; only Choice
+  * predicates (driver-side scalars like the quality score) force actions.
+  */
+object Flow {
+  sealed trait Node
+  /** Run a stage, continue with `next`. `f` is lazy plan composition. */
+  final case class Task(name: String, f: DataFrame => DataFrame, next: Node) extends Node
+  /** Branch on a driver-side predicate over the current frame (the
+    * reference's Choice on the state document, SDP.py:404-418). */
+  final case class Choice(name: String, pred: DataFrame => Boolean,
+                          ifTrue: Node, ifFalse: Node) extends Node
+  /** Scatter the frame over n branch transforms and union the results —
+    * the reference's fixed 3-way Parallel (SDP.py:372-390). Spark tasks
+    * already parallelize per partition; this exists for API parity and
+    * for branches with genuinely different logic. */
+  final case class Parallel(name: String, branches: Seq[DataFrame => DataFrame],
+                            next: Node) extends Node
+  /** Terminal success; `score` extracts the reported quality. */
+  final case class Succeed(score: DataFrame => Double = _ => 1.0) extends Node
+  /** Terminal failure (SDP.py:414-417). */
+  final case class Fail(cause: String) extends Node
+}
+
+/** Executes a [[Flow]] with per-stage retry + exponential backoff, state
+  * journaling, deadline enforcement, and error capture. */
+final class PipelineRunner(stateLog: StateLog, config: PipelineConfig = PipelineConfig()) {
+
+  def run(pipelineId: String, flow: Flow.Node, input: DataFrame): PipelineOutcome = {
+    val deadline = System.currentTimeMillis() + config.deadlineMs
+    stateLog.append(pipelineId, "pipeline", PipelineStatus.Running)
+    val outcome = exec(pipelineId, flow, input, deadline)
+    outcome match {
+      case PipelineOutcome.Succeeded(s) =>
+        stateLog.append(pipelineId, "pipeline", PipelineStatus.Succeeded, f"score=$s%.6f")
+      case PipelineOutcome.Failed(c) =>
+        stateLog.append(pipelineId, "pipeline", PipelineStatus.Failed, c)
+    }
+    outcome
+  }
+
+  @tailrec
+  private def exec(id: String, node: Flow.Node, df: DataFrame, deadline: Long): PipelineOutcome = {
+    if (System.currentTimeMillis() > deadline)
+      return PipelineOutcome.Failed("Pipeline deadline exceeded")
+    node match {
+      case Flow.Task(name, f, next) =>
+        withRetry(id, name)(f(df)) match {
+          case Right(out) => exec(id, next, out, deadline)
+          case Left(err)  => PipelineOutcome.Failed(s"$name: $err")
+        }
+      case Flow.Choice(name, pred, t, fb) =>
+        withRetry(id, name)(pred(df)) match {
+          case Right(b)  => exec(id, if (b) t else fb, df, deadline)
+          case Left(err) => PipelineOutcome.Failed(s"$name: $err")
+        }
+      case Flow.Parallel(name, branches, next) =>
+        withRetry(id, name)(branches.map(_(df)).reduce(_ unionByName _)) match {
+          case Right(out) => exec(id, next, out, deadline)
+          case Left(err)  => PipelineOutcome.Failed(s"$name: $err")
+        }
+      case Flow.Succeed(score) =>
+        withRetry(id, "succeed")(score(df)) match {
+          case Right(s)  => PipelineOutcome.Succeeded(s)
+          case Left(err) => PipelineOutcome.Failed(s"succeed: $err")
+        }
+      case Flow.Fail(cause) => PipelineOutcome.Failed(cause)
+    }
+  }
+
+  /** ≤ maxRetries attempts with exponential backoff, journaling each
+    * attempt — the SQS redelivery + DLQ-after-3 contract (SDP.py:133-136)
+    * collapsed to a driver-side loop. */
+  private def withRetry[A](id: String, stage: String)(body: => A): Either[String, A] = {
+    var attempt = 0
+    var lastErr = ""
+    stateLog.append(id, stage, PipelineStatus.Running)
+    while (attempt < config.maxRetries) {
+      try {
+        val out = body
+        stateLog.append(id, stage, PipelineStatus.Succeeded)
+        return Right(out)
+      } catch {
+        case e: Exception =>
+          attempt += 1
+          lastErr = Option(e.getMessage).getOrElse(e.getClass.getSimpleName)
+          stateLog.append(id, stage, PipelineStatus.Failed, s"attempt=$attempt $lastErr")
+          if (attempt < config.maxRetries)
+            Thread.sleep(config.retryBackoffMs * (1L << (attempt - 1)))
+      }
+    }
+    Left(s"failed after ${config.maxRetries} attempts: $lastErr")
+  }
+}

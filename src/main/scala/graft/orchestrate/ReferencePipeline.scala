@@ -1,0 +1,104 @@
+package graft.orchestrate
+
+import graft.model.{PipelineConfig, PipelineLayout, PipelineOutcome}
+import graft.quality.Quality
+import graft.quality.Quality.Check
+import graft.sink.Sinks
+import graft.state.StateLog
+import graft.transform.Transform
+import graft.validate.SchemaValidator
+import graft.validate.SchemaValidator.Rule
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
+
+/** The reference's end-to-end batch pipeline (SURVEY §3.1), collapsed to
+  * one Spark program:
+  *
+  * validate → ValidationChoice (invalid → quarantine) → transform →
+  * quality → QualityChoice (score > 0.8 → promote, else fail), with
+  * per-stage state journaling and the archive copy (SDP.py:268).
+  *
+  * Gate-before-write ordering (SURVEY §7.4): the processed output is
+  * staged under a run-scoped directory and only *promoted* (atomic rename)
+  * after the quality gate passes — the transformed data is written once,
+  * scored from the staged files, and never recomputed.
+  */
+object ReferencePipeline {
+
+  final case class Spec(
+      rules: Seq[Rule],
+      transform: Transform.Step,
+      checks: Seq[Check],
+      tsCol: String = "ts")
+
+  def run(pipelineId: String, input: DataFrame, spec: Spec,
+          layout: PipelineLayout, stateLog: StateLog,
+          config: PipelineConfig = PipelineConfig()): PipelineOutcome = {
+    val spark = input.sparkSession
+    val staging = s"${layout.processed}/.staging/$pipelineId"
+    val runner = new PipelineRunner(stateLog, config)
+
+    // The gate's score is computed once, from the staged files, and carried
+    // to the Succeed terminal — promote moves those files, so re-reading
+    // after promotion would race the rename.
+    var gateScore = 0.0
+    val flow =
+      Flow.Task("validate", SchemaValidator.applyRules(_, spec.rules),
+        Flow.Task("route", { validated =>
+          val (valid, invalid) = SchemaValidator.route(validated)
+          Sinks.quarantine(invalid.drop(SchemaValidator.IsValidCol),
+            layout.errors, "validation", pipelineId)
+          valid.drop(SchemaValidator.IsValidCol, SchemaValidator.ErrorsCol)
+        },
+        Flow.Task("archive", { df => Sinks.archive(df, layout.archive); df },
+        Flow.Task("transform", spec.transform,
+        Flow.Task("stage_output", { df =>
+          Sinks.writePartitioned(df, staging, spec.tsCol)
+          spark.read.parquet(staging) // score what was actually written
+        },
+        Flow.Choice("quality_gate",
+          { df => gateScore = Quality.batchScore(df, spec.checks)
+                  gateScore > config.gateThreshold },
+          Flow.Task("promote", { df => promote(spark, staging, layout.processed, pipelineId); df },
+            Flow.Succeed(_ => gateScore)),
+          Flow.Fail("Data quality score below threshold")))))))
+
+    runner.run(pipelineId, flow, input)
+  }
+
+  /** Move staged partition directories into the live table path. Uses the
+    * Hadoop FileSystem API (same mechanism at any storage scale); renames
+    * are per-partition-directory, so a promoted run lands atomically per
+    * partition. */
+  private def promote(spark: org.apache.spark.sql.SparkSession,
+                      staging: String, live: String, pipelineId: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new Path(staging).getFileSystem(conf)
+    val livePath = new Path(live)
+    if (!fs.exists(livePath)) fs.mkdirs(livePath)
+    moveTree(fs, new Path(staging), livePath)
+    fs.delete(new Path(staging).getParent, false) // best-effort .staging cleanup
+    ()
+  }
+
+  /** Merge-move src tree into dst, descending into partition dirs that
+    * already exist so concurrent runs writing different hours never
+    * clobber each other. */
+  private def moveTree(fs: org.apache.hadoop.fs.FileSystem,
+                       src: org.apache.hadoop.fs.Path,
+                       dst: org.apache.hadoop.fs.Path): Unit = {
+    fs.listStatus(src).foreach { st =>
+      val target = new org.apache.hadoop.fs.Path(dst, st.getPath.getName)
+      if (st.isDirectory && fs.exists(target)) moveTree(fs, st.getPath, target)
+      else fs.rename(st.getPath, target)
+    }
+    fs.delete(src, true)
+    ()
+  }
+
+  /** Convenience filter used by tests to inspect quarantined rows. */
+  def quarantined(spark: org.apache.spark.sql.SparkSession,
+                  layout: PipelineLayout, pipelineId: String): DataFrame =
+    spark.read.parquet(layout.errors).filter(col("_error_batch") === pipelineId)
+}

@@ -1,0 +1,53 @@
+package graft.sink
+
+import graft.transform.Transform
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+
+/** Output sinks (SURVEY §2.1 K1-K3).
+  *
+  * K1 mirrors the reference's Firehose delivery: Parquet, GZIP-compressed,
+  * Hive-partitioned `year=/month=/day=/hour=` derived from the record
+  * timestamp (SDP.py:197-211). Partitioned layout + columnar format is
+  * what makes the downstream query surface scale: partition pruning and
+  * row-group min/max skipping both come free from this layout.
+  *
+  * K2 is the `errors/` quarantine (SDP.py:198) — failed rows are data,
+  * not exceptions: they land in their own Parquet table with the error
+  * reason and arrival batch attached, replayable later.
+  */
+object Sinks {
+
+  /** K1: partitioned Parquet sink. Derives the partition columns from
+    * `tsCol` if they are not already present. Dynamic partition overwrite
+    * keeps re-runs idempotent per partition (only touched partitions are
+    * replaced, never the whole table). */
+  def writePartitioned(df: DataFrame, path: String, tsCol: String = "ts",
+                       mode: SaveMode = SaveMode.Append): Unit = {
+    val withParts =
+      if (df.columns.contains("year")) df
+      else Transform.derivePartitions(tsCol)(df)
+    withParts.write
+      .mode(mode)
+      .option("compression", "gzip")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("year", "month", "day", "hour")
+      .parquet(path)
+  }
+
+  /** K2: quarantine sink — appends failed rows with the error reason, the
+    * stage that rejected them, and a batch id for replay bookkeeping. */
+  def quarantine(df: DataFrame, path: String, stage: String, batchId: String): Unit =
+    df.withColumn("_error_stage", lit(stage))
+      .withColumn("_error_batch", lit(batchId))
+      .withColumn("_error_at", current_timestamp())
+      .write.mode(SaveMode.Append)
+      .option("compression", "gzip")
+      .parquet(path)
+
+  /** K3: archive sink — immutable raw copy (SDP.py:268 ARCHIVE_BUCKET). */
+  def archive(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Append)
+      .option("compression", "gzip")
+      .parquet(path)
+}

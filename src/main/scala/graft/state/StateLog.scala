@@ -1,0 +1,82 @@
+package graft.state
+
+import graft.model.{PipelineStateRow, PipelineStatus}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import java.time.Instant
+import scala.collection.concurrent.TrieMap
+
+/** Append-only pipeline state journal (SURVEY §2.1 K5, §2.4 G2).
+  *
+  * The reference journals one row per stage transition to DynamoDB with
+  * composite key (pipeline_id, ISO-8601 timestamp) (SDP.py:325-339). Here
+  * the journal is Parquet (queryable with the same engine that runs the
+  * data plane) fronted by an in-memory latest-state map so `status(id)`
+  * right after `start(id)` is read-your-writes — DynamoDB gave the
+  * reference strong per-key reads; the map restores that without waiting
+  * on file-commit visibility.
+  *
+  * State rows are metadata (O(runs × stages), not O(data)), so a
+  * driver-side map and tiny appends are the right scale trade-off even at
+  * 100 TB of *data*; the Parquet journal is what dashboards (G2) query.
+  */
+final class StateLog(spark: SparkSession, path: String) {
+
+  private val latest = TrieMap.empty[String, PipelineStateRow]
+  import spark.implicits._
+
+  def append(pipelineId: String, stage: String, status: String, detail: String = ""): PipelineStateRow = {
+    val row = PipelineStateRow(pipelineId, Instant.now().toString, stage, status, detail)
+    Seq(row).toDS().write.mode(SaveMode.Append).parquet(path)
+    latest.put(pipelineId, row)
+    row
+  }
+
+  /** Latest known state per pipeline — in-memory for ids this JVM wrote. */
+  def currentStatus(pipelineId: String): Option[PipelineStateRow] =
+    latest.get(pipelineId).orElse(latestFromJournal(pipelineId))
+
+  private def latestFromJournal(pipelineId: String): Option[PipelineStateRow] =
+    journal()
+      .filter(col("pipeline_id") === pipelineId)
+      .orderBy(col("timestamp").desc)
+      .as[PipelineStateRow]
+      .take(1).headOption
+
+  /** Full journal as a DataFrame. */
+  def journal(): DataFrame =
+    try spark.read.parquet(path)
+    catch { case _: Exception => Seq.empty[PipelineStateRow].toDS().toDF() }
+
+  /** Latest row per pipeline id (window keep-first) — the reference's
+    * `status` lookup shape (SURVEY §2.5). */
+  def latestPerPipeline(): DataFrame = {
+    val w = Window.partitionBy(col("pipeline_id"))
+      .orderBy(col("timestamp").desc, col("stage").desc)
+    journal()
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** List pipelines, optionally filtered by current status — the
+    * `GET /pipelines?status=running` surface (README:183-191). */
+  def list(statusFilter: Option[String] = None): DataFrame = {
+    val base = latestPerPipeline()
+    statusFilter.fold(base)(st => base.filter(col("status") === st))
+  }
+
+  /** G2: per-stage success/failure counts and rate over the journal —
+    * the health metrics behind the reference's dashboards (README:236-241). */
+  def stageMetrics(): DataFrame =
+    journal()
+      .filter(col("status").isin(PipelineStatus.Succeeded, PipelineStatus.Failed))
+      .groupBy(col("stage"))
+      .agg(
+        count(lit(1)).as("n_runs"),
+        sum(when(col("status") === PipelineStatus.Succeeded, 1L).otherwise(0L)).as("n_success"),
+        round(avg(when(col("status") === PipelineStatus.Succeeded, 1.0).otherwise(0.0)), 6)
+          .as("success_rate"))
+}

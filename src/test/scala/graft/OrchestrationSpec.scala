@@ -1,0 +1,105 @@
+package graft
+
+import graft.model._
+import graft.orchestrate.{Flow, PipelineRunner, ReferencePipeline}
+import graft.quality.Quality.Check
+import graft.state.StateLog
+import graft.transform.Transform
+import graft.validate.SchemaValidator.Rule
+import org.apache.spark.sql.functions._
+
+import java.nio.file.Files
+
+class OrchestrationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshLayout(): PipelineLayout =
+    PipelineLayout(Files.createTempDirectory("graft-e2e").toString)
+
+  private val fastConfig = PipelineConfig(retryBackoffMs = 1L)
+
+  test("reference pipeline end-to-end: quarantine, archive, gate, promote, state rows") {
+    val layout = freshLayout()
+    val stateLog = new StateLog(spark, layout.state)
+    val spec = ReferencePipeline.Spec(
+      rules = Seq(Rule("value_le_300", col("value") <= 300.0)),
+      transform = Transform.pipeline(
+        Transform.derivePartitions("ts"),
+        df => df.withColumn("value_bucket", (col("value") / 100).cast("int"))),
+      checks = Seq(Check("value_nonneg", col("value") >= 0)))
+    val input = Tables.events(spark, sf)
+    val outcome = ReferencePipeline.run("run1", input, spec, layout, stateLog, fastConfig)
+
+    assert(outcome.isInstanceOf[PipelineOutcome.Succeeded], outcome)
+    // quarantined = rows failing the rule, tagged with stage + batch
+    val quarantined = ReferencePipeline.quarantined(spark, layout, "run1")
+    val nInvalid = input.filter(col("value") > 300.0).count()
+    assert(nInvalid > 0 && quarantined.count() == nInvalid)
+    assert(quarantined.select("_error_stage").distinct().as[String].head() == "validation")
+    // processed table is Hive-partitioned by year/month/day/hour
+    val processed = spark.read.parquet(layout.processed)
+    assert(processed.count() == input.count() - nInvalid)
+    assert(Seq("year", "month", "day", "hour").forall(processed.columns.contains))
+    assert(new java.io.File(layout.processed).listFiles().exists(_.getName.startsWith("year=")))
+    // archive holds the full valid pre-transform copy
+    assert(spark.read.parquet(layout.archive).count() == input.count() - nInvalid)
+    // state journal saw every stage, ending SUCCEEDED
+    val stages = stateLog.journal().select("stage").distinct().as[String].collect().toSet
+    assert(Set("pipeline", "validate", "transform", "quality_gate", "promote").subsetOf(stages))
+    assert(stateLog.currentStatus("run1").get.status == PipelineStatus.Succeeded)
+  }
+
+  test("quality gate failure yields Failed outcome and no promoted output") {
+    val layout = freshLayout()
+    val stateLog = new StateLog(spark, layout.state)
+    val spec = ReferencePipeline.Spec(
+      rules = Seq.empty,
+      transform = Transform.derivePartitions("ts"),
+      checks = Seq(Check("impossible", col("value") > 1e9))) // score = 0
+    val outcome = ReferencePipeline.run("run2", Tables.events(spark, sf), spec, layout, stateLog, fastConfig)
+    assert(outcome == PipelineOutcome.Failed("Data quality score below threshold"))
+    // staged output never promoted
+    val live = new java.io.File(layout.processed).listFiles()
+    assert(live == null || !live.exists(_.getName.startsWith("year=")))
+    assert(stateLog.currentStatus("run2").get.status == PipelineStatus.Failed)
+  }
+
+  test("task retry: transient failures retried with backoff, then succeed") {
+    val layout = freshLayout()
+    val stateLog = new StateLog(spark, layout.state)
+    val runner = new PipelineRunner(stateLog, fastConfig)
+    var attempts = 0
+    val flow = Flow.Task("flaky", { df =>
+      attempts += 1
+      if (attempts < 3) sys.error("transient")
+      df
+    }, Flow.Succeed())
+    val out = runner.run("run3", flow, Seq(1).toDF("x"))
+    assert(out.isSuccess && attempts == 3)
+    // two failed attempts journaled for the flaky stage
+    val failed = stateLog.journal()
+      .filter(col("stage") === "flaky" && col("status") === PipelineStatus.Failed)
+    assert(failed.count() == 2)
+  }
+
+  test("task exhausting retries fails the pipeline with the last error") {
+    val stateLog = new StateLog(spark, freshLayout().state)
+    val runner = new PipelineRunner(stateLog, fastConfig)
+    val flow = Flow.Task("doomed", _ => sys.error("boom"), Flow.Succeed())
+    val out = runner.run("run4", flow, Seq(1).toDF("x"))
+    assert(out == PipelineOutcome.Failed("doomed: failed after 3 attempts: boom"))
+  }
+
+  test("choice routes and parallel unions branches") {
+    val stateLog = new StateLog(spark, freshLayout().state)
+    val runner = new PipelineRunner(stateLog, fastConfig)
+    val flow = Flow.Choice("has_rows", _.count() > 0,
+      Flow.Parallel("scatter", Seq(
+        (df: org.apache.spark.sql.DataFrame) => df.withColumn("b", lit(1)),
+        (df: org.apache.spark.sql.DataFrame) => df.withColumn("b", lit(2))),
+        Flow.Succeed(df => df.count().toDouble)),
+      Flow.Fail("empty"))
+    val out = runner.run("run5", flow, Seq(1, 2, 3).toDF("x"))
+    assert(out == PipelineOutcome.Succeeded(6.0)) // 3 rows × 2 branches
+  }
+}

@@ -1,0 +1,64 @@
+package graft
+
+import graft.catalog.CatalogSync
+import graft.model._
+import graft.service.PipelineService
+import graft.sink.Sinks
+import graft.state.StateLog
+
+import java.nio.file.Files
+import scala.concurrent.ExecutionContext.Implicits.global
+
+class ServiceCatalogSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("service start/status/await/list lifecycle") {
+    val stateLog = new StateLog(spark, Files.createTempDirectory("graft-svc").toString + "/state")
+    val svc = new PipelineService(spark, stateLog)
+    val id = svc.start { _ => PipelineOutcome.Succeeded(1.0) }
+    // read-your-writes: status visible immediately after start
+    assert(svc.status(id).isDefined)
+    assert(svc.await(id) == Some(PipelineOutcome.Succeeded(1.0)))
+    val failing = svc.start { _ => throw new RuntimeException("exploded") }
+    svc.await(failing)
+    // journaled failure surfaces in status (allow the recover hook to land)
+    eventually(svc.status(failing).exists(_.status == PipelineStatus.Failed))
+    assert(svc.list().count() >= 2)
+  }
+
+  test("cancel marks a running pipeline cancelled") {
+    val stateLog = new StateLog(spark, Files.createTempDirectory("graft-svc2").toString + "/state")
+    val svc = new PipelineService(spark, stateLog)
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val id = svc.start { _ => gate.await(); PipelineOutcome.Succeeded(1.0) }
+    assert(svc.cancel(id))
+    gate.countDown()
+    eventually(svc.status(id).exists(_.status == PipelineStatus.Cancelled))
+    assert(!svc.cancel("nonexistent"))
+  }
+
+  test("catalog register + partition pruning + crawler sync") {
+    val root = Files.createTempDirectory("graft-cat").toString
+    val events = Tables.events(spark, sf)
+    Sinks.writePartitioned(events.limit(500), s"$root/tbl")
+    CatalogSync.register(spark, "graft_processed", s"$root/tbl")
+    val n0 = spark.table("graft_processed").count()
+    assert(n0 == 500)
+    // partition filter prunes at the metastore level
+    val pruned = spark.table("graft_processed").filter("year = 2024 AND month = 1 AND day = 1")
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(pruned.count() > 0)
+    assert(!scan.contains("year=2025"))
+    // crawler pass: new partitions appear after sync
+    Sinks.writePartitioned(events.limit(600), s"$root/tbl")
+    CatalogSync.sync(spark, "graft_processed")
+    assert(spark.table("graft_processed").count() == 1100)
+    spark.sql("DROP TABLE IF EXISTS graft_processed")
+  }
+
+  private def eventually(cond: => Boolean, timeoutMs: Long = 10000): Unit = {
+    val end = System.currentTimeMillis() + timeoutMs
+    while (!cond && System.currentTimeMillis() < end) Thread.sleep(50)
+    assert(cond)
+  }
+}
