@@ -1,0 +1,151 @@
+package graft.streaming
+
+import graft.model.PipelineLayout
+import graft.sink.Sinks
+import graft.transform.Transform
+import graft.validate.SchemaValidator
+import graft.validate.SchemaValidator.Rule
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+
+/** The streaming ingestion path (SURVEY §2.8, §3.2) on Structured
+  * Streaming.
+  *
+  * Reference semantics mapped:
+  *  - Kinesis consumer, batch 100, start LATEST (SDP.py:648-655) → file
+  *    source with `maxFilesPerTrigger` + `latestFirst`; micro-batch rate is
+  *    a source option, not code.
+  *  - Firehose buffering 60 s (SDP.py:199-202) → `Trigger.ProcessingTime`;
+  *    the 5 MB size flush has no Structured Streaming primitive and is
+  *    documented as approximated by time (SURVEY §7.4).
+  *  - At-least-once + 3 receives → DLQ (SDP.py:133-136) →
+  *    checkpointed `foreachBatch` that retries the batch body and
+  *    quarantines the batch's failed rows after exhaustion; the Parquet
+  *    sink write is idempotent per (batchId, partition) because re-runs
+  *    of a failed batch overwrite the same staged output.
+  *  - Stream retention bound (7 d, SDP.py:166) → watermark: late rows
+  *    beyond the bound are dropped from stateful aggregations.
+  *  - Fan-out to a second analytics stream (SDP.py:296) → two
+  *    `writeStream` queries over one source frame.
+  */
+object StreamingPipeline {
+
+  /** S1/S3 streaming source: JSON files landing in a directory (the S3
+    * `incoming/` event feed). `maxFilesPerTrigger` is the reference's
+    * consumer batch size. */
+  def jsonFileSource(spark: SparkSession, dir: String, schema: StructType,
+                     maxFilesPerTrigger: Int = 100): DataFrame =
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .json(dir)
+
+  /** The validated, partition-derived processing stream: parse-free
+    * rule validation + partition derivation composed onto the source —
+    * all narrow, stays in one stage per micro-batch. */
+  def processingStream(source: DataFrame, rules: Seq[Rule], tsCol: String = "ts"): DataFrame =
+    Transform.derivePartitions(tsCol)(SchemaValidator.applyRules(source, rules))
+
+  /** T1/T6: checkpointed micro-batch sink with retry-then-quarantine.
+    * Valid rows append to the partitioned processed table; invalid rows go
+    * to the quarantine. If the batch body throws, it is retried
+    * `maxRetries` times; a batch that keeps failing is itself quarantined
+    * (poison-batch DLQ) so the stream keeps moving — the reference's
+    * visibility-timeout redelivery collapsed into the epoch. */
+  def partitionedSink(stream: DataFrame, layout: PipelineLayout,
+                      triggerInterval: String = "60 seconds",
+                      maxRetries: Int = 3): DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .option("checkpointLocation", s"${layout.checkpoints}/processed")
+      .trigger(Trigger.ProcessingTime(triggerInterval))
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        var attempt = 0
+        var done = false
+        while (!done) {
+          try {
+            val (valid, invalid) = SchemaValidator.route(batch)
+            Sinks.writePartitioned(
+              valid.drop(SchemaValidator.IsValidCol, SchemaValidator.ErrorsCol),
+              layout.processed)
+            val inv = invalid.drop(SchemaValidator.IsValidCol)
+            if (!inv.isEmpty)
+              Sinks.quarantine(inv, layout.errors, "stream_validation", s"batch-$batchId")
+            done = true
+          } catch {
+            case e: Exception =>
+              attempt += 1
+              if (attempt >= maxRetries) {
+                // poison batch: quarantine everything, keep the stream alive
+                Sinks.quarantine(batch.drop(SchemaValidator.IsValidCol),
+                  layout.errors, "stream_poison", s"batch-$batchId")
+                done = true
+              } else Thread.sleep(100L * (1L << (attempt - 1)))
+          }
+        }
+      }
+
+  /** T2/T4: tumbling-window rollup with a watermark — the realtime
+    * analytics leg. Late rows beyond `lateness` are dropped (retention
+    * analog); state for closed windows is evicted, so state size is
+    * O(open windows × groups), independent of stream length. */
+  def windowedAnalytics(stream: DataFrame, tsCol: String, groupCol: String,
+                        window_ : String = "1 hour",
+                        lateness: String = "10 minutes"): DataFrame =
+    stream
+      .withWatermark(tsCol, lateness)
+      .groupBy(window(col(tsCol), window_), col(groupCol))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("window_start"), col(groupCol),
+        col("n"), col("sum_value"))
+
+  /** T3: session windows — activity sessions per key closed by a gap. */
+  def sessionized(stream: DataFrame, tsCol: String, keyCol: String,
+                  gap: String = "30 minutes",
+                  lateness: String = "10 minutes"): DataFrame =
+    stream
+      .withWatermark(tsCol, lateness)
+      .groupBy(session_window(col(tsCol), gap), col(keyCol))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"), col(keyCol), col("n_events"))
+
+  /** T5: arbitrary stateful tracking keyed by pipeline/user id — running
+    * count + last-seen timestamp per key via mapGroupsWithState (the
+    * DynamoDB per-pipeline state row, kept in the stream). */
+  final case class KeyState(key: String, n: Long, lastTs: java.sql.Timestamp)
+
+  def trackState(events: Dataset[(String, java.sql.Timestamp)]): Dataset[KeyState] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_._1)
+      .mapGroupsWithState[KeyState, KeyState](GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[(String, java.sql.Timestamp)], state: GroupState[KeyState]) =>
+          val prev = state.getOption.getOrElse(KeyState(key, 0L, new java.sql.Timestamp(0)))
+          val batch = rows.toSeq
+          val next = KeyState(key, prev.n + batch.size,
+            batch.map(_._2).foldLeft(prev.lastTs)((a, b) => if (b.after(a)) b else a))
+          state.update(next)
+          next
+      }
+  }
+
+  /** T7: fan-out — one source frame, two independent sink queries
+    * (processed Parquet + windowed analytics), each with its own
+    * checkpoint, mirroring the realtime fn writing the analytics stream
+    * while Firehose drains the main one. */
+  def fanOut(processing: DataFrame, analytics: DataFrame, layout: PipelineLayout,
+             analyticsSinkFormat: String = "memory",
+             analyticsQueryName: String = "analytics",
+             triggerInterval: String = "60 seconds"): (StreamingQuery, StreamingQuery) = {
+    val q1 = partitionedSink(processing, layout, triggerInterval).start()
+    val q2 = analytics.writeStream
+      .format(analyticsSinkFormat)
+      .queryName(analyticsQueryName)
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", s"${layout.checkpoints}/analytics")
+      .trigger(Trigger.ProcessingTime(triggerInterval))
+      .start()
+    (q1, q2)
+  }
+}

@@ -1,0 +1,134 @@
+package graft
+
+import graft.model.PipelineLayout
+import graft.streaming.StreamingPipeline
+import graft.validate.SchemaValidator.Rule
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType), StructField("ts", TimestampType),
+    StructField("value", DoubleType)))
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("file stream: validate, derive partitions, partitioned sink + quarantine") {
+    val root = Files.createTempDirectory("graft-stream").toString
+    val layout = PipelineLayout(root)
+    val inDir = s"$root/raw/incoming"
+    new java.io.File(inDir).mkdirs()
+    Files.writeString(java.nio.file.Paths.get(s"$inDir/batch1.json"),
+      """{"id": 1, "ts": "2024-01-01T10:00:00.000Z", "value": 5.0}
+        |{"id": 2, "ts": "2024-01-01T11:00:00.000Z", "value": -3.0}
+        |{"id": 3, "ts": "2024-01-02T09:30:00.000Z", "value": 7.0}
+        |""".stripMargin)
+
+    val source = StreamingPipeline.jsonFileSource(spark, inDir, schema, maxFilesPerTrigger = 10)
+    val stream = StreamingPipeline.processingStream(source,
+      Seq(Rule("value_positive", col("value") > 0)))
+    val q = StreamingPipeline.partitionedSink(stream, layout)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+
+    val processed = spark.read.parquet(layout.processed)
+    assert(processed.count() == 2)
+    assert(processed.select("hour").as[Int].collect().toSet == Set(10, 9))
+    assert(new java.io.File(layout.processed).listFiles().exists(_.getName.startsWith("year=")))
+    val quarantined = spark.read.parquet(layout.errors)
+    assert(quarantined.count() == 1)
+    assert(quarantined.select("id").as[Long].head() == 2L)
+    assert(quarantined.select("_error_stage").as[String].head() == "stream_validation")
+  }
+
+  test("windowed analytics with watermark drops late data beyond bound") {
+    val mem = MemoryStream[(Timestamp, String, Double)](spark)
+    val stream = mem.toDF().toDF("ts", "k", "value")
+    val agg = StreamingPipeline.windowedAnalytics(stream, "ts", "k",
+      window_ = "1 hour", lateness = "10 minutes")
+    val q = agg.writeStream.format("memory").queryName("win")
+      .outputMode("append").start()
+    // window 10:00 closes once watermark passes 11:10
+    mem.addData((ts("2024-01-01 10:05:00"), "a", 1.0), (ts("2024-01-01 10:20:00"), "a", 2.0))
+    q.processAllAvailable()
+    mem.addData((ts("2024-01-01 11:30:00"), "a", 4.0)) // advances watermark to 11:20
+    q.processAllAvailable()
+    mem.addData((ts("2024-01-01 10:40:00"), "a", 99.0)) // late beyond bound → dropped
+    q.processAllAvailable()
+    mem.addData((ts("2024-01-01 13:00:00"), "a", 8.0)) // closes the 11:00 window too
+    q.processAllAvailable()
+    val rows = spark.table("win")
+      .select(col("window_start").cast("string"), col("n"), col("sum_value"))
+      .as[(String, Long, Double)].collect().map { case (k, n, s) => (k, (n, s)) }.toMap
+    assert(rows("2024-01-01 10:00:00") == ((2L, 3.0))) // late row NOT included
+    assert(rows("2024-01-01 11:00:00") == ((1L, 4.0)))
+    q.stop()
+  }
+
+  test("session windows close on gap") {
+    val mem = MemoryStream[(Timestamp, String, Double)](spark)
+    val stream = mem.toDF().toDF("ts", "k", "value")
+    val sess = StreamingPipeline.sessionized(stream, "ts", "k", gap = "30 minutes")
+    val q = sess.writeStream.format("memory").queryName("sess")
+      .outputMode("append").start()
+    mem.addData(
+      (ts("2024-01-01 10:00:00"), "u1", 1.0),
+      (ts("2024-01-01 10:10:00"), "u1", 1.0), // same session
+      (ts("2024-01-01 12:00:00"), "u1", 1.0)) // new session
+    q.processAllAvailable()
+    mem.addData((ts("2024-01-01 15:00:00"), "u1", 1.0)) // watermark closes earlier sessions
+    q.processAllAvailable()
+    val sessions = spark.table("sess").select("n_events").as[Long].collect().sorted.toSeq
+    assert(sessions == Seq(1L, 2L))
+    q.stop()
+  }
+
+  test("stateful tracking accumulates per-key counts across batches") {
+    val mem = MemoryStream[(String, Timestamp)](spark)
+    val tracked = StreamingPipeline.trackState(mem.toDS())
+    val q = tracked.writeStream.format("memory").queryName("tracked")
+      .outputMode("update").start()
+    mem.addData(("p1", ts("2024-01-01 10:00:00")), ("p1", ts("2024-01-01 10:05:00")))
+    q.processAllAvailable()
+    mem.addData(("p1", ts("2024-01-01 10:10:00")), ("p2", ts("2024-01-01 10:00:00")))
+    q.processAllAvailable()
+    val last = spark.table("tracked").groupBy("key").agg(max("n").as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(last == Map("p1" -> 3L, "p2" -> 1L))
+    q.stop()
+  }
+
+  test("fan-out: one source feeds partitioned sink and analytics sink") {
+    val root = Files.createTempDirectory("graft-fanout").toString
+    val layout = PipelineLayout(root)
+    val inDir = s"$root/raw/incoming"
+    new java.io.File(inDir).mkdirs()
+    Files.writeString(java.nio.file.Paths.get(s"$inDir/b.json"),
+      """{"id": 1, "ts": "2024-01-01T10:00:00.000Z", "value": 5.0}
+        |{"id": 2, "ts": "2024-01-01T10:30:00.000Z", "value": 2.0}
+        |""".stripMargin)
+    val source = StreamingPipeline.jsonFileSource(spark, inDir, schema)
+    val processing = StreamingPipeline.processingStream(source, Seq.empty)
+      .withColumn("k", lit("all"))
+    val analytics = StreamingPipeline.windowedAnalytics(
+      processing, "ts", "k", window_ = "1 hour", lateness = "0 seconds")
+    val (q1, q2) = StreamingPipeline.fanOut(processing, analytics, layout,
+      analyticsQueryName = "fan_analytics", triggerInterval = "1 seconds")
+    try {
+      def processedCount(): Long =
+        try spark.read.parquet(layout.processed).count()
+        catch { case _: Exception => -1L } // dir empty until first commit
+      val end = System.currentTimeMillis() + 60000
+      while (System.currentTimeMillis() < end && processedCount() < 2) Thread.sleep(200)
+      assert(processedCount() == 2)
+      assert(q2.isActive) // analytics leg runs concurrently off the same source
+    } finally { q1.stop(); q2.stop() }
+  }
+}
