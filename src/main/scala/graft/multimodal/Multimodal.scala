@@ -1,0 +1,162 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+
+/** Multimodal (image/audio/video) column handling (north-star [N]).
+  *
+  * Media payloads are opaque `binary` columns with a typed metadata
+  * struct — the schema a 100 TB multimodal corpus actually uses: content
+  * stays byte-addressable and codec-agnostic; metadata is columnar and
+  * filterable without touching bytes (predicate pushdown on `meta.kind`,
+  * `meta.width` never reads a payload).
+  *
+  * Kernels run via `mapPartitions` with an explicit batch loop — the
+  * Scala analog of Python's `mapInPandas`: per-partition, the codec is
+  * initialized once and rows are processed in fixed-size batches (bounded
+  * memory regardless of partition size, amortized codec setup). The
+  * partitioning story is the real design: decode is a narrow map, so a
+  * decode→featurize→write pipeline has zero shuffles and scales linearly
+  * with executors.
+  *
+  * STUB NOTE: this container ships no image/audio codecs, so
+  * [[StubCodec.decode]] is a clearly-marked deterministic fake (bytes →
+  * pseudo-pixels via a rolling hash). Swap `Codec` for a real
+  * libjpeg/ffmpeg-backed implementation in production; every signature,
+  * schema, and batch shape stays the same.
+  */
+object Multimodal {
+
+  /** Typed metadata carried next to the opaque payload. */
+  final case class MediaMeta(kind: String, width: Int, height: Int,
+                             sampleRate: Int, durationMs: Long)
+  /** One media row: id + opaque bytes + typed metadata. */
+  final case class MediaRecord(media_id: Long, data: Array[Byte], meta: MediaMeta)
+  /** Decoded raster: row-major grayscale floats in [0,1]. */
+  final case class Decoded(media_id: Long, width: Int, height: Int, pixels: Array[Float])
+  /** Pooled feature vector per media item. */
+  final case class MediaFeature(media_id: Long, feature: Array[Float])
+  /** One sampled video frame. */
+  final case class Frame(media_id: Long, frame_idx: Int, tMs: Long, pixels: Array[Float])
+
+  /** Decode interface — a real implementation wraps libjpeg/ffmpeg. */
+  trait Codec extends Serializable {
+    def decode(data: Array[Byte], width: Int, height: Int): Array[Float]
+  }
+
+  /** STUB: deterministic fake decoder. Pixel (i) = rollingHash(bytes, i)
+    * scaled to [0,1]. Not a real image decode — stands in for the codec
+    * so the distributed plumbing is fully testable. */
+  object StubCodec extends Codec {
+    def decode(data: Array[Byte], width: Int, height: Int): Array[Float] = {
+      val n = width * height
+      val out = new Array[Float](n)
+      var h = 1125899906842597L // FNV-ish rolling seed
+      var i = 0
+      while (i < n) {
+        val b = if (data.isEmpty) 0 else data(i % data.length)
+        h = h * 31 + b
+        out(i) = ((h >>> 40) & 0xFFFF).toFloat / 65535.0f
+        i += 1
+      }
+      out
+    }
+  }
+
+  /** Batch size for the per-partition loop — bounds working memory to
+    * O(batch × pixels), the `mapInPandas` batch-shape analog. */
+  val DecodeBatchSize = 32
+
+  /** Decode every record's payload into a raster (narrow, no shuffle).
+    * The codec is instantiated once per partition, rows stream through in
+    * [[DecodeBatchSize]] groups. */
+  def decode(records: Dataset[MediaRecord], codec: Codec = StubCodec): Dataset[Decoded] = {
+    import records.sparkSession.implicits._
+    records.mapPartitions { it =>
+      it.grouped(DecodeBatchSize).flatMap { batch =>
+        batch.map { r =>
+          Decoded(r.media_id, r.meta.width, r.meta.height,
+            codec.decode(r.data, r.meta.width, r.meta.height))
+        }
+      }
+    }
+  }
+
+  /** Nearest-neighbor resize of decoded rasters — real resampling math
+    * over whatever the codec produced. */
+  def resize(decoded: Dataset[Decoded], newW: Int, newH: Int): Dataset[Decoded] = {
+    import decoded.sparkSession.implicits._
+    decoded.map { d =>
+      val out = new Array[Float](newW * newH)
+      var y = 0
+      while (y < newH) {
+        val sy = math.min(d.height - 1, y * d.height / newH)
+        var x = 0
+        while (x < newW) {
+          val sx = math.min(d.width - 1, x * d.width / newW)
+          out(y * newW + x) = d.pixels(sy * d.width + sx)
+          x += 1
+        }
+        y += 1
+      }
+      Decoded(d.media_id, newW, newH, out)
+    }
+  }
+
+  /** Grid-pooled feature extraction: mean over a `grid × grid` spatial
+    * pooling — a real pooling kernel (the classic pre-embedding shrink). */
+  def features(decoded: Dataset[Decoded], grid: Int = 4): Dataset[MediaFeature] = {
+    import decoded.sparkSession.implicits._
+    decoded.map { d =>
+      val feat = new Array[Float](grid * grid)
+      val counts = new Array[Int](grid * grid)
+      var y = 0
+      while (y < d.height) {
+        val gy = math.min(grid - 1, y * grid / d.height)
+        var x = 0
+        while (x < d.width) {
+          val gx = math.min(grid - 1, x * grid / d.width)
+          val g = gy * grid + gx
+          feat(g) += d.pixels(y * d.width + x)
+          counts(g) += 1
+          x += 1
+        }
+        y += 1
+      }
+      var i = 0
+      while (i < feat.length) { if (counts(i) > 0) feat(i) /= counts(i); i += 1 }
+      MediaFeature(d.media_id, feat)
+    }
+  }
+
+  /** Sample frames from video payloads every `everyMs` — the sampling
+    * schedule is real; the per-frame decode is the stub codec keyed by
+    * frame index so frames differ deterministically. */
+  def sampleFrames(records: Dataset[MediaRecord], everyMs: Long,
+                   codec: Codec = StubCodec): Dataset[Frame] = {
+    import records.sparkSession.implicits._
+    records.filter(_.meta.kind == "video").flatMap { r =>
+      val n = (r.meta.durationMs / everyMs).toInt
+      (0 until n).iterator.map { k =>
+        val tMs = k * everyMs
+        // frame-seek stub: perturb the payload with the frame index
+        val seeded = if (r.data.isEmpty) r.data
+                     else { val c = r.data.clone(); c(0) = (c(0) + k).toByte; c }
+        Frame(r.media_id, k, tMs, codec.decode(seeded, r.meta.width, r.meta.height))
+      }
+    }
+  }
+
+  /** Deterministic synthetic corpus for tests/benches (no real media in
+    * this environment): payload bytes are a seeded function of the id. */
+  def syntheticCorpus(spark: SparkSession, n: Int, kind: String = "image",
+                      width: Int = 32, height: Int = 32): Dataset[MediaRecord] = {
+    import spark.implicits._
+    spark.range(n.toLong).map { id =>
+      val bytes = Array.tabulate[Byte](256)(i => ((id * 131 + i * 17) % 251).toByte)
+      MediaRecord(id, bytes,
+        MediaMeta(kind, width, height,
+          sampleRate = if (kind == "audio") 16000 else 0,
+          durationMs = if (kind == "video") 10000L else 0L))
+    }
+  }
+}

@@ -1,0 +1,73 @@
+package graft
+
+import graft.multimodal.Multimodal
+import graft.multimodal.Multimodal._
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("media schema: opaque binary payload + typed metadata struct") {
+    val ds = Multimodal.syntheticCorpus(spark, 10)
+    val schema = ds.toDF().schema
+    assert(schema("data").dataType.typeName == "binary")
+    assert(schema("meta").dataType.typeName == "struct")
+    // metadata filter must not require touching payload bytes
+    assert(ds.filter($"meta.kind" === "image").count() == 10)
+  }
+
+  test("decode is deterministic, batched, and preserves row count + shape") {
+    val ds = Multimodal.syntheticCorpus(spark, 100, width = 16, height = 8).repartition(4)
+    val dec = Multimodal.decode(ds)
+    assert(dec.count() == 100)
+    val first = dec.filter(_.media_id == 0L).head()
+    assert(first.pixels.length == 16 * 8)
+    assert(first.pixels.forall(p => p >= 0f && p <= 1f))
+    // same input → same pixels (stub codec is pure)
+    val again = Multimodal.decode(ds).filter(_.media_id == 0L).head()
+    assert(first.pixels.sameElements(again.pixels))
+  }
+
+  test("decode plan is narrow - no shuffle between scan and decode") {
+    val ds = Multimodal.syntheticCorpus(spark, 50)
+    val plan = Multimodal.decode(ds).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
+  test("resize resamples to the target shape") {
+    val ds = Multimodal.syntheticCorpus(spark, 5, width = 32, height = 32)
+    val resized = Multimodal.resize(Multimodal.decode(ds), 8, 4)
+    val r = resized.head()
+    assert(r.width == 8 && r.height == 4 && r.pixels.length == 32)
+  }
+
+  test("feature extraction pools to grid x grid and values stay in range") {
+    val ds = Multimodal.syntheticCorpus(spark, 20)
+    val feats = Multimodal.features(Multimodal.decode(ds), grid = 4)
+    assert(feats.count() == 20)
+    val f = feats.head()
+    assert(f.feature.length == 16)
+    assert(f.feature.forall(v => v >= 0f && v <= 1f))
+  }
+
+  test("frame sampling emits duration/interval frames for videos only") {
+    val vids = Multimodal.syntheticCorpus(spark, 3, kind = "video")
+    val imgs = Multimodal.syntheticCorpus(spark, 3, kind = "image")
+    val frames = Multimodal.sampleFrames(vids.union(imgs), everyMs = 2000L)
+    // 10 s / 2 s = 5 frames per video, none per image
+    assert(frames.count() == 15)
+    val f0 = frames.filter(f => f.media_id == 0L && f.frame_idx == 0).head()
+    val f1 = frames.filter(f => f.media_id == 0L && f.frame_idx == 1).head()
+    assert(f0.tMs == 0L && f1.tMs == 2000L)
+    assert(!f0.pixels.sameElements(f1.pixels)) // frames differ deterministically
+  }
+
+  test("media round-trips through parquet with binary + struct intact") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-media").toString
+    Multimodal.syntheticCorpus(spark, 10).write.parquet(s"$dir/media")
+    val back = spark.read.parquet(s"$dir/media").as[MediaRecord]
+    assert(back.count() == 10)
+    val orig = Multimodal.syntheticCorpus(spark, 10).filter(_.media_id == 3L).head()
+    val rt = back.filter(_.media_id == 3L).head()
+    assert(rt.data.sameElements(orig.data) && rt.meta == orig.meta)
+  }
+}
