@@ -33,16 +33,28 @@ object Dedup {
 
   type Q = (SparkSession, String) => DataFrame
 
-  /** Word 3-gram shingle set of a document (distinct). */
-  def shingles(c: Column): Column = {
-    val toks = tokens(c)
-    array_distinct(
-      filter(
-        transform(toks, (_, i) =>
-          when(i < size(toks) - 2,
-            concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2),
-              element_at(toks, i + 3)))),
-        s => s.isNotNull))
+  /** Word 3-gram shingle set (distinct) of a tokens column.
+    *
+    * Built with `zip_with` over shifted slices so every lambda touches
+    * ONLY its lambda variables. Higher-order functions evaluate
+    * interpreted, and any outer expression embedded in a lambda body is
+    * re-evaluated '''per array element'''; an earlier
+    * `element_at(toks, i+k)` formulation re-tokenized the whole document
+    * per token once Catalyst rules (CollapseProject /
+    * InferFiltersFromGenerate) inlined the tokenizer into the lambda —
+    * a quadratic blowup (70 s → ~2 s for d02 at sf0.1). With
+    * lambda-local-only bodies, rule inlining costs one linear pass per
+    * row, nothing more. */
+  def shingles(toks: Column): Column = {
+    val t2 = slice(toks, lit(2), greatest(size(toks) - 1, lit(0)))
+    val t3 = slice(toks, lit(3), greatest(size(toks) - 2, lit(0)))
+    // zip_with null-pads the shorter side; the final when() drops the
+    // 1- and 2-token tails.
+    val grams = zip_with(
+      zip_with(toks, t2, (a, b) => when(b.isNotNull, concat_ws(" ", a, b))),
+      t3,
+      (ab, c) => when(c.isNotNull && ab.isNotNull, concat_ws(" ", ab, c)))
+    array_distinct(filter(grams, s => s.isNotNull))
   }
 
   /** d01: exact keyed dedup over `events` — hash-groupBy on the dedup key,
@@ -54,19 +66,37 @@ object Dedup {
            count(lit(1)).as("n_dups"))
       .orderBy(col("user_id"), col("event_type"))
 
+  /** NOT cached deliberately: Spark's columnar in-memory cache is
+    * pathologically slow materializing array<string> columns (~50× the
+    * cost of recomputing the shingles from the scan — measured 15 s vs
+    * <1 s at sf0.1), so consumers just recompute the narrow projection.
+    * Tokens go through their own projection so the shingle lambda sees a
+    * bound attribute (see [[shingles]]). */
   private def docShingles(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d).select(col("doc_id"), shingles(col("text")).as("sh"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), shingles(col("toks")).as("sh"))
 
   /** d02: n-gram Jaccard near-dup — shingle inverted index (explode →
     * self-join on shingle → common counts), exact Jaccard ≥ 0.6. The
     * shuffle key is the shingle, so only documents *sharing* a shingle ever
-    * meet; there is no all-pairs product. */
+    * meet; there is no all-pairs product.
+    *
+    * Plan shape: shingles are hashed to 64-bit keys immediately (the
+    * inverted index never shuffles strings), and the index is funneled
+    * through one `repartition(h)` exchange that the self-join's two sides
+    * and the per-doc size aggregate all reuse (ReusedExchange) — the
+    * shingle computation runs ONCE. The merge hint keeps AQE from
+    * flipping the self-join to broadcast, which would clone the build
+    * side and recompute the index. */
   def d02NgramJaccard(s: SparkSession, d: String): DataFrame = {
-    val ds = docShingles(s, d).cache()
-    val sizes = ds.select(col("doc_id"), size(col("sh")).as("n"))
-    val inv = ds.select(col("doc_id"), explode(col("sh")).as("s"))
-    val common = inv.as("a").join(inv.as("b"),
-        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+    val inv = docShingles(s, d)
+      .select(col("doc_id"), explode(col("sh")).as("sg"))
+      .select(col("doc_id"), xxhash64(col("sg")).as("h"))
+      .repartition(col("h"))
+    val sizes = inv.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val common = inv.as("a").join(inv.as("b").hint("merge"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("c"))
     common
@@ -86,22 +116,28 @@ object Dedup {
   val BandRows  = 4
   val NumBands: Int = NumHashes / BandRows
 
-  /** d03: MinHash + LSH near-dup. Per doc: hash each shingle once
-    * (xxhash64), derive the i-th permutation as xxhash64(shingle_hash, i),
-    * signature = per-permutation minima; band the signature, bucket-join on
-    * (band, band_hash), then verify candidates with exact Jaccard ≥ 0.6
-    * (array_intersect / array_union on the cached shingle sets). */
+  /** d03: MinHash + LSH near-dup. Shingles are exploded once and hashed
+    * flat (`xxhash64` is codegen'd as a plain expression; wrapping it in
+    * `transform` lambdas would evaluate interpreted per element — 128
+    * array traversals per doc). The i-th permutation is
+    * xxhash64(shingle_hash, i); the signature is a 128-column min
+    * aggregate (partial map-side mins, then one shuffle keyed by doc_id);
+    * band the signature, bucket-join on (band, band_hash), then verify
+    * candidates with exact Jaccard ≥ 0.6 (array_intersect / array_union
+    * on the cached shingle sets). */
   def d03MinHashLsh(s: SparkSession, d: String): DataFrame = {
-    val ds = docShingles(s, d).cache()
-    val hashed = ds.withColumn("shh", transform(col("sh"), x => xxhash64(x)))
-    val sig = (0 until NumHashes).map { i =>
-      array_min(transform(col("shh"), x => xxhash64(x, lit(i)))).as(s"m$i")
-    }
+    // One repartition exchange: the signature build reads it once and the
+    // two verify joins reuse it instead of recomputing the shingle sets.
+    val ds = docShingles(s, d).repartition(col("doc_id"))
+    val exploded = ds.select(col("doc_id"), explode(col("sh")).as("sg"))
+      .withColumn("h", xxhash64(col("sg")))
+    val mins = (0 until NumHashes).map(i => min(xxhash64(col("h"), lit(i))).as(s"m$i"))
+    val sig = exploded.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
     val bands = (0 until NumBands).map { b =>
       struct(lit(b).as("band"),
         xxhash64((0 until BandRows).map(r => col(s"m${b * BandRows + r}")): _*).as("bh"))
     }
-    val buckets = hashed.select((col("doc_id") +: sig): _*)
+    val buckets = sig
       .select(col("doc_id"), explode(array(bands: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
     val candidates = buckets.as("a").join(buckets.as("b"),

@@ -69,13 +69,12 @@ object Similarity {
   }
 
   /** Bucket signature of `vecCol` in LSH table `t`: one bit per hyperplane
-    * (sign of the projection), packed into a long — all codegen'd builtins. */
+    * (sign of the projection), packed into a long. Projections use the
+    * native [[graft.functions.DotProduct]] expression against the literal
+    * plane — a generated primitive loop per row, not an interpreted HOF. */
   private def signature(t: Int, vecCol: org.apache.spark.sql.Column) = {
     (0 until NumPlanes).map { p =>
-      val coef = planes(t)(p)
-      val proj = aggregate(
-        zip_with(vecCol, lit(coef), (x, c) => x.cast("double") * c),
-        lit(0.0), (acc, x) => acc + x)
+      val proj = graft.functions.VectorFunctions.dot(vecCol, lit(planes(t)(p)))
       shiftleft(when(proj >= 0, 1L).otherwise(0L), p)
     }.reduce(_.bitwiseOR(_))
   }
