@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.dedup.Dedup
-import graft.queries.{PipelineQueries, RelationalQueries}
+import graft.queries.{ExtendedQueries, PipelineQueries, RelationalQueries}
 import graft.similarity.Similarity
 import graft.text.TextAnalysis
 
@@ -21,12 +21,14 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RelationalQueries.queries ++ PipelineQueries.queries ++
-      TextAnalysis.queries ++ Dedup.queries ++ Similarity.queries
+    RelationalQueries.queries ++ ExtendedQueries.queries ++
+      PipelineQueries.queries ++ TextAnalysis.queries ++
+      Dedup.queries ++ Similarity.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    RelationalQueries.oracleSql ++ PipelineQueries.oracleSql ++
-      TextAnalysis.oracleSql ++ Dedup.oracleSql ++ Similarity.oracleSql
+    RelationalQueries.oracleSql ++ ExtendedQueries.oracleSql ++
+      PipelineQueries.oracleSql ++ TextAnalysis.oracleSql ++
+      Dedup.oracleSql ++ Similarity.oracleSql
 }

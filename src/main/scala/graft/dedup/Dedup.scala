@@ -160,7 +160,9 @@ object Dedup {
     * (term frequency weighted — duplicates vote repeatedly); candidates from
     * four 16-bit chunk buckets (pigeonhole: Hamming ≤ 3 ⇒ some chunk equal);
     * verified with bit_count(a XOR b) ≤ 3. Hash-defined, so no SQL oracle —
-    * DedupSpec checks it finds exactly the planted d02 pairs. */
+    * DedupSimilaritySpec checks the Hamming bound and substantial overlap
+    * with the exact-Jaccard pairs (SimHash is a *different* similarity:
+    * a few-token edit on a short doc can flip >3 bits even at J≈0.95). */
   def d04SimHash(s: SparkSession, d: String): DataFrame = {
     val th = Tables.documents(s, d)
       .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))

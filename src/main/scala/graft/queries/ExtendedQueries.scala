@@ -1,0 +1,159 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.Joins
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Second wave of oracle-checked queries: as-of join (a01), window
+  * analytics beyond ranking (q26), array/higher-order functions (q27),
+  * and approximate distinct (q25) — closing the SURVEY §2.3/2.4/2.5/2.7
+  * inventory.
+  */
+object ExtendedQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** a01: as-of join — each click event matched to the same user's latest
+    * purchase at or before it (backward inclusive). One shuffle on
+    * user_id via the union-merge construction ([[Joins.asOf]]). */
+  def a01AsOfJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+    Joins.asOf(clicks, purchases, "user_id",
+        leftTs = col("ts"), rightTs = col("ts"),
+        payload = Seq(col("event_id").as("purchase_id"), col("value").as("purchase_value")),
+        tieBreak = col("event_id"))
+      .select(col("event_id"), col("user_id"), col("purchase_id"),
+        round(col("purchase_value"), 2).as("purchase_value"))
+      .orderBy(col("event_id"))
+  }
+
+  /** q25: approximate distinct (G4) — HLL-based approx_count_distinct
+    * next to the exact count; the oracle checks the exact count and that
+    * both engines' sketches land within 10 % (sketches differ across
+    * engines, so the *bound* is the comparable contract). */
+  def q25ApproxDistinct(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_orderkey")).as("d_exact"),
+        (abs(approx_count_distinct(col("l_orderkey"), 0.05) - countDistinct(col("l_orderkey")))
+          <= countDistinct(col("l_orderkey")) * 0.1).as("approx_ok"))
+      .orderBy(col("l_returnflag"))
+
+  /** q26: analytic windows beyond ranking (§2.5) — ntile quartiles,
+    * first/last value over a frame, and a range-frame sum. */
+  def q26WindowExtras(s: SparkSession, d: String): DataFrame = {
+    val wOrd = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+    val wFull = wOrd.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val wRange = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_quantity"))
+      .rangeBetween(-5, 0)
+    Tables.lineitem(s, d)
+      .filter(col("l_suppkey") <= 5)
+      .select(
+        col("l_suppkey"), col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        ntile(4).over(wOrd).as("quartile"),
+        first(col("l_quantity")).over(wFull).as("first_qty"),
+        last(col("l_quantity")).over(wFull).as("last_qty"),
+        count(lit(1)).over(wRange).as("n_within_5"))
+      .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
+  }
+
+  /** q27: array + higher-order functions (§2.7) — per-group sorted array
+    * build, then element_at/slice/transform/filter/aggregate over it.
+    * Arrays are built with sort_array(collect_list(...)) so content is
+    * deterministic; outputs are scalars (the driver's compare hashes
+    * scalar columns). */
+  def q27ArrayFuncs(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(sort_array(collect_list(col("l_quantity"))).as("qs"))
+      .select(
+        col("l_returnflag"),
+        size(col("qs")).as("n"),
+        element_at(col("qs"), 1).as("q_min"),
+        element_at(col("qs"), -1).as("q_max"),
+        round(aggregate(transform(slice(col("qs"), 1, 100), x => x * 2.0),
+          lit(0.0), (acc, x) => acc + x), 2).as("sum_doubled_first100"),
+        size(filter(col("qs"), x => x > 25)).as("n_gt_25"),
+        round(aggregate(col("qs"), lit(0.0),
+          (acc, x) => acc + x), 2).as("sum_qty"))
+      .orderBy(col("l_returnflag"))
+
+  val queries: Map[String, Q] = Map(
+    "a01_asof_join"      -> a01AsOfJoin _,
+    "q25_approx_distinct"-> q25ApproxDistinct _,
+    "q26_window_extras"  -> q26WindowExtras _,
+    "q27_array_funcs"    -> q27ArrayFuncs _,
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    // Mirrors the union-merge construction so tie semantics are identical
+    // by construction (right rows sort before left at equal ts).
+    "a01_asof_join" -> """
+      WITH clicks AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+      purchases AS (
+        SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'),
+      u AS (
+        SELECT user_id, ts, 1 AS side, event_id,
+               NULL::BIGINT AS tie, NULL::BIGINT AS p_id, NULL::DOUBLE AS p_value
+        FROM clicks
+        UNION ALL
+        SELECT user_id, ts, 0 AS side, NULL, event_id, event_id, value
+        FROM purchases),
+      m AS (
+        SELECT *,
+               last_value(p_id IGNORE NULLS) OVER w AS purchase_id,
+               last_value(p_value IGNORE NULLS) OVER w AS purchase_value
+        FROM u
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, side, tie
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      SELECT event_id, user_id, purchase_id,
+             round(purchase_value, 2) AS purchase_value
+      FROM m WHERE side = 1 ORDER BY event_id""",
+    "q25_approx_distinct" -> """
+      SELECT l_returnflag,
+             count(DISTINCT l_orderkey) AS d_exact,
+             (abs(approx_count_distinct(l_orderkey) - count(DISTINCT l_orderkey))
+               <= count(DISTINCT l_orderkey) * 0.1) AS approx_ok
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag""",
+    "q26_window_extras" -> """
+      SELECT l_suppkey, l_orderkey, l_linenumber, l_quantity,
+             ntile(4) OVER wo AS quartile,
+             first_value(l_quantity) OVER wf AS first_qty,
+             last_value(l_quantity) OVER wf AS last_qty,
+             count(*) OVER wr AS n_within_5
+      FROM lineitem
+      WHERE l_suppkey <= 5
+      WINDOW wo AS (PARTITION BY l_suppkey
+                    ORDER BY l_shipdate, l_orderkey, l_linenumber),
+             wf AS (PARTITION BY l_suppkey
+                    ORDER BY l_shipdate, l_orderkey, l_linenumber
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING),
+             wr AS (PARTITION BY l_suppkey ORDER BY l_quantity
+                    RANGE BETWEEN 5 PRECEDING AND CURRENT ROW)
+      ORDER BY l_suppkey, l_orderkey, l_linenumber""",
+    "q27_array_funcs" -> """
+      WITH g AS (
+        SELECT l_returnflag, list(l_quantity ORDER BY l_quantity) AS qs
+        FROM lineitem GROUP BY l_returnflag)
+      SELECT l_returnflag,
+             len(qs) AS n,
+             qs[1] AS q_min,
+             qs[-1] AS q_max,
+             round(list_sum(list_transform(qs[1:100], x -> x * 2.0)), 2)
+               AS sum_doubled_first100,
+             len(list_filter(qs, x -> x > 25)) AS n_gt_25,
+             round(list_sum(qs), 2) AS sum_qty
+      FROM g ORDER BY l_returnflag""",
+  )
+}

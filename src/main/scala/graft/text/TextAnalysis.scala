@@ -100,11 +100,31 @@ object TextAnalysis {
         length(normText(col("text"))).as("norm_len"))
       .orderBy(col("doc_id"))
 
+  /** Subword ("BPE-ish") tokenizer regex: letter runs, digit runs, or a
+    * single punctuation mark — the pre-merge alphabet a byte-pair
+    * encoder starts from. Shared verbatim with the oracle. */
+  val SubwordPattern = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+  /** t05: subword token counting — total and distinct subword counts per
+    * document next to the whitespace count, the "tokens per doc" metric a
+    * training-data pipeline budgets with. */
+  def t05SubwordTokens(s: SparkSession, d: String): DataFrame = {
+    val subs = regexp_extract_all(normText(col("text")), lit(SubwordPattern), lit(0))
+    Tables.documents(s, d)
+      .select(
+        col("doc_id"),
+        size(tokens(col("text"))).as("n_ws_tokens"),
+        size(subs).as("n_subwords"),
+        size(array_distinct(subs)).as("n_distinct_subwords"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, Q] = Map(
     "t01_token_count" -> t01TokenCount _,
     "t02_quality"     -> t02Quality _,
     "t03_langid"      -> t03LangId _,
     "t04_fingerprint" -> t04Fingerprint _,
+    "t05_subword_tokens" -> t05SubwordTokens _,
   )
 
   /** Shared SQL fragments for the DuckDB oracle. DuckDB's regexp_replace
@@ -157,5 +177,14 @@ object TextAnalysis {
     "t04_fingerprint" -> s"""
       SELECT doc_id, md5($NormSql) AS fp, length($NormSql) AS norm_len
       FROM documents ORDER BY doc_id""",
+    "t05_subword_tokens" -> s"""
+      WITH t AS (
+        SELECT doc_id, $ToksSql AS toks,
+               regexp_extract_all($NormSql, '[a-z]+|[0-9]+|[^a-z0-9 ]') AS subs
+        FROM documents)
+      SELECT doc_id, len(toks) AS n_ws_tokens,
+             len(subs) AS n_subwords,
+             len(list_distinct(subs)) AS n_distinct_subwords
+      FROM t ORDER BY doc_id""",
   )
 }

@@ -1,0 +1,62 @@
+package graft
+
+import graft.operators.Joins
+import org.apache.spark.sql.functions._
+
+import java.sql.Timestamp
+
+class AsOfJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("asOf picks the latest right row at-or-before each left timestamp") {
+    val left = Seq(
+      (1L, "k1", ts("2024-01-01 10:00:00")),
+      (2L, "k1", ts("2024-01-01 12:00:00")),
+      (3L, "k1", ts("2024-01-01 09:00:00")), // before any right row
+      (4L, "k2", ts("2024-01-01 10:00:00"))  // key with one right row
+    ).toDF("id", "k", "ts")
+    val right = Seq(
+      (100L, "k1", ts("2024-01-01 09:30:00"), 1.0),
+      (101L, "k1", ts("2024-01-01 11:00:00"), 2.0),
+      (102L, "k1", ts("2024-01-01 12:00:00"), 3.0), // equal ts → inclusive
+      (103L, "k2", ts("2024-01-01 08:00:00"), 4.0)
+    ).toDF("rid", "k", "ts", "v")
+    val out = Joins.asOf(left, right, "k",
+        leftTs = col("ts"), rightTs = col("ts"),
+        payload = Seq(col("rid").as("match_id"), col("v").as("match_v")),
+        tieBreak = col("rid"))
+      .select("id", "match_id", "match_v")
+      .as[(Long, Option[Long], Option[Double])].collect().sortBy(_._1)
+    assert(out(0) == ((1L, Some(100L), Some(1.0))))
+    assert(out(1) == ((2L, Some(102L), Some(3.0)))) // inclusive on equal ts
+    assert(out(2) == ((3L, None, None)))            // nothing before → null
+    assert(out(3) == ((4L, Some(103L), Some(4.0))))
+  }
+
+  test("ties on (key, ts) resolve to the greatest tieBreak deterministically") {
+    val left = Seq((1L, "k", ts("2024-01-01 10:00:00"))).toDF("id", "k", "ts")
+    val right = Seq(
+      (7L, "k", ts("2024-01-01 09:00:00"), "a"),
+      (9L, "k", ts("2024-01-01 09:00:00"), "b"),
+      (8L, "k", ts("2024-01-01 09:00:00"), "c")
+    ).toDF("rid", "k", "ts", "tag")
+    val out = Joins.asOf(left, right, "k",
+        leftTs = col("ts"), rightTs = col("ts"),
+        payload = Seq(col("rid").as("match_id"), col("tag").as("match_tag")),
+        tieBreak = col("rid"))
+      .select("match_id", "match_tag").as[(Long, String)].head()
+    assert(out == ((9L, "b")))
+  }
+
+  test("asOf plans a single shuffle on the key - no nested loop join") {
+    val left = Seq((1L, "k", ts("2024-01-01 10:00:00"))).toDF("id", "k", "ts")
+    val right = Seq((2L, "k", ts("2024-01-01 09:00:00"), 1.0)).toDF("rid", "k", "ts", "v")
+    val plan = Joins.asOf(left, right, "k",
+      col("ts"), col("ts"), Seq(col("v").as("mv")), col("rid"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+}

@@ -1,0 +1,66 @@
+package graft
+
+import graft.dedup.Dedup
+import graft.similarity.Similarity
+
+/** Cross-operator consistency: the approximate operators (MinHash-LSH,
+  * SimHash, LSH-ANN) are validated against their exact counterparts
+  * (inverted-index Jaccard, brute-force top-k) on sf0.001. */
+class DedupSimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+
+  test("MinHash-LSH finds exactly the exact-Jaccard pairs (recall 1 at J>=0.9)") {
+    val exact = Dedup.d02NgramJaccard(spark, sf)
+    val lsh = Dedup.d03MinHashLsh(spark, sf)
+    assert(pairs(exact).nonEmpty)
+    assert(pairs(lsh) == pairs(exact))
+    // verified Jaccard values agree too (same kernel on both paths)
+    val ej = exact.select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)].collect().toSet
+    val lj = lsh.select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)].collect().toSet
+    assert(ej == lj)
+  }
+
+  test("SimHash recovers most high-Jaccard pairs within Hamming 3") {
+    import org.apache.spark.sql.functions.col
+    // SimHash measures a different similarity than Jaccard: a few-token
+    // edit on a short doc can flip >3 signature bits even at J≈0.95, so
+    // exact set equality is not the contract — substantial overlap is.
+    val planted = Dedup.d02NgramJaccard(spark, sf)
+      .filter(col("jaccard") >= 0.95)
+    val plantedPairs = pairs(planted)
+    val sim = Dedup.d04SimHash(spark, sf)
+    val simPairs = pairs(sim)
+    assert(plantedPairs.nonEmpty && simPairs.nonEmpty)
+    val overlap = (plantedPairs & simPairs).size.toDouble / plantedPairs.size
+    assert(overlap >= 0.6, f"overlap $overlap%.2f")
+    // and every reported pair honors the Hamming bound
+    assert(sim.select("hamming").as[Int].collect().forall(_ <= 3))
+  }
+
+  test("LSH ANN recall vs brute force is usable on a near-orthogonal corpus") {
+    val exact = Similarity.s01BruteForceTopK(spark, sf)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.s02LshTopK(spark, sf)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    // the corpus is near-orthogonal (design recall ≈ 0.78, Similarity.scala);
+    // assert a floor well above chance: random 10-of-500 ≈ 0.02
+    assert(recall >= 0.5, f"recall $recall%.2f")
+  }
+
+  test("embedding near-dup agrees with brute-force cosine at the threshold") {
+    val nd = Dedup.d05EmbeddingNearDup(spark, sf)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    // recompute via the s01 kernel: any pair with cos >= 0.4 (rounded)
+    import org.apache.spark.sql.functions._
+    val e = Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
+    val brute = e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos", graft.functions.VectorFunctions.cosine(col("a.embedding"), col("b.embedding")))
+      .filter(round(col("cos"), 4) >= 0.4)
+      .select(col("a.vec_id"), col("b.vec_id")).as[(Long, Long)].collect().toSet
+    assert(nd == brute && nd.nonEmpty)
+  }
+}
