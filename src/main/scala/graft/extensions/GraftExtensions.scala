@@ -1,0 +1,41 @@
+package graft.extensions
+
+import graft.functions.{CosineSimilarity, DotProduct}
+import org.apache.spark.sql.{GraftColumnBridge, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SparkSessionExtensions entry point (SURVEY §4 / prompt preference (c)):
+  * registers the native vector expressions as SQL functions, so
+  * `spark.sql.extensions=graft.extensions.GraftExtensions` makes
+  * `SELECT cosine_similarity(a, b)` and `dot_product(a, b)` available to
+  * pure-SQL users with full codegen.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach { case (name, info, builder) =>
+      ext.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+}
+
+object GraftExtensions {
+
+  private def binary(name: String, make: (Expression, Expression) => Expression)
+      : (String, ExpressionInfo, Seq[Expression] => Expression) =
+    (name,
+      new ExpressionInfo(classOf[GraftExtensions].getName, name),
+      { children: Seq[Expression] =>
+        require(children.length == 2, s"$name expects 2 arguments")
+        make(children(0), children(1))
+      })
+
+  val functions: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    binary("cosine_similarity", CosineSimilarity.apply),
+    binary("dot_product", DotProduct.apply))
+
+  /** Runtime registration on an already-built session (tests, REPLs). */
+  def register(spark: SparkSession): Unit =
+    functions.foreach { case (name, _, builder) =>
+      GraftColumnBridge.registerFunction(spark, name, builder)
+    }
+}

@@ -51,6 +51,16 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(recall >= 0.5, f"recall $recall%.2f")
   }
 
+  test("IVF ANN recall vs brute force is usable and self-matches are excluded") {
+    val exact = Similarity.s01BruteForceTopK(spark, sf)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.s03IvfTopK(spark, sf)
+    val ivfPairs = ivf.select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & ivfPairs).size.toDouble / exact.size
+    assert(recall >= 0.2, f"recall $recall%.2f") // nprobe/ncells = 1/3 of cells probed
+    assert(ivfPairs.forall { case (q, n) => q != n })
+  }
+
   test("embedding near-dup agrees with brute-force cosine at the threshold") {
     val nd = Dedup.d05EmbeddingNearDup(spark, sf)
       .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
