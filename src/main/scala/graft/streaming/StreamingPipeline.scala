@@ -130,6 +130,24 @@ object StreamingPipeline {
       }
   }
 
+  /** Stream-stream interval join (§2.3 as-of/interval streaming enrich):
+    * left rows match right rows of the same key within
+    * [leftTs - window, leftTs]. Both sides carry watermarks so the join
+    * state is bounded — Spark evicts right-side state older than the
+    * watermark minus the interval; state is O(window × arrival rate). */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+                   leftTs: String, rightTs: String,
+                   window_ : String = "10 minutes",
+                   lateness: String = "10 minutes"): DataFrame = {
+    val l = left.withWatermark(leftTs, lateness)
+    val r = right.withWatermark(rightTs, lateness)
+    l.join(r,
+      l(key) === r(key) &&
+        r(rightTs) >= l(leftTs) - expr(s"INTERVAL $window_") &&
+        r(rightTs) <= l(leftTs),
+      "inner")
+  }
+
   /** T7: fan-out — one source frame, two independent sink queries
     * (processed Parquet + windowed analytics), each with its own
     * checkpoint, mirroring the realtime fn writing the analytics stream

@@ -1,0 +1,75 @@
+package graft
+
+import graft.model.PipelineConfig
+import graft.orchestrate.{Flow, PipelineRunner}
+import graft.quality.Quality
+import graft.quality.Quality.Check
+import graft.state.StateLog
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property-based laws (SURVEY §5.3): quality-score range and
+  * monotonicity, retry bound, and the JSON→validate→parquet round trip.
+  * Raw ScalaCheck generators sampled under fixed seeds (the
+  * scalatest-scalacheck bridge is not in the offline cache). */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Deterministically draw n samples from a generator. */
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  private val smallDoubles = Gen.listOfN(12, Gen.chooseNum(-100.0, 100.0))
+
+  test("quality score is always in [0,1]") {
+    samples(smallDoubles, 8).foreach { xs =>
+      val score = Quality.batchScore(xs.toDF("v"), Seq(Check("pos", col("v") > 0)))
+      assert(score >= 0.0 && score <= 1.0, s"score $score for $xs")
+    }
+  }
+
+  test("corrupting rows never raises the score (gate monotonicity)") {
+    samples(Gen.zip(smallDoubles, Gen.chooseNum(0, 11)), 8).foreach { case (xs, k) =>
+      val checks = Seq(Check("pos", col("v") > 0))
+      val base = Quality.batchScore(xs.toDF("v"), checks)
+      val corrupted = xs.zipWithIndex.map { case (x, i) => if (i < k) -1.0 else x }
+      val worse = Quality.batchScore(corrupted.toDF("v"), checks)
+      assert(worse <= base + 1e-12, s"$worse > $base after corrupting $k of $xs")
+    }
+  }
+
+  test("retry wrapper attempts at most maxRetries times then fails") {
+    samples(Gen.chooseNum(1, 6), 6).foreach { failures =>
+      val stateLog = new StateLog(spark,
+        java.nio.file.Files.createTempDirectory("graft-prop").toString + "/state")
+      val runner = new PipelineRunner(stateLog, PipelineConfig(retryBackoffMs = 1L))
+      var attempts = 0
+      val flow = Flow.Task("flaky", { df =>
+        attempts += 1
+        if (attempts <= failures) sys.error("boom")
+        df
+      }, Flow.Succeed())
+      val out = runner.run("p", flow, Seq(1).toDF("x"))
+      if (failures >= 3) assert(!out.isSuccess && attempts == 3)
+      else assert(out.isSuccess && attempts == failures + 1)
+    }
+  }
+
+  test("valid rows survive the JSON → validate → parquet round trip unchanged") {
+    import graft.validate.SchemaValidator
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("id", LongType), StructField("v", DoubleType)))
+    val gen = Gen.listOfN(8, Gen.zip(Gen.chooseNum(0L, 1000L), Gen.chooseNum(-10.0, 10.0)))
+    samples(gen, 5).filter(_.nonEmpty).foreach { rows =>
+      val distinct = rows.distinctBy(_._1)
+      val raw = distinct.map { case (i, v) => s"""{"id": $i, "v": $v}""" }.toDS()
+      val parsed = SchemaValidator.parseJson(raw, schema)
+      val (valid, _) = SchemaValidator.route(parsed)
+      val dir = java.nio.file.Files.createTempDirectory("graft-rt").toString + "/out"
+      valid.select("id", "v").write.parquet(dir)
+      val back = spark.read.parquet(dir).as[(Long, Double)].collect().toSet
+      assert(back == distinct.toSet)
+    }
+  }
+}

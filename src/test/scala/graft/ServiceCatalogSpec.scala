@@ -37,6 +37,29 @@ class ServiceCatalogSpec extends SparkSpec {
     assert(!svc.cancel("nonexistent"))
   }
 
+  test("service drives the full reference pipeline end-to-end") {
+    import graft.orchestrate.ReferencePipeline
+    import graft.quality.Quality.Check
+    import graft.transform.Transform
+    import graft.validate.SchemaValidator.Rule
+    import org.apache.spark.sql.functions.col
+    val root = Files.createTempDirectory("graft-svc-e2e").toString
+    val layout = PipelineLayout(root)
+    val stateLog = new StateLog(spark, layout.state)
+    val svc = new PipelineService(spark, stateLog)
+    val spec = ReferencePipeline.Spec(
+      rules = Seq(Rule("value_le_300", col("value") <= 300.0)),
+      transform = Transform.derivePartitions("ts"),
+      checks = Seq(Check("value_nonneg", col("value") >= 0)))
+    val id = svc.start { pipelineId =>
+      ReferencePipeline.run(pipelineId, Tables.events(spark, sf), spec, layout, stateLog,
+        PipelineConfig(retryBackoffMs = 1L))
+    }
+    assert(svc.await(id).exists(_.isSuccess))
+    assert(svc.status(id).exists(_.status == PipelineStatus.Succeeded))
+    assert(spark.read.parquet(layout.processed).count() > 0)
+  }
+
   test("catalog register + partition pruning + crawler sync") {
     val root = Files.createTempDirectory("graft-cat").toString
     val events = Tables.events(spark, sf)

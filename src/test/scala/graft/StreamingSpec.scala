@@ -105,6 +105,41 @@ class StreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("stream-stream interval join matches within the window only") {
+    val lm = MemoryStream[(String, Timestamp, Long)](spark)
+    val rm = MemoryStream[(String, Timestamp, Long)](spark)
+    val joined = StreamingPipeline.intervalJoin(
+      lm.toDF().toDF("k", "lts", "lid"),
+      rm.toDF().toDF("k", "rts", "rid"),
+      "k", "lts", "rts", window_ = "10 minutes")
+    val q = joined.select("lid", "rid").writeStream
+      .format("memory").queryName("ij").outputMode("append").start()
+    rm.addData(("a", ts("2024-01-01 10:00:00"), 100L), // 5 min before left → match
+               ("a", ts("2024-01-01 09:30:00"), 101L)) // 35 min before → no match
+    lm.addData(("a", ts("2024-01-01 10:05:00"), 1L))
+    q.processAllAvailable()
+    val rows = spark.table("ij").as[(Long, Long)].collect().toSet
+    assert(rows == Set((1L, 100L)))
+    q.stop()
+  }
+
+  test("sliding windows assign rows to every overlapping window") {
+    val mem = MemoryStream[(Timestamp, Double)](spark)
+    val agg = mem.toDF().toDF("ts", "value")
+      .withWatermark("ts", "0 seconds")
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").cast("string").as("ws"), col("n"))
+    val q = agg.writeStream.format("memory").queryName("slide")
+      .outputMode("complete").start()
+    mem.addData((ts("2024-01-01 10:07:00"), 1.0))
+    q.processAllAvailable()
+    val rows = spark.table("slide").as[(String, Long)].collect().toMap
+    // one event falls in both the 10:00 and 10:05 windows
+    assert(rows == Map("2024-01-01 10:00:00" -> 1L, "2024-01-01 10:05:00" -> 1L))
+    q.stop()
+  }
+
   test("fan-out: one source feeds partitioned sink and analytics sink") {
     val root = Files.createTempDirectory("graft-fanout").toString
     val layout = PipelineLayout(root)
