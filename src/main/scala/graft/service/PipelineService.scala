@@ -23,14 +23,23 @@ final class PipelineService(spark: SparkSession, stateLog: StateLog)(
 
   private val running = new ConcurrentHashMap[String, Future[PipelineOutcome]]()
 
-  /** Submit a run; returns its id immediately (POST /pipelines). */
-  def start(body: String => PipelineOutcome): String = {
+  /** Submit a run; returns its id immediately (POST /pipelines).
+    *
+    * `priority` maps to a FAIR-scheduler pool (the reference's priority
+    * queue lane, SDP.py:140-144): with `spark.scheduler.mode=FAIR` and a
+    * pool config, high-priority runs get weighted scheduling; without
+    * one, the property is inert — routing degrades gracefully. */
+  def start(body: String => PipelineOutcome, priority: String = "normal"): String = {
     val id = UUID.randomUUID().toString
-    stateLog.append(id, "pipeline", PipelineStatus.Running, "submitted")
+    stateLog.append(id, "pipeline", PipelineStatus.Running, s"submitted priority=$priority")
     val fut = Future {
       spark.sparkContext.setJobGroup(id, s"pipeline $id", interruptOnCancel = true)
+      spark.sparkContext.setLocalProperty("spark.scheduler.pool", priority)
       try body(id)
-      finally spark.sparkContext.clearJobGroup()
+      finally {
+        spark.sparkContext.setLocalProperty("spark.scheduler.pool", null)
+        spark.sparkContext.clearJobGroup()
+      }
     }
     val safe = fut.recover { case e =>
       val cause = Option(e.getMessage).getOrElse(e.getClass.getSimpleName)

@@ -1,0 +1,64 @@
+package graft
+
+import graft.queries.{PipelineQueries, RelationalQueries}
+import graft.similarity.Similarity
+
+/** Physical-plan contracts for the scale-critical queries (SURVEY §4):
+  * these assertions pin the plan shapes that make the 100 TB story true —
+  * pushdown reaching the scan, small sides broadcast, top-k avoiding a
+  * global sort, and no accidental cartesian products. A refactor that
+  * regresses any of these fails the build, not a production run. */
+class PlanSpec extends SparkSpec {
+
+  private def executed(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect() // let AQE finalize the plan it would really run
+    // keep only the final adaptive plan — the "Initial Plan" section
+    // repeats every operator and breaks occurrence counting
+    df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+  }
+
+  test("q02: all three predicates are pushed into the parquet scan") {
+    val plan = executed(RelationalQueries.q02FilterAgg(spark, sf))
+    assert(plan.contains("PushedFilters:"), plan)
+    val pushed = plan.linesIterator.find(_.contains("PushedFilters:")).get
+    assert(pushed.contains("l_shipdate") && pushed.contains("l_discount") &&
+      pushed.contains("l_quantity"), pushed)
+  }
+
+  test("q02: scan reads only the four referenced columns") {
+    val plan = executed(RelationalQueries.q02FilterAgg(spark, sf))
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema:")).get
+    Seq("l_shipdate", "l_discount", "l_quantity", "l_extendedprice").foreach(c =>
+      assert(readSchema.contains(c), readSchema))
+    Seq("l_orderkey", "l_partkey", "l_comment", "l_returnflag").foreach(c =>
+      assert(!readSchema.contains(c), readSchema))
+  }
+
+  test("q03: dimension joins broadcast; no shuffle of nation/region") {
+    val plan = executed(RelationalQueries.q03JoinRevenue(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("q16: top-k plans as TakeOrderedAndProject, not a global sort") {
+    val plan = executed(RelationalQueries.q16TopK(spark, sf))
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("q23: explicit broadcast hint survives to the physical plan") {
+    val plan = executed(RelationalQueries.q23BroadcastEnrich(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("p01: validation is a single scan with partial aggregation") {
+    val plan = executed(PipelineQueries.p01ValidateEvents(spark, sf))
+    // one scan of events, no join, partial+final hash aggregate
+    assert(plan.linesIterator.count(_.contains("Scan parquet")) == 1, plan)
+    assert(plan.contains("HashAggregate"), plan)
+  }
+
+  test("s01: ANN scoring broadcasts the query side, corpus side stays partitioned") {
+    val plan = executed(Similarity.s01BruteForceTopK(spark, sf))
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"), plan)
+  }
+}

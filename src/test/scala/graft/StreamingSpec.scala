@@ -140,6 +140,32 @@ class StreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("stream metrics listener journals lifecycle and batch progress") {
+    import graft.state.{StateLog, StreamMetricsListener}
+    val stateLog = new StateLog(spark,
+      Files.createTempDirectory("graft-metrics").toString + "/state")
+    val listener = new StreamMetricsListener(stateLog)
+    spark.streams.addListener(listener)
+    try {
+      val mem = MemoryStream[(Timestamp, Double)](spark)
+      val q = mem.toDF().toDF("ts", "value").writeStream
+        .format("memory").queryName("metered").outputMode("append").start()
+      mem.addData((ts("2024-01-01 10:00:00"), 1.0), (ts("2024-01-01 10:01:00"), 2.0))
+      q.processAllAvailable()
+      q.stop()
+      q.awaitTermination(10000)
+      // listener events are delivered async
+      val end = System.currentTimeMillis() + 15000
+      def stages() = stateLog.journal().select("stage").as[String].collect().toSet
+      while (System.currentTimeMillis() < end && !stages().contains("stream_batch"))
+        Thread.sleep(100)
+      assert(Set("stream", "stream_batch").subsetOf(stages()), stages())
+      val batchRow = stateLog.journal()
+        .filter(col("stage") === "stream_batch" && col("detail").contains("rows=2"))
+      assert(batchRow.count() >= 1)
+    } finally spark.streams.removeListener(listener)
+  }
+
   test("fan-out: one source feeds partitioned sink and analytics sink") {
     val root = Files.createTempDirectory("graft-fanout").toString
     val layout = PipelineLayout(root)
