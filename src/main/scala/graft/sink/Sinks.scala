@@ -45,6 +45,17 @@ object Sinks {
       .option("compression", "gzip")
       .parquet(path)
 
+  /** K2 counterpart: read quarantined rows back for re-ingestion (the
+    * reference's DLQ keeps messages 14 days precisely so they can be
+    * replayed, SDP.py:125). Strips the error bookkeeping columns so the
+    * result matches the original input schema. */
+  def replayQuarantine(spark: org.apache.spark.sql.SparkSession, path: String,
+                       batchId: Option[String] = None): DataFrame = {
+    val all = spark.read.parquet(path)
+    val scoped = batchId.fold(all)(b => all.filter(col("_error_batch") === b))
+    scoped.drop("_error_stage", "_error_batch", "_error_at", "errors")
+  }
+
   /** K3: archive sink — immutable raw copy (SDP.py:268 ARCHIVE_BUCKET). */
   def archive(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Append)

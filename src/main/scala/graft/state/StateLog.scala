@@ -68,6 +68,26 @@ final class StateLog(spark: SparkSession, path: String) {
     statusFilter.fold(base)(st => base.filter(col("status") === st))
   }
 
+  /** Compact the append-only journal (SURVEY §7.4): thousands of runs ×
+    * stages × retries produce one tiny parquet file per append; compaction
+    * rewrites the journal into `spark.sql.shuffle.partitions`-bounded
+    * files (atomic directory swap). Run periodically like the reference's
+    * nightly crawler. History is preserved — compaction merges files, it
+    * does not drop rows. */
+  def compact(): Unit = {
+    import org.apache.hadoop.fs.Path
+    val rows = journal()
+    if (rows.isEmpty) return
+    val tmp = s"$path.compact.tmp"
+    rows.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp)
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val old = new Path(s"$path.old")
+    fs.rename(new Path(path), old)
+    fs.rename(new Path(tmp), new Path(path))
+    fs.delete(old, true)
+    ()
+  }
+
   /** G2: per-stage success/failure counts and rate over the journal —
     * the health metrics behind the reference's dashboards (README:236-241). */
   def stageMetrics(): DataFrame =

@@ -58,3 +58,28 @@ object Transform {
       .withColumn("day", dayofmonth(col(tsCol)))
       .withColumn("hour", hour(col(tsCol)))
 }
+
+/** Skew-handling aggregation (SURVEY §4 "salting for skew"): two-phase
+  * aggregate where phase 1 groups on (key, salt) — splitting a hot key
+  * across `saltBuckets` reducers — and phase 2 merges the partials per
+  * key. Correct only for algebraic aggregates (sum/count/min/max), which
+  * is what the caller supplies as partial and merge expression pairs.
+  *
+  * AQE's skew-join handling covers joins; salting is the aggregation-side
+  * tool when one key carries a disproportionate share of a 100 TB table.
+  */
+object SaltedAggregate {
+  import org.apache.spark.sql.{Column, DataFrame}
+
+  /** @param partials  phase-1 aggregates over the raw rows, aliased
+    * @param merges    phase-2 aggregates over the phase-1 columns, aliased
+    *                  with the SAME names */
+  def apply(df: DataFrame, key: String, saltBuckets: Int,
+            partials: Seq[Column], merges: Seq[Column]): DataFrame =
+    df.withColumn("__salt", pmod(spark_partition_id() + monotonically_increasing_id(),
+        lit(saltBuckets)))
+      .groupBy(col(key), col("__salt"))
+      .agg(partials.head, partials.tail: _*)
+      .groupBy(col(key))
+      .agg(merges.head, merges.tail: _*)
+}

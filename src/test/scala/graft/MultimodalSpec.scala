@@ -61,6 +61,25 @@ class MultimodalSpec extends SparkSpec {
     assert(!f0.pixels.sameElements(f1.pixels)) // frames differ deterministically
   }
 
+  test("decode -> features -> ANN retrieval composes end-to-end") {
+    import graft.functions.VectorFunctions
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    // media features feed the same similarity kernels as text embeddings
+    val feats = Multimodal.features(
+      Multimodal.decode(Multimodal.syntheticCorpus(spark, 50)), grid = 4)
+      .toDF("media_id", "feature")
+    val q = feats.filter($"media_id" < 2)
+      .select($"media_id".as("query_id"), $"feature".as("qf"))
+    val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"media_id")
+    val topk = feats.join(broadcast(q), $"media_id" =!= $"query_id")
+      .withColumn("cos", VectorFunctions.cosine($"qf", $"feature"))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 5)
+    assert(topk.count() == 10) // 2 queries × top-5
+    assert(topk.select(min("cos")).head().getDouble(0) > -1.0)
+  }
+
   test("media round-trips through parquet with binary + struct intact") {
     val dir = java.nio.file.Files.createTempDirectory("graft-media").toString
     Multimodal.syntheticCorpus(spark, 10).write.parquet(s"$dir/media")

@@ -41,6 +41,43 @@ class TransformQualitySpec extends SparkSpec {
     assert((row.getInt(0), row.getInt(1), row.getInt(2), row.getInt(3)) == ((2024, 3, 5, 17)))
   }
 
+  test("salted aggregate matches the direct aggregate (skew pattern)") {
+    import graft.transform.SaltedAggregate
+    val df = Tables.lineitem(spark, sf)
+    val direct = df.groupBy(col("l_returnflag"))
+      .agg(sum("l_quantity").as("s"), count(lit(1)).as("n"))
+      .as[(String, Double, Long)].collect().toSet
+    val salted = SaltedAggregate(df, "l_returnflag", saltBuckets = 7,
+        partials = Seq(sum("l_quantity").as("s"), count(lit(1)).as("n")),
+        merges = Seq(sum("s").as("s"), sum("n").as("n")))
+      .as[(String, Double, Long)].collect().toSet
+    assert(salted.map(t => (t._1, math.round(t._2 * 100), t._3)) ==
+      direct.map(t => (t._1, math.round(t._2 * 100), t._3)))
+  }
+
+  test("quarantine replay restores the original input schema") {
+    import graft.sink.Sinks
+    val dir = java.nio.file.Files.createTempDirectory("graft-replay").toString + "/errors"
+    val bad = Tables.events(spark, sf).limit(10)
+    Sinks.quarantine(bad, dir, "validation", "b1")
+    Sinks.quarantine(bad.limit(3), dir, "validation", "b2")
+    val replayed = Sinks.replayQuarantine(spark, dir, Some("b1"))
+    assert(replayed.count() == 10)
+    assert(replayed.columns.sorted.toSeq == bad.columns.sorted.toSeq)
+  }
+
+  test("state log compaction preserves history in fewer files") {
+    import graft.state.StateLog
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact").toString + "/state"
+    val log = new StateLog(spark, dir)
+    (1 to 5).foreach(i => log.append(s"p$i", "stage", "SUCCEEDED"))
+    val before = new java.io.File(dir).listFiles().count(_.getName.endsWith(".parquet"))
+    log.compact()
+    val after = new java.io.File(dir).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(log.journal().count() == 5)
+    assert(after < before && after == 1)
+  }
+
   test("quality score is the pass-all fraction; gate at 0.8 is strict") {
     val df = Seq(1.0, 2.0, -1.0, 3.0, -2.0).toDF("v") // 3/5 pass
     val checks = Seq(Check("positive", col("v") > 0))
