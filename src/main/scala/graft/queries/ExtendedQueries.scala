@@ -86,11 +86,45 @@ object ExtendedQueries {
           (acc, x) => acc + x), 2).as("sum_qty"))
       .orderBy(col("l_returnflag"))
 
+  /** q28: HAVING + LIKE + CASE — the filtering/branching SQL surface over
+    * grouped data (post-aggregation predicates prune groups, not rows). */
+  def q28HavingLikeCase(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d)
+      .filter(col("p_type").like("%BRASS%"))
+      .withColumn("size_class",
+        when(col("p_size") < 15, "small")
+          .when(col("p_size") < 35, "medium")
+          .otherwise("large"))
+      .groupBy(col("p_brand"), col("size_class"))
+      .agg(count(lit(1)).as("n_parts"),
+           round(avg(col("p_retailprice")), 2).as("avg_price"))
+      .filter(col("n_parts") >= 2) // HAVING
+      .orderBy(col("p_brand"), col("size_class"))
+
+  /** q29: IN / NOT IN subqueries via the SQL surface (decorrelated by
+    * Catalyst into semi/anti joins — same plans as q06/q07). */
+  def q29InSubquery(s: SparkSession, d: String): DataFrame = {
+    Tables.orders(s, d).createOrReplaceTempView("insq_orders")
+    Tables.customer(s, d).createOrReplaceTempView("insq_customer")
+    s.sql("""
+      SELECT o_orderpriority, count(*) AS n
+      FROM insq_orders
+      WHERE o_custkey IN (SELECT c_custkey FROM insq_customer
+                          WHERE c_mktsegment = 'BUILDING')
+        AND o_orderkey NOT IN (SELECT o_orderkey FROM insq_orders
+                               WHERE o_totalprice > 400000.0)
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority
+    """)
+  }
+
   val queries: Map[String, Q] = Map(
     "a01_asof_join"      -> a01AsOfJoin _,
     "q25_approx_distinct"-> q25ApproxDistinct _,
     "q26_window_extras"  -> q26WindowExtras _,
     "q27_array_funcs"    -> q27ArrayFuncs _,
+    "q28_having_like_case" -> q28HavingLikeCase _,
+    "q29_in_subquery"    -> q29InSubquery _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -155,5 +189,26 @@ object ExtendedQueries {
              len(list_filter(qs, x -> x > 25)) AS n_gt_25,
              round(list_sum(qs), 2) AS sum_qty
       FROM g ORDER BY l_returnflag""",
+    "q28_having_like_case" -> """
+      SELECT p_brand,
+             CASE WHEN p_size < 15 THEN 'small'
+                  WHEN p_size < 35 THEN 'medium'
+                  ELSE 'large' END AS size_class,
+             count(*) AS n_parts,
+             round(avg(p_retailprice), 2) AS avg_price
+      FROM part
+      WHERE p_type LIKE '%BRASS%'
+      GROUP BY 1, 2
+      HAVING count(*) >= 2
+      ORDER BY p_brand, size_class""",
+    "q29_in_subquery" -> """
+      SELECT o_orderpriority, count(*) AS n
+      FROM orders
+      WHERE o_custkey IN (SELECT c_custkey FROM customer
+                          WHERE c_mktsegment = 'BUILDING')
+        AND o_orderkey NOT IN (SELECT o_orderkey FROM orders
+                               WHERE o_totalprice > 400000.0)
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority""",
   )
 }
