@@ -90,7 +90,7 @@ object ExtendedQueries {
     * grouped data (post-aggregation predicates prune groups, not rows). */
   def q28HavingLikeCase(s: SparkSession, d: String): DataFrame =
     Tables.part(s, d)
-      .filter(col("p_type").like("%BRASS%"))
+      .filter(col("p_type").like("%AR%"))
       .withColumn("size_class",
         when(col("p_size") < 15, "small")
           .when(col("p_size") < 35, "medium")
@@ -197,7 +197,7 @@ object ExtendedQueries {
              count(*) AS n_parts,
              round(avg(p_retailprice), 2) AS avg_price
       FROM part
-      WHERE p_type LIKE '%BRASS%'
+      WHERE p_type LIKE '%AR%'
       GROUP BY 1, 2
       HAVING count(*) >= 2
       ORDER BY p_brand, size_class""",
