@@ -48,11 +48,16 @@ final class PipelineRunner(stateLog: StateLog, config: PipelineConfig = Pipeline
     outcome match {
       case PipelineOutcome.Succeeded(s) =>
         stateLog.append(pipelineId, "pipeline", PipelineStatus.Succeeded, f"score=$s%.6f")
+      case PipelineOutcome.Failed(c) if c.contains(CancelledMarker) =>
+        // a cancel must stay CANCELLED — do not overwrite with FAILED
+        stateLog.append(pipelineId, "pipeline", PipelineStatus.Cancelled, c)
       case PipelineOutcome.Failed(c) =>
         stateLog.append(pipelineId, "pipeline", PipelineStatus.Failed, c)
     }
     outcome
   }
+
+  private val CancelledMarker = "cancelled"
 
   @tailrec
   private def exec(id: String, node: Flow.Node, df: DataFrame, deadline: Long): PipelineOutcome = {
@@ -83,27 +88,24 @@ final class PipelineRunner(stateLog: StateLog, config: PipelineConfig = Pipeline
     }
   }
 
-  /** ≤ maxRetries attempts with exponential backoff, journaling each
-    * attempt — the SQS redelivery + DLQ-after-3 contract (SDP.py:133-136)
-    * collapsed to a driver-side loop. */
+  /** ≤ maxRetries attempts with exponential backoff ([[Retry]]),
+    * journaling each attempt — the SQS redelivery + DLQ-after-3 contract
+    * (SDP.py:133-136) collapsed to a driver-side loop. A job-group
+    * cancellation is surfaced immediately, never retried. */
   private def withRetry[A](id: String, stage: String)(body: => A): Either[String, A] = {
-    var attempt = 0
-    var lastErr = ""
     stateLog.append(id, stage, PipelineStatus.Running)
-    while (attempt < config.maxRetries) {
-      try {
-        val out = body
+    Retry.withBackoff(config.maxRetries, config.retryBackoffMs)(
+      onAttemptFailure = (n, e) =>
+        stateLog.append(id, stage, PipelineStatus.Failed,
+          s"attempt=$n ${Option(e.getMessage).getOrElse(e.getClass.getSimpleName)}")
+    )(body) match {
+      case Right(out) =>
         stateLog.append(id, stage, PipelineStatus.Succeeded)
-        return Right(out)
-      } catch {
-        case e: Exception =>
-          attempt += 1
-          lastErr = Option(e.getMessage).getOrElse(e.getClass.getSimpleName)
-          stateLog.append(id, stage, PipelineStatus.Failed, s"attempt=$attempt $lastErr")
-          if (attempt < config.maxRetries)
-            Thread.sleep(config.retryBackoffMs * (1L << (attempt - 1)))
-      }
+        Right(out)
+      case Left(Retry.Exhausted(_, e, true)) =>
+        Left(s"cancelled: ${Option(e.getMessage).getOrElse("")}")
+      case Left(Retry.Exhausted(n, e, false)) =>
+        Left(s"failed after $n attempts: ${Option(e.getMessage).getOrElse(e.getClass.getSimpleName)}")
     }
-    Left(s"failed after ${config.maxRetries} attempts: $lastErr")
   }
 }

@@ -53,8 +53,18 @@ object ReferencePipeline {
         Flow.Task("archive", { df => Sinks.archive(df, layout.archive); df },
         Flow.Task("transform", spec.transform,
         Flow.Task("stage_output", { df =>
-          Sinks.writePartitioned(df, staging, spec.tsCol)
-          spark.read.parquet(staging) // score what was actually written
+          // OVERWRITE: a retry after a partial write — or a re-run of the
+          // same pipeline id whose earlier attempt failed the gate —
+          // replaces the stale staging content instead of appending a
+          // duplicate copy that promote would then publish.
+          Sinks.writePartitioned(df, staging, spec.tsCol,
+            org.apache.spark.sql.SaveMode.Overwrite)
+          // score what was actually written; an all-invalid batch stages
+          // zero files, which must fail the gate, not crash the read-back
+          try spark.read.parquet(staging)
+          catch { case _: org.apache.spark.sql.AnalysisException =>
+            spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], df.schema)
+          }
         },
         Flow.Choice("quality_gate",
           { df => gateScore = Quality.batchScore(df, spec.checks)

@@ -126,9 +126,11 @@ object PipelineQueries {
         FROM events)
       SELECT event_type,
              sum(CASE WHEN r1 AND r2 AND r3 THEN 1 ELSE 0 END) AS n_valid,
-             sum(CASE WHEN NOT (r1 AND r2 AND r3) THEN 1 ELSE 0 END) AS n_invalid,
-             sum(CASE WHEN NOT r1 THEN 1 ELSE 0 END) AS n_value_err,
-             sum(CASE WHEN NOT r3 THEN 1 ELSE 0 END) AS n_k_err
+             -- IS NOT TRUE, not NOT(...): SchemaValidator coalesces NULL
+             -- predicates to failures, so a NULL rule result must count
+             sum(CASE WHEN (r1 AND r2 AND r3) IS NOT TRUE THEN 1 ELSE 0 END) AS n_invalid,
+             sum(CASE WHEN r1 IS NOT TRUE THEN 1 ELSE 0 END) AS n_value_err,
+             sum(CASE WHEN r3 IS NOT TRUE THEN 1 ELSE 0 END) AS n_k_err
       FROM v GROUP BY event_type ORDER BY event_type""",
     "p02_clean_dedup" -> """
       WITH c AS (

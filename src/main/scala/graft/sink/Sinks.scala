@@ -92,7 +92,16 @@ object Sinks {
     fs.listStatus(src).foreach { st =>
       val target = new org.apache.hadoop.fs.Path(dst, st.getPath.getName)
       if (st.isDirectory && fs.exists(target)) moveTree(fs, st.getPath, target)
-      else fs.rename(st.getPath, target)
+      else if (st.getPath.getName == "_SUCCESS" || fs.exists(target)) {
+        // markers / already-present files: drop the staged copy, keep live
+        fs.delete(st.getPath, true)
+      } else if (!fs.rename(st.getPath, target)) {
+        // HDFS/S3A return false instead of throwing (e.g. dst appeared
+        // concurrently) — failing loudly lets the caller's retry handle
+        // it; silently deleting staged-but-unmoved data would lose rows
+        throw new java.io.IOException(
+          s"promoteStaged: rename ${st.getPath} -> $target returned false")
+      }
     }
     fs.delete(src, true)
     ()

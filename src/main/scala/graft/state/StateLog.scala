@@ -27,8 +27,16 @@ final class StateLog(spark: SparkSession, path: String) {
   private val latest = TrieMap.empty[String, PipelineStateRow]
   import spark.implicits._
 
+  /** Fixed-width ISO-8601 (always 9 fractional digits): `Instant.toString`
+    * emits variable precision, which breaks the lexicographic-==-
+    * chronological property the latest-row window sort relies on
+    * ('Z' sorts after '.', so "…:00Z" would sort AFTER "…:00.500Z"). */
+  private val TsFormat = java.time.format.DateTimeFormatter
+    .ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSSSSSSSS'Z'")
+    .withZone(java.time.ZoneOffset.UTC)
+
   def append(pipelineId: String, stage: String, status: String, detail: String = ""): PipelineStateRow = {
-    val row = PipelineStateRow(pipelineId, Instant.now().toString, stage, status, detail)
+    val row = PipelineStateRow(pipelineId, TsFormat.format(Instant.now()), stage, status, detail)
     Seq(row).toDS().write.mode(SaveMode.Append).parquet(path)
     latest.put(pipelineId, row)
     row
@@ -70,21 +78,35 @@ final class StateLog(spark: SparkSession, path: String) {
 
   /** Compact the append-only journal (SURVEY §7.4): thousands of runs ×
     * stages × retries produce one tiny parquet file per append; compaction
-    * rewrites the journal into `spark.sql.shuffle.partitions`-bounded
-    * files (atomic directory swap). Run periodically like the reference's
-    * nightly crawler. History is preserved — compaction merges files, it
-    * does not drop rows. */
+    * merges them. Run periodically like the reference's nightly crawler.
+    * History is preserved — compaction merges files, never drops rows.
+    *
+    * Crash/concurrency safety: the input file set is snapshotted FIRST;
+    * the compacted file is copied INTO the live directory before the
+    * snapshot inputs are deleted. Appends racing the compaction land as
+    * new files outside the snapshot and survive; the journal directory
+    * never disappears. The worst crash window (after copy-in, mid-delete)
+    * leaves some rows duplicated in the journal — an append log tolerates
+    * that (latest-per-pipeline is unaffected) — and never loses rows. */
   def compact(): Unit = {
     import org.apache.hadoop.fs.Path
-    val rows = journal()
-    if (rows.isEmpty) return
-    val tmp = s"$path.compact.tmp"
-    rows.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp)
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val old = new Path(s"$path.old")
-    fs.rename(new Path(path), old)
-    fs.rename(new Path(tmp), new Path(path))
-    fs.delete(old, true)
+    if (!fs.exists(new Path(path))) return
+    val inputs = fs.listStatus(new Path(path))
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath)
+    if (inputs.length <= 1) return
+    val snapshot = spark.read.parquet(inputs.map(_.toString): _*)
+    val tmp = s"$path.compact.tmp"
+    snapshot.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp)
+    fs.listStatus(new Path(tmp))
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .foreach { st =>
+        fs.rename(st.getPath,
+          new Path(path, s"compacted-${java.util.UUID.randomUUID()}.parquet"))
+      }
+    inputs.foreach(fs.delete(_, false))
+    fs.delete(new Path(tmp), true)
     ()
   }
 

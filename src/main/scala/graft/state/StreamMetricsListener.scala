@@ -7,26 +7,48 @@ import org.apache.spark.sql.streaming.StreamingQueryListener
   * per-micro-batch progress journaled into the [[StateLog]], the engine
   * analog of the reference's SNS notifications + CloudWatch metrics
   * (SDP.py:282, :511-576). Dashboards query the same journal the batch
-  * pipeline writes (G2, `StateLog.stageMetrics`). */
+  * pipeline writes (G2, `StateLog.stageMetrics`).
+  *
+  * Appends run on a dedicated single-thread executor: a `StateLog.append`
+  * is a (small) Spark write job, and running it on the listener-bus
+  * dispatch thread would back up the bus and get events dropped under
+  * short triggers. */
 final class StreamMetricsListener(stateLog: StateLog)
     extends StreamingQueryListener {
 
-  override def onQueryStarted(event: StreamingQueryListener.QueryStartedEvent): Unit =
-    stateLog.append(name(event.name, event.id.toString), "stream",
-      PipelineStatus.Running, s"runId=${event.runId}")
+  private val executor = java.util.concurrent.Executors.newSingleThreadExecutor(r => {
+    val t = new Thread(r, "graft-stream-metrics")
+    t.setDaemon(true)
+    t
+  })
+
+  private def async(body: => Unit): Unit =
+    executor.submit(new Runnable { def run(): Unit = body })
+
+  /** Block until previously-submitted appends have been journaled. */
+  def flush(timeoutMs: Long = 30000): Unit =
+    executor.submit(new Runnable { def run(): Unit = () })
+      .get(timeoutMs, java.util.concurrent.TimeUnit.MILLISECONDS)
+
+  override def onQueryStarted(event: StreamingQueryListener.QueryStartedEvent): Unit = {
+    val (n, id, runId) = (event.name, event.id.toString, event.runId)
+    async(stateLog.append(name(n, id), "stream", PipelineStatus.Running, s"runId=$runId"))
+  }
 
   override def onQueryProgress(event: StreamingQueryListener.QueryProgressEvent): Unit = {
     val p = event.progress
-    stateLog.append(name(p.name, p.id.toString), "stream_batch",
-      PipelineStatus.Succeeded,
-      s"batchId=${p.batchId} rows=${p.numInputRows} " +
-        f"rowsPerSec=${Option(p.processedRowsPerSecond).getOrElse(0.0)}%.1f")
+    val detail = s"batchId=${p.batchId} rows=${p.numInputRows} " +
+      f"rowsPerSec=${Option(p.processedRowsPerSecond).getOrElse(0.0)}%.1f"
+    val qname = name(p.name, p.id.toString)
+    async(stateLog.append(qname, "stream_batch", PipelineStatus.Succeeded, detail))
   }
 
-  override def onQueryTerminated(event: StreamingQueryListener.QueryTerminatedEvent): Unit =
-    stateLog.append(name(null, event.id.toString), "stream",
-      event.exception.fold(PipelineStatus.Succeeded)(_ => PipelineStatus.Failed),
-      event.exception.getOrElse(""))
+  override def onQueryTerminated(event: StreamingQueryListener.QueryTerminatedEvent): Unit = {
+    val (id, err) = (event.id.toString, event.exception)
+    async(stateLog.append(name(null, id), "stream",
+      err.fold(PipelineStatus.Succeeded)(_ => PipelineStatus.Failed),
+      err.getOrElse("")))
+  }
 
   private def name(n: String, id: String): String =
     Option(n).filter(_.nonEmpty).getOrElse(s"query-$id")

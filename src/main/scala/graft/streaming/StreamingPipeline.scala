@@ -51,11 +51,19 @@ object StreamingPipeline {
   /** T1/T6: checkpointed micro-batch sink with retry-then-quarantine.
     * Valid rows land in the partitioned processed table via a
     * batchId-scoped staged write — a retry after a partial write
-    * OVERWRITES its own staging dir before promotion, so re-runs are
-    * idempotent (no duplicate rows). Invalid rows go to the quarantine.
-    * A batch that keeps failing is itself quarantined (poison-batch DLQ)
-    * so the stream keeps moving — the reference's visibility-timeout
-    * redelivery + DLQ collapsed into the epoch. */
+    * OVERWRITES its own staging dir before promotion, so in-epoch
+    * re-runs are idempotent. A per-batch completion marker
+    * (`_batches/batch-N`) makes CHECKPOINT REPLAY idempotent too: if the
+    * driver dies after promotion but before the checkpoint commit, the
+    * replayed batch sees its marker and skips — part-file names are
+    * regenerated per attempt, so without the marker a replay would
+    * promote a second copy. (The marker is written after promotion; a
+    * crash exactly between the two still duplicates — closing that needs
+    * a transactional table format, which is out of scope and documented.)
+    * Failing batches are retried via the shared [[graft.orchestrate.Retry]]
+    * policy, then quarantined whole (poison-batch DLQ) so the stream
+    * keeps moving — the reference's visibility-timeout redelivery + DLQ
+    * collapsed into the epoch. */
   def partitionedSink(stream: DataFrame, layout: PipelineLayout,
                       triggerInterval: String = "60 seconds",
                       maxRetries: Int = 3): DataStreamWriter[org.apache.spark.sql.Row] =
@@ -63,10 +71,12 @@ object StreamingPipeline {
       .option("checkpointLocation", s"${layout.checkpoints}/processed")
       .trigger(Trigger.ProcessingTime(triggerInterval))
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        var attempt = 0
-        var done = false
-        while (!done) {
-          try {
+        import org.apache.hadoop.fs.Path
+        val spark = batch.sparkSession
+        val marker = new Path(s"${layout.processed}/_batches/batch-$batchId")
+        val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (!fs.exists(marker)) {
+          val result = graft.orchestrate.Retry.withBackoff(maxRetries, 100L)() {
             val (valid, invalid) = SchemaValidator.route(batch)
             Sinks.writePartitionedStaged(
               valid.drop(SchemaValidator.IsValidCol, SchemaValidator.ErrorsCol),
@@ -75,16 +85,14 @@ object StreamingPipeline {
             val inv = invalid.drop(SchemaValidator.IsValidCol)
             if (!inv.isEmpty)
               Sinks.quarantine(inv, layout.errors, "stream_validation", s"batch-$batchId")
-            done = true
-          } catch {
-            case e: Exception =>
-              attempt += 1
-              if (attempt >= maxRetries) {
-                // poison batch: quarantine everything, keep the stream alive
-                Sinks.quarantine(batch.drop(SchemaValidator.IsValidCol),
-                  layout.errors, "stream_poison", s"batch-$batchId")
-                done = true
-              } else Thread.sleep(100L * (1L << (attempt - 1)))
+          }
+          result match {
+            case Right(_) => fs.create(marker, true).close()
+            case Left(_) =>
+              // poison batch: quarantine everything, keep the stream alive
+              Sinks.quarantine(batch.drop(SchemaValidator.IsValidCol),
+                layout.errors, "stream_poison", s"batch-$batchId")
+              fs.create(marker, true).close()
           }
         }
       }

@@ -117,6 +117,48 @@ class OrchestrationSpec extends SparkSpec {
     assert(out == PipelineOutcome.Failed("Pipeline deadline exceeded") && !ran)
   }
 
+  test("re-running a pipeline id after a gate failure does not duplicate rows") {
+    val layout = freshLayout()
+    val stateLog = new StateLog(spark, layout.state)
+    val input = Tables.events(spark, sf).limit(200)
+    val failing = ReferencePipeline.Spec(
+      rules = Seq.empty,
+      transform = Transform.derivePartitions("ts"),
+      checks = Seq(Check("impossible", col("value") > 1e9)))
+    assert(!ReferencePipeline.run("again", input, failing, layout, stateLog, fastConfig).isSuccess)
+    // same id re-run with passing checks: staged leftovers must be
+    // overwritten, not appended to and double-promoted
+    val passing = failing.copy(checks = Seq(Check("nonneg", col("value") >= 0)))
+    assert(ReferencePipeline.run("again", input, passing, layout, stateLog, fastConfig).isSuccess)
+    assert(spark.read.parquet(layout.processed).count() == 200)
+  }
+
+  test("all-invalid input fails the gate instead of crashing the read-back") {
+    val layout = freshLayout()
+    val stateLog = new StateLog(spark, layout.state)
+    val spec = ReferencePipeline.Spec(
+      rules = Seq(Rule("impossible", col("value") > 1e9)), // everything invalid
+      transform = Transform.derivePartitions("ts"),
+      checks = Seq(Check("nonneg", col("value") >= 0)))
+    val out = ReferencePipeline.run("allbad", Tables.events(spark, sf).limit(50),
+      spec, layout, stateLog, fastConfig)
+    assert(out == PipelineOutcome.Failed("Data quality score below threshold"))
+  }
+
+  test("cancellation is not retried and final status stays CANCELLED") {
+    val stateLog = new StateLog(spark, freshLayout().state)
+    val runner = new PipelineRunner(stateLog, fastConfig)
+    var attempts = 0
+    val flow = Flow.Task("work", { _ =>
+      attempts += 1
+      throw new RuntimeException("Job 7 cancelled as part of cancellation of job group")
+    }, Flow.Succeed())
+    val out = runner.run("cancel-run", flow, Seq(1).toDF("x"))
+    assert(attempts == 1, s"cancelled job was retried $attempts times")
+    assert(!out.isSuccess)
+    assert(stateLog.currentStatus("cancel-run").get.status == PipelineStatus.Cancelled)
+  }
+
   test("choice routes and parallel unions branches") {
     val stateLog = new StateLog(spark, freshLayout().state)
     val runner = new PipelineRunner(stateLog, fastConfig)

@@ -140,6 +140,27 @@ class StreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("a batch whose completion marker exists is skipped on replay") {
+    val root = Files.createTempDirectory("graft-marker").toString
+    val layout = PipelineLayout(root)
+    val inDir = s"$root/raw/incoming"
+    new java.io.File(inDir).mkdirs()
+    Files.writeString(java.nio.file.Paths.get(s"$inDir/b.json"),
+      """{"id": 1, "ts": "2024-01-01T10:00:00.000Z", "value": 5.0}
+        |""".stripMargin)
+    // pre-create batch 0's completion marker = "already promoted, crash
+    // happened before checkpoint commit"; the replay must skip it
+    new java.io.File(s"${layout.processed}/_batches").mkdirs()
+    Files.writeString(java.nio.file.Paths.get(s"${layout.processed}/_batches/batch-0"), "")
+    val source = StreamingPipeline.jsonFileSource(spark, inDir, schema)
+    val q = StreamingPipeline.partitionedSink(
+      StreamingPipeline.processingStream(source, Seq.empty), layout)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val live = new java.io.File(layout.processed).listFiles()
+    assert(live != null && !live.exists(_.getName.startsWith("year=")), live.mkString(","))
+  }
+
   test("stream metrics listener journals lifecycle and batch progress") {
     import graft.state.{StateLog, StreamMetricsListener}
     val stateLog = new StateLog(spark,
