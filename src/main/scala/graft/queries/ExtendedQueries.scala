@@ -118,8 +118,22 @@ object ExtendedQueries {
     """)
   }
 
+  /** q30: PIVOT — event counts per user decile, event types as columns
+    * (explicit value list so the output schema is static and
+    * oracle-comparable; dynamic pivot requires a pre-pass to collect the
+    * distinct values — at scale always pass the list). */
+  def q30Pivot(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .withColumn("user_decile", (col("user_id") % 10).cast("int"))
+      .groupBy(col("user_decile"))
+      .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+      .count()
+      .na.fill(0L)
+      .orderBy(col("user_decile"))
+
   val queries: Map[String, Q] = Map(
     "a01_asof_join"      -> a01AsOfJoin _,
+    "q30_pivot"          -> q30Pivot _,
     "q25_approx_distinct"-> q25ApproxDistinct _,
     "q26_window_extras"  -> q26WindowExtras _,
     "q27_array_funcs"    -> q27ArrayFuncs _,
@@ -210,5 +224,14 @@ object ExtendedQueries {
                                WHERE o_totalprice > 400000.0)
       GROUP BY o_orderpriority
       ORDER BY o_orderpriority""",
+    "q30_pivot" -> """
+      SELECT CAST(user_id % 10 AS INTEGER) AS user_decile,
+             sum(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS click,
+             sum(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS view,
+             sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
+             sum(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END) AS signup,
+             sum(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS error
+      FROM events
+      GROUP BY 1 ORDER BY user_decile""",
   )
 }
