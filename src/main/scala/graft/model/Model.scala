@@ -36,6 +36,35 @@ final case class PipelineConfig(
     deadlineMs: Long = 2L * 60 * 60 * 1000, // state machine timeout 2h, SDP.py:427
 )
 
+object PipelineConfig {
+  /** Load from a key-value store (the SSM parameter-store analog,
+    * SDP.py:701-720) — keys mirror the reference's parameter names;
+    * unknown keys are ignored, missing keys keep defaults. */
+  def from(params: Map[String, String]): PipelineConfig = {
+    val base = PipelineConfig()
+    PipelineConfig(
+      maxRetries = params.get("max-retries").map(_.toInt).getOrElse(base.maxRetries),
+      batchSize = params.get("batch-size").map(_.toInt).getOrElse(base.batchSize),
+      qualityThreshold = params.get("quality-threshold").map(_.toDouble)
+        .getOrElse(base.qualityThreshold),
+      gateThreshold = params.get("gate-threshold").map(_.toDouble)
+        .getOrElse(base.gateThreshold),
+      retryBackoffMs = params.get("retry-backoff-ms").map(_.toLong)
+        .getOrElse(base.retryBackoffMs),
+      deadlineMs = params.get("deadline-ms").map(_.toLong).getOrElse(base.deadlineMs))
+  }
+
+  /** Load from a properties file under the config dir (SDP.py:113-117's
+    * config bucket). */
+  def fromPropertiesFile(path: String): PipelineConfig = {
+    val props = new java.util.Properties()
+    val in = new java.io.FileInputStream(path)
+    try props.load(in) finally in.close()
+    import scala.jdk.CollectionConverters._
+    from(props.asScala.toMap)
+  }
+}
+
 /** One row of the per-stage state journal (SDP.py:325-339: partition key
   * pipeline_id STRING, sort key timestamp STRING i.e. ISO-8601). */
 final case class PipelineStateRow(

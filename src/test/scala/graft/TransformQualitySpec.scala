@@ -78,6 +78,17 @@ class TransformQualitySpec extends SparkSpec {
     assert(after < before && after == 1)
   }
 
+  test("pipeline config loads from the parameter-store map and properties file") {
+    import graft.model.PipelineConfig
+    val c = PipelineConfig.from(Map(
+      "max-retries" -> "5", "quality-threshold" -> "0.9", "unknown-key" -> "x"))
+    assert(c.maxRetries == 5 && c.qualityThreshold == 0.9 && c.batchSize == 100)
+    val f = java.nio.file.Files.createTempFile("graft-cfg", ".properties")
+    java.nio.file.Files.writeString(f, "batch-size=250\ngate-threshold=0.7\n")
+    val fc = PipelineConfig.fromPropertiesFile(f.toString)
+    assert(fc.batchSize == 250 && fc.gateThreshold == 0.7 && fc.maxRetries == 3)
+  }
+
   test("quality score is the pass-all fraction; gate at 0.8 is strict") {
     val df = Seq(1.0, 2.0, -1.0, 3.0, -2.0).toDF("v") // 3/5 pass
     val checks = Seq(Check("positive", col("v") > 0))
