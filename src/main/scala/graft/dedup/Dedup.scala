@@ -216,10 +216,9 @@ object Dedup {
 
   /** Jaccard-pair SQL shared by d02 and d03 (LSH verified output = exact
     * output; see [[NumHashes]]). d04 is hash-defined → rows-only check. */
-  private val JaccardPairsSql = """
+  private val JaccardPairsSql = s"""
     WITH toks AS (
-      SELECT doc_id,
-             string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+      SELECT doc_id, ${graft.text.TextAnalysis.ToksSql} AS t
       FROM documents),
     sh AS (
       SELECT doc_id,

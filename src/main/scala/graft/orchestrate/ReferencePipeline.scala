@@ -50,7 +50,7 @@ object ReferencePipeline {
             layout.errors, "validation", pipelineId)
           valid.drop(SchemaValidator.IsValidCol, SchemaValidator.ErrorsCol)
         },
-        Flow.Task("archive", { df => Sinks.archive(df, layout.archive); df },
+        Flow.Task("archive", { df => Sinks.archive(df, layout.archive, pipelineId); df },
         Flow.Task("transform", spec.transform,
         Flow.Task("stage_output", { df =>
           // OVERWRITE: a retry after a partial write — or a re-run of the
@@ -80,5 +80,6 @@ object ReferencePipeline {
   /** Convenience filter used by tests to inspect quarantined rows. */
   def quarantined(spark: org.apache.spark.sql.SparkSession,
                   layout: PipelineLayout, pipelineId: String): DataFrame =
-    spark.read.parquet(layout.errors).filter(col("_error_batch") === pipelineId)
+    Sinks.readQuarantine(spark, layout.errors)
+      .filter(col("_error_batch") === pipelineId)
 }

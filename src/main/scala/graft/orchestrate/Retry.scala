@@ -15,11 +15,18 @@ object Retry {
 
   final case class Exhausted(attempts: Int, last: Throwable, cancelled: Boolean)
 
+  /** Spark's job/stage cancellation message shapes — deliberately
+    * narrow: matching any message merely *containing* "cancel" would
+    * misclassify ordinary data errors (e.g. a row mentioning
+    * 'order_cancelled') as user cancellations and skip their retries. */
+  private val CancellationPattern =
+    "(?i)(job \\d+ cancelled|cancellation of (all )?job|job group .* cancelled|stage \\d+ (was )?cancelled)".r
+
   def isCancellation(e: Throwable): Boolean = {
     var cur = e
     while (cur != null) {
       val m = Option(cur.getMessage).getOrElse("")
-      if (m.toLowerCase.contains("cancel")) return true
+      if (CancellationPattern.findFirstIn(m).isDefined) return true
       cur = cur.getCause
     }
     false

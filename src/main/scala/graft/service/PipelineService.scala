@@ -22,6 +22,7 @@ final class PipelineService(spark: SparkSession, stateLog: StateLog)(
     implicit ec: ExecutionContext) {
 
   private val running = new ConcurrentHashMap[String, Future[PipelineOutcome]]()
+  private val cancelRequested = ConcurrentHashMap.newKeySet[String]()
 
   /** Submit a run; returns its id immediately (POST /pipelines).
     *
@@ -45,6 +46,15 @@ final class PipelineService(spark: SparkSession, stateLog: StateLog)(
       val cause = Option(e.getMessage).getOrElse(e.getClass.getSimpleName)
       stateLog.append(id, "pipeline", PipelineStatus.Failed, cause)
       PipelineOutcome.Failed(cause)
+    }.map { outcome =>
+      // cancel() is racy against driver-side code (cancelJobGroup only
+      // kills in-flight Spark jobs): if the run completed anyway after a
+      // cancel was acknowledged, re-assert CANCELLED as the final state
+      // so status(id) agrees with what the caller observed.
+      if (cancelRequested.remove(id))
+        stateLog.append(id, "pipeline", PipelineStatus.Cancelled,
+          s"cancel requested; body finished with ${outcome.getClass.getSimpleName}")
+      outcome
     }
     running.put(id, safe)
     id
@@ -59,6 +69,7 @@ final class PipelineService(spark: SparkSession, stateLog: StateLog)(
   /** DELETE /pipelines/{id} — cancel in-flight Spark jobs + journal it. */
   def cancel(id: String): Boolean = {
     val wasRunning = Option(running.get(id)).exists(!_.isCompleted)
+    if (wasRunning) cancelRequested.add(id)
     spark.sparkContext.cancelJobGroup(id)
     if (wasRunning) stateLog.append(id, "pipeline", PipelineStatus.Cancelled)
     wasRunning

@@ -135,27 +135,22 @@ object Similarity {
     val model = new KMeans().setK(NumCells).setSeed(42L).setMaxIter(10).fit(train)
     val centroids = model.clusterCenters.map(_.toArray)
 
-    // nearest-cell id as a Column expression over the centroid literals —
-    // the native dot keeps this one codegen'd pass per row
-    def cellOf(vec: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-      val dists = centroids.zipWithIndex.map { case (c, i) =>
+    // squared-distance-to-centroid structs over the centroid literals —
+    // the native dot keeps this one codegen'd pass per row (‖v‖² omitted:
+    // constant per row, so the argmin/ordering is unaffected)
+    def centroidDists(vec: org.apache.spark.sql.Column) =
+      centroids.zipWithIndex.map { case (c, i) =>
         struct(
           (lit(c.map(x => x * x).sum) -
             graft.functions.VectorFunctions.dot(vec, lit(c)) * 2).as("d2c"),
           lit(i).as("cell"))
       }
-      least(dists: _*).getField("cell")
-    }
+    // nearest-cell id for corpus assignment
+    def cellOf(vec: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      least(centroidDists(vec): _*).getField("cell")
     // per-query probe list: the NProbe nearest cells
-    def probeCells(vec: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-      val dists = centroids.zipWithIndex.map { case (c, i) =>
-        struct(
-          (lit(c.map(x => x * x).sum) -
-            graft.functions.VectorFunctions.dot(vec, lit(c)) * 2).as("d2c"),
-          lit(i).as("cell"))
-      }
-      slice(array_sort(array(dists: _*)), 1, NProbe).getField("cell")
-    }
+    def probeCells(vec: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      slice(array_sort(array(centroidDists(vec): _*)), 1, NProbe).getField("cell")
 
     val assigned = e.withColumn("cell", cellOf(col("embedding")))
     val q = e.filter(col("vec_id") < NumQueries)

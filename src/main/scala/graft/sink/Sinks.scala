@@ -35,15 +35,23 @@ object Sinks {
       .parquet(path)
   }
 
-  /** K2: quarantine sink — appends failed rows with the error reason, the
-    * stage that rejected them, and a batch id for replay bookkeeping. */
+  /** K2: quarantine sink — failed rows land with the error reason, the
+    * stage that rejected them, and a batch id for replay bookkeeping.
+    * Each (stage, batch) writes its own OVERWRITE-mode subdirectory, so a
+    * retried or re-run batch REPLACES its prior quarantine rows instead
+    * of appending a duplicate copy that replay would re-ingest. */
   def quarantine(df: DataFrame, path: String, stage: String, batchId: String): Unit =
     df.withColumn("_error_stage", lit(stage))
       .withColumn("_error_batch", lit(batchId))
       .withColumn("_error_at", current_timestamp())
-      .write.mode(SaveMode.Append)
+      .write.mode(SaveMode.Overwrite)
       .option("compression", "gzip")
-      .parquet(path)
+      .parquet(s"$path/b_${sanitize(stage)}_${sanitize(batchId)}")
+
+  /** Read the quarantine table (recursive: one subdirectory per
+    * (stage, batch), see [[quarantine]]). */
+  def readQuarantine(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.option("recursiveFileLookup", "true").parquet(path)
 
   /** K2 counterpart: read quarantined rows back for re-ingestion (the
     * reference's DLQ keeps messages 14 days precisely so they can be
@@ -51,16 +59,24 @@ object Sinks {
     * result matches the original input schema. */
   def replayQuarantine(spark: org.apache.spark.sql.SparkSession, path: String,
                        batchId: Option[String] = None): DataFrame = {
-    val all = spark.read.parquet(path)
+    val all = readQuarantine(spark, path)
     val scoped = batchId.fold(all)(b => all.filter(col("_error_batch") === b))
     scoped.drop("_error_stage", "_error_batch", "_error_at", "errors")
   }
 
-  /** K3: archive sink — immutable raw copy (SDP.py:268 ARCHIVE_BUCKET). */
-  def archive(df: DataFrame, path: String): Unit =
-    df.write.mode(SaveMode.Append)
+  private def sanitize(s: String): String = s.replaceAll("[^A-Za-z0-9_-]", "_")
+
+  /** K3: archive sink — immutable raw copy (SDP.py:268 ARCHIVE_BUCKET).
+    * Run-scoped OVERWRITE subdirectory: re-running a pipeline id replaces
+    * its own archive copy instead of appending a second one. */
+  def archive(df: DataFrame, path: String, runId: String = "adhoc"): Unit =
+    df.write.mode(SaveMode.Overwrite)
       .option("compression", "gzip")
-      .parquet(path)
+      .parquet(s"$path/run_${sanitize(runId)}")
+
+  /** Read the archive (recursive over per-run subdirectories). */
+  def readArchive(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.option("recursiveFileLookup", "true").parquet(path)
 
   /** Idempotent staged write: materialize under a work-scoped staging dir
     * with OVERWRITE (re-running a failed attempt replaces its own partial

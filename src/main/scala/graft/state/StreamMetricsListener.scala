@@ -22,6 +22,12 @@ final class StreamMetricsListener(stateLog: StateLog)
     t
   })
 
+  /** id → query name: termination events carry no name, so without this
+    * a named stream would terminate under "query-<id>" while its start/
+    * progress rows sit under the name — never reaching a terminal state
+    * in the journal's eyes. */
+  private val names = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   private def async(body: => Unit): Unit =
     executor.submit(new Runnable { def run(): Unit = body })
 
@@ -32,6 +38,7 @@ final class StreamMetricsListener(stateLog: StateLog)
 
   override def onQueryStarted(event: StreamingQueryListener.QueryStartedEvent): Unit = {
     val (n, id, runId) = (event.name, event.id.toString, event.runId)
+    Option(n).filter(_.nonEmpty).foreach(names.put(id, _))
     async(stateLog.append(name(n, id), "stream", PipelineStatus.Running, s"runId=$runId"))
   }
 
@@ -45,7 +52,8 @@ final class StreamMetricsListener(stateLog: StateLog)
 
   override def onQueryTerminated(event: StreamingQueryListener.QueryTerminatedEvent): Unit = {
     val (id, err) = (event.id.toString, event.exception)
-    async(stateLog.append(name(null, id), "stream",
+    val key = name(names.remove(id), id)
+    async(stateLog.append(key, "stream",
       err.fold(PipelineStatus.Succeeded)(_ => PipelineStatus.Failed),
       err.getOrElse("")))
   }

@@ -76,20 +76,39 @@ object StreamingPipeline {
         val marker = new Path(s"${layout.processed}/_batches/batch-$batchId")
         val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
         if (!fs.exists(marker)) {
-          val result = graft.orchestrate.Retry.withBackoff(maxRetries, 100L)() {
-            val (valid, invalid) = SchemaValidator.route(batch)
-            Sinks.writePartitionedStaged(
-              valid.drop(SchemaValidator.IsValidCol, SchemaValidator.ErrorsCol),
-              layout.processed,
-              s"${layout.processed}/.staging/batch-$batchId")
-            val inv = invalid.drop(SchemaValidator.IsValidCol)
-            if (!inv.isEmpty)
-              Sinks.quarantine(inv, layout.errors, "stream_validation", s"batch-$batchId")
-          }
+          val staging = s"${layout.processed}/.staging/batch-$batchId"
+          def retried(body: => Unit) =
+            graft.orchestrate.Retry.withBackoff(maxRetries, 100L)()(body)
+          val (valid, invalid) = SchemaValidator.route(batch)
+          // Three independently retried phases, each idempotent on its own retry:
+          //  1. stage (OVERWRITE → replaces its own partial output)
+          //  2. quarantine invalid (batch-scoped overwrite, see Sinks)
+          //  3. promote (resumable: moved files leave staging, so a retry
+          //     only moves the remainder — never a second copy)
+          // Retrying phases separately is what makes a failure AFTER a
+          // successful earlier phase safe — a whole-body retry would
+          // re-stage with fresh part-file names and promote duplicates.
+          val result = for {
+            _ <- retried(Sinks.writePartitioned(
+                   valid.drop(SchemaValidator.IsValidCol, SchemaValidator.ErrorsCol),
+                   staging, mode = org.apache.spark.sql.SaveMode.Overwrite))
+            _ <- retried {
+                   val inv = invalid.drop(SchemaValidator.IsValidCol)
+                   if (!inv.isEmpty)
+                     Sinks.quarantine(inv, layout.errors, "stream_validation", s"batch-$batchId")
+                 }
+            _ <- retried(Sinks.promoteStaged(spark, staging, layout.processed))
+          } yield ()
           result match {
             case Right(_) => fs.create(marker, true).close()
             case Left(_) =>
-              // poison batch: quarantine everything, keep the stream alive
+              // Poison batch: quarantine the whole batch and keep the
+              // stream alive. NOTE: rows promoted by a partially-successful
+              // phase 3 may ALSO be quarantined — poison replay must
+              // anti-join against the processed table (at-least-once, not
+              // exactly-once, on the poison path). If even the poison
+              // write fails, rethrow: losing the batch silently is worse
+              // than stopping the stream (checkpoint replays it).
               Sinks.quarantine(batch.drop(SchemaValidator.IsValidCol),
                 layout.errors, "stream_poison", s"batch-$batchId")
               fs.create(marker, true).close()

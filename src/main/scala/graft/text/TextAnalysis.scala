@@ -53,8 +53,11 @@ object TextAnalysis {
     val sumLen = aggregate(toks, lit(0), (acc, t) => acc + length(t)).cast("double")
     val nStop = size(filter(toks, t => t.isin(Stopwords: _*))).cast("double")
     val norm = normText(col("text"))
-    val alpha = length(regexp_replace(norm, "[^a-z ]", "")).cast("double") /
-      length(norm).cast("double")
+    // zero-length guard: Spark's non-ANSI divide yields NULL on /0 while
+    // DuckDB yields NaN — pin empty documents to 0.0 in both engines
+    val alpha = when(length(norm) === 0, 0.0).otherwise(
+      length(regexp_replace(norm, "[^a-z ]", "")).cast("double") /
+        length(norm).cast("double"))
     Tables.documents(s, d)
       .select(
         col("doc_id"),
@@ -127,10 +130,13 @@ object TextAnalysis {
     "t05_subword_tokens" -> t05SubwordTokens _,
   )
 
-  /** Shared SQL fragments for the DuckDB oracle. DuckDB's regexp_replace
-    * needs the 'g' flag to match Spark's replace-all default. */
-  private val NormSql = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
-  private val ToksSql = s"string_split($NormSql, ' ')"
+  /** Shared SQL fragments for the DuckDB oracle (public: the dedup
+    * oracles MUST tokenize bit-identically to [[normText]]/[[tokens]],
+    * so they reference these instead of re-inlining the regex). DuckDB's
+    * regexp_replace needs the 'g' flag to match Spark's replace-all
+    * default. */
+  val NormSql = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+  val ToksSql = s"string_split($NormSql, ' ')"
 
   val oracleSql: Map[String, String] = Map(
     "t01_token_count" -> s"""
@@ -146,8 +152,9 @@ object TextAnalysis {
                CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) AS sum_len,
                CAST(len(list_filter(toks, t ->
                  list_contains(['the','a','of','to','in','and','is'], t))) AS DOUBLE) AS n_stop,
-               CAST(length(regexp_replace(norm, '[^a-z ]', '', 'g')) AS DOUBLE)
-                 / CAST(length(norm) AS DOUBLE) AS alpha
+               CASE WHEN length(norm) = 0 THEN 0.0
+                    ELSE CAST(length(regexp_replace(norm, '[^a-z ]', '', 'g')) AS DOUBLE)
+                         / CAST(length(norm) AS DOUBLE) END AS alpha
         FROM t)
       SELECT doc_id,
              CAST(n_tok AS BIGINT) AS n_tokens,

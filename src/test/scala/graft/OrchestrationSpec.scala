@@ -42,7 +42,7 @@ class OrchestrationSpec extends SparkSpec {
     assert(Seq("year", "month", "day", "hour").forall(processed.columns.contains))
     assert(new java.io.File(layout.processed).listFiles().exists(_.getName.startsWith("year=")))
     // archive holds the full valid pre-transform copy
-    assert(spark.read.parquet(layout.archive).count() == input.count() - nInvalid)
+    assert(graft.sink.Sinks.readArchive(spark, layout.archive).count() == input.count() - nInvalid)
     // state journal saw every stage, ending SUCCEEDED
     val stages = stateLog.journal().select("stage").distinct().as[String].collect().toSet
     assert(Set("pipeline", "validate", "transform", "quality_gate", "promote").subsetOf(stages))
@@ -121,16 +121,19 @@ class OrchestrationSpec extends SparkSpec {
     val layout = freshLayout()
     val stateLog = new StateLog(spark, layout.state)
     val input = Tables.events(spark, sf).limit(200)
+    val nInvalid = input.filter(col("value") > 300.0).count()
     val failing = ReferencePipeline.Spec(
-      rules = Seq.empty,
+      rules = Seq(Rule("value_le_300", col("value") <= 300.0)),
       transform = Transform.derivePartitions("ts"),
       checks = Seq(Check("impossible", col("value") > 1e9)))
     assert(!ReferencePipeline.run("again", input, failing, layout, stateLog, fastConfig).isSuccess)
-    // same id re-run with passing checks: staged leftovers must be
-    // overwritten, not appended to and double-promoted
+    // same id re-run with passing checks: staged leftovers, quarantine,
+    // and archive must be overwritten, not appended a second copy
     val passing = failing.copy(checks = Seq(Check("nonneg", col("value") >= 0)))
     assert(ReferencePipeline.run("again", input, passing, layout, stateLog, fastConfig).isSuccess)
-    assert(spark.read.parquet(layout.processed).count() == 200)
+    assert(spark.read.parquet(layout.processed).count() == 200 - nInvalid)
+    assert(ReferencePipeline.quarantined(spark, layout, "again").count() == nInvalid)
+    assert(graft.sink.Sinks.readArchive(spark, layout.archive).count() == 200 - nInvalid)
   }
 
   test("all-invalid input fails the gate instead of crashing the read-back") {

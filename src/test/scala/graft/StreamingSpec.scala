@@ -42,7 +42,7 @@ class StreamingSpec extends SparkSpec {
     assert(processed.count() == 2)
     assert(processed.select("hour").as[Int].collect().toSet == Set(10, 9))
     assert(new java.io.File(layout.processed).listFiles().exists(_.getName.startsWith("year=")))
-    val quarantined = spark.read.parquet(layout.errors)
+    val quarantined = graft.sink.Sinks.readQuarantine(spark, layout.errors)
     assert(quarantined.count() == 1)
     assert(quarantined.select("id").as[Long].head() == 2L)
     assert(quarantined.select("_error_stage").as[String].head() == "stream_validation")
