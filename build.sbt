@@ -28,3 +28,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// Forward forked run output directly to stdout, undecorated — the round
+// driver parses Bench's single JSON line, and sbt's default logger would
+// prefix it with "[info] ".
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
