@@ -34,12 +34,16 @@ object StreamingPipeline {
 
   /** S1/S3 streaming source: JSON files landing in a directory (the S3
     * `incoming/` event feed). `maxFilesPerTrigger` is the reference's
-    * consumer batch size. */
+    * consumer batch size (100, SDP.py:652); `latestFirst` is the
+    * `start at LATEST` analog (SDP.py:654) — newest files drain first
+    * when the source falls behind. */
   def jsonFileSource(spark: SparkSession, dir: String, schema: StructType,
-                     maxFilesPerTrigger: Int = 100): DataFrame =
+                     maxFilesPerTrigger: Int = 100,
+                     latestFirst: Boolean = false): DataFrame =
     spark.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .option("latestFirst", latestFirst)
       .json(dir)
 
   /** The validated, partition-derived processing stream: parse-free
