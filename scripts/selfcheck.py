@@ -32,6 +32,15 @@ for name, sql in sorted(oracle.items()):
         if len(odf) != len(sdf):
             status.append(f"rows spark={len(sdf)} oracle={len(odf)}")
         if not status:
+            # dtype KIND drift is what the driver's value-hash actually
+            # trips on (HUGEINT->object/float, DOUBLE vs BIGINT) even when
+            # values match; int width (int32 vs int64) provably does not
+            # (q10/q19/s01/t01... were all hash-green in r02 with int32).
+            for c in odf.columns:
+                if sdf[c].dtype.kind != odf[c].dtype.kind:
+                    status.append(
+                        f"dtype {c}: spark={sdf[c].dtype} oracle={odf[c].dtype}")
+        if not status:
             for c in odf.columns:
                 a, b = sdf[c].tolist(), odf[c].tolist()
                 for i, (x, y) in enumerate(zip(a, b)):

@@ -1,6 +1,13 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** Timed action: a noop-sink write executes the FULL plan (projection,
+    * sort, every output column) — a bare `count()` lets ColumnPruning /
+    * EliminateSorts strip the work being measured on projection-only
+    * queries. */
+  private def runToNoop(df: org.apache.spark.sql.DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -28,12 +35,12 @@ object Bench {
       val warmDir = "/root/testdata/sf0.001"
       if (new java.io.File(warmDir).isDirectory && warmDir != sfDir)
         SparkEntry.queries.foreach { case (_, fn) =>
-          try fn(spark, warmDir).count() catch { case _: Throwable => () }
+          try runToNoop(fn(spark, warmDir)) catch { case _: Throwable => () }
         }
     } catch { case _: Throwable => () }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { runToNoop(fn(spark, sfDir)) } catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -5,6 +5,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.dedup.Dedup
 import graft.queries.{ExtendedQueries, PipelineQueries, RelationalQueries}
 import graft.similarity.Similarity
+import graft.streaming.StreamReplay
 import graft.text.TextAnalysis
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -23,12 +24,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries ++ ExtendedQueries.queries ++
       PipelineQueries.queries ++ TextAnalysis.queries ++
-      Dedup.queries ++ Similarity.queries
+      Dedup.queries ++ Similarity.queries ++ StreamReplay.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     RelationalQueries.oracleSql ++ ExtendedQueries.oracleSql ++
       PipelineQueries.oracleSql ++ TextAnalysis.oracleSql ++
-      Dedup.oracleSql ++ Similarity.oracleSql
+      Dedup.oracleSql ++ Similarity.oracleSql ++ StreamReplay.oracleSql
 }

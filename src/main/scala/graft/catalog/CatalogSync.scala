@@ -35,9 +35,36 @@ object CatalogSync {
     }
   }
 
-  /** The crawler pass: re-discover partitions added since registration. */
-  def sync(spark: SparkSession, table: String): Unit =
-    spark.catalog.recoverPartitions(table)
+  /** The crawler pass: re-discover partitions added since registration AND
+    * re-infer the schema — the reference's crawler re-runs inference daily
+    * (SDP.py:602-616), so a column that appears in newly-landed partitions
+    * must become queryable without re-registering the table. */
+  def sync(spark: SparkSession, table: String): Unit = {
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier(table))
+    if (meta.partitionColumnNames.nonEmpty)
+      spark.catalog.recoverPartitions(table)
+    mergeNewColumns(spark, table)
+  }
+
+  /** Schema evolution half of the crawler: re-read the Parquet footers
+    * under the table location with `mergeSchema` and ALTER TABLE ADD
+    * COLUMNS for fields the catalog doesn't know yet. Old files simply
+    * read NULL for the added column (Parquet by-name resolution); type
+    * CHANGES to an existing column are not merged — that's a rewrite, not
+    * an evolution, and the read would fail loudly rather than coerce. */
+  def mergeNewColumns(spark: SparkSession, table: String): Unit = {
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier(table))
+    val fresh = spark.read.option("mergeSchema", "true")
+      .parquet(meta.location.toString).schema
+    val known = meta.schema.fieldNames.map(_.toLowerCase).toSet
+    val added = fresh.fields.filterNot(f => known.contains(f.name.toLowerCase))
+    if (added.nonEmpty) {
+      val ddl = added.map(f => s"`${f.name}` ${f.dataType.sql}").mkString(", ")
+      spark.sql(s"ALTER TABLE $table ADD COLUMNS ($ddl)")
+    }
+  }
 
   /** Query a registered table (the Athena surface, README:155-164). */
   def query(spark: SparkSession, sql: String): DataFrame = spark.sql(sql)

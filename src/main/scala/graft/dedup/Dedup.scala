@@ -109,22 +109,35 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  /** MinHash parameters: 128 hashes = 32 bands × 4 rows. At the planted
-    * similarity (J ≥ 0.9) the miss probability is (1-0.9⁴)³² ≈ 1e-15, so the
-    * LSH output equals the exact-Jaccard output and shares its oracle. */
-  val NumHashes = 128
-  val BandRows  = 4
+  /** MinHash parameters: 64 hashes = 32 bands × 2 rows.
+    *
+    * Geometry chosen for detection certainty AT the decision threshold,
+    * not just at the planted similarity: a pair at exactly J = 0.6 matches
+    * a 2-row band with p = 0.36, so the all-bands miss probability is
+    * (1-0.36)³² ≈ 6e-7 (the previous 32×4 geometry missed J=0.6 pairs
+    * with p ≈ 1.2% — enough to silently desync from the exact-Jaccard
+    * oracle on a borderline pair). At the planted J ≥ 0.9 the miss is
+    * (1-0.81)³² ≈ 1e-23. Wider bands admit more low-J candidates, but the
+    * corpus has essentially no mid-J pairs (random text shares ~no
+    * shingles) and every candidate is exact-verified anyway.
+    *
+    * 64 hash columns also keeps the signature aggregate under Spark's
+    * whole-stage-codegen field limit (spark.sql.codegen.maxFields = 100)
+    * — at 128 columns the hot aggregate silently fell back to interpreted
+    * evaluation. */
+  val NumHashes = 64
+  val BandRows  = 2
   val NumBands: Int = NumHashes / BandRows
 
   /** d03: MinHash + LSH near-dup. Shingles are exploded once and hashed
     * flat (`xxhash64` is codegen'd as a plain expression; wrapping it in
-    * `transform` lambdas would evaluate interpreted per element — 128
-    * array traversals per doc). The i-th permutation is
-    * xxhash64(shingle_hash, i); the signature is a 128-column min
-    * aggregate (partial map-side mins, then one shuffle keyed by doc_id);
-    * band the signature, bucket-join on (band, band_hash), then verify
-    * candidates with exact Jaccard ≥ 0.6 (array_intersect / array_union
-    * on the cached shingle sets). */
+    * `transform` lambdas would evaluate interpreted per element —
+    * [[NumHashes]] array traversals per doc). The i-th permutation is
+    * xxhash64(shingle_hash, i); the signature is a [[NumHashes]]-column
+    * min aggregate (partial map-side mins, then one shuffle keyed by
+    * doc_id); band the signature, bucket-join on (band, band_hash), then
+    * verify candidates with exact Jaccard ≥ 0.6 (array_intersect /
+    * array_union on the cached shingle sets). */
   def d03MinHashLsh(s: SparkSession, d: String): DataFrame = {
     // One repartition exchange: the signature build reads it once and the
     // two verify joins reuse it instead of recomputing the shingle sets.
@@ -192,30 +205,94 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  /** d05: embedding-cosine near-dup — pairs with cos ≥ 0.4 (the synthetic
-    * embeddings are near-orthogonal; max observed ≈ 0.51). Test-SF plan: a
-    * broadcast self-join; the verify kernel ([[VectorFunctions.cosine]]) is
-    * what runs behind LSH buckets at corpus scale. */
+  /** Block count for the d05 triangle-blocked pair join: B(B+1)/2 = 36
+    * independent cells. At cluster scale B grows with √(2·cores) so every
+    * core gets a cell and a cell's two blocks fit in one task's memory. */
+  val NearDupBlocks = 8
+
+  /** d05: embedding-cosine near-dup — ALL pairs with cos ≥ 0.4 (the
+    * synthetic embeddings are near-orthogonal; max observed ≈ 0.51).
+    *
+    * An EXACT threshold join this close to orthogonal (θ ≈ 66°) has no
+    * sub-quadratic candidate generator: the s02 random-hyperplane bucketer
+    * would retain a θ=66° pair in a 6-plane table with p ≈ 0.63⁶ ≈ 0.06,
+    * i.e. recall ≈ 0.65 over 16 tables — fine for ANN top-k, silently
+    * wrong for an exhaustive pair list. So the O(N²) compute is kept but
+    * DISTRIBUTED: vectors hash into [[NearDupBlocks]] blocks, the
+    * B(B+1)/2 unordered block pairs form the shuffle key of a plain
+    * equijoin, and each task scans one (N/B)×(N/B) cell. No corpus-wide
+    * broadcast, no BroadcastNestedLoopJoin, per-task work and memory
+    * bounded by B — the knob that scales this to a 1000-executor cluster.
+    * (A corpus with real near-dup structure — planted pairs at cos ≥ 0.9
+    * — should instead generate candidates with the s02 LSH bucketer,
+    * where per-pair recall is ~1 at 25°; at this corpus's threshold that
+    * would break exactness.) */
   def d05EmbeddingNearDup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val b = NearDupBlocks
+    // the B(B+1)/2 unordered block pairs (i ≤ j): tiny, broadcast
+    val cells = (for { i <- 0 until b; j <- i until b } yield (i, j)).toDF("bi", "bj")
     val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
-    e.as("a").join(broadcast(e.as("b")), col("a.vec_id") < col("b.vec_id"))
-      .withColumn("cos", VectorFunctions.cosine(col("a.embedding"), col("b.embedding")))
+    val left = e.select(col("vec_id").as("id_l"), col("embedding").as("em_l"),
+        pmod(col("vec_id"), lit(b)).as("bi"))
+      .join(broadcast(cells), "bi")
+    val right = e.select(col("vec_id").as("id_r"), col("embedding").as("em_r"),
+        pmod(col("vec_id"), lit(b)).as("bj"))
+      .join(broadcast(cells), "bj")
+    left.join(right, Seq("bi", "bj")) // equijoin on the cell key
+      // cross-block cells see each unordered pair exactly once (i < j by
+      // construction); the diagonal needs the id tie-break
+      .filter(col("bi") =!= col("bj") || col("id_l") < col("id_r"))
+      .withColumn("cos", VectorFunctions.cosine(col("em_l"), col("em_r")))
       .filter(round(col("cos"), 4) >= 0.4)
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+      .select(least(col("id_l"), col("id_r")).as("vec_a"),
+        greatest(col("id_l"), col("id_r")).as("vec_b"),
         round(col("cos"), 6).as("cos"))
       .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  /** Fraction of planted (J ≥ 0.95) pairs SimHash must recover for the
+    * driver contract — SimHash measures a different similarity than
+    * Jaccard, so recovery is substantial, not total (see [[d04SimHash]]).
+    * Measured recovery on the fixed corpus: 0.84 at sf0.001, 0.625 at
+    * sf0.01; the floor sits below both with margin. */
+  val SimHashOverlapFloor = 0.5
+
+  /** d04 registered form: SimHash is hash-defined, so its pair list can't
+    * be reproduced in an independent SQL engine — but facts about it can:
+    * the output is non-empty, every pair honors the Hamming ≤ 3 bound,
+    * and it recovers ≥ [[SimHashOverlapFloor]] of the planted
+    * high-Jaccard pairs. One boolean row the DuckDB oracle states as
+    * constants; any contract violation flips a column and fails the hash
+    * compare. */
+  def d04SimHashContract(s: SparkSession, d: String): DataFrame = {
+    val sim = d04SimHash(s, d)
+    val planted = d02NgramJaccard(s, d).filter(col("jaccard") >= 0.95)
+      .select(col("doc_a"), col("doc_b"))
+    val simStats = sim.agg(count(lit(1)).as("n_pairs"),
+      max(col("hamming")).as("max_hamming"))
+    val recovered = planted
+      .join(sim.select(col("doc_a"), col("doc_b")), Seq("doc_a", "doc_b"), "left_semi")
+      .agg(count(lit(1)).as("n_recovered"))
+    val nPlanted = planted.agg(count(lit(1)).as("n_planted"))
+    simStats.crossJoin(recovered).crossJoin(nPlanted)
+      .select(
+        (col("n_pairs") > 0).as("nonempty"),
+        (col("max_hamming") <= 3).as("within_hamming_bound"),
+        (col("n_recovered") >= col("n_planted") * SimHashOverlapFloor).as("overlap_ok"))
   }
 
   val queries: Map[String, Q] = Map(
     "d01_exact_dedup"       -> d01ExactDedup _,
     "d02_ngram_jaccard"     -> d02NgramJaccard _,
     "d03_minhash_lsh"       -> d03MinHashLsh _,
-    "d04_simhash"           -> d04SimHash _,
+    "d04_simhash"           -> d04SimHashContract _,
     "d05_embedding_neardup" -> d05EmbeddingNearDup _,
   )
 
   /** Jaccard-pair SQL shared by d02 and d03 (LSH verified output = exact
-    * output; see [[NumHashes]]). d04 is hash-defined → rows-only check. */
+    * output; see [[NumHashes]]). d04 is hash-defined → its oracle states
+    * the [[d04SimHashContract]] facts as constants. */
   private val JaccardPairsSql = s"""
     WITH toks AS (
       SELECT doc_id, ${graft.text.TextAnalysis.ToksSql} AS t
@@ -239,6 +316,8 @@ object Dedup {
     ORDER BY doc_a, doc_b"""
 
   val oracleSql: Map[String, String] = Map(
+    "d04_simhash" -> """
+      SELECT TRUE AS nonempty, TRUE AS within_hamming_bound, TRUE AS overlap_ok""",
     "d01_exact_dedup" -> """
       SELECT user_id, event_type, min(event_id) AS first_event_id,
              count(*) AS n_dups

@@ -23,10 +23,13 @@ object Quality {
   final case class Check(name: String, predicate: Column)
 
   /** Fraction-of-rows-passing-all-checks, as an aggregate Column.
-    * Null predicate results count as failures. */
+    * Null predicate results count as failures. An empty check list is
+    * vacuously true — every row passes, score 1.0 — so a Spec with no
+    * checks sails through the gate instead of crashing it. */
   def scoreAll(checks: Seq[Check]): Column =
     coalesce(
-      avg(when(checks.map(c => coalesce(c.predicate, lit(false))).reduce(_ && _), 1.0)
+      avg(when(checks.map(c => coalesce(c.predicate, lit(false)))
+          .reduceOption(_ && _).getOrElse(lit(true)), 1.0)
         .otherwise(0.0)),
       lit(0.0))
 
@@ -37,12 +40,14 @@ object Quality {
 
   /** Weighted composite of per-check pass rates; weights need not sum to 1
     * (they are normalized). */
-  def weighted(checks: Seq[(Check, Double)]): Column = {
-    val total = checks.map(_._2).sum
-    checks.map { case (c, w) =>
-      avg(when(coalesce(c.predicate, lit(false)), 1.0).otherwise(0.0)) * (w / total)
-    }.reduce(_ + _)
-  }
+  def weighted(checks: Seq[(Check, Double)]): Column =
+    if (checks.isEmpty) scoreAll(Nil)
+    else {
+      val total = checks.map(_._2).sum
+      checks.map { case (c, w) =>
+        avg(when(coalesce(c.predicate, lit(false)), 1.0).otherwise(0.0)) * (w / total)
+      }.reduce(_ + _)
+    }
 
   /** Compute the batch score on the driver (one aggregate job). */
   def batchScore(df: DataFrame, checks: Seq[Check]): Double =

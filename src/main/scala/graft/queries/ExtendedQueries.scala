@@ -131,7 +131,45 @@ object ExtendedQueries {
       .na.fill(0L)
       .orderBy(col("user_decile"))
 
+  /** q31: right outer join (§2.3) — every customer kept even with zero
+    * orders, written with the fact side on the LEFT so the plan is a
+    * genuine RightOuter (Catalyst may still flip build sides; semantics,
+    * not build choice, is what's under test — q04 covers the left form). */
+  def q31RightJoin(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"), "right")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(col("o_orderkey")).as("n_orders"), count(lit(1)).as("n_rows"))
+      .orderBy(col("c_mktsegment"))
+
+  /** q32: map-typed functions (§2.7) — `from_json` to a MapType over
+    * events.props, a column-built map merged in with `map_concat`, then
+    * `size`/`map_keys`/`element_at`/`map_entries`(exploded) over the
+    * result. Keys are sorted before joining so both engines agree on
+    * order. */
+  def q32MapFuncs(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("event_id"),
+        map_concat(
+          from_json(col("props"),
+            org.apache.spark.sql.types.MapType(
+              org.apache.spark.sql.types.StringType,
+              org.apache.spark.sql.types.StringType)),
+          map(lit("type"), col("event_type"),
+              lit("uid"), col("user_id").cast("string"))).as("m"))
+      .select(
+        col("event_id"),
+        size(col("m")).cast("long").as("n_keys"),
+        array_join(array_sort(map_keys(col("m"))), ",").as("keys_csv"),
+        element_at(col("m"), "k").cast("long").as("k_val"),
+        explode(map_entries(col("m"))).as("e"))
+      .select(col("event_id"), col("n_keys"), col("keys_csv"), col("k_val"),
+        col("e.key").as("mk"), col("e.value").as("mv"))
+      .orderBy(col("event_id"), col("mk"))
+
   val queries: Map[String, Q] = Map(
+    "q31_right_join"     -> q31RightJoin _,
+    "q32_map_funcs"      -> q32MapFuncs _,
     "a01_asof_join"      -> a01AsOfJoin _,
     "q30_pivot"          -> q30Pivot _,
     "q25_approx_distinct"-> q25ApproxDistinct _,
@@ -142,6 +180,29 @@ object ExtendedQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q31_right_join" -> """
+      SELECT c_mktsegment, count(o_orderkey) AS n_orders, count(*) AS n_rows
+      FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_mktsegment
+      ORDER BY c_mktsegment""",
+    "q32_map_funcs" -> """
+      WITH base AS (
+        SELECT event_id,
+               json_extract_string(props, '$.k') AS kv,
+               event_type,
+               CAST(user_id AS VARCHAR) AS uid
+        FROM events),
+      entries AS (
+        SELECT event_id, 'k' AS mk, kv AS mv FROM base
+        UNION ALL SELECT event_id, 'type', event_type FROM base
+        UNION ALL SELECT event_id, 'uid', uid FROM base)
+      SELECT b.event_id,
+             CAST(3 AS BIGINT) AS n_keys,
+             'k,type,uid' AS keys_csv,
+             CAST(b.kv AS BIGINT) AS k_val,
+             e.mk, e.mv
+      FROM base b JOIN entries e USING (event_id)
+      ORDER BY event_id, mk""",
     // Mirrors the union-merge construction so tie semantics are identical
     // by construction (right rows sort before left at equal ts).
     "a01_asof_join" -> """
@@ -226,11 +287,11 @@ object ExtendedQueries {
       ORDER BY o_orderpriority""",
     "q30_pivot" -> """
       SELECT CAST(user_id % 10 AS INTEGER) AS user_decile,
-             sum(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS click,
-             sum(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS view,
-             sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
-             sum(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END) AS signup,
-             sum(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS error
+             CAST(sum(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS BIGINT) AS click,
+             CAST(sum(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS BIGINT) AS view,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+             CAST(sum(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+             CAST(sum(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS BIGINT) AS error
       FROM events
       GROUP BY 1 ORDER BY user_decile""",
   )

@@ -125,12 +125,13 @@ object PipelineQueries {
                (CAST(json_extract_string(props, '$.k') AS BIGINT) < 80) AS r3
         FROM events)
       SELECT event_type,
-             sum(CASE WHEN r1 AND r2 AND r3 THEN 1 ELSE 0 END) AS n_valid,
+             -- CAST: DuckDB types sum(int) as HUGEINT; Spark emits BIGINT
+             CAST(sum(CASE WHEN r1 AND r2 AND r3 THEN 1 ELSE 0 END) AS BIGINT) AS n_valid,
              -- IS NOT TRUE, not NOT(...): SchemaValidator coalesces NULL
              -- predicates to failures, so a NULL rule result must count
-             sum(CASE WHEN (r1 AND r2 AND r3) IS NOT TRUE THEN 1 ELSE 0 END) AS n_invalid,
-             sum(CASE WHEN r1 IS NOT TRUE THEN 1 ELSE 0 END) AS n_value_err,
-             sum(CASE WHEN r3 IS NOT TRUE THEN 1 ELSE 0 END) AS n_k_err
+             CAST(sum(CASE WHEN (r1 AND r2 AND r3) IS NOT TRUE THEN 1 ELSE 0 END) AS BIGINT) AS n_invalid,
+             CAST(sum(CASE WHEN r1 IS NOT TRUE THEN 1 ELSE 0 END) AS BIGINT) AS n_value_err,
+             CAST(sum(CASE WHEN r3 IS NOT TRUE THEN 1 ELSE 0 END) AS BIGINT) AS n_k_err
       FROM v GROUP BY event_type ORDER BY event_type""",
     "p02_clean_dedup" -> """
       WITH c AS (
@@ -167,7 +168,7 @@ object PipelineQueries {
     "g02_hourly_metrics" -> """
       SELECT date_trunc('hour', ts) AS hour_bucket,
              count(*) AS n_events,
-             sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_errors,
+             CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_errors,
              round(sum(CASE WHEN event_type <> 'error' THEN 1.0 ELSE 0.0 END) / count(*), 6)
                AS success_rate
       FROM events GROUP BY 1 ORDER BY hour_bucket""",

@@ -220,18 +220,27 @@ object RelationalQueries {
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
       .limit(10)
 
-  /** q17: set operations — INTERSECT / EXCEPT / UNION over customer key sets. */
+  /** q17: set operations — INTERSECT / EXCEPT / UNION semantics over
+    * customer key sets, computed in ONE orders scan: a single
+    * `groupBy(o_custkey)` derives per-customer year membership flags, and
+    * both/only96/any fall out of the flags (a literal
+    * intersect/except/union formulation scans orders six times). */
   def q17SetOps(s: SparkSession, d: String): DataFrame = {
-    def buyers(year: Int) = Tables.orders(s, d)
-      .filter(col("o_orderdate") >= lit(f"$year-01-01").cast("timestamp") &&
-              col("o_orderdate") <  lit(f"${year + 1}-01-01").cast("timestamp"))
-      .select(col("o_custkey")).distinct()
-    val b96 = buyers(1996)
-    val b97 = buyers(1997)
-    val both   = b96.intersect(b97).agg(count(lit(1)).as("n")).withColumn("op", lit("both"))
-    val only96 = b96.except(b97).agg(count(lit(1)).as("n")).withColumn("op", lit("only96"))
-    val any    = b96.union(b97).distinct().agg(count(lit(1)).as("n")).withColumn("op", lit("any"))
-    both.union(only96).union(any).select(col("op"), col("n")).orderBy(col("op"))
+    val y96 = col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("o_orderdate") <  lit("1997-01-01").cast("timestamp")
+    val y97 = col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+              col("o_orderdate") <  lit("1998-01-01").cast("timestamp")
+    Tables.orders(s, d)
+      .filter(y96 || y97)
+      .groupBy(col("o_custkey"))
+      .agg(max(when(y96, 1).otherwise(0)).as("in96"),
+           max(when(y97, 1).otherwise(0)).as("in97"))
+      .agg(
+        count(lit(1)).as("n_any"), // every grouped customer bought in 96 or 97
+        sum(when(col("in96") === 1 && col("in97") === 1, 1L).otherwise(0L)).as("n_both"),
+        sum(when(col("in96") === 1 && col("in97") === 0, 1L).otherwise(0L)).as("n_only96"))
+      .select(expr("stack(3, 'any', n_any, 'both', n_both, 'only96', n_only96) AS (op, n)"))
+      .orderBy(col("op"))
   }
 
   /** q18: scalar function sweep — string / math functions in one projection
@@ -245,7 +254,9 @@ object RelationalQueries {
         round(col("p_retailprice") * 1.1, 2).as("bumped"),
         abs(col("p_size") - lit(25)).as("dsize"),
         floor(log(col("p_retailprice"))).as("ln_floor"),
-        length(col("p_name")).as("name_len"))
+        // long, not int: matches DuckDB's BIGINT length() so the oracle
+        // hash compare sees identical dtypes
+        length(col("p_name")).cast("long").as("name_len"))
       .orderBy(col("p_partkey"))
 
   /** q19: timestamp part derivation — the reference's partition-projection
@@ -485,7 +496,7 @@ object RelationalQueries {
              concat(p_brand, '#', p_type) AS brand_type,
              round(p_retailprice * 1.1, 2) AS bumped,
              abs(p_size - 25) AS dsize,
-             floor(ln(p_retailprice)) AS ln_floor,
+             CAST(floor(ln(p_retailprice)) AS BIGINT) AS ln_floor,
              length(p_name) AS name_len
       FROM part
       ORDER BY p_partkey""",
@@ -497,7 +508,7 @@ object RelationalQueries {
       ORDER BY event_id""",
     "q20_json" -> """
       SELECT event_type,
-             sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+             CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
              count(*) AS n
       FROM events
       GROUP BY event_type

@@ -168,13 +168,63 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Recall floors asserted by the driver-checked contract queries —
+    * regression tripwires, not quality claims. Calibrated against the
+    * measured per-query recall on the fixed test corpus (worst query:
+    * LSH 0.30 at sf0.01, IVF 0.60) with margin below; chance recall is
+    * k/N ≈ 0.01, so a tripped floor means the bucketer broke, not noise. */
+  val LshRecallFloor = 0.2
+  val IvfRecallFloor = 0.4
+
+  /** Driver-checkable contract for an approximate top-k: per query, the
+    * result count (must be exactly [[TopK]] — the bucketer always yields
+    * enough candidates on this corpus) and whether recall@k against the
+    * exact s01 ranking clears `floor`. Hash-defined outputs can't be
+    * reproduced in an independent SQL engine, but these *facts about*
+    * them can — this is what turns the ANN operators from spec-only
+    * coverage into a hard oracle row. */
+  private def recallContract(s: SparkSession, d: String,
+                             approx: DataFrame, floor: Double): DataFrame = {
+    val a = approx.select(col("query_id"), col("neighbor_id"))
+    val exact = s01BruteForceTopK(s, d).select(col("query_id"), col("neighbor_id"))
+    val recall = exact
+      .join(a.withColumn("hit", lit(1)), Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg((sum(coalesce(col("hit"), lit(0))).cast("double") / TopK).as("recall"))
+    val nres = a.groupBy(col("query_id")).agg(count(lit(1)).as("n_results"))
+    recall.join(nres, Seq("query_id"))
+      .select(col("query_id"), col("n_results"),
+        (col("recall") >= floor).as("recall_ok"))
+      .orderBy(col("query_id"))
+  }
+
+  /** s02 registered form: LSH top-k recall contract (runs the full s02
+    * pipeline plus the s01 baseline it is judged against). */
+  def s02LshRecall(s: SparkSession, d: String): DataFrame =
+    recallContract(s, d, s02LshTopK(s, d), LshRecallFloor)
+
+  /** s03 registered form: IVF top-k recall contract. */
+  def s03IvfRecall(s: SparkSession, d: String): DataFrame =
+    recallContract(s, d, s03IvfTopK(s, d), IvfRecallFloor)
+
   val queries: Map[String, Q] = Map(
     "s01_topk_bruteforce" -> s01BruteForceTopK _,
-    "s02_topk_lsh"        -> s02LshTopK _,
-    "s03_topk_ivf"        -> s03IvfTopK _,
+    "s02_topk_lsh"        -> s02LshRecall _,
+    "s03_topk_ivf"        -> s03IvfRecall _,
   )
 
+  /** The recall-contract oracle: every query id must come back with a full
+    * top-k and a cleared recall floor — facts DuckDB can state from the
+    * embeddings table alone. */
+  private def contractOracle: String = s"""
+      SELECT vec_id AS query_id, CAST($TopK AS BIGINT) AS n_results,
+             TRUE AS recall_ok
+      FROM embeddings WHERE vec_id < $NumQueries
+      ORDER BY query_id"""
+
   val oracleSql: Map[String, String] = Map(
+    "s02_topk_lsh" -> contractOracle,
+    "s03_topk_ivf" -> contractOracle,
     "s01_topk_bruteforce" -> s"""
       WITH e AS (SELECT vec_id, embedding FROM embeddings),
       q AS (SELECT vec_id AS query_id, embedding AS qe FROM e WHERE vec_id < $NumQueries),

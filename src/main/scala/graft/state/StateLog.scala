@@ -35,9 +35,24 @@ final class StateLog(spark: SparkSession, path: String) {
     .ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSSSSSSSS'Z'")
     .withZone(java.time.ZoneOffset.UTC)
 
+  /** Append one state row. Each append writes to its OWN staging
+    * directory and renames the part file into the journal — concurrent
+    * appends (PipelineService run futures, the metrics listener) never
+    * share a `_temporary` dir, so one job's commit can't delete another's
+    * in-flight attempt files (the FileOutputCommitter race a shared-path
+    * `mode(Append)` write has). */
   def append(pipelineId: String, stage: String, status: String, detail: String = ""): PipelineStateRow = {
+    import org.apache.hadoop.fs.Path
     val row = PipelineStateRow(pipelineId, TsFormat.format(Instant.now()), stage, status, detail)
-    Seq(row).toDS().write.mode(SaveMode.Append).parquet(path)
+    val id = java.util.UUID.randomUUID().toString
+    val staging = s"$path.append-$id"
+    Seq(row).toDS().coalesce(1).write.mode(SaveMode.Overwrite).parquet(staging)
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new Path(path))
+    fs.listStatus(new Path(staging))
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .foreach(st => fs.rename(st.getPath, new Path(path, s"append-$id.parquet")))
+    fs.delete(new Path(staging), true)
     latest.put(pipelineId, row)
     row
   }

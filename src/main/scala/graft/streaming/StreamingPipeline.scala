@@ -70,10 +70,14 @@ object StreamingPipeline {
     * collapsed into the epoch. */
   def partitionedSink(stream: DataFrame, layout: PipelineLayout,
                       triggerInterval: String = "60 seconds",
-                      maxRetries: Int = 3): DataStreamWriter[org.apache.spark.sql.Row] =
+                      maxRetries: Int = 3,
+                      availableNow: Boolean = false): DataStreamWriter[org.apache.spark.sql.Row] =
     stream.writeStream
       .option("checkpointLocation", s"${layout.checkpoints}/processed")
-      .trigger(Trigger.ProcessingTime(triggerInterval))
+      // AvailableNow = drain-everything-then-stop: the batch-replay mode
+      // (st01) and backfill runs; ProcessingTime = the steady-state
+      // Firehose-buffer cadence.
+      .trigger(if (availableNow) Trigger.AvailableNow() else Trigger.ProcessingTime(triggerInterval))
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         import org.apache.hadoop.fs.Path
         val spark = batch.sparkSession

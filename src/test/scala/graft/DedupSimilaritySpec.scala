@@ -61,6 +61,18 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(ivfPairs.forall { case (q, n) => q != n })
   }
 
+  test("driver contract rows hold (s02/s03 recall floors, d04 facts)") {
+    import org.apache.spark.sql.functions.col
+    val s02 = Similarity.s02LshRecall(spark, sf)
+    assert(s02.filter(!col("recall_ok") || col("n_results") =!= Similarity.TopK).isEmpty,
+      s02.collect().mkString(" "))
+    val s03 = Similarity.s03IvfRecall(spark, sf)
+    assert(s03.filter(!col("recall_ok") || col("n_results") =!= Similarity.TopK).isEmpty,
+      s03.collect().mkString(" "))
+    val d04 = Dedup.d04SimHashContract(spark, sf).collect()
+    assert(d04.length == 1 && (0 until 3).forall(d04.head.getBoolean), d04.mkString)
+  }
+
   test("embedding near-dup agrees with brute-force cosine at the threshold") {
     val nd = Dedup.d05EmbeddingNearDup(spark, sf)
       .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet

@@ -79,6 +79,24 @@ class ServiceCatalogSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS graft_processed")
   }
 
+  test("crawler sync merges newly-appeared columns (schema evolution)") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val root = Files.createTempDirectory("graft-cat-evolve").toString
+    val events = Tables.events(spark, sf)
+    Sinks.writePartitioned(events.limit(200), s"$root/tbl")
+    CatalogSync.register(spark, "graft_evolve", s"$root/tbl")
+    assert(!spark.table("graft_evolve").columns.contains("quality"))
+    // a later producer starts shipping an extra column in new files
+    Sinks.writePartitioned(events.limit(300).withColumn("quality", lit(0.9)), s"$root/tbl")
+    CatalogSync.sync(spark, "graft_evolve")
+    val t = spark.table("graft_evolve")
+    assert(t.columns.contains("quality"))
+    // new rows carry the value, old rows read NULL — both by name
+    assert(t.filter(col("quality").isNotNull).count() == 300)
+    assert(t.count() == 500)
+    spark.sql("DROP TABLE IF EXISTS graft_evolve")
+  }
+
   private def eventually(cond: => Boolean, timeoutMs: Long = 10000): Unit = {
     val end = System.currentTimeMillis() + timeoutMs
     while (!cond && System.currentTimeMillis() < end) Thread.sleep(50)

@@ -48,6 +48,14 @@ class StreamingSpec extends SparkSpec {
     assert(quarantined.select("_error_stage").as[String].head() == "stream_validation")
   }
 
+  test("st01 batch replay through the streaming sink equals batch derivation") {
+    val streamed = graft.streaming.StreamReplay.st01StreamReplay(spark, sf)
+      .collect().toSeq.map(_.toString)
+    val batch = graft.queries.PipelineQueries.p05DerivePartitions(spark, sf)
+      .collect().toSeq.map(_.toString)
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
   test("windowed analytics with watermark drops late data beyond bound") {
     val mem = MemoryStream[(Timestamp, String, Double)](spark)
     val stream = mem.toDF().toDF("ts", "k", "value")
