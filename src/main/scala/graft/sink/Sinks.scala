@@ -21,13 +21,23 @@ object Sinks {
   /** K1: partitioned Parquet sink. Derives the partition columns from
     * `tsCol` if they are not already present. Dynamic partition overwrite
     * keeps re-runs idempotent per partition (only touched partitions are
-    * replaced, never the whole table). */
+    * replaced, never the whole table).
+    *
+    * Rows are REBALANCED on the partition columns before the write:
+    * without it every input task writes a file into every hour directory
+    * it touches — tasks × partitions small files (the classic
+    * small-files catastrophe; at 1000 executors × hourly partitions that
+    * is the table's death by metadata). The rebalance hint clusters each
+    * partition's rows, and AQE still splits an oversized (skewed) hour
+    * across tasks, so file sizes stay bounded both ways. */
   def writePartitioned(df: DataFrame, path: String, tsCol: String = "ts",
                        mode: SaveMode = SaveMode.Append): Unit = {
     val withParts =
       if (df.columns.contains("year")) df
       else Transform.derivePartitions(tsCol)(df)
-    withParts.write
+    withParts
+      .hint("rebalance", "year", "month", "day", "hour")
+      .write
       .mode(mode)
       .option("compression", "gzip")
       .option("partitionOverwriteMode", "dynamic")
