@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.dedup.Dedup
+import graft.multimodal.MultimodalQueries
 import graft.queries.{ExtendedQueries, PipelineQueries, RelationalQueries}
 import graft.similarity.Similarity
 import graft.streaming.StreamReplay
@@ -24,12 +25,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries ++ ExtendedQueries.queries ++
       PipelineQueries.queries ++ TextAnalysis.queries ++
-      Dedup.queries ++ Similarity.queries ++ StreamReplay.queries
+      Dedup.queries ++ Similarity.queries ++ StreamReplay.queries ++
+      MultimodalQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     RelationalQueries.oracleSql ++ ExtendedQueries.oracleSql ++
       PipelineQueries.oracleSql ++ TextAnalysis.oracleSql ++
-      Dedup.oracleSql ++ Similarity.oracleSql ++ StreamReplay.oracleSql
+      Dedup.oracleSql ++ Similarity.oracleSql ++ StreamReplay.oracleSql ++
+      MultimodalQueries.oracleSql
 }

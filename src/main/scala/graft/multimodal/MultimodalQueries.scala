@@ -1,0 +1,108 @@
+package graft.multimodal
+
+import graft.Tables
+import graft.multimodal.Multimodal.{MediaMeta, MediaRecord}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver-checkable multimodal queries (north-star [N]).
+  *
+  * The container ships no real media, so the corpus is derived
+  * DETERMINISTICALLY from the `documents` table: payload = the text's
+  * UTF-8 bytes, metadata a fixed function of `doc_id`. That makes the
+  * media schema (opaque binary + typed meta), the metadata-only
+  * aggregation path, and the frame-sampling kernel all statable as plain
+  * SQL facts a DuckDB oracle can check — turning the multimodal module
+  * from spec-only coverage into hard CORRECTNESS rows. The pixel CONTENT
+  * of the stub decode stays spec-tested (MultimodalSpec): an independent
+  * engine can't re-derive it, but every count, shape, and byte-length
+  * fact about the pipeline can be.
+  */
+object MultimodalQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Deterministic media corpus over `documents`: one media item per doc.
+    * kind cycles image/audio/video by doc_id; dimensions, sample rate and
+    * duration are fixed functions of doc_id so an oracle can restate them.
+    * The typed-map boundary (row → case class with byte payload) is the
+    * media ingestion edge — everything downstream stays columnar. */
+  def fromDocuments(s: SparkSession, d: String): Dataset[MediaRecord] = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val kind = (id % 3) match {
+          case 0 => "image"; case 1 => "audio"; case _ => "video"
+        }
+        val w = if (kind == "audio") 0 else (16 * (1 + id % 4)).toInt
+        MediaRecord(id, text.getBytes("UTF-8"),
+          MediaMeta(kind, w, w,
+            sampleRate = if (kind == "audio") 16000 else 0,
+            durationMs = if (kind == "video") 1000L * (1 + id % 30) else 0L))
+      }
+  }
+
+  /** m01: per-kind metadata + payload accounting. The group/agg runs on
+    * `meta.*` (columnar, prunable) and `length(data)` — the payload is
+    * never decoded; this is the "filter and account 100 TB of media by
+    * metadata without touching bytes beyond length" path. */
+  def m01MediaMeta(s: SparkSession, d: String): DataFrame =
+    fromDocuments(s, d).toDF()
+      .groupBy(col("meta.kind").as("kind"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        sum(length(col("data"))).cast("long").as("total_bytes"),
+        round(avg(col("meta.width")), 4).as("avg_width"),
+        max(col("meta.durationMs")).as("max_duration_ms"))
+      .orderBy(col("kind"))
+
+  /** Frame-sampling cadence for m02 (one frame per second). */
+  val FrameEveryMs = 1000L
+
+  /** m02: frame-sampling accounting — runs the REAL sampling kernel
+    * ([[Multimodal.sampleFrames]]: per-video schedule + per-frame stub
+    * decode) and reports per-video frame count, last frame timestamp and
+    * decoded raster size. Every number is a fixed function of doc_id, so
+    * the oracle re-states them without re-running the decode. */
+  def m02FrameSample(s: SparkSession, d: String): DataFrame = {
+    val frames = Multimodal.sampleFrames(fromDocuments(s, d), FrameEveryMs)
+    frames.toDF()
+      .groupBy(col("media_id"))
+      .agg(
+        count(lit(1)).as("n_frames"),
+        max(col("tMs")).as("last_t_ms"),
+        first(size(col("pixels"))).cast("long").as("px_per_frame"))
+      .orderBy(col("media_id"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "m01_media_meta"   -> m01MediaMeta _,
+    "m02_frame_sample" -> m02FrameSample _,
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    // the meta functions of doc_id restated in SQL; text is ASCII in the
+    // synthetic corpus but octet_length(encode()) is the byte-exact form
+    "m01_media_meta" -> """
+      SELECT CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+                  WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+             CAST(count(*) AS BIGINT) AS n_items,
+             CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+             round(avg(CASE WHEN doc_id % 3 = 1 THEN 0
+                            ELSE 16 * (1 + doc_id % 4) END), 4) AS avg_width,
+             CAST(max(CASE WHEN doc_id % 3 = 2 THEN 1000 * (1 + doc_id % 30)
+                           ELSE 0 END) AS BIGINT) AS max_duration_ms
+      FROM documents GROUP BY 1 ORDER BY kind""",
+    // sampleFrames emits floor(duration/cadence) frames at k*cadence and
+    // decodes width×height rasters — restated directly from doc_id
+    "m02_frame_sample" -> """
+      SELECT doc_id AS media_id,
+             CAST(1 + doc_id % 30 AS BIGINT) AS n_frames,
+             CAST((doc_id % 30) * 1000 AS BIGINT) AS last_t_ms,
+             CAST((16 * (1 + doc_id % 4)) * (16 * (1 + doc_id % 4)) AS BIGINT)
+               AS px_per_frame
+      FROM documents WHERE doc_id % 3 = 2 ORDER BY media_id""",
+  )
+}

@@ -18,6 +18,15 @@ import org.apache.spark.sql.functions._
   * batch markers, partition layout — a hard CORRECTNESS row instead of
   * spec-only coverage. Streaming semantics that need wall-clock time
   * (watermark drops, ProcessingTime cadence) stay in StreamingSpec.
+  *
+  * Bench note: this row costs ~6 s at sf0.1 and that is dominated by the
+  * partitioned WRITE, not the streaming machinery — the test corpus spans
+  * 720 hour-partitions of ~1,400 rows each, and a vanilla Parquet dynamic
+  * write pays ~6 ms/partition-dir (writer open/footer/commit-rename;
+  * measured: 30 dirs → 0.6 s, 720 dirs → 4.5 s, codec- and
+  * committer-version-independent). It is a test-scale artifact: real
+  * hourly partitions are MB-to-GB-scale, where the per-dir constant
+  * vanishes against data volume.
   */
 object StreamReplay {
 

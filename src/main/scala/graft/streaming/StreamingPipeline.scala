@@ -87,6 +87,12 @@ object StreamingPipeline {
           val staging = s"${layout.processed}/.staging/batch-$batchId"
           def retried(body: => Unit) =
             graft.orchestrate.Retry.withBackoff(maxRetries, 100L)()(body)
+          // The batch frame is backed by the source files: every action on
+          // it (staged write, invalid-empty probe, quarantine, poison path)
+          // would otherwise re-read AND re-parse the source. One epoch-
+          // scoped persist makes the parse happen once per batch.
+          batch.persist()
+          try {
           val (valid, invalid) = SchemaValidator.route(batch)
           // Three independently retried phases, each idempotent on its own retry:
           //  1. stage (OVERWRITE → replaces its own partial output)
@@ -121,6 +127,7 @@ object StreamingPipeline {
                 layout.errors, "stream_poison", s"batch-$batchId")
               fs.create(marker, true).close()
           }
+          } finally batch.unpersist()
         }
       }
 

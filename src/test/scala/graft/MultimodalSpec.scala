@@ -1,6 +1,6 @@
 package graft
 
-import graft.multimodal.Multimodal
+import graft.multimodal.{Multimodal, MultimodalQueries}
 import graft.multimodal.Multimodal._
 
 class MultimodalSpec extends SparkSpec {
@@ -88,5 +88,28 @@ class MultimodalSpec extends SparkSpec {
     val orig = Multimodal.syntheticCorpus(spark, 10).filter(_.media_id == 3L).head()
     val rt = back.filter(_.media_id == 3L).head()
     assert(rt.data.sameElements(orig.data) && rt.meta == orig.meta)
+  }
+
+  test("m01/m02 driver queries: meta accounting and frame math hold at sf0.001") {
+    val d = "/root/testdata/sf0.001"
+    val m01 = MultimodalQueries.m01MediaMeta(spark, d).collect()
+    assert(m01.map(_.getString(0)).toSeq == Seq("audio", "image", "video"))
+    // payload bytes must equal the source text bytes, summed per kind
+    val totalBytes = m01.map(_.getLong(2)).sum
+    val expectBytes = graft.Tables.documents(spark, d)
+      .select(org.apache.spark.sql.functions.sum(
+        org.apache.spark.sql.functions.length($"text".cast("binary"))))
+      .head().getLong(0)
+    assert(totalBytes == expectBytes)
+    // every video yields floor(duration/cadence) frames of width*height px
+    val m02 = MultimodalQueries.m02FrameSample(spark, d).collect()
+    assert(m02.nonEmpty)
+    m02.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getLong(1) == 1 + id % 30, s"n_frames for $id")
+      assert(r.getLong(2) == (id % 30) * 1000, s"last_t_ms for $id")
+      val w = 16 * (1 + id % 4)
+      assert(r.getLong(3) == w * w, s"px_per_frame for $id")
+    }
   }
 }
