@@ -282,6 +282,31 @@ object RelationalQueries {
       .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("n"))
       .orderBy(col("event_type"))
 
+  /** q33: the infer-then-parse JSON path (§2.7: `json_tuple`,
+    * `schema_of_json`, `to_json` — the three not exercised by q20/q32).
+    * `schema_of_json` infers the payload schema from ONE sampled row (a
+    * deliberate driver-side pre-pass, like dynamic pivot's value
+    * collection: schema inference over unknown payloads IS a pre-pass at
+    * any scale); `json_tuple` generator-extracts fields; `to_json`
+    * round-trips the parsed struct, all cross-checked per row. */
+  def q33JsonInfer(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val sample = ev.select(col("props")).na.drop().limit(1).head().getString(0)
+    ev.select(col("event_id"), col("event_type"), col("props"))
+      .select(col("event_type"), col("props"),
+        json_tuple(col("props"), "k").as("k_str"))
+      .withColumn("j", from_json(col("props"), schema_of_json(lit(sample))))
+      .withColumn("rt", to_json(col("j")))
+      .groupBy(col("event_type"))
+      .agg(
+        sum(col("k_str").cast("long")).as("sum_k"),
+        count(when(col("j.k").cast("string") === col("k_str"), 1)).as("n_struct_agree"),
+        count(when(col("rt") === regexp_replace(col("props"), ": ", ":"), 1))
+          .as("n_roundtrip"),
+        count(lit(1)).as("n"))
+      .orderBy(col("event_type"))
+  }
+
   /** q21: tumbling time window (1 h) — batch form of the streaming T2 rollup;
     * date_trunc keeps the bucket comparable across engines. */
   def q21TimeWindow(s: SparkSession, d: String): DataFrame =
@@ -349,6 +374,7 @@ object RelationalQueries {
     "q18_scalar_funcs"    -> q18ScalarFuncs _,
     "q19_date_parts"      -> q19DateParts _,
     "q20_json"            -> q20Json _,
+    "q33_json_infer"      -> q33JsonInfer _,
     "q21_time_window"     -> q21TimeWindow _,
     "q22_percentiles"     -> q22Percentiles _,
     "q23_broadcast_enrich"-> q23BroadcastEnrich _,
@@ -506,6 +532,17 @@ object RelationalQueries {
              strftime(ts, '%Y-%m-%d %H') AS bucket
       FROM events
       ORDER BY event_id""",
+    "q33_json_infer" -> """
+      SELECT event_type,
+             CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+             CAST(count(*) FILTER (WHERE json_extract_string(props, '$.k') IS NOT NULL)
+               AS BIGINT) AS n_struct_agree,
+             CAST(count(*) FILTER (WHERE json_extract_string(props, '$.k') IS NOT NULL)
+               AS BIGINT) AS n_roundtrip,
+             count(*) AS n
+      FROM events
+      GROUP BY event_type
+      ORDER BY event_type""",
     "q20_json" -> """
       SELECT event_type,
              CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
