@@ -61,4 +61,26 @@ class PlanSpec extends SparkSpec {
     val plan = executed(Similarity.s01BruteForceTopK(spark, sf))
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"), plan)
   }
+
+  test("d05: blocked pair join — no BNLJ, no cartesian (the 100×-scale contract)") {
+    val plan = executed(graft.dedup.Dedup.d05EmbeddingNearDup(spark, sf))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("q17: single-pass set ops — one scan of orders, not six") {
+    val plan = executed(RelationalQueries.q17SetOps(spark, sf))
+    assert(plan.linesIterator.count(_.contains("Scan parquet")) == 1, plan)
+  }
+
+  test("d03: the doc_id exchange is built once and reused by the verify joins") {
+    val plan = executed(graft.dedup.Dedup.d03MinHashLsh(spark, sf))
+    assert(plan.contains("ReusedExchange"), plan)
+  }
+
+  test("m01: media meta accounting is one scan + one aggregation exchange") {
+    val plan = executed(graft.multimodal.MultimodalQueries.m01MediaMeta(spark, sf))
+    assert(plan.linesIterator.count(_.contains("Scan parquet")) == 1, plan)
+    assert(!plan.contains("Join"), plan)
+  }
 }
