@@ -282,12 +282,49 @@ object Dedup {
         (col("n_recovered") >= col("n_planted") * SimHashOverlapFloor).as("overlap_ok"))
   }
 
+  /** Incremental exact dedup — the steady-state ingest form: a new batch
+    * arrives while the corpus already holds the fingerprints of everything
+    * ingested before it. Batch rows are keep-first deduped within the
+    * batch (window on the fingerprint), then anti-joined against the
+    * history fingerprints. Both steps shuffle on the SAME 128-bit key, so
+    * the window's exchange satisfies the join's distribution — one
+    * shuffle of (fingerprint, id), never of bodies. At corpus scale the
+    * history side is a fingerprint-only table bucketed on `fp`
+    * ([[graft.sink.Sinks.writeBucketed]]) so the anti-join reads it
+    * join-ready with zero shuffle. */
+  def incrementalExactDedup(newDocs: DataFrame, historyFp: DataFrame,
+                            textCol: String = "text",
+                            idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val fp = newDocs.withColumn("fp", md5(normText(col(textCol))))
+    val firstPerFp = fp
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy(col("fp")).orderBy(col(idCol))))
+      .filter(col("_rn") === 1).drop("_rn")
+    firstPerFp.join(historyFp.select(col("fp")), Seq("fp"), "left_anti")
+  }
+
+  /** d06 registered form: even doc_ids play the already-ingested corpus,
+    * odd doc_ids the arriving batch — survivors are odd docs whose text
+    * isn't in the even half and that are first among their in-batch
+    * duplicates. */
+  def d06IncrementalDedup(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val history = docs.filter(col("doc_id") % 2 === 0)
+    val batch = docs.filter(col("doc_id") % 2 === 1)
+    val historyFp = history.select(md5(normText(col("text"))).as("fp"))
+    incrementalExactDedup(batch, historyFp)
+      .select(col("doc_id"), col("fp"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, Q] = Map(
     "d01_exact_dedup"       -> d01ExactDedup _,
     "d02_ngram_jaccard"     -> d02NgramJaccard _,
     "d03_minhash_lsh"       -> d03MinHashLsh _,
     "d04_simhash"           -> d04SimHashContract _,
     "d05_embedding_neardup" -> d05EmbeddingNearDup _,
+    "d06_incremental_dedup" -> d06IncrementalDedup _,
   )
 
   /** Jaccard-pair SQL shared by d02 and d03 (LSH verified output = exact
@@ -318,6 +355,20 @@ object Dedup {
   val oracleSql: Map[String, String] = Map(
     "d04_simhash" -> """
       SELECT TRUE AS nonempty, TRUE AS within_hamming_bound, TRUE AS overlap_ok""",
+    "d06_incremental_dedup" -> s"""
+      WITH fp AS (
+        SELECT doc_id, md5(${graft.text.TextAnalysis.NormSql}) AS fp
+        FROM documents),
+      hist AS (SELECT fp FROM fp WHERE doc_id % 2 = 0),
+      batch AS (SELECT doc_id, fp FROM fp WHERE doc_id % 2 = 1),
+      first_per_fp AS (
+        SELECT doc_id, fp FROM (
+          SELECT doc_id, fp,
+                 row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+          FROM batch) WHERE rn = 1)
+      SELECT doc_id, fp FROM first_per_fp
+      WHERE fp NOT IN (SELECT fp FROM hist)
+      ORDER BY doc_id""",
     "d01_exact_dedup" -> """
       SELECT user_id, event_type, min(event_id) AS first_event_id,
              count(*) AS n_dups

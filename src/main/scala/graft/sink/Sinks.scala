@@ -133,6 +133,58 @@ object Sinks {
     ()
   }
 
+  /** Maintenance: rewrite a partitioned table's accumulated small files
+    * into rebalanced ones (streaming micro-batches append a file per
+    * batch per hour — after a day a busy hour holds hundreds of slivers,
+    * and scan cost becomes file-open cost; see the measured ~6 ms/file
+    * constant in [[graft.streaming.StreamReplay]]).
+    *
+    * `scope` limits the rewrite to matching partitions (e.g.
+    * `col("day") === 12` — compact only yesterday), which is the
+    * steady-state form: touch the partitions the last window wrote,
+    * leave cold ones alone. The rewrite stages to a sibling dir via the
+    * K1 write (rebalance + gzip) and then swaps each staged LEAF
+    * partition directory over its live counterpart — untouched
+    * partitions and the `_batches` markers are never visited. NOT safe
+    * concurrently with writers of the same partitions; run it in the
+    * maintenance window the reference's daily crawler occupies
+    * (SDP.py:613-615).
+    *
+    * Returns (filesBefore, filesAfter) over the compacted scope. */
+  def compactPartitioned(spark: org.apache.spark.sql.SparkSession, livePath: String,
+                         scope: Option[org.apache.spark.sql.Column] = None): (Long, Long) = {
+    import org.apache.hadoop.fs.Path
+    val staging = s"$livePath.compact-${java.util.UUID.randomUUID()}"
+    val base = spark.read.parquet(livePath)
+    val scoped = scope.fold(base)(base.filter)
+    writePartitioned(scoped, staging, mode = SaveMode.Overwrite)
+    val fs = new Path(livePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // leaf partition dirs of the staged tree, relative to the staging root
+    def leaves(dir: Path, rel: String): Seq[(Path, String)] = {
+      val children = fs.listStatus(dir)
+      val subdirs = children.filter(st => st.isDirectory)
+      if (subdirs.isEmpty) Seq((dir, rel))
+      else subdirs.toSeq.flatMap(st =>
+        leaves(st.getPath, if (rel.isEmpty) st.getPath.getName
+                           else s"$rel/${st.getPath.getName}"))
+    }
+    def fileCount(dir: Path): Long =
+      if (!fs.exists(dir)) 0L
+      else fs.listStatus(dir).count(st => st.isFile && st.getPath.getName != "_SUCCESS").toLong
+    val staged = leaves(new Path(staging), "").filter(_._2.nonEmpty)
+    val before = staged.map { case (_, rel) => fileCount(new Path(livePath, rel)) }.sum
+    staged.foreach { case (src, rel) =>
+      val dst = new Path(livePath, rel)
+      if (fs.exists(dst)) fs.delete(dst, true)
+      fs.mkdirs(dst.getParent)
+      if (!fs.rename(src, dst))
+        throw new java.io.IOException(s"compactPartitioned: rename $src -> $dst failed")
+    }
+    fs.delete(new Path(staging), true)
+    val after = staged.map { case (_, rel) => fileCount(new Path(livePath, rel)) }.sum
+    (before, after)
+  }
+
   /** Bucketed catalog table — the co-located join layout (SURVEY §2.3,
     * §4): two tables bucketed+sorted on the same join key with the same
     * bucket count join with ZERO shuffle and zero sort (bucket files are

@@ -174,4 +174,33 @@ class OrchestrationSpec extends SparkSpec {
     val out = runner.run("run5", flow, Seq(1, 2, 3).toDF("x"))
     assert(out == PipelineOutcome.Succeeded(6.0)) // 3 rows × 2 branches
   }
+
+  test("compactPartitioned merges small files; scoped compaction leaves cold partitions alone") {
+    import graft.sink.Sinks
+    val dir = Files.createTempDirectory("graft-compact-t").toString + "/table"
+    // simulate many micro-batch appends: 6 slivers per partition
+    val ev = Transform.derivePartitions("ts")(Tables.events(spark, sf)).cache()
+    (1 to 6).foreach { _ =>
+      ev.repartition(2).write.mode("append")
+        .partitionBy("year", "month", "day", "hour").parquet(dir)
+    }
+    val rowsBefore = spark.read.parquet(dir).count()
+    val days = spark.read.parquet(dir).select("day").distinct()
+      .collect().map(_.getInt(0)).sorted
+    val (hotDay, coldDay) = (days.head, days.last)
+    def filesOfDay(day: Int): Long = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isFile) Seq(f)
+        else Option(f.listFiles()).map(_.toSeq.flatMap(walk)).getOrElse(Nil)
+      walk(new java.io.File(dir))
+        .count(f => f.getPath.contains(s"day=$day") && f.getName.endsWith(".parquet")).toLong
+    }
+    val coldFilesBefore = filesOfDay(coldDay)
+    val (before, after) = Sinks.compactPartitioned(spark, dir,
+      scope = Some(col("day") === hotDay))
+    assert(before > after, s"before=$before after=$after")
+    assert(filesOfDay(coldDay) == coldFilesBefore) // cold partitions untouched
+    assert(spark.read.parquet(dir).count() == rowsBefore) // no rows lost
+    ev.unpersist()
+  }
 }
