@@ -87,20 +87,27 @@ object Similarity {
     val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
     val sigs = (0 until NumTables).map(t =>
       struct(lit(t).as("t"), signature(t, col("embedding")).as("sig")))
-    val buckets = e.select(col("vec_id"), col("embedding"),
+    // Bucket entries carry ONLY (vec_id, table, signature): the 16-way
+    // explode must never duplicate the embedding array — at corpus scale
+    // that is 16× the vector volume through every downstream exchange.
+    // Vectors re-enter by joining the candidate ids back to the table,
+    // which shuffles |candidates| ids, not 16×|corpus| arrays.
+    val buckets = e.select(col("vec_id"),
         explode(array(sigs: _*)).as("bk"))
-      .select(col("vec_id"), col("embedding"),
-        col("bk.t").as("t"), col("bk.sig").as("sig"))
+      .select(col("vec_id"), col("bk.t").as("t"), col("bk.sig").as("sig"))
     val qb = buckets.filter(col("vec_id") < NumQueries)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
-        col("t"), col("sig"))
+      .select(col("vec_id").as("query_id"), col("t"), col("sig"))
     val cand = buckets.join(broadcast(qb), Seq("t", "sig"))
       .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("qe"), col("vec_id"), col("embedding"))
+      .select(col("query_id"), col("vec_id"))
       .dropDuplicates("query_id", "vec_id")
+    val q = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("vec_id"))
     cand
+      .join(e, "vec_id")                  // fetch candidate vectors
+      .join(broadcast(q), "query_id")     // fetch query vectors
       .withColumn("cos", cosine(col("qe"), col("embedding")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= TopK)
