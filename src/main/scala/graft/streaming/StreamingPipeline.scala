@@ -36,21 +36,49 @@ object StreamingPipeline {
     * `incoming/` event feed). `maxFilesPerTrigger` is the reference's
     * consumer batch size (100, SDP.py:652); `latestFirst` is the
     * `start at LATEST` analog (SDP.py:654) — newest files drain first
-    * when the source falls behind. */
+    * when the source falls behind.
+    *
+    * Reads PERMISSIVE with `_corrupt_record`: a malformed line survives
+    * as a row carrying its raw payload instead of silently becoming
+    * all-nulls (which downstream rules might pass) or killing the batch —
+    * at corpus scale a bad line is a certainty, not an edge case.
+    * [[processingStream]] routes such rows invalid; the partitioned sink
+    * quarantines them with the raw payload intact for replay. */
   def jsonFileSource(spark: SparkSession, dir: String, schema: StructType,
                      maxFilesPerTrigger: Int = 100,
-                     latestFirst: Boolean = false): DataFrame =
+                     latestFirst: Boolean = false): DataFrame = {
+    val withCorrupt =
+      if (schema.fieldNames.contains(SchemaValidator.CorruptCol)) schema
+      else schema.add(SchemaValidator.CorruptCol, "string")
     spark.readStream
-      .schema(schema)
+      .schema(withCorrupt)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", SchemaValidator.CorruptCol)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .option("latestFirst", latestFirst)
       .json(dir)
+  }
 
-  /** The validated, partition-derived processing stream: parse-free
-    * rule validation + partition derivation composed onto the source —
-    * all narrow, stays in one stage per micro-batch. */
-  def processingStream(source: DataFrame, rules: Seq[Rule], tsCol: String = "ts"): DataFrame =
-    Transform.derivePartitions(tsCol)(SchemaValidator.applyRules(source, rules))
+  /** The validated, partition-derived processing stream: parse-level
+    * corrupt-record routing + rule validation + partition derivation
+    * composed onto the source — all narrow, stays in one stage per
+    * micro-batch. */
+  def processingStream(source: DataFrame, rules: Seq[Rule], tsCol: String = "ts"): DataFrame = {
+    val ruled = SchemaValidator.applyRules(source, rules)
+    // parse failure short-circuits rule errors: a malformed row's nulls
+    // failing every rule is noise — the actionable error is the parse
+    val parseChecked =
+      if (source.columns.contains(SchemaValidator.CorruptCol))
+        ruled
+          .withColumn(SchemaValidator.ErrorsCol,
+            when(col(SchemaValidator.CorruptCol).isNotNull,
+              array(lit("malformed_json")))
+              .otherwise(col(SchemaValidator.ErrorsCol)))
+          .withColumn(SchemaValidator.IsValidCol,
+            col(SchemaValidator.CorruptCol).isNull && col(SchemaValidator.IsValidCol))
+      else ruled
+    Transform.derivePartitions(tsCol)(parseChecked)
+  }
 
   /** T1/T6: checkpointed micro-batch sink with retry-then-quarantine.
     * Valid rows land in the partitioned processed table via a
@@ -104,7 +132,8 @@ object StreamingPipeline {
           // re-stage with fresh part-file names and promote duplicates.
           val result = for {
             _ <- retried(Sinks.writePartitioned(
-                   valid.drop(SchemaValidator.IsValidCol, SchemaValidator.ErrorsCol),
+                   valid.drop(SchemaValidator.IsValidCol, SchemaValidator.ErrorsCol,
+                     SchemaValidator.CorruptCol),
                    staging, mode = org.apache.spark.sql.SaveMode.Overwrite))
             _ <- retried {
                    val inv = invalid.drop(SchemaValidator.IsValidCol)

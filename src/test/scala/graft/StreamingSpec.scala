@@ -48,6 +48,37 @@ class StreamingSpec extends SparkSpec {
     assert(quarantined.select("_error_stage").as[String].head() == "stream_validation")
   }
 
+  test("malformed JSON lines quarantine with raw payload; valid rows land clean") {
+    val root = Files.createTempDirectory("graft-corrupt").toString
+    val layout = PipelineLayout(root)
+    val inDir = s"$root/raw/incoming"
+    new java.io.File(inDir).mkdirs()
+    Files.writeString(java.nio.file.Paths.get(s"$inDir/batch1.json"),
+      """{"id": 1, "ts": "2024-01-01T10:00:00.000Z", "value": 5.0}
+        |{"id": 2, "ts": "2024-01-01T11:00:00.000Z", "value": BROKEN!!
+        |{"id": 3, "ts": "2024-01-02T09:30:00.000Z", "value": 7.0}
+        |""".stripMargin)
+
+    val source = StreamingPipeline.jsonFileSource(spark, inDir, schema, maxFilesPerTrigger = 10)
+    val stream = StreamingPipeline.processingStream(source,
+      Seq(Rule("value_positive", col("value") > 0)))
+    val q = StreamingPipeline.partitionedSink(stream, layout)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+
+    // the bad line didn't kill the batch, didn't slip through as nulls,
+    // and kept its raw payload for replay
+    val processed = spark.read.parquet(layout.processed)
+    assert(processed.count() == 2)
+    assert(!processed.columns.contains(graft.validate.SchemaValidator.CorruptCol))
+    val quarantined = graft.sink.Sinks.readQuarantine(spark, layout.errors)
+    assert(quarantined.count() == 1)
+    val raw = quarantined
+      .select(graft.validate.SchemaValidator.CorruptCol).as[String].head()
+    assert(raw.contains("BROKEN"))
+    assert(quarantined.select("errors").as[Seq[String]].head() == Seq("malformed_json"))
+  }
+
   test("st01 batch replay through the streaming sink equals batch derivation") {
     val streamed = graft.streaming.StreamReplay.st01StreamReplay(spark, sf)
       .collect().toSeq.map(_.toString)
