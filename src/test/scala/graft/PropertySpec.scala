@@ -56,6 +56,38 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("incremental dedup: survivors are unique, first-of-fp, and disjoint from history") {
+    import graft.dedup.Dedup
+    // docs with deliberate duplicate texts across and within halves
+    val texts = Gen.listOfN(24, Gen.chooseNum(0, 7).map(k => s"doc body $k"))
+    samples(texts, 6).foreach { ts =>
+      val docs = ts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val history = docs.filter($"doc_id" % 2 === 0)
+      val batch = docs.filter($"doc_id" % 2 === 1)
+      val historyFp = history.select(md5(
+        graft.text.TextAnalysis.normText($"text")).as("fp"))
+      val out = Dedup.incrementalExactDedup(batch, historyFp)
+        .select($"doc_id", $"fp").collect()
+      val histSet = historyFp.as[String].collect().toSet
+      // no survivor's fingerprint is in history
+      assert(out.forall(r => !histSet.contains(r.getString(1))))
+      // fingerprints are unique among survivors
+      assert(out.map(_.getString(1)).distinct.length == out.length)
+      // each survivor is the FIRST batch doc with its fingerprint
+      val batchFps = batch.select($"doc_id",
+        md5(graft.text.TextAnalysis.normText($"text")).as("fp"))
+        .as[(Long, String)].collect()
+      out.foreach { r =>
+        val firstId = batchFps.filter(_._2 == r.getString(1)).map(_._1).min
+        assert(r.getLong(0) == firstId)
+      }
+      // survivors + history cover every distinct batch fingerprint not seen before
+      val expected = batchFps.map(_._2).distinct.filterNot(histSet.contains).toSet
+      assert(out.map(_.getString(1)).toSet == expected)
+    }
+  }
+
   test("valid rows survive the JSON → validate → parquet round trip unchanged") {
     import graft.validate.SchemaValidator
     import org.apache.spark.sql.types._
