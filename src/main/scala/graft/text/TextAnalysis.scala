@@ -122,12 +122,70 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** t06: TF-IDF keyword extraction — top 3 terms per document by
+    * tf·ln(N/df), stopwords excluded, ties broken by term. The shape is
+    * the scale story: term counts shuffle on (doc, term), the document
+    * frequencies are a SMALL aggregate (vocabulary-sized) joined back,
+    * and the corpus size enters as a broadcast single row — no pass ever
+    * shuffles document bodies. */
+  def t06Keywords(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val tf = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .filter(!col("term").isin(Stopwords: _*) && col("term") =!= "")
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("term"))
+    tf.join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        col("tf") * log(col("n_docs").cast("double") / col("df")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("doc_id"), col("rank"), col("term"),
+        round(col("tfidf"), 6).as("tfidf"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
+  /** Sentiment lexicons — tiny, embedded in engine and oracle alike (the
+    * corpus vocabulary is database-flavored, so the lexicons are too). */
+  val PositiveWords: Seq[String] = Seq("fast", "small", "merge")
+  val NegativeWords: Seq[String] = Seq("slow", "big", "dup")
+
+  /** t07: lexicon sentiment scoring — polarity = (pos−neg)/tokens with a
+    * deterministic label, the classic pre-LLM document scorer (SURVEY
+    * §2.7 [N] "sentiment/keyword scoring"). Narrow projection, zero
+    * shuffles except the final ORDER BY. */
+  def t07Sentiment(s: SparkSession, d: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val nTok = size(toks).cast("double")
+    val pos = size(filter(toks, t => t.isin(PositiveWords: _*)))
+    val neg = size(filter(toks, t => t.isin(NegativeWords: _*)))
+    val polarity = when(nTok === 0, 0.0)
+      .otherwise((pos - neg).cast("double") / nTok)
+    Tables.documents(s, d)
+      .select(
+        col("doc_id"),
+        pos.cast("long").as("n_pos"),
+        neg.cast("long").as("n_neg"),
+        round(polarity, 6).as("polarity"),
+        when(polarity > 0.01, "positive")
+          .when(polarity < -0.01, "negative")
+          .otherwise("neutral").as("label"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, Q] = Map(
     "t01_token_count" -> t01TokenCount _,
     "t02_quality"     -> t02Quality _,
     "t03_langid"      -> t03LangId _,
     "t04_fingerprint" -> t04Fingerprint _,
     "t05_subword_tokens" -> t05SubwordTokens _,
+    "t06_keywords"    -> t06Keywords _,
+    "t07_sentiment"   -> t07Sentiment _,
   )
 
   /** Shared SQL fragments for the DuckDB oracle (public: the dedup
@@ -193,5 +251,48 @@ object TextAnalysis {
              len(subs) AS n_subwords,
              len(list_distinct(subs)) AS n_distinct_subwords
       FROM t ORDER BY doc_id""",
+    "t06_keywords" -> s"""
+      WITH terms AS (
+        SELECT doc_id, unnest($ToksSql) AS term FROM documents),
+      tf AS (
+        SELECT doc_id, term, count(*) AS tf FROM terms
+        WHERE NOT list_contains(['the','a','of','to','in','and','is'], term)
+          AND term <> ''
+        GROUP BY doc_id, term),
+      dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+      n AS (SELECT count(*) AS n_docs FROM documents),
+      scored AS (
+        SELECT tf.doc_id, tf.term,
+               tf.tf * ln(CAST(n.n_docs AS DOUBLE) / dfreq.df) AS tfidf
+        FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+      ranked AS (
+        SELECT doc_id, term, tfidf,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY tfidf DESC, term) AS rank
+        FROM scored)
+      SELECT doc_id, rank, term, round(tfidf, 6) AS tfidf
+      FROM ranked WHERE rank <= 3
+      ORDER BY doc_id, rank""",
+    "t07_sentiment" -> s"""
+      WITH t AS (
+        SELECT doc_id, $ToksSql AS toks FROM documents),
+      m AS (
+        SELECT doc_id,
+               CAST(len(list_filter(toks, w ->
+                 list_contains(['fast','small','merge'], w))) AS BIGINT) AS n_pos,
+               CAST(len(list_filter(toks, w ->
+                 list_contains(['slow','big','dup'], w))) AS BIGINT) AS n_neg,
+               CAST(len(toks) AS DOUBLE) AS n_tok
+        FROM t),
+      p AS (
+        SELECT doc_id, n_pos, n_neg,
+               CASE WHEN n_tok = 0 THEN 0.0
+                    ELSE CAST(n_pos - n_neg AS DOUBLE) / n_tok END AS polarity
+        FROM m)
+      SELECT doc_id, n_pos, n_neg, round(polarity, 6) AS polarity,
+             CASE WHEN polarity > 0.01 THEN 'positive'
+                  WHEN polarity < -0.01 THEN 'negative'
+                  ELSE 'neutral' END AS label
+      FROM p ORDER BY doc_id""",
   )
 }
