@@ -66,6 +66,16 @@ final class PipelineService(spark: SparkSession, stateLog: StateLog)(
   /** GET /pipelines?status=... . */
   def list(statusFilter: Option[String] = None): DataFrame = stateLog.list(statusFilter)
 
+  /** PUT /pipelines/{id} — update run metadata (priority reroute, config
+    * tweak) on a known pipeline. The change is journaled as a state row
+    * carrying the run's CURRENT status, so `status(id)` reflects the new
+    * detail without perturbing lifecycle state. False for unknown ids. */
+  def update(id: String, detail: String): Boolean =
+    stateLog.currentStatus(id).exists { row =>
+      stateLog.append(id, "pipeline", row.status, s"updated: $detail")
+      true
+    }
+
   /** DELETE /pipelines/{id} — cancel in-flight Spark jobs + journal it. */
   def cancel(id: String): Boolean = {
     val wasRunning = Option(running.get(id)).exists(!_.isCompleted)

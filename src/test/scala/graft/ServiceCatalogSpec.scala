@@ -26,6 +26,19 @@ class ServiceCatalogSpec extends SparkSpec {
     assert(svc.list().count() >= 2)
   }
 
+  test("update journals new detail without perturbing lifecycle state") {
+    val stateLog = new StateLog(spark, Files.createTempDirectory("graft-upd").toString + "/state")
+    val svc = new PipelineService(spark, stateLog)
+    val id = svc.start { _ => PipelineOutcome.Succeeded(1.0) }
+    svc.await(id)
+    val statusBefore = svc.status(id).get.status
+    assert(svc.update(id, "priority=high"))
+    val after = svc.status(id).get
+    assert(after.status == statusBefore)
+    assert(after.detail == "updated: priority=high")
+    assert(!svc.update("no-such-id", "x"))
+  }
+
   test("cancel marks a running pipeline cancelled") {
     val stateLog = new StateLog(spark, Files.createTempDirectory("graft-svc2").toString + "/state")
     val svc = new PipelineService(spark, stateLog)
