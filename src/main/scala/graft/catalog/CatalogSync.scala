@@ -56,8 +56,13 @@ object CatalogSync {
   def mergeNewColumns(spark: SparkSession, table: String): Unit = {
     val meta = spark.sessionState.catalog.getTableMetadata(
       spark.sessionState.sqlParser.parseTableIdentifier(table))
-    val fresh = spark.read.option("mergeSchema", "true")
-      .parquet(meta.location.toString).schema
+    // a registered table whose location holds no files yet (first partition
+    // not landed, or data archived away) has nothing to merge — the crawler
+    // pass must no-op, not die on schema inference
+    val fresh =
+      try spark.read.option("mergeSchema", "true")
+        .parquet(meta.location.toString).schema
+      catch { case _: org.apache.spark.sql.AnalysisException => return }
     val known = meta.schema.fieldNames.map(_.toLowerCase).toSet
     val added = fresh.fields.filterNot(f => known.contains(f.name.toLowerCase))
     if (added.nonEmpty) {

@@ -24,12 +24,14 @@ object Quality {
 
   /** Fraction-of-rows-passing-all-checks, as an aggregate Column.
     * Null predicate results count as failures. An empty check list is
-    * vacuously true — every row passes, score 1.0 — so a Spec with no
-    * checks sails through the gate instead of crashing it. */
+    * vacuously true — score 1.0 regardless of row count (a constant, not
+    * an avg: avg over an EMPTY frame is null and would coalesce to 0.0,
+    * failing the gate for an empty micro-batch with nothing to check). */
   def scoreAll(checks: Seq[Check]): Column =
-    coalesce(
+    if (checks.isEmpty) coalesce(max(lit(1.0)), lit(1.0)) // aggregate-positioned constant
+    else coalesce(
       avg(when(checks.map(c => coalesce(c.predicate, lit(false)))
-          .reduceOption(_ && _).getOrElse(lit(true)), 1.0)
+          .reduce(_ && _), 1.0)
         .otherwise(0.0)),
       lit(0.0))
 

@@ -243,6 +243,27 @@ object RelationalQueries {
       .orderBy(col("op"))
   }
 
+  /** q34: the set OPERATORS themselves (§2.6) — `intersect`, `except` and
+    * distinct `union` over nation-key sets from two different tables.
+    * q17 answers the same-shape business question in one scan; this query
+    * exists so Spark's Intersect/Except/Distinct-Union physical operators
+    * stay under oracle coverage (small distinct inputs — the honest use
+    * of these operators at scale; set algebra over a fact table belongs
+    * in a grouped aggregate like q17). */
+  def q34SetOperators(s: SparkSession, d: String): DataFrame = {
+    val custN = Tables.customer(s, d)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_nationkey").as("nationkey")).distinct()
+    val suppN = Tables.supplier(s, d)
+      .filter(col("s_acctbal") > 5000.0)
+      .select(col("s_nationkey").as("nationkey")).distinct()
+    custN.intersect(suppN).withColumn("op", lit("both"))
+      .union(custN.except(suppN).withColumn("op", lit("cust_only")))
+      .union(custN.union(suppN).distinct().withColumn("op", lit("either")))
+      .groupBy(col("op")).agg(count(lit(1)).as("n"))
+      .orderBy(col("op"))
+  }
+
   /** q18: scalar function sweep — string / math functions in one projection
     * (all codegen'd builtins, SURVEY §2.7). */
   def q18ScalarFuncs(s: SparkSession, d: String): DataFrame =
@@ -291,7 +312,11 @@ object RelationalQueries {
     * round-trips the parsed struct, all cross-checked per row. */
   def q33JsonInfer(s: SparkSession, d: String): DataFrame = {
     val ev = Tables.events(s, d)
-    val sample = ev.select(col("props")).na.drop().limit(1).head().getString(0)
+    // fallback sample keeps the inferred shape (struct<k:bigint>) when the
+    // table is empty / all-null, so the query returns an empty frame with
+    // the same schema instead of throwing on head-of-empty
+    val sample = ev.select(col("props")).na.drop().limit(1)
+      .collect().headOption.map(_.getString(0)).getOrElse("""{"k": 0}""")
     ev.select(col("event_id"), col("event_type"), col("props"))
       .select(col("event_type"), col("props"),
         json_tuple(col("props"), "k").as("k_str"))
@@ -375,6 +400,7 @@ object RelationalQueries {
     "q19_date_parts"      -> q19DateParts _,
     "q20_json"            -> q20Json _,
     "q33_json_infer"      -> q33JsonInfer _,
+    "q34_set_operators"   -> q34SetOperators _,
     "q21_time_window"     -> q21TimeWindow _,
     "q22_percentiles"     -> q22Percentiles _,
     "q23_broadcast_enrich"-> q23BroadcastEnrich _,
@@ -532,6 +558,20 @@ object RelationalQueries {
              strftime(ts, '%Y-%m-%d %H') AS bucket
       FROM events
       ORDER BY event_id""",
+    "q34_set_operators" -> """
+      WITH custn AS (
+        SELECT DISTINCT c_nationkey AS nationkey FROM customer
+        WHERE c_mktsegment = 'BUILDING'),
+      suppn AS (
+        SELECT DISTINCT s_nationkey AS nationkey FROM supplier
+        WHERE s_acctbal > 5000.0),
+      tagged AS (
+        SELECT 'both' AS op, nationkey FROM (SELECT * FROM custn INTERSECT SELECT * FROM suppn)
+        UNION ALL
+        SELECT 'cust_only' AS op, nationkey FROM (SELECT * FROM custn EXCEPT SELECT * FROM suppn)
+        UNION ALL
+        SELECT 'either' AS op, nationkey FROM (SELECT * FROM custn UNION SELECT * FROM suppn))
+      SELECT op, count(*) AS n FROM tagged GROUP BY op ORDER BY op""",
     "q33_json_infer" -> """
       SELECT event_type,
              CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,

@@ -71,10 +71,7 @@ final class PipelineService(spark: SparkSession, stateLog: StateLog)(
     * carrying the run's CURRENT status, so `status(id)` reflects the new
     * detail without perturbing lifecycle state. False for unknown ids. */
   def update(id: String, detail: String): Boolean =
-    stateLog.currentStatus(id).exists { row =>
-      stateLog.append(id, "pipeline", row.status, s"updated: $detail")
-      true
-    }
+    stateLog.appendDetail(id, "pipeline", s"updated: $detail").isDefined
 
   /** DELETE /pipelines/{id} — cancel in-flight Spark jobs + journal it. */
   def cancel(id: String): Boolean = {

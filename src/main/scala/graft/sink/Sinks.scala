@@ -166,6 +166,27 @@ object Sinks {
     import org.apache.hadoop.fs.Path
     val staging = s"$livePath.compact-${java.util.UUID.randomUUID()}"
     val base = spark.read.parquet(livePath)
+    // the swap replaces whole partition directories, so the scope MUST cut
+    // on partition boundaries — a row-level predicate (e.g. on ts) would
+    // silently drop the non-matching rows of every touched partition.
+    // Checked by resolving the predicate against a LINEAGE-FREE frame of
+    // only the partition columns (a projection of the table would not do:
+    // ResolveMissingReferences pulls missing attributes up through it).
+    scope.foreach { c =>
+      val probe = spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType(
+          Seq("year", "month", "day", "hour").map(n =>
+            org.apache.spark.sql.types.StructField(n,
+              org.apache.spark.sql.types.IntegerType))))
+      try probe.filter(c).queryExecution.assertAnalyzed()
+      catch {
+        case e: org.apache.spark.sql.AnalysisException =>
+          throw new IllegalArgumentException(
+            "compactPartitioned scope must reference only partition columns " +
+              s"(year/month/day/hour): ${e.getMessage}")
+      }
+    }
     val scoped = scope.fold(base)(base.filter)
     writePartitioned(scoped, staging, mode = SaveMode.Overwrite)
     val fs = new Path(livePath).getFileSystem(spark.sparkContext.hadoopConfiguration)

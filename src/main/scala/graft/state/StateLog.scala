@@ -41,7 +41,7 @@ final class StateLog(spark: SparkSession, path: String) {
     * share a `_temporary` dir, so one job's commit can't delete another's
     * in-flight attempt files (the FileOutputCommitter race a shared-path
     * `mode(Append)` write has). */
-  def append(pipelineId: String, stage: String, status: String, detail: String = ""): PipelineStateRow = {
+  def append(pipelineId: String, stage: String, status: String, detail: String = ""): PipelineStateRow = synchronized {
     import org.apache.hadoop.fs.Path
     val row = PipelineStateRow(pipelineId, TsFormat.format(Instant.now()), stage, status, detail)
     val id = java.util.UUID.randomUUID().toString
@@ -51,11 +51,29 @@ final class StateLog(spark: SparkSession, path: String) {
     fs.mkdirs(new Path(path))
     fs.listStatus(new Path(staging))
       .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-      .foreach(st => fs.rename(st.getPath, new Path(path, s"append-$id.parquet")))
+      .foreach { st =>
+        val target = new Path(path, s"append-$id.parquet")
+        // rename returning false (HDFS/S3A convention) would leave the
+        // journal without this row; deleting staging then destroys the
+        // only copy — fail loudly instead (cf. promoteStaged)
+        if (!fs.rename(st.getPath, target))
+          throw new java.io.IOException(
+            s"StateLog.append: rename ${st.getPath} -> $target returned false")
+      }
     fs.delete(new Path(staging), true)
     latest.put(pipelineId, row)
     row
   }
+
+  /** Append `detail` under the pipeline's CURRENT status, atomically with
+    * respect to concurrent [[append]]s (the control plane's PUT): without
+    * the shared lock a completion append could land between the status
+    * read and the re-journal, and the stale status would become the
+    * newest row. None if the id is unknown. */
+  def appendDetail(pipelineId: String, stage: String, detail: String): Option[PipelineStateRow] =
+    synchronized {
+      currentStatus(pipelineId).map(row => append(pipelineId, stage, row.status, detail))
+    }
 
   /** Latest known state per pipeline — in-memory for ids this JVM wrote. */
   def currentStatus(pipelineId: String): Option[PipelineStateRow] =

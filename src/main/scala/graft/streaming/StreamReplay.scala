@@ -48,10 +48,18 @@ object StreamReplay {
       .partitionedSink(stream, layout, availableNow = true)
       .start()
     query.awaitTermination()
-    s.read.parquet(layout.processed)
+    val result = s.read.parquet(layout.processed)
       .groupBy(col("year"), col("month"), col("day"), col("hour"))
       .agg(count(lit(1)).as("n_rows"))
       .orderBy(col("year"), col("month"), col("day"), col("hour"))
+      // materialize before deleting the lake the plan reads from; each
+      // replay otherwise leaks two full copies of events under /tmp
+      .localCheckpoint(eager = true)
+    def rmRf(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rmRf)); f.delete(); ()
+    }
+    rmRf(new java.io.File(tmp))
+    result
   }
 
   val queries: Map[String, Q] = Map(

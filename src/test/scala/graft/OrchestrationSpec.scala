@@ -201,6 +201,10 @@ class OrchestrationSpec extends SparkSpec {
     assert(before > after, s"before=$before after=$after")
     assert(filesOfDay(coldDay) == coldFilesBefore) // cold partitions untouched
     assert(spark.read.parquet(dir).count() == rowsBefore) // no rows lost
+    // a row-level scope would silently drop partition-sliced rows — refused
+    intercept[IllegalArgumentException] {
+      Sinks.compactPartitioned(spark, dir, scope = Some(col("value") > 0))
+    }
     ev.unpersist()
   }
 }
