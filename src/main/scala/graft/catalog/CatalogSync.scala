@@ -56,13 +56,22 @@ object CatalogSync {
   def mergeNewColumns(spark: SparkSession, table: String): Unit = {
     val meta = spark.sessionState.catalog.getTableMetadata(
       spark.sessionState.sqlParser.parseTableIdentifier(table))
-    // a registered table whose location holds no files yet (first partition
-    // not landed, or data archived away) has nothing to merge — the crawler
-    // pass must no-op, not die on schema inference
-    val fresh =
-      try spark.read.option("mergeSchema", "true")
-        .parquet(meta.location.toString).schema
-      catch { case _: org.apache.spark.sql.AnalysisException => return }
+    // a registered table whose location holds no data files yet (first
+    // partition not landed, or data archived away) has nothing to merge —
+    // the crawler pass must no-op. Detected EXPLICITLY (not by swallowing
+    // AnalysisException, which would also hide corrupt files or a
+    // misconfigured location from every nightly sync thereafter).
+    import org.apache.hadoop.fs.Path
+    val loc = new Path(meta.location)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def hasDataFile(p: Path): Boolean =
+      fs.exists(p) && fs.listStatus(p).exists { st =>
+        if (st.isDirectory) hasDataFile(st.getPath)
+        else !st.getPath.getName.startsWith("_")
+      }
+    if (!hasDataFile(loc)) return
+    val fresh = spark.read.option("mergeSchema", "true")
+      .parquet(meta.location.toString).schema
     val known = meta.schema.fieldNames.map(_.toLowerCase).toSet
     val added = fresh.fields.filterNot(f => known.contains(f.name.toLowerCase))
     if (added.nonEmpty) {

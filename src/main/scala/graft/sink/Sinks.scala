@@ -179,13 +179,25 @@ object Sinks {
           Seq("year", "month", "day", "hour").map(n =>
             org.apache.spark.sql.types.StructField(n,
               org.apache.spark.sql.types.IntegerType))))
-      try probe.filter(c).queryExecution.assertAnalyzed()
-      catch {
-        case e: org.apache.spark.sql.AnalysisException =>
-          throw new IllegalArgumentException(
-            "compactPartitioned scope must reference only partition columns " +
-              s"(year/month/day/hour): ${e.getMessage}")
+      val analyzed =
+        try {
+          val qe = probe.filter(c).queryExecution
+          qe.assertAnalyzed(); qe.analyzed
+        } catch {
+          case e: org.apache.spark.sql.AnalysisException =>
+            throw new IllegalArgumentException(
+              "compactPartitioned scope must reference only partition columns " +
+                s"(year/month/day/hour): ${e.getMessage}")
+        }
+      // resolution alone is not enough: rand() < 0.5 resolves against any
+      // frame yet still cuts inside partitions — require a deterministic
+      // predicate that actually references a partition column
+      val cond = analyzed.collectFirst {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
       }
+      require(cond.exists(e => e.deterministic && e.references.nonEmpty),
+        "compactPartitioned scope must be a deterministic predicate over " +
+          "the partition columns (year/month/day/hour)")
     }
     val scoped = scope.fold(base)(base.filter)
     writePartitioned(scoped, staging, mode = SaveMode.Overwrite)

@@ -35,45 +35,73 @@ final class StateLog(spark: SparkSession, path: String) {
     .ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSSSSSSSS'Z'")
     .withZone(java.time.ZoneOffset.UTC)
 
-  /** Append one state row. Each append writes to its OWN staging
-    * directory and renames the part file into the journal — concurrent
-    * appends (PipelineService run futures, the metrics listener) never
-    * share a `_temporary` dir, so one job's commit can't delete another's
-    * in-flight attempt files (the FileOutputCommitter race a shared-path
-    * `mode(Append)` write has). */
-  def append(pipelineId: String, stage: String, status: String, detail: String = ""): PipelineStateRow = synchronized {
-    import org.apache.hadoop.fs.Path
+  /** Stamp a row and publish it to the in-memory map under the shared
+    * monitor. The lock covers ONLY timestamping + the map (microseconds),
+    * never a file write: it exists so [[appendDetail]]'s status-read and
+    * its row's timestamp are assigned atomically relative to every other
+    * append's — otherwise a completion row could be stamped between the
+    * read and the re-journal and the stale status would sort newest. If
+    * the subsequent file write fails the map briefly leads the journal;
+    * the thrown exception tells the caller the row needs re-appending. */
+  private def stampAndPublish(pipelineId: String, stage: String, status: String,
+                              detail: String): PipelineStateRow = synchronized {
     val row = PipelineStateRow(pipelineId, TsFormat.format(Instant.now()), stage, status, detail)
-    val id = java.util.UUID.randomUUID().toString
-    val staging = s"$path.append-$id"
-    Seq(row).toDS().coalesce(1).write.mode(SaveMode.Overwrite).parquet(staging)
-    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.mkdirs(new Path(path))
-    fs.listStatus(new Path(staging))
-      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-      .foreach { st =>
-        val target = new Path(path, s"append-$id.parquet")
-        // rename returning false (HDFS/S3A convention) would leave the
-        // journal without this row; deleting staging then destroys the
-        // only copy — fail loudly instead (cf. promoteStaged)
-        if (!fs.rename(st.getPath, target))
-          throw new java.io.IOException(
-            s"StateLog.append: rename ${st.getPath} -> $target returned false")
-      }
-    fs.delete(new Path(staging), true)
     latest.put(pipelineId, row)
     row
   }
 
+  /** Write one already-stamped row into the journal. Each append writes to
+    * its OWN staging directory and renames the part file into the journal —
+    * concurrent appends (PipelineService run futures, the metrics listener)
+    * never share a `_temporary` dir, so one job's commit can't delete
+    * another's in-flight attempt files (the FileOutputCommitter race a
+    * shared-path `mode(Append)` write has). Runs unlocked: per-append
+    * staging is exactly what makes concurrent writes safe. */
+  private def writeRow(row: PipelineStateRow): Unit = {
+    import org.apache.hadoop.fs.Path
+    val id = java.util.UUID.randomUUID().toString
+    val staging = s"$path.append-$id"
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try {
+      Seq(row).toDS().coalesce(1).write.mode(SaveMode.Overwrite).parquet(staging)
+      fs.mkdirs(new Path(path))
+      fs.listStatus(new Path(staging))
+        .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+        .foreach { st =>
+          val target = new Path(path, s"append-$id.parquet")
+          // rename returning false (HDFS/S3A convention) would leave the
+          // journal without this row; deleting staging then destroys the
+          // only copy — fail loudly instead (cf. promoteStaged)
+          if (!fs.rename(st.getPath, target))
+            throw new java.io.IOException(
+              s"StateLog.append: rename ${st.getPath} -> $target returned false")
+        }
+    } finally fs.delete(new Path(staging), true) // never leak staging dirs
+  }
+
+  /** Append one state row. */
+  def append(pipelineId: String, stage: String, status: String, detail: String = ""): PipelineStateRow = {
+    val row = stampAndPublish(pipelineId, stage, status, detail)
+    writeRow(row)
+    row
+  }
+
   /** Append `detail` under the pipeline's CURRENT status, atomically with
-    * respect to concurrent [[append]]s (the control plane's PUT): without
-    * the shared lock a completion append could land between the status
-    * read and the re-journal, and the stale status would become the
-    * newest row. None if the id is unknown. */
-  def appendDetail(pipelineId: String, stage: String, detail: String): Option[PipelineStateRow] =
-    synchronized {
-      currentStatus(pipelineId).map(row => append(pipelineId, stage, row.status, detail))
+    * respect to concurrent [[append]]s (the control plane's PUT). The
+    * journal fallback for ids this JVM never wrote is prefetched OUTSIDE
+    * the lock (it is a Spark read); inside the lock the in-memory map is
+    * re-checked first, so an append that raced the prefetch wins. None if
+    * the id is unknown. */
+  def appendDetail(pipelineId: String, stage: String, detail: String): Option[PipelineStateRow] = {
+    val prefetched =
+      if (latest.contains(pipelineId)) None else latestFromJournal(pipelineId)
+    val stamped = synchronized {
+      latest.get(pipelineId).orElse(prefetched).map(cur =>
+        stampAndPublish(pipelineId, stage, cur.status, detail))
     }
+    stamped.foreach(writeRow)
+    stamped
+  }
 
   /** Latest known state per pipeline — in-memory for ids this JVM wrote. */
   def currentStatus(pipelineId: String): Option[PipelineStateRow] =

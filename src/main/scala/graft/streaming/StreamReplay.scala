@@ -34,32 +34,34 @@ object StreamReplay {
 
   def st01StreamReplay(s: SparkSession, d: String): DataFrame = {
     val tmp = java.nio.file.Files.createTempDirectory("graft-st01-").toString
-    val ev = Tables.events(s, d)
-    // stage the table as the landing-zone JSON feed the reference ingests
-    ev.write.mode("overwrite").json(s"$tmp/incoming")
-    val layout = PipelineLayout(s"$tmp/lake")
-    val source = StreamingPipeline.jsonFileSource(
-      s, s"$tmp/incoming", ev.schema, maxFilesPerTrigger = 1000)
-    // an always-true rule: st01 checks the sink path's row accounting, so
-    // every row must land in processed/ (p02-style routing is p01's job)
-    val stream = StreamingPipeline.processingStream(
-      source, Seq(Rule("always_true", lit(true))))
-    val query = StreamingPipeline
-      .partitionedSink(stream, layout, availableNow = true)
-      .start()
-    query.awaitTermination()
-    val result = s.read.parquet(layout.processed)
-      .groupBy(col("year"), col("month"), col("day"), col("hour"))
-      .agg(count(lit(1)).as("n_rows"))
-      .orderBy(col("year"), col("month"), col("day"), col("hour"))
-      // materialize before deleting the lake the plan reads from; each
-      // replay otherwise leaks two full copies of events under /tmp
-      .localCheckpoint(eager = true)
-    def rmRf(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rmRf)); f.delete(); ()
+    try {
+      val ev = Tables.events(s, d)
+      // stage the table as the landing-zone JSON feed the reference ingests
+      ev.write.mode("overwrite").json(s"$tmp/incoming")
+      val layout = PipelineLayout(s"$tmp/lake")
+      val source = StreamingPipeline.jsonFileSource(
+        s, s"$tmp/incoming", ev.schema, maxFilesPerTrigger = 1000)
+      // an always-true rule: st01 checks the sink path's row accounting, so
+      // every row must land in processed/ (p02-style routing is p01's job)
+      val stream = StreamingPipeline.processingStream(
+        source, Seq(Rule("always_true", lit(true))))
+      val query = StreamingPipeline
+        .partitionedSink(stream, layout, availableNow = true)
+        .start()
+      query.awaitTermination()
+      s.read.parquet(layout.processed)
+        .groupBy(col("year"), col("month"), col("day"), col("hour"))
+        .agg(count(lit(1)).as("n_rows"))
+        .orderBy(col("year"), col("month"), col("day"), col("hour"))
+        // materialize before deleting the lake the plan reads from; each
+        // replay otherwise leaks two full copies of events under /tmp
+        .localCheckpoint(eager = true)
+    } finally {
+      // success or failure, never leak the staged JSON copy + lake
+      val p = new org.apache.hadoop.fs.Path(tmp)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      ()
     }
-    rmRf(new java.io.File(tmp))
-    result
   }
 
   val queries: Map[String, Q] = Map(
