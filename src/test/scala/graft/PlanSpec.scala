@@ -83,4 +83,13 @@ class PlanSpec extends SparkSpec {
     assert(plan.linesIterator.count(_.contains("Scan parquet")) == 1, plan)
     assert(!plan.contains("Join"), plan)
   }
+
+  test("d06: keep-first runs as WindowGroupLimit (top-1 per fp, partial+final), no extra exchange") {
+    val plan = executed(graft.dedup.Dedup.d06IncrementalDedup(spark, sf))
+    // Spark's rank-filter pushdown must keep applying: without it every
+    // batch row flows into the window sort instead of top-1-per-group
+    assert(plan.contains("WindowGroupLimit"), plan)
+    assert(plan.linesIterator.count(_.contains("Scan parquet")) == 2, plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
 }
