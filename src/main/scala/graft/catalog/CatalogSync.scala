@@ -64,12 +64,18 @@ object CatalogSync {
     import org.apache.hadoop.fs.Path
     val loc = new Path(meta.location)
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // visibility matches the parquet reader's: `_`/`.`-prefixed paths
+    // (committer _temporary dirs, .crc checksums) are NOT data — counting
+    // them would send a crash-litter-only location into schema inference,
+    // which ignores them and dies on 'unable to infer'
+    def visible(name: String): Boolean =
+      !name.startsWith("_") && !name.startsWith(".")
     def hasDataFile(p: Path): Boolean =
-      fs.exists(p) && fs.listStatus(p).exists { st =>
-        if (st.isDirectory) hasDataFile(st.getPath)
-        else !st.getPath.getName.startsWith("_")
+      fs.listStatus(p).exists { st =>
+        visible(st.getPath.getName) &&
+          (if (st.isDirectory) hasDataFile(st.getPath) else true)
       }
-    if (!hasDataFile(loc)) return
+    if (!fs.exists(loc) || !hasDataFile(loc)) return
     val fresh = spark.read.option("mergeSchema", "true")
       .parquet(meta.location.toString).schema
     val known = meta.schema.fieldNames.map(_.toLowerCase).toSet

@@ -190,12 +190,13 @@ object Sinks {
                 s"(year/month/day/hour): ${e.getMessage}")
         }
       // resolution alone is not enough: rand() < 0.5 resolves against any
-      // frame yet still cuts inside partitions — require a deterministic
-      // predicate that actually references a partition column
+      // frame yet still cuts inside partitions — require determinism.
+      // (Constants like lit(true) are fine: they cannot cut inside a
+      // partition, they just scope everything in or out.)
       val cond = analyzed.collectFirst {
         case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
       }
-      require(cond.exists(e => e.deterministic && e.references.nonEmpty),
+      require(cond.forall(_.deterministic),
         "compactPartitioned scope must be a deterministic predicate over " +
           "the partition columns (year/month/day/hour)")
     }

@@ -44,11 +44,32 @@ final class StateLog(spark: SparkSession, path: String) {
     * the subsequent file write fails the map briefly leads the journal;
     * the thrown exception tells the caller the row needs re-appending. */
   private def stampAndPublish(pipelineId: String, stage: String, status: String,
-                              detail: String): PipelineStateRow = synchronized {
+                              detail: String): (PipelineStateRow, Option[PipelineStateRow]) = synchronized {
     val row = PipelineStateRow(pipelineId, TsFormat.format(Instant.now()), stage, status, detail)
-    latest.put(pipelineId, row)
-    row
+    val prev = latest.put(pipelineId, row)
+    (row, prev)
   }
+
+  /** Journal the stamped row; if the write fails, roll the in-memory map
+    * back to `prev` (unless a newer row already replaced ours) so
+    * `currentStatus` never serves a status whose journal append the
+    * caller was told failed. */
+  private def writeOrRollback(row: PipelineStateRow, prev: Option[PipelineStateRow]): Unit =
+    try writeRow(row)
+    catch {
+      case e: Throwable =>
+        synchronized {
+          latest.get(row.pipeline_id) match {
+            case Some(cur) if cur eq row =>
+              prev match {
+                case Some(p) => latest.put(row.pipeline_id, p)
+                case None    => latest.remove(row.pipeline_id)
+              }
+            case _ => () // a newer append already owns the slot
+          }
+        }
+        throw e
+    }
 
   /** Write one already-stamped row into the journal. Each append writes to
     * its OWN staging directory and renames the part file into the journal —
@@ -62,27 +83,28 @@ final class StateLog(spark: SparkSession, path: String) {
     val id = java.util.UUID.randomUUID().toString
     val staging = s"$path.append-$id"
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    try {
-      Seq(row).toDS().coalesce(1).write.mode(SaveMode.Overwrite).parquet(staging)
-      fs.mkdirs(new Path(path))
-      fs.listStatus(new Path(staging))
-        .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-        .foreach { st =>
-          val target = new Path(path, s"append-$id.parquet")
-          // rename returning false (HDFS/S3A convention) would leave the
-          // journal without this row; deleting staging then destroys the
-          // only copy — fail loudly instead (cf. promoteStaged)
-          if (!fs.rename(st.getPath, target))
-            throw new java.io.IOException(
-              s"StateLog.append: rename ${st.getPath} -> $target returned false")
-        }
-    } finally fs.delete(new Path(staging), true) // never leak staging dirs
+    Seq(row).toDS().coalesce(1).write.mode(SaveMode.Overwrite).parquet(staging)
+    fs.mkdirs(new Path(path))
+    fs.listStatus(new Path(staging))
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .foreach { st =>
+        val target = new Path(path, s"append-$id.parquet")
+        // rename returning false (HDFS/S3A convention) would leave the
+        // journal without this row. Fail loudly AND leave the staging dir
+        // behind — it holds the only durable copy of the row, named after
+        // the journal so an operator can recover it (cf. promoteStaged).
+        if (!fs.rename(st.getPath, target))
+          throw new java.io.IOException(
+            s"StateLog.append: rename ${st.getPath} -> $target returned false; " +
+              s"row preserved in $staging")
+      }
+    fs.delete(new Path(staging), true) // success: staging is now empty shell
   }
 
   /** Append one state row. */
   def append(pipelineId: String, stage: String, status: String, detail: String = ""): PipelineStateRow = {
-    val row = stampAndPublish(pipelineId, stage, status, detail)
-    writeRow(row)
+    val (row, prev) = stampAndPublish(pipelineId, stage, status, detail)
+    writeOrRollback(row, prev)
     row
   }
 
@@ -99,8 +121,8 @@ final class StateLog(spark: SparkSession, path: String) {
       latest.get(pipelineId).orElse(prefetched).map(cur =>
         stampAndPublish(pipelineId, stage, cur.status, detail))
     }
-    stamped.foreach(writeRow)
-    stamped
+    stamped.foreach { case (row, prev) => writeOrRollback(row, prev) }
+    stamped.map(_._1)
   }
 
   /** Latest known state per pipeline — in-memory for ids this JVM wrote. */

@@ -57,10 +57,13 @@ object StreamReplay {
         // replay otherwise leaks two full copies of events under /tmp
         .localCheckpoint(eager = true)
     } finally {
-      // success or failure, never leak the staged JSON copy + lake
-      val p = new org.apache.hadoop.fs.Path(tmp)
-      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
-      ()
+      // success or failure, never leak the staged JSON copy + lake — and
+      // never let a cleanup failure mask the replay's own exception
+      try {
+        val p = new org.apache.hadoop.fs.Path(tmp)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        ()
+      } catch { case _: Throwable => () }
     }
   }
 
