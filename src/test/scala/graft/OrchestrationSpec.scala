@@ -205,6 +205,25 @@ class OrchestrationSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Sinks.compactPartitioned(spark, dir, scope = Some(col("value") > 0))
     }
+    // nondeterministic scope — refused; constant scope — allowed
+    intercept[IllegalArgumentException] {
+      Sinks.compactPartitioned(spark, dir, scope = Some(rand() < 0.5))
+    }
+    // idempotence: a second full compaction changes nothing it shouldn't
+    val (_, afterFull) = Sinks.compactPartitioned(spark, dir, scope = Some(lit(true)))
+    val (b2, a2) = Sinks.compactPartitioned(spark, dir)
+    assert(b2 == afterFull && a2 == afterFull, s"b2=$b2 a2=$a2 afterFull=$afterFull")
+    assert(spark.read.parquet(dir).count() == rowsBefore)
     ev.unpersist()
+  }
+
+  test("state log rolls back in-memory status when the journal write fails") {
+    val root = Files.createTempDirectory("graft-rb").toString
+    // make the journal parent a FILE so the parquet write must fail
+    val log = new StateLog(spark, s"$root/blocker/state")
+    Files.writeString(java.nio.file.Paths.get(s"$root/blocker"), "not a dir")
+    intercept[Throwable] { log.append("p1", "stage", "RUNNING") }
+    // the failed append must not be served as current status
+    assert(log.currentStatus("p1").isEmpty)
   }
 }
