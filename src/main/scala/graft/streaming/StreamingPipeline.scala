@@ -7,7 +7,7 @@ import graft.validate.SchemaValidator
 import graft.validate.SchemaValidator.Rule
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, StreamingQuery, TTLConfig, TimeMode, TimerValues, Trigger, ValueState}
 import org.apache.spark.sql.types.StructType
 
 /** The streaming ingestion path (SURVEY §2.8, §3.2) on Structured
@@ -202,6 +202,40 @@ object StreamingPipeline {
           state.update(next)
           next
       }
+  }
+
+  /** T5 on Spark 4's `transformWithState` (the successor API to
+    * mapGroupsWithState): explicit named state cells, per-cell TTL, and
+    * timer support — the shape long-running production state wants
+    * (RocksDB-backed, so state size is bounded by disk, not heap).
+    * Semantics identical to [[trackState]]; both are kept because the
+    * legacy API still matters to users migrating. */
+  class KeyTrackerProcessor
+      extends StatefulProcessor[String, (String, java.sql.Timestamp), KeyState] {
+    @transient private var state: ValueState[KeyState] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[KeyState]("keyState",
+        org.apache.spark.sql.Encoders.product[KeyState], TTLConfig.NONE)
+    override def handleInputRows(key: String,
+                                 rows: Iterator[(String, java.sql.Timestamp)],
+                                 timerValues: TimerValues): Iterator[KeyState] = {
+      val prev = if (state.exists()) state.get()
+                 else KeyState(key, 0L, new java.sql.Timestamp(0))
+      val batch = rows.toSeq
+      val next = KeyState(key, prev.n + batch.size,
+        batch.map(_._2).foldLeft(prev.lastTs)((a, b) => if (b.after(a)) b else a))
+      state.update(next)
+      Iterator.single(next)
+    }
+  }
+
+  /** [[trackState]] semantics on `transformWithState`. Requires the
+    * RocksDB state store provider
+    * (`spark.sql.streaming.stateStore.providerClass`). */
+  def trackStateTws(events: Dataset[(String, java.sql.Timestamp)]): Dataset[KeyState] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_._1)
+      .transformWithState(new KeyTrackerProcessor, TimeMode.None(), OutputMode.Update())
   }
 
   /** Stream-stream interval join (§2.3 as-of/interval streaming enrich):

@@ -144,6 +144,33 @@ class StreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("transformWithState tracker matches mapGroupsWithState semantics (RocksDB)") {
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[(String, Timestamp)](spark)
+      val tracked = StreamingPipeline.trackStateTws(mem.toDS())
+      val q = tracked.writeStream.format("memory").queryName("tracked_tws")
+        .outputMode("update").start()
+      mem.addData(("p1", ts("2024-01-01 10:00:00")), ("p1", ts("2024-01-01 10:05:00")))
+      q.processAllAvailable()
+      mem.addData(("p1", ts("2024-01-01 10:10:00")), ("p2", ts("2024-01-01 10:00:00")))
+      q.processAllAvailable()
+      val last = spark.table("tracked_tws").groupBy("key").agg(max("n").as("n"))
+        .as[(String, Long)].collect().toMap
+      assert(last == Map("p1" -> 3L, "p2" -> 1L))
+      // last-seen timestamp carried across batches too
+      val lastTs = spark.table("tracked_tws").filter($"key" === "p1")
+        .agg(max("lastTs")).as[Timestamp].head()
+      assert(lastTs == ts("2024-01-01 10:10:00"))
+      q.stop()
+    } finally prevProvider match {
+      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("stream-stream interval join matches within the window only") {
     val lm = MemoryStream[(String, Timestamp, Long)](spark)
     val rm = MemoryStream[(String, Timestamp, Long)](spark)
