@@ -5,7 +5,9 @@ import graft.multimodal.Multimodal.{MediaMeta, MediaRecord}
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Driver-checkable multimodal queries (north-star [N]).
+/** Driver-checkable multimodal queries (north-star [N], SURVEY §2.7/§8;
+  * the reference's nested-metadata contract — README:176-179 — is the
+  * typed-meta-beside-payload pattern these queries exercise).
   *
   * The container ships no real media, so the corpus is derived
   * DETERMINISTICALLY from the `documents` table: payload = the text's
