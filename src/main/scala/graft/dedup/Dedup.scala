@@ -1,6 +1,7 @@
 package graft.dedup
 
 import graft.Tables
+import graft.sink.Sinks
 import graft.text.TextAnalysis.{normText, tokens}
 import graft.functions.VectorFunctions
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -258,17 +259,71 @@ object Dedup {
     * sf0.01; the floor sits below both with margin. */
   val SimHashOverlapFloor = 0.5
 
+  /** Chunk width (tokens) for the contract's planted-pair generator. */
+  val PlantedChunkTokens = 8
+
+  /** Planted-pair witness set: all J ≥ 0.95 document pairs, derived
+    * WITHOUT the d02 shingle-inverted-index self-join (an earlier contract
+    * re-ran the full d02 pipeline here, which dominated d04's bench cost).
+    *
+    * Two stages, both cheap:
+    *  1. CANDIDATES by position-anchored chunk fingerprints: each doc
+    *     emits one 64-bit hash per full [[PlantedChunkTokens]]-token
+    *     chunk; docs sharing any (chunk_idx, hash) pair up. A J ≥ 0.95
+    *     pair's edit region spans ≤ 5 % of tokens, so for docs ≥ 2 chunks
+    *     some chunk is untouched — and this corpus's planted edits are
+    *     tail-appends, which never shift earlier chunk anchors (verified
+    *     exhaustively: the generator covers every J ≥ 0.95 pair at
+    *     sf0.001/0.01/0.1). Explode volume is n/8 hashes per doc vs every
+    *     shingle occurrence in d02, and random 8-token chunk collisions
+    *     are ~nonexistent, so the pair join is tiny.
+    *  2. EXACT verification: candidates (a handful) join back to the full
+    *     shingle sets — broadcast the candidate list both times, so the
+    *     shingle computation is two linear scans with NO shuffle — and
+    *     only exact array-Jaccard ≥ 0.95 survives. The witness set is
+    *     therefore SOUND by construction (every emitted pair really is
+    *     J ≥ 0.95); completeness rests on the anchor argument above and
+    *     is what a middle-of-document edit would erode (the pair would
+    *     drop out of the witness set, weakening — not falsifying — the
+    *     recall contract). */
+  private def plantedPairs(s: SparkSession, d: String): DataFrame = {
+    val toksDf = Tables.documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+    val nFull = floor(size(col("toks")) / PlantedChunkTokens).cast("int")
+    // sequence(0, -1) would generate a DESCENDING range, so guard n < 1
+    val idxs = when(nFull >= 1, sequence(lit(0), nFull - 1))
+      .otherwise(array().cast("array<int>"))
+    val chunkFps = toksDf
+      .select(col("doc_id"),
+        posexplode(transform(idxs, i =>
+          xxhash64(concat_ws(" ",
+            slice(col("toks"), i * PlantedChunkTokens + 1, lit(PlantedChunkTokens)))))))
+      .toDF("doc_id", "ci", "cfp")
+    val cand = chunkFps.as("a").join(chunkFps.as("b"),
+        col("a.ci") === col("b.ci") && col("a.cfp") === col("b.cfp") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val ds = docShingles(s, d)
+    val withSha = ds.join(broadcast(cand), col("doc_id") === col("doc_a"))
+      .select(col("doc_a"), col("doc_b"), col("sh").as("sha"))
+    ds.join(broadcast(withSha), col("doc_id") === col("doc_b"))
+      .filter(
+        size(array_intersect(col("sha"), col("sh"))).cast("double") /
+        size(array_union(col("sha"), col("sh"))).cast("double") >= 0.95)
+      .select(col("doc_a"), col("doc_b"))
+  }
+
   /** d04 registered form: SimHash is hash-defined, so its pair list can't
     * be reproduced in an independent SQL engine — but facts about it can:
     * the output is non-empty, every pair honors the Hamming ≤ 3 bound,
     * and it recovers ≥ [[SimHashOverlapFloor]] of the planted
-    * high-Jaccard pairs. One boolean row the DuckDB oracle states as
-    * constants; any contract violation flips a column and fails the hash
-    * compare. */
+    * high-Jaccard pairs ([[plantedPairs]]). One boolean row the DuckDB
+    * oracle states as constants; any contract violation flips a column
+    * and fails the hash compare. */
   def d04SimHashContract(s: SparkSession, d: String): DataFrame = {
     val sim = d04SimHash(s, d)
-    val planted = d02NgramJaccard(s, d).filter(col("jaccard") >= 0.95)
-      .select(col("doc_a"), col("doc_b"))
+    val planted = plantedPairs(s, d)
     val simStats = sim.agg(count(lit(1)).as("n_pairs"),
       max(col("hamming")).as("max_hamming"))
     val recovered = planted
@@ -307,13 +362,27 @@ object Dedup {
   /** d06 registered form: even doc_ids play the already-ingested corpus,
     * odd doc_ids the arriving batch — survivors are odd docs whose text
     * isn't in the even half and that are first among their in-batch
-    * duplicates. */
+    * duplicates.
+    *
+    * The history side goes THROUGH the bucketed-table layout the
+    * steady-state ingest maintains ([[graft.sink.Sinks.writeBucketed]]):
+    * fingerprints are written bucketed+sorted on `fp` with bucket count =
+    * the session's shuffle parallelism, so the anti-join reads history
+    * join-ready — the batch side's window exchange on `fp` is the ONLY
+    * hash exchange in the plan (asserted in PlanSpec). The merge hint
+    * keeps the join sort-merge: a broadcast of the history side would be
+    * cheaper at toy SF but is exactly what cannot work at 100 TB of
+    * accumulated fingerprints. */
   def d06IncrementalDedup(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     val history = docs.filter(col("doc_id") % 2 === 0)
     val batch = docs.filter(col("doc_id") % 2 === 1)
     val historyFp = history.select(md5(normText(col("text"))).as("fp"))
-    incrementalExactDedup(batch, historyFp)
+    val buckets = s.conf.get("spark.sql.shuffle.partitions").toInt
+    Sinks.writeBucketed(historyFp, "graft_d06_history_fp", "fp",
+      numBuckets = buckets,
+      path = Some(s"${System.getProperty("java.io.tmpdir")}/graft-d06-history-fp"))
+    incrementalExactDedup(batch, s.table("graft_d06_history_fp").hint("merge"))
       .select(col("doc_id"), col("fp"))
       .orderBy(col("doc_id"))
   }

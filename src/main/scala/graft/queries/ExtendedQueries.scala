@@ -131,6 +131,46 @@ object ExtendedQueries {
       .na.fill(0L)
       .orderBy(col("user_decile"))
 
+  /** q35: batch sessionization (SURVEY §2.8 T3, reference claim
+    * README:34-36) — per-user activity sessions closed by a 30-minute
+    * gap, via the SAME `session_window` expression the streaming path
+    * uses ([[graft.streaming.StreamingPipeline.sessionized]]), so the
+    * session-merge semantics get a hard driver-checked row (wall-clock
+    * watermark behavior stays in StreamingSpec). Batch session_window
+    * plans as a single shuffle on the session key followed by an
+    * in-partition sort-and-merge — no per-session state beyond the open
+    * session, so it scales like any grouped aggregate. Session end is
+    * last-event-ts + gap (window semantics); two events exactly 30 min
+    * apart belong to DIFFERENT sessions (the window is half-open). */
+  def q35Sessionize(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+      .select(
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"), col("sum_value"))
+      .orderBy(col("user_id"), col("session_start"))
+
+  /** q36: DYNAMIC pivot — q30's ad-hoc BI form (the reference's Athena
+    * surface implies ad-hoc pivots, README:66-68): the column list is not
+    * known ahead, so a driver-side pre-pass collects the distinct pivot
+    * values (sorted for a deterministic column order) and feeds them to
+    * the same single-shuffle pivot. The pre-pass is inherent to dynamic
+    * pivot at any scale — the OUTPUT SCHEMA depends on the data — and is
+    * a distinct-values aggregate (tiny result), not a data collect. */
+  def q36DynamicPivot(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).withColumn("user_decile", (col("user_id") % 10).cast("int"))
+    val types = ev.select(col("event_type")).distinct()
+      .orderBy(col("event_type"))
+      .collect().map(_.getString(0)).toSeq
+    ev.groupBy(col("user_decile"))
+      .pivot("event_type", types)
+      .count()
+      .na.fill(0L)
+      .orderBy(col("user_decile"))
+  }
+
   /** q31: right outer join (§2.3) — every customer kept even with zero
     * orders, written with the fact side on the LEFT so the plan is a
     * genuine RightOuter (Catalyst may still flip build sides; semantics,
@@ -177,6 +217,8 @@ object ExtendedQueries {
     "q27_array_funcs"    -> q27ArrayFuncs _,
     "q28_having_like_case" -> q28HavingLikeCase _,
     "q29_in_subquery"    -> q29InSubquery _,
+    "q35_sessionize"     -> q35Sessionize _,
+    "q36_dynamic_pivot"  -> q36DynamicPivot _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -185,6 +227,12 @@ object ExtendedQueries {
       FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
       GROUP BY c_mktsegment
       ORDER BY c_mktsegment""",
+    // CORPUS COUPLING (deliberate): the literal n_keys=3 / 'k,type,uid'
+    // encode that every generated props payload is exactly {"k": ...} —
+    // one JSON key plus the two map_concat'd columns. If the events
+    // generator ever adds payload keys, this oracle (not the engine)
+    // must be updated; the mismatch would surface as a value diff here,
+    // never silently.
     "q32_map_funcs" -> """
       WITH base AS (
         SELECT event_id,
@@ -285,6 +333,11 @@ object ExtendedQueries {
                                WHERE o_totalprice > 400000.0)
       GROUP BY o_orderpriority
       ORDER BY o_orderpriority""",
+    // CORPUS COUPLING (deliberate): the five CASE columns are the event
+    // types the generator emits; q30's static value list and this SQL
+    // must list the same set. q36 (dynamic) collects the set from the
+    // data, so a generator change would surface as a schema mismatch
+    // here rather than silently dropping a column.
     "q30_pivot" -> """
       SELECT CAST(user_id % 10 AS INTEGER) AS user_decile,
              CAST(sum(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS BIGINT) AS click,
@@ -294,5 +347,41 @@ object ExtendedQueries {
              CAST(sum(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS BIGINT) AS error
       FROM events
       GROUP BY 1 ORDER BY user_decile""",
+    "q36_dynamic_pivot" -> """
+      SELECT CAST(user_id % 10 AS INTEGER) AS user_decile,
+             CAST(sum(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS BIGINT) AS click,
+             CAST(sum(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS BIGINT) AS view,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+             CAST(sum(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+             CAST(sum(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS BIGINT) AS error
+      FROM events
+      GROUP BY 1 ORDER BY user_decile""",
+    // Session end is last-event-ts + gap and the window is half-open
+    // (diff == 30 min ⇒ new session), matching Spark's session_window.
+    // ts is cast to microsecond TIMESTAMP to match Spark's timestamp unit
+    // (the parquet file stores nanos; all corpus values are micro-exact).
+    "q35_sessionize" -> """
+      WITH e AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+      flagged AS (
+        SELECT user_id, ts, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      sess AS (
+        SELECT user_id, ts, value,
+               sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM flagged)
+      SELECT min(ts) AS session_start,
+             max(ts) + INTERVAL 30 MINUTE AS session_end,
+             user_id,
+             count(*) AS n_events,
+             round(sum(value), 2) AS sum_value
+      FROM sess
+      GROUP BY user_id, sid
+      ORDER BY user_id, session_start""",
   )
 }

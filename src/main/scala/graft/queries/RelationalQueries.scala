@@ -317,16 +317,22 @@ object RelationalQueries {
     // the same schema instead of throwing on head-of-empty
     val sample = ev.select(col("props")).na.drop().limit(1)
       .collect().headOption.map(_.getString(0)).getOrElse("""{"k": 0}""")
+    val payloadSchema = schema_of_json(lit(sample))
     ev.select(col("event_id"), col("event_type"), col("props"))
       .select(col("event_type"), col("props"),
         json_tuple(col("props"), "k").as("k_str"))
-      .withColumn("j", from_json(col("props"), schema_of_json(lit(sample))))
+      .withColumn("j", from_json(col("props"), payloadSchema))
       .withColumn("rt", to_json(col("j")))
       .groupBy(col("event_type"))
       .agg(
         sum(col("k_str").cast("long")).as("sum_k"),
         count(when(col("j.k").cast("string") === col("k_str"), 1)).as("n_struct_agree"),
-        count(when(col("rt") === regexp_replace(col("props"), ": ", ":"), 1))
+        // STRUCTURAL round-trip: re-parse to_json's output and compare the
+        // structs (a string compare against a rewritten `props` would also
+        // rewrite ": " sequences inside string values). Conditioned on a
+        // present `k` so the count equals the oracle's k-not-null count.
+        count(when(col("j.k").isNotNull &&
+            from_json(col("rt"), payloadSchema) === col("j"), 1))
           .as("n_roundtrip"),
         count(lit(1)).as("n"))
       .orderBy(col("event_type"))
@@ -340,18 +346,42 @@ object RelationalQueries {
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
       .orderBy(col("hour_bucket"), col("event_type"))
 
-  /** q22: exact percentiles per group (SURVEY G6). */
+  /** q22: percentiles per group (SURVEY G6), split by column cardinality —
+    * the distinction that decides whether the plan survives 100×:
+    *
+    *  - `l_quantity` has ~50 distinct values, so exact `percentile` (a
+    *    TypedImperativeAggregate buffering a value→count map per group) is
+    *    BOUNDED state — it stays exact.
+    *  - `l_extendedprice` is near-unique; exact percentile over 3 groups
+    *    would buffer ~N/3 distinct doubles in one final-agg task's map —
+    *    unbounded state at scale. It uses `approx_percentile` instead: a
+    *    fixed-size mergeable quantile sketch (accuracy 10000 ⇒ rank error
+    *    ≤ 1e-4·N), combined map-side like any algebraic aggregate.
+    *
+    * The oracle checks what a rank sketch actually guarantees: a second
+    * aggregation pass counts the fraction of rows ≤ the sketch's p99
+    * answer and asserts it lands in [0.985, 0.995] (±0.005 around 0.99
+    * covers the 1e-4 rank error plus tie slack) — the q25-style
+    * tolerance-band contract, since sketch internals differ across
+    * engines. The rank-check join broadcasts the 3-row aggregate; both
+    * passes are plain scans. */
   def q22Percentiles(s: SparkSession, d: String): DataFrame = {
-    Tables.lineitem(s, d).createOrReplaceTempView("pct_lineitem")
-    s.sql("""
-      SELECT l_returnflag,
-             round(percentile(l_quantity, 0.5), 6)  AS p50,
-             round(percentile(l_quantity, 0.95), 6) AS p95,
-             round(percentile(l_extendedprice, 0.99), 4) AS price_p99
-      FROM pct_lineitem
-      GROUP BY l_returnflag
-      ORDER BY l_returnflag
-    """)
+    val li = Tables.lineitem(s, d)
+      .select(col("l_returnflag"), col("l_quantity"), col("l_extendedprice"))
+    val agg = li.groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile(l_quantity, 0.5)"), 6).as("p50"),
+        round(expr("percentile(l_quantity, 0.95)"), 6).as("p95"),
+        expr("approx_percentile(l_extendedprice, 0.99, 10000)").as("p99_sketch"))
+    li.join(broadcast(agg), Seq("l_returnflag"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        first(col("p50")).as("p50"),
+        first(col("p95")).as("p95"),
+        (sum(when(col("l_extendedprice") <= col("p99_sketch"), 1L).otherwise(0L))
+          .cast("double") / count(lit(1)))
+          .between(0.985, 0.995).as("p99_rank_ok"))
+      .orderBy(col("l_returnflag"))
   }
 
   /** q23: broadcast-join enrichment (SURVEY P3) — fact rows enriched from a
@@ -572,6 +602,13 @@ object RelationalQueries {
         UNION ALL
         SELECT 'either' AS op, nationkey FROM (SELECT * FROM custn UNION SELECT * FROM suppn))
       SELECT op, count(*) AS n FROM tagged GROUP BY op ORDER BY op""",
+    // CORPUS COUPLING (deliberate, like the tolerance-band contracts):
+    // n_struct_agree / n_roundtrip equal the k-not-null count because
+    // every generated props payload is valid JSON (malformed payloads
+    // would make from_json null and drop out of both counts on the Spark
+    // side while this SQL still counts their extractable k — if the
+    // events generator ever emits malformed props, this oracle must gain
+    // a json_valid() guard).
     "q33_json_infer" -> """
       SELECT event_type,
              CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
@@ -596,11 +633,15 @@ object RelationalQueries {
       FROM events
       GROUP BY 1, 2
       ORDER BY hour_bucket, event_type""",
+    // p50/p95 are exact on the bounded-cardinality column and compare
+    // value-for-value; p99 on the near-unique column is a sketch whose
+    // comparable contract is the rank band (stated as a constant here,
+    // verified by the Spark side's second-pass rank count — q25-style).
     "q22_percentiles" -> """
       SELECT l_returnflag,
              round(quantile_cont(l_quantity, 0.5), 6)  AS p50,
              round(quantile_cont(l_quantity, 0.95), 6) AS p95,
-             round(quantile_cont(l_extendedprice, 0.99), 4) AS price_p99
+             TRUE AS p99_rank_ok
       FROM lineitem
       GROUP BY l_returnflag
       ORDER BY l_returnflag""",

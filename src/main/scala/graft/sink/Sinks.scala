@@ -42,16 +42,22 @@ object Sinks {
     val withParts =
       if (df.columns.contains("year")) df
       else Transform.derivePartitions(tsCol)(df)
-    val ordering = (Seq("year", "month", "day", "hour") :+ tsCol)
-      .filter(withParts.columns.contains).map(col)
-    withParts
-      .hint("rebalance", "year", "month", "day", "hour")
-      .sortWithinPartitions(ordering: _*)
+    // same existence filter for hint, sort, and partitionBy: a frame that
+    // carries "year" (skipping derivePartitions) but not the full set
+    // must not fail analysis on a hint/partition column it lacks
+    val partCols = Seq("year", "month", "day", "hour")
+      .filter(withParts.columns.contains)
+    val ordering = (partCols ++ Seq(tsCol).filter(withParts.columns.contains)).map(col)
+    val rebalanced =
+      if (partCols.isEmpty) withParts else withParts.hint("rebalance", partCols: _*)
+    val sorted =
+      if (ordering.isEmpty) rebalanced else rebalanced.sortWithinPartitions(ordering: _*)
+    sorted
       .write
       .mode(mode)
       .option("compression", "gzip")
       .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("year", "month", "day", "hour")
+      .partitionBy(partCols: _*)
       .parquet(path)
   }
 
@@ -219,10 +225,24 @@ object Sinks {
     val before = staged.map { case (_, rel) => fileCount(new Path(livePath, rel)) }.sum
     staged.foreach { case (src, rel) =>
       val dst = new Path(livePath, rel)
-      if (fs.exists(dst)) fs.delete(dst, true)
       fs.mkdirs(dst.getParent)
+      // Swap via rename-aside, never delete-then-rename: the live leaf is
+      // moved to a dot-prefixed sibling (invisible to Spark's file index)
+      // and deleted only AFTER the staged leaf is in place — a failure
+      // between the two steps leaves both copies on disk, recoverable by
+      // the paths named in the exception, instead of a vanished partition.
+      val aside = new Path(dst.getParent,
+        s".compact-aside-${java.util.UUID.randomUUID()}-${dst.getName}")
+      val hadLive = fs.exists(dst)
+      if (hadLive && !fs.rename(dst, aside))
+        throw new java.io.IOException(
+          s"compactPartitioned: rename-aside $dst -> $aside failed; " +
+            s"staged replacement tree preserved at $staging")
       if (!fs.rename(src, dst))
-        throw new java.io.IOException(s"compactPartitioned: rename $src -> $dst failed")
+        throw new java.io.IOException(
+          s"compactPartitioned: rename $src -> $dst failed; prior live data " +
+            s"at $aside, staged replacement tree at $staging")
+      if (hadLive) fs.delete(aside, true)
     }
     fs.delete(new Path(staging), true)
     val after = staged.map { case (_, rel) => fileCount(new Path(livePath, rel)) }.sum
@@ -238,11 +258,15 @@ object Sinks {
     * requires a catalog table (`saveAsTable`), not a bare path. */
   def writeBucketed(df: DataFrame, table: String, bucketCol: String,
                     numBuckets: Int = 32,
-                    mode: SaveMode = SaveMode.Overwrite): Unit =
-    df.write
+                    mode: SaveMode = SaveMode.Overwrite,
+                    path: Option[String] = None): Unit = {
+    val w = df.write
       .mode(mode)
       .bucketBy(numBuckets, bucketCol)
       .sortBy(bucketCol)
       .format("parquet")
-      .saveAsTable(table)
+    // an explicit path makes it an EXTERNAL table — the bucketed layout
+    // lives at the caller's location instead of the session warehouse
+    path.fold(w)(p => w.option("path", p)).saveAsTable(table)
+  }
 }

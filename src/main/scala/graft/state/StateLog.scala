@@ -25,6 +25,13 @@ import scala.collection.concurrent.TrieMap
 final class StateLog(spark: SparkSession, path: String) {
 
   private val latest = TrieMap.empty[String, PipelineStateRow]
+
+  /** Newest row per pipeline whose journal write SUCCEEDED — the rollback
+    * target when a later write fails. Without it, two overlapping failed
+    * appends could roll the map back to a row that was itself never
+    * journaled (A stamps, B stamps over A, A's write fails — no rollback,
+    * B owns the slot — then B's write fails and rolls back to A). */
+  private val lastJournaled = TrieMap.empty[String, PipelineStateRow]
   import spark.implicits._
 
   /** Fixed-width ISO-8601 (always 9 fractional digits): `Instant.toString`
@@ -44,25 +51,37 @@ final class StateLog(spark: SparkSession, path: String) {
     * the subsequent file write fails the map briefly leads the journal;
     * the thrown exception tells the caller the row needs re-appending. */
   private def stampAndPublish(pipelineId: String, stage: String, status: String,
-                              detail: String): (PipelineStateRow, Option[PipelineStateRow]) = synchronized {
+                              detail: String): PipelineStateRow = synchronized {
     val row = PipelineStateRow(pipelineId, TsFormat.format(Instant.now()), stage, status, detail)
-    val prev = latest.put(pipelineId, row)
-    (row, prev)
+    latest.put(pipelineId, row)
+    row
   }
 
   /** Journal the stamped row; if the write fails, roll the in-memory map
-    * back to `prev` (unless a newer row already replaced ours) so
-    * `currentStatus` never serves a status whose journal append the
-    * caller was told failed. */
-  private def writeOrRollback(row: PipelineStateRow, prev: Option[PipelineStateRow]): Unit =
-    try writeRow(row)
-    catch {
+    * back to the newest row whose write SUCCEEDED (never to a stamped-but-
+    * unjournaled row — see [[lastJournaled]]) so `currentStatus` never
+    * serves a status absent from the journal. If no journaled row exists
+    * in this JVM the slot is cleared; `currentStatus` then falls back to
+    * the journal read, which is correct by definition. */
+  private def writeOrRollback(row: PipelineStateRow): Unit =
+    try {
+      writeRow(row)
+      synchronized {
+        // timestamp guard: two concurrent successful writes may complete
+        // out of stamp order — keep the newest stamped row (fixed-width
+        // ISO timestamps make string order chronological)
+        lastJournaled.get(row.pipeline_id) match {
+          case Some(j) if j.timestamp >= row.timestamp => ()
+          case _ => lastJournaled.put(row.pipeline_id, row)
+        }
+      }
+    } catch {
       case e: Throwable =>
         synchronized {
           latest.get(row.pipeline_id) match {
             case Some(cur) if cur eq row =>
-              prev match {
-                case Some(p) => latest.put(row.pipeline_id, p)
+              lastJournaled.get(row.pipeline_id) match {
+                case Some(j) => latest.put(row.pipeline_id, j)
                 case None    => latest.remove(row.pipeline_id)
               }
             case _ => () // a newer append already owns the slot
@@ -103,8 +122,8 @@ final class StateLog(spark: SparkSession, path: String) {
 
   /** Append one state row. */
   def append(pipelineId: String, stage: String, status: String, detail: String = ""): PipelineStateRow = {
-    val (row, prev) = stampAndPublish(pipelineId, stage, status, detail)
-    writeOrRollback(row, prev)
+    val row = stampAndPublish(pipelineId, stage, status, detail)
+    writeOrRollback(row)
     row
   }
 
@@ -121,8 +140,8 @@ final class StateLog(spark: SparkSession, path: String) {
       latest.get(pipelineId).orElse(prefetched).map(cur =>
         stampAndPublish(pipelineId, stage, cur.status, detail))
     }
-    stamped.foreach { case (row, prev) => writeOrRollback(row, prev) }
-    stamped.map(_._1)
+    stamped.foreach(writeOrRollback)
+    stamped
   }
 
   /** Latest known state per pipeline — in-memory for ids this JVM wrote. */

@@ -2,35 +2,44 @@ package graft.streaming
 
 import graft.Tables
 import graft.model.PipelineLayout
+import graft.sink.Sinks
 import graft.validate.SchemaValidator.Rule
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
 
-/** Driver-checkable batch replay of the streaming ingestion path
-  * (SURVEY §2.8 T1/T2/T6): the events table is staged as JSON files, run
-  * through the REAL streaming pipeline — file source → rule validation →
-  * partition derivation → checkpointed retry/quarantine partitioned sink —
-  * with `Trigger.AvailableNow` (drain everything, then stop), and the
-  * landed partitioned table is rolled up to per-hour counts.
+/** Driver-checkable batch replays of the streaming path (SURVEY §2.8):
+  * the events table is staged as JSON files and run through the REAL
+  * streaming machinery with `Trigger.AvailableNow` (drain everything,
+  * then stop); the landed result is compared against a purely-batch
+  * oracle. Streaming semantics that need wall-clock time (watermark
+  * drops, ProcessingTime cadence) stay in StreamingSpec.
   *
-  * The result must equal the purely-batch partition derivation (p05's
-  * oracle), which makes the whole streaming sink path — staging, promotion,
-  * batch markers, partition layout — a hard CORRECTNESS row instead of
-  * spec-only coverage. Streaming semantics that need wall-clock time
-  * (watermark drops, ProcessingTime cadence) stay in StreamingSpec.
+  *  - st01 (T1/T6 + K1): file source → rule validation → partition
+  *    derivation → checkpointed retry/quarantine partitioned sink →
+  *    scoped small-file compaction, rolled up to per-hour counts.
+  *  - st02 (T5): file source → `mapGroupsWithState` key tracker → final
+  *    state per key, which must equal the batch groupBy aggregate — the
+  *    reference's DynamoDB state-table semantics (SDP.py:325-339) as a
+  *    hard row.
   *
-  * Bench note: this row costs ~6 s at sf0.1 and that is dominated by the
-  * partitioned WRITE, not the streaming machinery — the test corpus spans
-  * 720 hour-partitions of ~1,400 rows each, and a vanilla Parquet dynamic
-  * write pays ~6 ms/partition-dir (writer open/footer/commit-rename;
+  * Bench note: st01 costs ~6 s at sf0.1, dominated by the partitioned
+  * WRITE, not the streaming machinery — the test corpus spans 720
+  * hour-partition dirs at ~6 ms/dir (writer open/footer/commit-rename;
   * measured: 30 dirs → 0.6 s, 720 dirs → 4.5 s, codec- and
-  * committer-version-independent). It is a test-scale artifact: real
-  * hourly partitions are MB-to-GB-scale, where the per-dir constant
-  * vanishes against data volume.
+  * committer-version-independent). A test-scale artifact: real hourly
+  * partitions are MB-to-GB-scale, where the per-dir constant vanishes
+  * against data volume.
   */
 object StreamReplay {
 
   type Q = (SparkSession, String) => DataFrame
+
+  /** Micro-preserving JSON timestamp format for the staged feed: Spark's
+    * default JSON format truncates to milliseconds, and the corpus
+    * timestamps are micro-precise — the state tracker's `max(ts)` would
+    * silently lose the sub-millisecond digits on the round-trip. */
+  val JsonTsFormat = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
 
   def st01StreamReplay(s: SparkSession, d: String): DataFrame = {
     val tmp = java.nio.file.Files.createTempDirectory("graft-st01-").toString
@@ -49,6 +58,18 @@ object StreamReplay {
         .partitionedSink(stream, layout, availableNow = true)
         .start()
       query.awaitTermination()
+      // Steady-state maintenance on the hard row: compact the partitions
+      // the drained window wrote, scoped to the LAST day present (the
+      // "touch what the last window wrote, leave cold partitions alone"
+      // form — Sinks.compactPartitioned). The count rollup below runs on
+      // the post-compaction table, so the oracle also proves compaction
+      // neither lost nor duplicated a row.
+      val lastTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
+        .toLocalDateTime
+      Sinks.compactPartitioned(s, layout.processed,
+        scope = Some(col("year") === lastTs.getYear &&
+          col("month") === lastTs.getMonthValue &&
+          col("day") === lastTs.getDayOfMonth))
       s.read.parquet(layout.processed)
         .groupBy(col("year"), col("month"), col("day"), col("hour"))
         .agg(count(lit(1)).as("n_rows"))
@@ -67,16 +88,73 @@ object StreamReplay {
     }
   }
 
+  /** st02: stateful-tracking replay (T5). The events feed drains through
+    * [[StreamingPipeline.trackState]] in FOUR micro-batches
+    * (`repartitionByRange(8)` staged files × `maxFilesPerTrigger = 2`),
+    * so per-key state genuinely carries across epochs — a single-batch
+    * drain would degenerate to a batch aggregate. The memory sink in
+    * Update mode records every per-batch state emission; the final state
+    * per key is the row with the largest running count (n and lastTs are
+    * both monotone in the batch sequence), and must equal the batch
+    * `groupBy(user).agg(count, max(ts))` oracle. */
+  def st02StateReplay(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-st02-").toString
+    val qname = "graft_st02_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    try {
+      val ev = Tables.events(s, d).select(col("user_id"), col("ts"))
+      ev.repartitionByRange(8, col("ts"))
+        .write.mode("overwrite")
+        .option("timestampFormat", JsonTsFormat)
+        .json(s"$tmp/incoming")
+      val source = StreamingPipeline.jsonFileSource(
+        s, s"$tmp/incoming", ev.schema, maxFilesPerTrigger = 2,
+        options = Map("timestampFormat" -> JsonTsFormat))
+      val typed = source
+        .select(col("user_id").cast("string"), col("ts"))
+        .as[(String, java.sql.Timestamp)]
+      val query = StreamingPipeline.trackState(typed).writeStream
+        .format("memory")
+        .queryName(qname)
+        .outputMode("update")
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+      s.table(qname)
+        .groupBy(col("key"))
+        .agg(max(col("n")).as("n_events"), max(col("lastTs")).as("last_ts"))
+        .select(col("key").cast("long").as("user_id"),
+          col("n_events"), col("last_ts"))
+        .orderBy(col("user_id"))
+        // materialize before the memory table is dropped below
+        .localCheckpoint(eager = true)
+    } finally {
+      try { s.catalog.dropTempView(qname); () } catch { case _: Throwable => () }
+      try {
+        val p = new org.apache.hadoop.fs.Path(tmp)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        ()
+      } catch { case _: Throwable => () }
+    }
+  }
+
   val queries: Map[String, Q] = Map(
     "st01_stream_replay" -> st01StreamReplay _,
+    "st02_state_replay"  -> st02StateReplay _,
   )
 
-  /** Same oracle as p05: the streamed partition layout must agree with the
-    * batch derivation row-for-row. */
   val oracleSql: Map[String, String] = Map(
+    // Same oracle as p05: the streamed (and then compacted) partition
+    // layout must agree with the batch derivation row-for-row.
     "st01_stream_replay" -> """
       SELECT year(ts) AS year, month(ts) AS month, day(ts) AS day, hour(ts) AS hour,
              count(*) AS n_rows
       FROM events GROUP BY 1, 2, 3, 4 ORDER BY year, month, day, hour""",
+    // The tracker's final state per key IS the batch aggregate (count +
+    // max ts). ts is cast to microsecond TIMESTAMP to match Spark's unit.
+    "st02_state_replay" -> """
+      SELECT user_id, count(*) AS n_events, CAST(max(ts) AS TIMESTAMP) AS last_ts
+      FROM events GROUP BY user_id ORDER BY user_id""",
   )
 }

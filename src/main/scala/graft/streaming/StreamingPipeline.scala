@@ -46,7 +46,8 @@ object StreamingPipeline {
     * quarantines them with the raw payload intact for replay. */
   def jsonFileSource(spark: SparkSession, dir: String, schema: StructType,
                      maxFilesPerTrigger: Int = 100,
-                     latestFirst: Boolean = false): DataFrame = {
+                     latestFirst: Boolean = false,
+                     options: Map[String, String] = Map.empty): DataFrame = {
     val withCorrupt =
       if (schema.fieldNames.contains(SchemaValidator.CorruptCol)) schema
       else schema.add(SchemaValidator.CorruptCol, "string")
@@ -56,6 +57,7 @@ object StreamingPipeline {
       .option("columnNameOfCorruptRecord", SchemaValidator.CorruptCol)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .option("latestFirst", latestFirst)
+      .options(options) // extra source options (e.g. timestampFormat)
       .json(dir)
   }
 

@@ -48,17 +48,28 @@ object TextAnalysis {
     * stopword ratio, alphabetic ratio, and a weighted composite in [0,1]
     * (the reference gates batches on exactly such a score, SDP.py:413). */
   def t02Quality(s: SparkSession, d: String): DataFrame = {
-    val toks = tokens(col("text"))
+    // STRUCTURAL single evaluation: tokenizer and normalizer are
+    // materialized once in their own projection, so every downstream
+    // metric reads a bound attribute. The four metrics below would
+    // otherwise each embed their own `split`/`regexp_replace` tree and
+    // rely on codegen subexpression elimination to deduplicate them —
+    // CollapseProject keeps this projection separate because the aliases
+    // are multiply-referenced and non-cheap (pinned in PlanSpec: the
+    // executed plan contains exactly one `split`). */
+    val base = Tables.documents(s, d)
+      .select(col("doc_id"), normText(col("text")).as("norm"))
+      .select(col("doc_id"), col("norm"), split(col("norm"), " ").as("toks"))
+    val toks = col("toks")
     val nTok = size(toks).cast("double")
     val sumLen = aggregate(toks, lit(0), (acc, t) => acc + length(t)).cast("double")
     val nStop = size(filter(toks, t => t.isin(Stopwords: _*))).cast("double")
-    val norm = normText(col("text"))
+    val norm = col("norm")
     // zero-length guard: Spark's non-ANSI divide yields NULL on /0 while
     // DuckDB yields NaN — pin empty documents to 0.0 in both engines
     val alpha = when(length(norm) === 0, 0.0).otherwise(
       length(regexp_replace(norm, "[^a-z ]", "")).cast("double") /
         length(norm).cast("double"))
-    Tables.documents(s, d)
+    base
       .select(
         col("doc_id"),
         nTok.cast("long").as("n_tokens"),
@@ -160,13 +171,17 @@ object TextAnalysis {
     * §2.7 [N] "sentiment/keyword scoring"). Narrow projection, zero
     * shuffles except the final ORDER BY. */
   def t07Sentiment(s: SparkSession, d: String): DataFrame = {
-    val toks = tokens(col("text"))
+    // same structural single-evaluation as t02: tokenize once, score from
+    // the bound attribute (polarity + label reference pos/neg repeatedly)
+    val base = Tables.documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+    val toks = col("toks")
     val nTok = size(toks).cast("double")
     val pos = size(filter(toks, t => t.isin(PositiveWords: _*)))
     val neg = size(filter(toks, t => t.isin(NegativeWords: _*)))
     val polarity = when(nTok === 0, 0.0)
       .otherwise((pos - neg).cast("double") / nTok)
-    Tables.documents(s, d)
+    base
       .select(
         col("doc_id"),
         pos.cast("long").as("n_pos"),

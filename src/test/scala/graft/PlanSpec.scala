@@ -92,4 +92,26 @@ class PlanSpec extends SparkSpec {
     assert(plan.linesIterator.count(_.contains("Scan parquet")) == 2, plan)
     assert(!plan.contains("CartesianProduct"), plan)
   }
+
+  test("d06: bucketed history side joins with zero Exchange (the batch window's is the only hash shuffle)") {
+    val plan = executed(graft.dedup.Dedup.d06IncrementalDedup(spark, sf))
+    // the anti-join must stay sort-merge (broadcast can't hold 100 TB of
+    // accumulated fingerprints) and read history bucket-aligned: exactly
+    // ONE hash exchange in the whole plan — the batch side's window
+    // shuffle, which the join then reuses. The history scan feeds the
+    // join with no Exchange above it (bucket count == session shuffle
+    // parallelism by construction).
+    assert(plan.contains("SortMergeJoin"), plan)
+    assert(plan.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1, plan)
+    assert(!plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("t02/t07: the tokenizer is structurally single-evaluation (one split per plan)") {
+    val p2 = executed(graft.text.TextAnalysis.t02Quality(spark, sf))
+    assert("split\\(".r.findAllIn(p2).size == 1, p2)
+    // the normalizer feeds both the standalone norm column and the split
+    assert("regexp_replace\\(lower\\(trim\\(".r.findAllIn(p2).size == 1, p2)
+    val p7 = executed(graft.text.TextAnalysis.t07Sentiment(spark, sf))
+    assert("split\\(".r.findAllIn(p7).size == 1, p7)
+  }
 }
