@@ -21,6 +21,15 @@ object Bench {
       // re-evaluates a full linear pass per scan for zero pruning value.
       .config("spark.sql.optimizer.excludedRules",
         "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
+      // AQE stays at defaults DELIBERATELY — both directions were measured
+      // at sf0.1 and rejected:
+      //  - coalescePartitions.parallelismFirst=false (size-based
+      //    coalescing) collapses the tiny shuffles to 1-6 partitions and
+      //    serializes the partitioned write and the dedup self-joins
+      //    (st01 7.5 s → 13.5 s, d02 1.3 s → 2.8 s);
+      //  - adaptive.enabled=false removes the per-stage replan barriers
+      //    but loses runtime coalescing and is net SLOWER (like-for-like
+      //    32.5 s → 34.8 s).
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

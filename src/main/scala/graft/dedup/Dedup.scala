@@ -193,10 +193,15 @@ object Dedup {
       struct(lit(c).as("chunk"),
         shiftright(col("sim"), c * 16).bitwiseAND(0xFFFFL).as("ck"))
     }
+    // one repartition exchange on the bucket key, reused by BOTH sides of
+    // the self-join (d02's pattern): without it the whole signature
+    // aggregate runs twice; the merge hint keeps AQE from flipping to
+    // broadcast and cloning the build side
     val buckets = simhash.select(col("doc_id"), col("sim"),
       explode(array(chunks: _*)).as("bk"))
       .select(col("doc_id"), col("sim"), col("bk.chunk").as("chunk"), col("bk.ck").as("ck"))
-    buckets.as("a").join(buckets.as("b"),
+      .repartition(col("chunk"), col("ck"))
+    buckets.as("a").join(buckets.as("b").hint("merge"),
         col("a.chunk") === col("b.chunk") && col("a.ck") === col("b.ck") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
@@ -277,10 +282,11 @@ object Dedup {
     *     sf0.001/0.01/0.1). Explode volume is n/8 hashes per doc vs every
     *     shingle occurrence in d02, and random 8-token chunk collisions
     *     are ~nonexistent, so the pair join is tiny.
-    *  2. EXACT verification: candidates (a handful) join back to the full
-    *     shingle sets — broadcast the candidate list both times, so the
-    *     shingle computation is two linear scans with NO shuffle — and
-    *     only exact array-Jaccard ≥ 0.95 survives. The witness set is
+    *  2. EXACT verification: a broadcast semi-join restricts the corpus to
+    *     candidate docs BEFORE the shingle projection, so the interpreted
+    *     shingle pipeline runs over O(candidates) docs only; exact
+    *     array-Jaccard ≥ 0.95 over those shingle sets survives. The
+    *     witness set is
     *     therefore SOUND by construction (every emitted pair really is
     *     J ≥ 0.95); completeness rests on the anchor argument above and
     *     is what a middle-of-document edit would erode (the pair would
@@ -299,18 +305,31 @@ object Dedup {
           xxhash64(concat_ws(" ",
             slice(col("toks"), i * PlantedChunkTokens + 1, lit(PlantedChunkTokens)))))))
       .toDF("doc_id", "ci", "cfp")
-    val cand = chunkFps.as("a").join(chunkFps.as("b"),
+      // shared exchange for the self-join's two sides (tokenize once)
+      .repartition(col("ci"), col("cfp"))
+    val cand = chunkFps.as("a").join(chunkFps.as("b").hint("merge"),
         col("a.ci") === col("b.ci") && col("a.cfp") === col("b.cfp") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    val ds = docShingles(s, d)
-    val withSha = ds.join(broadcast(cand), col("doc_id") === col("doc_a"))
-      .select(col("doc_a"), col("doc_b"), col("sh").as("sha"))
-    ds.join(broadcast(withSha), col("doc_id") === col("doc_b"))
+      .localCheckpoint(eager = true) // tiny; consumed three times below
+    // shingle ONLY the candidate docs: the semi-join runs against the raw
+    // scan BEFORE the shingle projection, so the interpreted HOF shingle
+    // pipeline touches O(candidates) rows, not the whole corpus (the
+    // whole-corpus pass belongs to d02/d03, not to this contract)
+    val candIds = cand
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id")).distinct()
+    val candSh = Tables.documents(s, d)
+      .join(broadcast(candIds), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), shingles(col("toks")).as("sh"))
+      .localCheckpoint(eager = true) // consumed by both sides of the verify
+    cand
+      .join(candSh.select(col("doc_id").as("doc_a"), col("sh").as("sha")), "doc_a")
+      .join(candSh.select(col("doc_id").as("doc_b"), col("sh").as("shb")), "doc_b")
       .filter(
-        size(array_intersect(col("sha"), col("sh"))).cast("double") /
-        size(array_union(col("sha"), col("sh"))).cast("double") >= 0.95)
+        size(array_intersect(col("sha"), col("shb"))).cast("double") /
+        size(array_union(col("sha"), col("shb"))).cast("double") >= 0.95)
       .select(col("doc_a"), col("doc_b"))
   }
 
@@ -322,15 +341,19 @@ object Dedup {
     * oracle states as constants; any contract violation flips a column
     * and fails the hash compare. */
   def d04SimHashContract(s: SparkSession, d: String): DataFrame = {
-    val sim = d04SimHash(s, d)
-    val planted = plantedPairs(s, d)
-    val simStats = sim.agg(count(lit(1)).as("n_pairs"),
-      max(col("hamming")).as("max_hamming"))
-    val recovered = planted
-      .join(sim.select(col("doc_a"), col("doc_b")), Seq("doc_a", "doc_b"), "left_semi")
-      .agg(count(lit(1)).as("n_recovered"))
+    // planted is consumed twice (the broadcast marker join + its own
+    // count) and is tiny — materialize it once. The SimHash pipeline
+    // itself runs exactly ONCE: pair count, Hamming max, and the
+    // planted-recovery count all come out of a single pass with a
+    // broadcast left join against the planted markers.
+    val planted = plantedPairs(s, d).localCheckpoint(eager = true)
+    val stats = d04SimHash(s, d)
+      .join(broadcast(planted.withColumn("p", lit(1))), Seq("doc_a", "doc_b"), "left")
+      .agg(count(lit(1)).as("n_pairs"),
+        max(col("hamming")).as("max_hamming"),
+        count(col("p")).as("n_recovered"))
     val nPlanted = planted.agg(count(lit(1)).as("n_planted"))
-    simStats.crossJoin(recovered).crossJoin(nPlanted)
+    stats.crossJoin(nPlanted)
       .select(
         (col("n_pairs") > 0).as("nonempty"),
         (col("max_hamming") <= 3).as("within_hamming_bound"),

@@ -101,7 +101,16 @@ object StreamReplay {
     import s.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft-st02-").toString
     val qname = "graft_st02_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    // The state store opens (and commits) one store per shuffle partition
+    // per micro-batch; 15-150 keys do not need the session's full shuffle
+    // parallelism, and the replay would pay 4 batches × 32 partition
+    // commits of bookkeeping for near-empty stores. Pin the stateful
+    // shuffle width for this query and restore the session conf after —
+    // at production scale this knob is sized to key cardinality, and the
+    // checkpoint records it per query.
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
     try {
+      s.conf.set("spark.sql.shuffle.partitions", "8")
       val ev = Tables.events(s, d).select(col("user_id"), col("ts"))
       ev.repartitionByRange(8, col("ts"))
         .write.mode("overwrite")
@@ -130,6 +139,8 @@ object StreamReplay {
         // materialize before the memory table is dropped below
         .localCheckpoint(eager = true)
     } finally {
+      try { s.conf.set("spark.sql.shuffle.partitions", prevShuffle) }
+      catch { case _: Throwable => () }
       try { s.catalog.dropTempView(qname); () } catch { case _: Throwable => () }
       try {
         val p = new org.apache.hadoop.fs.Path(tmp)
