@@ -410,6 +410,74 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Iteration cap for [[dupClusters]] — min-label propagation converges
+    * in O(component diameter) rounds, and near-dup clusters are small by
+    * construction (a dup "cluster" is one document and its edits), so the
+    * cap is a loud-failure backstop, not a tuning knob. A graph with
+    * genuinely deep components (social graphs, web links) should use the
+    * large-star/small-star algorithm (O(log n) rounds) instead. */
+  val MaxClusterIters = 20
+
+  /** Connected components over a near-dup pair list — the step AFTER pair
+    * generation in a dedup pipeline: pairs only say "a ~ b"; keeping one
+    * representative per GROUP needs the transitive closure (a~b, b~c ⇒
+    * {a,b,c} are one cluster, keep exactly one — pairwise keep-first
+    * would keep both a and c).
+    *
+    * Distributed min-label propagation (the Pregel shape): every doc
+    * starts labeled with its own id; each round every doc takes the min
+    * of its label and its neighbors' labels; fixpoint = every doc carries
+    * its component's min id. Each round is one join + one aggregate,
+    * shuffling (id, label) pairs only — never document bodies — and the
+    * edge list is materialized once and reused across rounds. The driver
+    * loop iterates ROUNDS (bounded by component diameter), not rows; per
+    * round the work is fully distributed, and `localCheckpoint` truncates
+    * the lineage so round N's plan does not embed rounds 1..N-1.
+    *
+    * Returns (doc_id, cluster_id, is_rep): every doc that appears in a
+    * pair, its component's min doc_id, and whether it IS that minimum
+    * (the kept representative). */
+  def dupClusters(pairs: DataFrame, maxIter: Int = MaxClusterIters): DataFrame = {
+    val edges = pairs
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint(eager = true) // reused every round
+    var labels = edges.select(col("src").as("v")).distinct()
+      .withColumn("lab", col("v"))
+      .localCheckpoint(eager = true)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val neighborMin = edges
+        .join(labels.select(col("v").as("dst"), col("lab")), "dst")
+        .groupBy(col("src").as("v")).agg(min(col("lab")).as("nlab"))
+      val next = labels
+        .join(neighborMin, Seq("v"), "left")
+        .select(col("v"),
+          least(col("lab"), coalesce(col("nlab"), col("lab"))).as("lab"))
+        .localCheckpoint(eager = true)
+      converged = next
+        .join(labels.select(col("v"), col("lab").as("prev")), "v")
+        .filter(col("lab") =!= col("prev"))
+        .isEmpty
+      labels = next
+      iter += 1
+    }
+    // a silent non-converged result would mislabel clusters — fail loudly
+    require(converged,
+      s"dupClusters: no fixpoint after $maxIter rounds — component diameter " +
+        "exceeds the near-dup assumption; use large-star/small-star for deep graphs")
+    labels.select(col("v").as("doc_id"), col("lab").as("cluster_id"),
+      (col("v") === col("lab")).as("is_rep"))
+  }
+
+  /** d07 registered form: components over the exact J ≥ 0.6 pair list
+    * (d02's relation — composition, not duplicated work: the pair list IS
+    * this operator's input). */
+  def d07DupClusters(s: SparkSession, d: String): DataFrame =
+    dupClusters(d02NgramJaccard(s, d).select(col("doc_a"), col("doc_b")))
+      .orderBy(col("doc_id"))
+
   val queries: Map[String, Q] = Map(
     "d01_exact_dedup"       -> d01ExactDedup _,
     "d02_ngram_jaccard"     -> d02NgramJaccard _,
@@ -417,13 +485,14 @@ object Dedup {
     "d04_simhash"           -> d04SimHashContract _,
     "d05_embedding_neardup" -> d05EmbeddingNearDup _,
     "d06_incremental_dedup" -> d06IncrementalDedup _,
+    "d07_dup_clusters"      -> d07DupClusters _,
   )
 
-  /** Jaccard-pair SQL shared by d02 and d03 (LSH verified output = exact
-    * output; see [[NumHashes]]). d04 is hash-defined → its oracle states
-    * the [[d04SimHashContract]] facts as constants. */
-  private val JaccardPairsSql = s"""
-    WITH toks AS (
+  /** Jaccard-pair CTE body shared by the d02/d03 oracles and d07's
+    * recursive component oracle: `jpairs` is the exact J ≥ 0.6 pair
+    * list. */
+  private val JaccardPairsCte = s"""
+    toks AS (
       SELECT doc_id, ${graft.text.TextAnalysis.ToksSql} AS t
       FROM documents),
     sh AS (
@@ -435,18 +504,45 @@ object Dedup {
     common AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
       FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-      GROUP BY 1, 2)
-    SELECT doc_a, doc_b,
-           round(c * 1.0 / (sa.n + sb.n - c), 6) AS jaccard
-    FROM common
-    JOIN sizes sa ON doc_a = sa.doc_id
-    JOIN sizes sb ON doc_b = sb.doc_id
-    WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.6
+      GROUP BY 1, 2),
+    jpairs AS (
+      SELECT doc_a, doc_b,
+             round(c * 1.0 / (sa.n + sb.n - c), 6) AS jaccard
+      FROM common
+      JOIN sizes sa ON doc_a = sa.doc_id
+      JOIN sizes sb ON doc_b = sb.doc_id
+      WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.6)"""
+
+  /** Jaccard-pair SQL shared by d02 and d03 (LSH verified output = exact
+    * output; see [[NumHashes]]). d04 is hash-defined → its oracle states
+    * the [[d04SimHashContract]] facts as constants. */
+  private val JaccardPairsSql = s"""
+    WITH $JaccardPairsCte
+    SELECT doc_a, doc_b, jaccard FROM jpairs
     ORDER BY doc_a, doc_b"""
 
   val oracleSql: Map[String, String] = Map(
     "d04_simhash" -> """
       SELECT TRUE AS nonempty, TRUE AS within_hamming_bound, TRUE AS overlap_ok""",
+    // transitive closure via recursive CTE: reach(v, r) enumerates every
+    // node r reachable from v over the symmetric J >= 0.6 edge list; the
+    // component id is the minimum reachable id — the same fixpoint the
+    // Spark side's min-label propagation computes.
+    "d07_dup_clusters" -> s"""
+      WITH RECURSIVE $JaccardPairsCte,
+      edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM jpairs
+        UNION ALL
+        SELECT doc_b AS src, doc_a AS dst FROM jpairs),
+      nodes AS (SELECT DISTINCT src AS v FROM edges),
+      reach(v, r) AS (
+        SELECT v, v AS r FROM nodes
+        UNION
+        SELECT e.src AS v, reach.r AS r
+        FROM edges e JOIN reach ON reach.v = e.dst)
+      SELECT v AS doc_id, min(r) AS cluster_id,
+             (v = min(r)) AS is_rep
+      FROM reach GROUP BY v ORDER BY doc_id""",
     "d06_incremental_dedup" -> s"""
       WITH fp AS (
         SELECT doc_id, md5(${graft.text.TextAnalysis.NormSql}) AS fp

@@ -107,16 +107,69 @@ object PipelineQueries {
           .as("success_rate"))
       .orderBy(col("hour_bucket"))
 
+  /** Per-stratum sampling rates for p06, as 256ths encoded in the first
+    * two hex digits of md5(event_id): a row is in the sample iff its hex
+    * prefix sorts below the stratum's threshold. md5 of the decimal id
+    * string is bit-identical across engines, so the SAMPLE ITSELF is
+    * deterministic and exactly reproducible — no tolerance band needed —
+    * while still being hash-uniform within each stratum. Rates upsample
+    * the rare class (purchase keeps everything) and downsample the
+    * noisy ones — the training-data mixture-sampling shape. */
+  val SampleThresholds: Seq[(String, String)] = Seq(
+    "click"    -> "40", // 64/256 = 25 %
+    "view"     -> "20", // 32/256 = 12.5 %
+    "purchase" -> "ff", // ~100 % (255/256; 'ff' prefix itself excluded)
+    "signup"   -> "80", // 128/256 = 50 %
+    "error"    -> "10") // 16/256 = 6.25 %
+
+  /** p06: deterministic stratified sampling (the training-data mixture
+    * pass): per event type, hash-gate each row at the stratum's rate.
+    * One narrow projection + one aggregate — at 100 TB the sample
+    * decision is a per-row expression on the scan, no shuffle beyond the
+    * final rollup, and re-running it reproduces the same sample
+    * (hash-gated sampling is idempotent, unlike `TABLESAMPLE`'s
+    * partition-dependent Bernoulli draw). */
+  def p06StratifiedSample(s: SparkSession, d: String): DataFrame = {
+    val threshold = SampleThresholds.foldLeft(lit("00")) { case (acc, (t, hex)) =>
+      when(col("event_type") === t, lit(hex)).otherwise(acc)
+    }
+    Tables.events(s, d)
+      .withColumn("in_sample",
+        substring(md5(col("event_id").cast("string")), 1, 2) < threshold)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_total"),
+        sum(when(col("in_sample"), 1L).otherwise(0L)).as("n_sampled"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, Q] = Map(
     "p01_validate_events"   -> p01ValidateEvents _,
     "p02_clean_dedup"       -> p02CleanDedup _,
     "p03_enrich_events"     -> p03EnrichEvents _,
     "p05_derive_partitions" -> p05DerivePartitions _,
+    "p06_stratified_sample" -> p06StratifiedSample _,
     "g01_quality_score"     -> g01QualityScore _,
     "g02_hourly_metrics"    -> g02HourlyMetrics _,
   )
 
   val oracleSql: Map[String, String] = Map(
+    // same md5-prefix gate, rate thresholds inlined (see SampleThresholds)
+    "p06_stratified_sample" -> """
+      SELECT event_type,
+             count(*) AS n_total,
+             sum(CASE WHEN substr(md5(CAST(event_id AS VARCHAR)), 1, 2) <
+                   CASE event_type
+                     WHEN 'click'    THEN '40'
+                     WHEN 'view'     THEN '20'
+                     WHEN 'purchase' THEN 'ff'
+                     WHEN 'signup'   THEN '80'
+                     WHEN 'error'    THEN '10'
+                     ELSE '00' END
+                 THEN 1 ELSE 0 END)::BIGINT AS n_sampled
+      FROM events
+      GROUP BY event_type
+      ORDER BY event_type""",
     "p01_validate_events" -> """
       WITH v AS (
         SELECT event_type,

@@ -193,6 +193,52 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Token budget per packed training batch (t08). */
+  val PackBudget = 512
+
+  /** t08: token-budget packing — the "pack documents into context
+    * windows" pass of a training-data pipeline: within each source,
+    * documents are packed greedily in doc_id order; a document's batch is
+    * the budget-quotient of the tokens packed BEFORE it. (Greedy
+    * sequential packing, the streaming form — an optimal bin packer is
+    * NP-hard and needs global state; greedy-in-arrival-order is what a
+    * pipeline actually runs.) One window cumsum per source partition +
+    * the final rollup: shuffles (source, doc_id, n_tokens) triples only,
+    * never text. */
+  def t08TokenPack(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        size(tokens(col("text"))).as("n_tokens"))
+      .withColumn("prior_tokens",
+        coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("bin",
+        floor(col("prior_tokens") / PackBudget.toDouble).cast("long"))
+      .groupBy(col("source"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+      .orderBy(col("source"), col("bin"))
+  }
+
+  /** t09: redaction — mask every digit run as `<num>` (the PII-masking
+    * mechanics over this corpus's only redactable tokens; real deployments
+    * swap in email/phone/ssn patterns). Narrow per-row projection; the
+    * redacted text is fingerprinted (md5) rather than returned, so the
+    * oracle verifies CONTENT equality of the masked output without
+    * hauling text through the compare. */
+  def t09Redact(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), normText(col("text")).as("norm"))
+      .select(col("doc_id"), col("norm"),
+        regexp_replace(col("norm"), "[0-9]+", "<num>").as("red"))
+      .select(
+        col("doc_id"),
+        size(regexp_extract_all(col("norm"), lit("[0-9]+"), lit(0))).as("n_nums"),
+        md5(col("red")).as("redacted_fp"),
+        length(col("red")).as("redacted_len"))
+      .orderBy(col("doc_id"))
+
   val queries: Map[String, Q] = Map(
     "t01_token_count" -> t01TokenCount _,
     "t02_quality"     -> t02Quality _,
@@ -201,6 +247,8 @@ object TextAnalysis {
     "t05_subword_tokens" -> t05SubwordTokens _,
     "t06_keywords"    -> t06Keywords _,
     "t07_sentiment"   -> t07Sentiment _,
+    "t08_token_pack"  -> t08TokenPack _,
+    "t09_redact"      -> t09Redact _,
   )
 
   /** Shared SQL fragments for the DuckDB oracle (public: the dedup
@@ -288,6 +336,27 @@ object TextAnalysis {
       SELECT doc_id, rank, term, round(tfidf, 6) AS tfidf
       FROM ranked WHERE rank <= 3
       ORDER BY doc_id, rank""",
+    "t08_token_pack" -> s"""
+      WITH t AS (
+        SELECT doc_id, source, len($ToksSql) AS n_tokens FROM documents),
+      c AS (
+        SELECT doc_id, source, n_tokens,
+               coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
+        FROM t)
+      SELECT source, CAST(floor(prior / 512.0) AS BIGINT) AS bin,
+             count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+      FROM c GROUP BY source, bin ORDER BY source, bin""",
+    "t09_redact" -> s"""
+      WITH t AS (SELECT doc_id, $NormSql AS norm FROM documents),
+      r AS (SELECT doc_id, norm,
+                   regexp_replace(norm, '[0-9]+', '<num>', 'g') AS red
+            FROM t)
+      SELECT doc_id,
+             len(regexp_extract_all(norm, '[0-9]+')) AS n_nums,
+             md5(red) AS redacted_fp,
+             length(red) AS redacted_len
+      FROM r ORDER BY doc_id""",
     "t07_sentiment" -> s"""
       WITH t AS (
         SELECT doc_id, $ToksSql AS toks FROM documents),

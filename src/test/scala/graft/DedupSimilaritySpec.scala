@@ -85,4 +85,24 @@ class DedupSimilaritySpec extends SparkSpec {
       .select(col("a.vec_id"), col("b.vec_id")).as[(Long, Long)].collect().toSet
     assert(nd == brute && nd.nonEmpty)
   }
+
+  test("dup clusters: transitive closure of the pair relation, min-id representative") {
+    import org.apache.spark.sql.functions.col
+    val pairList = Dedup.d02NgramJaccard(spark, sf).select(col("doc_a"), col("doc_b"))
+    val clusters = Dedup.dupClusters(pairList)
+    val lab = clusters.select("doc_id", "cluster_id").as[(Long, Long)].collect().toMap
+    val edges = pairList.as[(Long, Long)].collect()
+    assert(edges.nonEmpty)
+    // every pair's endpoints share a label (closure over one hop => the
+    // fixpoint closed the whole component)
+    edges.foreach { case (a, b) => assert(lab(a) == lab(b), s"$a~$b split") }
+    // the representative IS the component minimum, exactly one per cluster
+    val byCluster = lab.groupBy(_._2).view.mapValues(_.keys.min).toMap
+    byCluster.foreach { case (cid, minId) => assert(cid == minId) }
+    val reps = clusters.filter(col("is_rep")).select("cluster_id").as[Long].collect()
+    assert(reps.toSet == byCluster.keySet && reps.length == byCluster.size)
+    // a transitivity case is actually present in the corpus (a cluster
+    // with more members than any single pair could produce)
+    assert(lab.groupBy(_._2).values.exists(_.size >= 3))
+  }
 }
