@@ -6,7 +6,8 @@ import graft.sink.Sinks
 import graft.validate.SchemaValidator.Rule
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+import org.apache.spark.sql.types.StructType
 
 /** Driver-checkable batch replays of the streaming path (SURVEY §2.8):
   * the events table is staged as JSON files and run through the REAL
@@ -150,9 +151,229 @@ object StreamReplay {
     }
   }
 
+  /** Stage `df` into `dir` as range-ordered JSON files with explicit,
+    * strictly ascending modification times. The file source orders files
+    * by (modTime, path); staging in one Spark job gives every part file
+    * the same wall-clock second, so batch order would hinge on path
+    * tie-breaks — an implementation detail. Explicit modtimes make the
+    * batch sequence part of the CONTRACT: file i drains before file i+1,
+    * which is what lets an event-time watermark test state its expected
+    * output deterministically. Files are range-partitioned on `ts`
+    * (file i's max ts ≤ file i+1's min ts), so in-order rows are never
+    * late by construction. */
+  private def stageOrderedJson(df: DataFrame, nFiles: Int, dir: String,
+                               prefix: String, baseModTime: Long): Unit = {
+    import org.apache.hadoop.fs.Path
+    val s = df.sparkSession
+    val stage = s"$dir-stage-$prefix"
+    df.repartitionByRange(nFiles, col("ts"))
+      .sortWithinPartitions(col("ts"))
+      .write.mode("overwrite")
+      .option("timestampFormat", JsonTsFormat)
+      .json(stage)
+    val fs = new Path(stage).getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new Path(dir))
+    val parts = fs.listStatus(new Path(stage))
+      .filter(_.getPath.getName.startsWith("part-"))
+      .sortBy(_.getPath.getName) // part index = ascending ts range
+    parts.zipWithIndex.foreach { case (f, i) =>
+      val dst = new Path(dir, f"$prefix-$i%03d.json")
+      if (!fs.rename(f.getPath, dst))
+        throw new java.io.IOException(s"stageOrderedJson: rename ${f.getPath} -> $dst failed")
+      fs.setTimes(dst, baseModTime + i * 1000L, -1L)
+    }
+    fs.delete(new Path(stage), true)
+    ()
+  }
+
+  /** Hash gate shared by st03/st05: a deterministic ~6 % subset of events
+    * (md5 prefix of the decimal event_id), reproducible bit-for-bit in
+    * the DuckDB oracle — the staged feed's "late arrivals" (st03) and
+    * "corrupted lines" (st05) are the same rows in both engines. */
+  private def hashGate(idCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    substring(md5(idCol.cast("string")), 1, 2) < "10"
+
+  /** st03: tumbling-window + watermark replay (T2/T4). Two-phase drain
+    * makes event-time late-drop semantics DETERMINISTIC — no wall clock
+    * anywhere:
+    *
+    *  1. Phase 1 stages the in-order ~94 % of events (range-partitioned
+    *     files, ascending modtimes) and drains with AvailableNow: windows
+    *     close as the watermark (max event time − 90 min) advances; the
+    *     final watermark persists in the checkpoint.
+    *  2. Phase 2 adds the hash-gated "late" rows as one file and resumes
+    *     from the same checkpoint: each late row is dropped iff its
+    *     window already closed under the phase-1 watermark — the
+    *     reference's retention-bound semantics (SDP.py:166) as a hard
+    *     row, not a wall-clock race.
+    *
+    * The emitted output is therefore a pure function of the corpus:
+    * windows with end ≤ final watermark, counting in-order rows plus the
+    * late rows that beat the phase-1 watermark — exactly what the DuckDB
+    * oracle states in SQL. The parquet sink (not memory) is what
+    * survives the restart: its metadata log carries phase-1 emissions
+    * into the final read. */
+  def st03WindowedReplay(s: SparkSession, d: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-st03-").toString
+    try {
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+        .withColumn("late", hashGate(col("event_id")))
+      val incoming = s"$tmp/incoming"
+      val feedSchema = new StructType()
+        .add("ts", "timestamp").add("event_type", "string").add("value", "double")
+      def drain(): Unit = {
+        val source = StreamingPipeline.jsonFileSource(
+          s, incoming, feedSchema, maxFilesPerTrigger = 2,
+          options = Map("timestampFormat" -> JsonTsFormat))
+        val agg = StreamingPipeline.windowedAnalytics(
+          source, "ts", "event_type", "1 hour", lateness = "90 minutes")
+        val q = agg.writeStream
+          .format("parquet")
+          .option("path", s"$tmp/out")
+          .option("checkpointLocation", s"$tmp/ckpt")
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      stageOrderedJson(ev.filter(!col("late")).drop("late", "event_id"),
+        nFiles = 4, incoming, prefix = "a", baseModTime = 1000000L)
+      drain()
+      stageOrderedJson(ev.filter(col("late")).drop("late", "event_id"),
+        nFiles = 1, incoming, prefix = "b", baseModTime = 2000000L)
+      drain()
+      s.read.parquet(s"$tmp/out")
+        .groupBy(col("window_start"), col("event_type"))
+        .agg(sum(col("n")).as("n"), round(sum(col("sum_value")), 6).as("sum_value"))
+        .orderBy(col("window_start"), col("event_type"))
+        .localCheckpoint(eager = true)
+    } finally {
+      try {
+        val p = new org.apache.hadoop.fs.Path(tmp)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        ()
+      } catch { case _: Throwable => () }
+    }
+  }
+
+  /** st04: fan-out replay (T7) — ONE staged feed, TWO concurrently
+    * draining sink queries (the reference's Firehose main stream + the
+    * realtime fn's analytics stream, SDP.py:296): the partitioned
+    * processed table and a windowed-counts memory sink, each with its own
+    * checkpoint. The output joins both legs' rollups per event type; the
+    * oracle says each leg must have seen every event exactly once —
+    * fan-out duplicates or drops on either leg break the row. */
+  def st04FanoutReplay(s: SparkSession, d: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-st04-").toString
+    val qname = "graft_st04_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    try {
+      val ev = Tables.events(s, d)
+      ev.write.mode("overwrite")
+        .option("timestampFormat", JsonTsFormat)
+        .json(s"$tmp/incoming")
+      val layout = PipelineLayout(s"$tmp/lake")
+      def source() = StreamingPipeline.jsonFileSource(
+        s, s"$tmp/incoming", ev.schema, maxFilesPerTrigger = 1000,
+        options = Map("timestampFormat" -> JsonTsFormat))
+      val processing = StreamingPipeline.processingStream(
+        source(), Seq(Rule("always_true", lit(true))))
+      // Complete-mode windowed counts: the memory table holds the full
+      // current result, so the final read needs no per-batch bookkeeping.
+      val analytics = source()
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val (q1, q2) = StreamingPipeline.fanOut(
+        processing, analytics, layout,
+        analyticsQueryName = qname,
+        analyticsOutputMode = OutputMode.Complete(),
+        availableNow = true)
+      q1.awaitTermination()
+      q2.awaitTermination()
+      val processed = s.read.parquet(layout.processed)
+        .groupBy(col("event_type")).agg(count(lit(1)).as("n_processed"))
+      val windowed = s.table(qname)
+        .groupBy(col("event_type")).agg(sum(col("n")).as("n_windowed"))
+      processed.join(windowed, Seq("event_type"))
+        .orderBy(col("event_type"))
+        .localCheckpoint(eager = true)
+    } finally {
+      try { s.catalog.dropTempView(qname); () } catch { case _: Throwable => () }
+      try {
+        val p = new org.apache.hadoop.fs.Path(tmp)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        ()
+      } catch { case _: Throwable => () }
+    }
+  }
+
+  /** st05: DLQ quarantine + replay (K2) as a hard row. A hash-gated ~6 %
+    * of the staged feed's lines are corrupted before ingest; the
+    * streaming sink quarantines them (raw payload intact, SDP.py:133-136)
+    * while the rest land in processed/. The quarantine is then REPLAYED —
+    * the stored raw line is repaired, re-parsed against the schema, and
+    * appended through the same partitioned sink. The final rollup counts
+    * the processed table per event type, plus how many of its rows came
+    * through the quarantine path (recomputed from the gate — derivable,
+    * not remembered); the oracle says the recovered table must equal the
+    * ORIGINAL corpus exactly — quarantine that loses a row, or replay
+    * that fails to restore one, breaks the row. */
+  def st05DlqReplay(s: SparkSession, d: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-st05-").toString
+    try {
+      val ev = Tables.events(s, d)
+      val line = to_json(
+        struct(ev.columns.map(col).toIndexedSeq: _*),
+        Map("timestampFormat" -> JsonTsFormat))
+      // corrupt the gated rows' lines in a REVERSIBLE way (prefix), so
+      // replay can repair them — the model for "fix the producer bug,
+      // then re-ingest the DLQ backlog"
+      ev.select(
+        when(hashGate(col("event_id")), concat(lit(CorruptPrefix), line))
+          .otherwise(line).as("value"))
+        .write.mode("overwrite").text(s"$tmp/incoming")
+      val layout = PipelineLayout(s"$tmp/lake")
+      val source = StreamingPipeline.jsonFileSource(
+        s, s"$tmp/incoming", ev.schema, maxFilesPerTrigger = 1000,
+        options = Map("timestampFormat" -> JsonTsFormat))
+      val stream = StreamingPipeline.processingStream(
+        source, Seq(Rule("always_true", lit(true))))
+      StreamingPipeline.partitionedSink(stream, layout, availableNow = true)
+        .start().awaitTermination()
+      // replay: read the quarantined raw payloads, repair, re-parse, land
+      val repaired = Sinks.replayQuarantine(s, layout.errors)
+        .select(regexp_replace(
+          col(graft.validate.SchemaValidator.CorruptCol),
+          "^" + java.util.regex.Pattern.quote(CorruptPrefix), "").as("raw"))
+        .select(from_json(col("raw"), ev.schema,
+          Map("timestampFormat" -> JsonTsFormat)).as("r"))
+        .select(col("r.*"))
+      Sinks.writePartitioned(repaired, layout.processed)
+      s.read.parquet(layout.processed)
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          sum(when(hashGate(col("event_id")), 1L).otherwise(0L)).as("n_recovered"))
+        .orderBy(col("event_type"))
+        .localCheckpoint(eager = true)
+    } finally {
+      try {
+        val p = new org.apache.hadoop.fs.Path(tmp)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        ()
+      } catch { case _: Throwable => () }
+    }
+  }
+
+  /** The reversible corruption marker for st05's staged feed. */
+  val CorruptPrefix = "!corrupt!"
+
   val queries: Map[String, Q] = Map(
-    "st01_stream_replay" -> st01StreamReplay _,
-    "st02_state_replay"  -> st02StateReplay _,
+    "st01_stream_replay"   -> st01StreamReplay _,
+    "st02_state_replay"    -> st02StateReplay _,
+    "st03_windowed_replay" -> st03WindowedReplay _,
+    "st04_fanout_replay"   -> st04FanoutReplay _,
+    "st05_dlq_replay"      -> st05DlqReplay _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -167,5 +388,41 @@ object StreamReplay {
     "st02_state_replay" -> """
       SELECT user_id, count(*) AS n_events, CAST(max(ts) AS TIMESTAMP) AS last_ts
       FROM events GROUP BY user_id ORDER BY user_id""",
+    // st03's emitted result as pure SQL over the corpus: `late` is the
+    // same md5 gate the replay stages into phase 2; w1 = the watermark
+    // the late batch is filtered against (phase-1 max − 90 min); w2 = the
+    // final watermark (global max − 90 min; the late batch advances it
+    // iff the corpus max is itself a gated row). A row counts iff it was
+    // in-order or beat w1; a window emits iff its end ≤ w2.
+    "st03_windowed_replay" -> """
+      WITH e AS (
+        SELECT ts, event_type, value,
+               substr(md5(CAST(event_id AS VARCHAR)), 1, 2) < '10' AS late
+        FROM events),
+      w1 AS (SELECT max(ts) - INTERVAL 90 MINUTE AS v FROM e WHERE NOT late),
+      w2 AS (SELECT max(ts) - INTERVAL 90 MINUTE AS v FROM e),
+      kept AS (
+        SELECT date_trunc('hour', ts) AS window_start,
+               date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+               event_type, value
+        FROM e
+        WHERE NOT late
+           OR date_trunc('hour', ts) + INTERVAL 1 HOUR > (SELECT v FROM w1))
+      SELECT CAST(window_start AS TIMESTAMP) AS window_start, event_type,
+             count(*) AS n, round(sum(value), 6) AS sum_value
+      FROM kept
+      WHERE window_end <= (SELECT v FROM w2)
+      GROUP BY 1, 2 ORDER BY window_start, event_type""",
+    // Both fan-out legs must have seen every event exactly once.
+    "st04_fanout_replay" -> """
+      SELECT event_type, count(*) AS n_processed, count(*) AS n_windowed
+      FROM events GROUP BY event_type ORDER BY event_type""",
+    // The recovered processed table equals the original corpus; the
+    // quarantine-path rows are exactly the gated subset.
+    "st05_dlq_replay" -> """
+      SELECT event_type, count(*) AS n_rows,
+             CAST(sum(CASE WHEN substr(md5(CAST(event_id AS VARCHAR)), 1, 2) < '10'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_recovered
+      FROM events GROUP BY event_type ORDER BY event_type""",
   )
 }

@@ -265,14 +265,18 @@ object StreamingPipeline {
   def fanOut(processing: DataFrame, analytics: DataFrame, layout: PipelineLayout,
              analyticsSinkFormat: String = "memory",
              analyticsQueryName: String = "analytics",
-             triggerInterval: String = "60 seconds"): (StreamingQuery, StreamingQuery) = {
-    val q1 = partitionedSink(processing, layout, triggerInterval).start()
+             triggerInterval: String = "60 seconds",
+             analyticsOutputMode: OutputMode = OutputMode.Update(),
+             availableNow: Boolean = false): (StreamingQuery, StreamingQuery) = {
+    val q1 = partitionedSink(processing, layout, triggerInterval,
+      availableNow = availableNow).start()
     val q2 = analytics.writeStream
       .format(analyticsSinkFormat)
       .queryName(analyticsQueryName)
-      .outputMode(OutputMode.Update())
+      .outputMode(analyticsOutputMode)
       .option("checkpointLocation", s"${layout.checkpoints}/analytics")
-      .trigger(Trigger.ProcessingTime(triggerInterval))
+      .trigger(if (availableNow) Trigger.AvailableNow()
+               else Trigger.ProcessingTime(triggerInterval))
       .start()
     (q1, q2)
   }

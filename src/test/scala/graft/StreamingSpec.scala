@@ -87,6 +87,23 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty && streamed == batch)
   }
 
+  test("st03 windowed replay: late rows beyond the watermark are visibly dropped") {
+    val res = graft.streaming.StreamReplay.st03WindowedReplay(spark, sf)
+    val emitted = res.agg(sum(col("n"))).as[Long].head()
+    val all = Tables.events(spark, sf).count()
+    // fewer rows than the corpus: dropped lates + unemitted trailing windows
+    assert(emitted > 0 && emitted < all)
+    // per-window, the replay may only LOSE rows vs the batch aggregate
+    // (dropped lates), never gain — and at least one window must have lost
+    val batch = Tables.events(spark, sf)
+      .groupBy(date_trunc("hour", col("ts")).as("window_start"), col("event_type"))
+      .agg(count(lit(1)).as("n_all"))
+    val joined = res.join(batch, Seq("window_start", "event_type"))
+      .select(col("n"), col("n_all")).as[(Long, Long)].collect()
+    assert(joined.exists { case (n, nAll) => n < nAll })
+    assert(joined.forall { case (n, nAll) => n <= nAll })
+  }
+
   test("windowed analytics with watermark drops late data beyond bound") {
     val mem = MemoryStream[(Timestamp, String, Double)](spark)
     val stream = mem.toDF().toDF("ts", "k", "value")
