@@ -143,17 +143,53 @@ object PipelineQueries {
       .orderBy(col("event_type"))
   }
 
+  /** p07: CDC upsert (latest-wins merge). A deterministic ~25 % of events
+    * (md5 gate) plays the update batch: same event_id, value shifted
+    * +1000, version (`ts`) advanced 1 hour — so for every gated key the
+    * update strictly wins. [[Transform.upsert]] merges; the rollup proves
+    * (a) the table did not grow (n_rows = base count per type), (b) every
+    * gated row's value was replaced (sum reflects the +1000 shift), and
+    * (c) exactly the gated rows were updated. The +1000 shift keeps
+    * updated values disjoint from the corpus range (value ≲ 500), so
+    * n_updated is derivable from the merged output alone. */
+  def p07Upsert(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.events(s, d)
+    val gate = substring(md5(col("event_id").cast("string")), 1, 2) < "40"
+    val updates = base.filter(gate)
+      .withColumn("value", round(col("value") + 1000.0, 2))
+      .withColumn("ts", col("ts") + expr("INTERVAL 1 HOUR"))
+    Transform.upsert(base, updates, Seq("event_id"), "ts")
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        round(sum(col("value")), 6).as("sum_value"),
+        sum(when(col("value") >= 1000.0, 1L).otherwise(0L)).as("n_updated"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, Q] = Map(
     "p01_validate_events"   -> p01ValidateEvents _,
     "p02_clean_dedup"       -> p02CleanDedup _,
     "p03_enrich_events"     -> p03EnrichEvents _,
     "p05_derive_partitions" -> p05DerivePartitions _,
     "p06_stratified_sample" -> p06StratifiedSample _,
+    "p07_upsert"            -> p07Upsert _,
     "g01_quality_score"     -> g01QualityScore _,
     "g02_hourly_metrics"    -> g02HourlyMetrics _,
   )
 
   val oracleSql: Map[String, String] = Map(
+    // the upsert's fixpoint stated directly: gated rows carry the updated
+    // value, ungated rows the original — one row per event_id either way
+    "p07_upsert" -> """
+      SELECT event_type, count(*) AS n_rows,
+             round(sum(CASE WHEN substr(md5(CAST(event_id AS VARCHAR)), 1, 2) < '40'
+                            THEN round(value + 1000.0, 2) ELSE value END), 6) AS sum_value,
+             CAST(sum(CASE WHEN substr(md5(CAST(event_id AS VARCHAR)), 1, 2) < '40'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_updated
+      FROM events
+      GROUP BY event_type
+      ORDER BY event_type""",
     // same md5-prefix gate, rate thresholds inlined (see SampleThresholds)
     "p06_stratified_sample" -> """
       SELECT event_type,

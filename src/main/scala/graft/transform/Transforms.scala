@@ -41,6 +41,34 @@ object Transform {
       .drop("__rn")
   }
 
+  /** CDC merge / upsert, latest-wins: apply a batch of keyed updates to a
+    * base table — the batch analog of the reference's state-table
+    * `put_item` (SDP.py:325-339), and the maintenance pass every ingest
+    * pipeline runs (dedup-on-replay, backfill corrections, dimension
+    * refresh).
+    *
+    * Semantics: one row per key survives — the one with the greatest
+    * `versionCol` across base ∪ updates (an update with an older version
+    * than the base row is a no-op, the CDC out-of-order case).
+    * `versionCol` must strictly order rows within a key (a CDC
+    * LSN/sequence number; ties would pick an arbitrary winner).
+    *
+    * Scale: one hash shuffle on the key; the rank-1 filter compiles to
+    * WindowGroupLimit, so each map task forwards only its per-key best
+    * row — the shuffle carries O(keys), not O(rows), when updates churn
+    * few keys. Against a partitioned table, pair with
+    * `Sinks.writePartitioned`'s dynamic overwrite so only partitions the
+    * update batch touches are rewritten. */
+  def upsert(base: DataFrame, updates: DataFrame,
+             keys: Seq[String], versionCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(versionCol).desc)
+    base.unionByName(updates)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
   /** P3: enrichment via broadcast join against a small dimension —
     * dimension rows ship with the plan, no shuffle of the fact side. */
   def enrich(dim: DataFrame, joinExpr: Column): Step = df =>

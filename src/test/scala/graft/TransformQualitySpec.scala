@@ -22,6 +22,19 @@ class TransformQualitySpec extends SparkSpec {
     assert(out == Set(1L, 3L))
   }
 
+  test("upsert: newer update wins, older update is a no-op, new keys insert") {
+    val base = Seq((1L, 5L, "old1"), (2L, 5L, "old2"), (3L, 5L, "old3"))
+      .toDF("k", "ver", "payload")
+    val updates = Seq(
+      (1L, 9L, "new1"),   // newer version → replaces
+      (2L, 3L, "stale2"), // older version → no-op (CDC out-of-order)
+      (4L, 1L, "new4"))   // unseen key → inserts
+      .toDF("k", "ver", "payload")
+    val out = Transform.upsert(base, updates, Seq("k"), "ver")
+      .select("k", "payload").as[(Long, String)].collect().toMap
+    assert(out == Map(1L -> "new1", 2L -> "old2", 3L -> "old3", 4L -> "new4"))
+  }
+
   test("enrichOn broadcast-joins and keeps unmatched fact rows") {
     val fact = Seq((1L, 10.0), (9L, 20.0)).toDF("k", "v")
     val dim = Seq((1L, "one")).toDF("k", "name")
