@@ -214,10 +214,159 @@ object Similarity {
   def s03IvfRecall(s: SparkSession, d: String): DataFrame =
     recallContract(s, d, s03IvfTopK(s, d), IvfRecallFloor)
 
+  /** PQ geometry: [[PqSubspaces]] subvectors × [[PqCodes]] centroids each
+    * (a 4-bit code per subspace). A 64-float vector (256 B) encodes to
+    * 8 nibbles (4 B) — 64× compression; the ADC scan touches the compact
+    * code table, never the vectors. */
+  val PqSubspaces = 8
+  val PqCodes = 16
+  val PqSubDim: Int = Dim / PqSubspaces
+  /** Exact-refine depth: ADC ranks the corpus by approximate inner
+    * product, the top [[PqRefine]] candidates re-rank exactly. Sized so
+    * the refine join stays trivial (≤ 200 ids/query) while covering the
+    * ADC ranking noise on this near-orthogonal corpus — 4-bit codes on
+    * 64 dims leave ~±0.1 quantization error around the cos≈0.5 neighbor
+    * band, so true neighbors sit well inside the top-200 but not always
+    * the top-50 at 100 k rows. */
+  val PqRefine = 200
+
+  /** Driver-side Lloyd's iterations for one PQ subspace codebook —
+    * deterministic (seeded farthest-first-ish init: first k distinct
+    * sample points), bounded by the sample size, pure Scala so the 8
+    * subspace fits cost zero Spark jobs. Training a quantizer on a
+    * bounded sample is the standard split at any scale: the model is
+    * O(k·dim), the corpus pass that USES it is the distributed part. */
+  private def lloyd(points: Array[Array[Double]], k: Int, iters: Int): Array[Array[Double]] = {
+    val dim = points.head.length
+    var centroids = points.distinct.take(k)
+    require(centroids.length == k, s"lloyd: fewer than $k distinct sample points")
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Long](k)
+      points.foreach { p =>
+        var best = 0; var bestD = Double.MaxValue
+        var j = 0
+        while (j < k) {
+          var dist = 0.0; var i = 0
+          while (i < dim) { val t = p(i) - centroids(j)(i); dist += t * t; i += 1 }
+          if (dist < bestD) { bestD = dist; best = j }
+          j += 1
+        }
+        var i = 0
+        while (i < dim) { sums(best)(i) += p(i); i += 1 }
+        counts(best) += 1
+      }
+      centroids = Array.tabulate(k)(j =>
+        if (counts(j) == 0) centroids(j) // keep an empty cell's centroid
+        else sums(j).map(_ / counts(j)))
+    }
+    centroids
+  }
+
+  /** s04: product-quantization ANN (PQ + exact refine). Vectors are
+    * L2-normalized (so inner product = cosine), split into
+    * [[PqSubspaces]] subvectors, and each subvector quantized to its
+    * nearest of [[PqCodes]] per-subspace centroids — codebooks trained
+    * driver-side on a bounded sample ([[lloyd]]) and shipped as plan
+    * literals.
+    *
+    * Scoring is asymmetric (ADC): each query precomputes a
+    * subspace×code lookup table of exact query-to-centroid inner
+    * products; a candidate's approximate cosine is the sum of 8 table
+    * lookups on its codes — no vector arithmetic in the scan. The top
+    * [[PqRefine]] ADC candidates then re-rank exactly against the true
+    * vectors (the standard PQ + refine shape).
+    *
+    * At 100 TB this is the memory story LSH/IVF don't give: the scanned
+    * index is 64× smaller than the vector table, and composes with
+    * s03's IVF cells (scan only probed cells' code lists). Unrolled
+    * element_at sums keep the ADC expression codegen'd — no HOF lambda
+    * re-evaluation. */
+  def s04PqTopK(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    // bounded driver-side sample → per-subspace codebooks
+    val n = math.max(1L, e.count())
+    val sample = e.sample(withReplacement = false,
+        math.min(1.0, 4000.0 / n.toDouble), seed = 42L)
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val sampleNormed = sample.map { v =>
+      val nrm = math.sqrt(v.map(x => x * x).sum)
+      if (nrm == 0) v else v.map(_ / nrm)
+    }
+    val codebooks: Array[Array[Array[Double]]] = Array.tabulate(PqSubspaces) { m =>
+      lloyd(sampleNormed.map(_.slice(m * PqSubDim, (m + 1) * PqSubDim)), PqCodes, 10)
+    }
+
+    import graft.functions.VectorFunctions.dot
+    // the norm must be a materialized column BEFORE the transform lambda:
+    // a lambda body re-evaluates embedded non-attribute expressions per
+    // element (64 × a 64-dim dot = quadratic per row)
+    val norm = sqrt(dot(col("embedding"), col("embedding")))
+    def normalized(df: DataFrame): DataFrame =
+      df.withColumn("nrm", norm)
+        .withColumn("nemb", transform(col("embedding"), x => x / col("nrm")))
+    // nearest-code id of subspace m (‖c‖² − 2·v·c ordering, ‖v‖² constant);
+    // the subvector slice rides the normalized vector via dot over a
+    // zero-padded literal so each term stays one codegen'd primitive loop
+    def codeOf(m: Int): org.apache.spark.sql.Column = {
+      val sub = slice(col("nemb"), m * PqSubDim + 1, PqSubDim)
+      least(codebooks(m).zipWithIndex.map { case (c, j) =>
+        struct((lit(c.map(x => x * x).sum) - dot(sub, lit(c)) * 2).as("d2c"),
+          lit(j).as("code"))
+      }: _*).getField("code")
+    }
+    val coded = normalized(e)
+      .select(col("vec_id"),
+        array((0 until PqSubspaces).map(codeOf): _*).as("codes"))
+
+    // per-query ADC lookup table: exact IP from the query's normalized
+    // subvector to every subspace centroid, flattened [m*PqCodes + j]
+    val lut = array((for (m <- 0 until PqSubspaces; j <- 0 until PqCodes) yield
+      dot(slice(col("nemb"), m * PqSubDim + 1, PqSubDim),
+        lit(codebooks(m)(j)))): _*)
+    val q = normalized(e.filter(col("vec_id") < NumQueries))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"), lut.as("lut"))
+
+    // ADC scan over the code table: 8 lookups per candidate, unrolled
+    val adc = (0 until PqSubspaces).map(m =>
+      element_at(col("lut"),
+        lit(m * PqCodes + 1) + element_at(col("codes"), m + 1))).reduce(_ + _)
+    val wAdc = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").desc, col("vec_id"))
+    val cand = coded.join(broadcast(q.select(col("query_id"), col("lut"))),
+        col("vec_id") =!= col("query_id"))
+      .withColumn("adc", adc)
+      .withColumn("arank", row_number().over(wAdc))
+      .filter(col("arank") <= PqRefine)
+      .select(col("query_id"), col("vec_id"))
+    // exact refine of the ADC short-list
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    cand
+      .join(e, "vec_id")
+      .join(broadcast(q.select(col("query_id"), col("qe"))), "query_id")
+      .withColumn("cos", cosine(col("qe"), col("embedding")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(col("cos"), 6).as("cos"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** s04 recall floor — calibrated like [[LshRecallFloor]]: measured
+    * worst-query recall with margin below; chance is k/N ≈ 0.01. */
+  val PqRecallFloor = 0.4
+
+  /** s04 registered form: PQ top-k recall contract. */
+  def s04PqRecall(s: SparkSession, d: String): DataFrame =
+    recallContract(s, d, s04PqTopK(s, d), PqRecallFloor)
+
   val queries: Map[String, Q] = Map(
     "s01_topk_bruteforce" -> s01BruteForceTopK _,
     "s02_topk_lsh"        -> s02LshRecall _,
     "s03_topk_ivf"        -> s03IvfRecall _,
+    "s04_topk_pq"         -> s04PqRecall _,
   )
 
   /** The recall-contract oracle: every query id must come back with a full
@@ -232,6 +381,7 @@ object Similarity {
   val oracleSql: Map[String, String] = Map(
     "s02_topk_lsh" -> contractOracle,
     "s03_topk_ivf" -> contractOracle,
+    "s04_topk_pq"  -> contractOracle,
     "s01_topk_bruteforce" -> s"""
       WITH e AS (SELECT vec_id, embedding FROM embeddings),
       q AS (SELECT vec_id AS query_id, embedding AS qe FROM e WHERE vec_id < $NumQueries),

@@ -51,6 +51,17 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(recall >= 0.5, f"recall $recall%.2f")
   }
 
+  test("PQ ANN recall vs brute force clears the contract floor; codes compress") {
+    val exact = Similarity.s01BruteForceTopK(spark, sf)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val pq = Similarity.s04PqTopK(spark, sf)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & pq).size.toDouble / exact.size
+    // measured: worst-query 0.9 at sf0.001/0.01, 0.5 at sf0.1 (4-bit codes
+    // on a near-orthogonal corpus, refine 200); chance ≈ 0.02
+    assert(recall >= Similarity.PqRecallFloor, f"recall $recall%.2f")
+  }
+
   test("IVF ANN recall vs brute force is usable and self-matches are excluded") {
     val exact = Similarity.s01BruteForceTopK(spark, sf)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet

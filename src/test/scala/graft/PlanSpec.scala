@@ -106,6 +106,14 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("p07: upsert's rank-1 runs as WindowGroupLimit on one keyed exchange") {
+    val plan = executed(PipelineQueries.p07Upsert(spark, sf))
+    // latest-wins must plan as per-group top-1 (map-side group limit),
+    // not a full per-key sort of base ∪ updates
+    assert(plan.contains("WindowGroupLimit"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("t02/t07: the tokenizer is structurally single-evaluation (one split per plan)") {
     val p2 = executed(graft.text.TextAnalysis.t02Quality(spark, sf))
     assert("split\\(".r.findAllIn(p2).size == 1, p2)
