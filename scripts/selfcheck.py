@@ -9,6 +9,7 @@ by name on both sides, and compares row count, schema, and values.
 """
 import json, sys, math
 import duckdb
+import pandas as pd
 
 sfdir, outdir = sys.argv[1], sys.argv[2]
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
@@ -44,7 +45,14 @@ for name, sql in sorted(oracle.items()):
             for c in odf.columns:
                 a, b = sdf[c].tolist(), odf[c].tolist()
                 for i, (x, y) in enumerate(zip(a, b)):
-                    same = (x == y) or (x is None and y is None)
+                    # pd.isna covers None, NaN, AND NaT — pandas nulls on
+                    # both sides serialize identically in the driver's
+                    # value hash, so they compare equal here too
+                    try:
+                        both_na = bool(pd.isna(x)) and bool(pd.isna(y))
+                    except (TypeError, ValueError):
+                        both_na = False  # pd.isna on arrays returns arrays
+                    same = both_na or (x == y) or (x is None and y is None)
                     if not same:
                         try:
                             same = (isinstance(x, float) or isinstance(y, float)) and \

@@ -167,6 +167,30 @@ object PipelineQueries {
       .orderBy(col("event_type"))
   }
 
+  /** p08: SCD2 history — the per-(user, event_type) state timeline. The
+    * corpus splits at Jan 21: days 1-20 build the initial history
+    * ([[Transform.scd2]]), days 21-30 play the CDC batch applied
+    * incrementally ([[Transform.scd2Apply]]). The output is the FULL
+    * resulting history; the oracle is the GLOBAL rebuild over all events
+    * — so the row proves incremental maintenance ≡ rebuild, interval by
+    * interval. (Within-key ts ties would make `lead` pairing ambiguous
+    * but produce the same row multiset either way — the compare is
+    * order-insensitive past the sort.) */
+  def p08Scd2(s: SparkSession, d: String): DataFrame = {
+    val keys = Seq("user_id", "event_type")
+    val ev = Tables.events(s, d).select(col("user_id"), col("event_type"), col("ts"))
+    val split = lit("2024-01-21").cast("timestamp")
+    val history = Transform.scd2(ev.filter(col("ts") < split), keys, "ts")
+    Transform.scd2Apply(history, ev.filter(col("ts") >= split), keys, "ts")
+      .select(col("user_id"), col("event_type"), col("valid_from"),
+        // the standard SCD2 open-row convention (and no nulls through
+        // the value-hash compare): current rows end at the far-future
+        // sentinel
+        coalesce(col("valid_to"), lit("9999-12-31").cast("timestamp")).as("valid_to"),
+        col("is_current"))
+      .orderBy(col("user_id"), col("event_type"), col("valid_from"))
+  }
+
   val queries: Map[String, Q] = Map(
     "p01_validate_events"   -> p01ValidateEvents _,
     "p02_clean_dedup"       -> p02CleanDedup _,
@@ -174,6 +198,7 @@ object PipelineQueries {
     "p05_derive_partitions" -> p05DerivePartitions _,
     "p06_stratified_sample" -> p06StratifiedSample _,
     "p07_upsert"            -> p07Upsert _,
+    "p08_scd2"              -> p08Scd2 _,
     "g01_quality_score"     -> g01QualityScore _,
     "g02_hourly_metrics"    -> g02HourlyMetrics _,
   )
@@ -190,6 +215,16 @@ object PipelineQueries {
       FROM events
       GROUP BY event_type
       ORDER BY event_type""",
+    // the GLOBAL SCD2 rebuild — the incremental apply must reproduce it
+    "p08_scd2" -> """
+      SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS valid_from,
+             coalesce(
+               CAST(lead(ts) OVER (PARTITION BY user_id, event_type ORDER BY ts)
+                    AS TIMESTAMP),
+               TIMESTAMP '9999-12-31') AS valid_to,
+             lead(ts) OVER (PARTITION BY user_id, event_type ORDER BY ts) IS NULL AS is_current
+      FROM events
+      ORDER BY user_id, event_type, valid_from""",
     // same md5-prefix gate, rate thresholds inlined (see SampleThresholds)
     "p06_stratified_sample" -> """
       SELECT event_type,

@@ -69,6 +69,54 @@ object Transform {
       .drop("__rn")
   }
 
+  /** SCD2 history build: turn an append-only keyed change feed into a
+    * type-2 slowly-changing-dimension table — every version of a key
+    * becomes a row with its validity interval: `valid_from` = its
+    * version, `valid_to` = the key's next version (null = still
+    * current). One keyed shuffle; the interval derivation is a single
+    * `lead` window. */
+  def scd2(updates: DataFrame, keys: Seq[String], versionCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(versionCol))
+    updates
+      .withColumn("valid_from", col(versionCol))
+      .withColumn("valid_to", lead(col(versionCol), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+  }
+
+  /** SCD2 incremental apply: merge a new change batch into an existing
+    * history table WITHOUT rebuilding it — closed history rows pass
+    * through untouched; each updated key's open row is closed at the
+    * batch's first version for that key; the batch's own rows chain
+    * among themselves. The contract (held by p08's oracle): apply(build
+    * (old), new) ≡ build(old ∪ new) — incremental maintenance must be
+    * indistinguishable from the global rebuild.
+    *
+    * Precondition: the batch's versions are ≥ the history's (append-only
+    * CDC ingest). An out-of-order version would need its key's history
+    * rebuilt — at scale that is a keyed anti-join + rebuild of the
+    * affected keys only, not the table.
+    *
+    * Scale: history's closed rows (the bulk, ever-growing) are never
+    * shuffled — only the per-key first-version aggregate of the (small)
+    * batch joins against them; with history partitioned on `is_current`
+    * the closed partitions are not even read. */
+  def scd2Apply(history: DataFrame, updates: DataFrame,
+                keys: Seq[String], versionCol: String): DataFrame = {
+    val firstNew = updates.groupBy(keys.map(col): _*)
+      .agg(min(col(versionCol)).as("__close_at"))
+    // no broadcast hint: the per-key aggregate of a CDC batch is usually
+    // tiny (AQE broadcasts it), but a backfill-sized batch must be free
+    // to sort-merge
+    val closed = history.join(firstNew, keys, "left")
+      .withColumn("valid_to",
+        when(col("is_current") && col("__close_at").isNotNull, col("__close_at"))
+          .otherwise(col("valid_to")))
+      .withColumn("is_current", col("valid_to").isNull)
+      .drop("__close_at")
+    closed.unionByName(scd2(updates, keys, versionCol))
+  }
+
   /** P3: enrichment via broadcast join against a small dimension —
     * dimension rows ship with the plan, no shuffle of the fact side. */
   def enrich(dim: DataFrame, joinExpr: Column): Step = df =>

@@ -35,6 +35,23 @@ class TransformQualitySpec extends SparkSpec {
     assert(out == Map(1L -> "new1", 2L -> "old2", 3L -> "old3", 4L -> "new4"))
   }
 
+  test("scd2Apply equals the global rebuild; intervals chain without gaps") {
+    val old = Seq((1L, 10L), (1L, 20L), (2L, 10L)).toDF("k", "ver")
+    val nw  = Seq((1L, 30L), (3L, 5L)).toDF("k", "ver")
+    val applied = Transform.scd2Apply(Transform.scd2(old, Seq("k"), "ver"),
+        nw, Seq("k"), "ver")
+      .select("k", "valid_from", "valid_to")
+      .as[(Long, Long, Option[Long])].collect().toSet
+    val rebuilt = Transform.scd2(old.unionByName(nw), Seq("k"), "ver")
+      .select("k", "valid_from", "valid_to")
+      .as[(Long, Long, Option[Long])].collect().toSet
+    assert(applied == rebuilt)
+    // expected chains: k=1 10→20→30→open, k=2 10→open, k=3 5→open
+    assert(applied == Set(
+      (1L, 10L, Some(20L)), (1L, 20L, Some(30L)), (1L, 30L, None),
+      (2L, 10L, None), (3L, 5L, None)))
+  }
+
   test("enrichOn broadcast-joins and keeps unmatched fact rows") {
     val fact = Seq((1L, 10.0), (9L, 20.0)).toDF("k", "v")
     val dim = Seq((1L, "one")).toDF("k", "name")
