@@ -396,6 +396,14 @@ object Dedup {
     * keeps the join sort-merge: a broadcast of the history side would be
     * cheaper at toy SF but is exactly what cannot work at 100 TB of
     * accumulated fingerprints. */
+  /** Per-JVM-unique location for d06's bucketed history table: a FIXED
+    * path would let two JVMs on one host (a test run beside a bench run)
+    * overwrite each other's live table mid-scan. One dir per JVM,
+    * overwritten per call — bounded, and never shared across processes. */
+  private lazy val d06HistoryPath: String =
+    s"${System.getProperty("java.io.tmpdir")}/graft-d06-history-fp-" +
+      java.util.UUID.randomUUID().toString
+
   def d06IncrementalDedup(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     val history = docs.filter(col("doc_id") % 2 === 0)
@@ -404,7 +412,7 @@ object Dedup {
     val buckets = s.conf.get("spark.sql.shuffle.partitions").toInt
     Sinks.writeBucketed(historyFp, "graft_d06_history_fp", "fp",
       numBuckets = buckets,
-      path = Some(s"${System.getProperty("java.io.tmpdir")}/graft-d06-history-fp"))
+      path = Some(d06HistoryPath))
     incrementalExactDedup(batch, s.table("graft_d06_history_fp").hint("merge"))
       .select(col("doc_id"), col("fp"))
       .orderBy(col("doc_id"))

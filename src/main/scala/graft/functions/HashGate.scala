@@ -1,0 +1,31 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** The deterministic sampling/partitioning gate shared by p06/p07 and the
+  * streaming replays (st03/st05): the first two hex digits of
+  * `md5(CAST(id AS string))` compared against a hex threshold — `'10'`
+  * keeps ~6 %, `'40'` ~25 %, per 256ths. md5 of the decimal id string is
+  * bit-identical across engines, so a gated subset is exactly
+  * reproducible in the DuckDB oracle; both the Column form and the SQL
+  * fragment live HERE so Spark and oracle can never drift. */
+object HashGate {
+
+  /** Two-hex-digit md5 prefix of the decimal id. */
+  def prefix(id: Column): Column = substring(md5(id.cast("string")), 1, 2)
+
+  /** Gate at a fixed rate: true for ~(0xHH/256) of ids. */
+  def apply(id: Column, hexLt: String): Column = prefix(id) < hexLt
+
+  /** Gate against a per-row threshold column (stratified rates). */
+  def lt(id: Column, threshold: Column): Column = prefix(id) < threshold
+
+  /** DuckDB fragment computing [[prefix]]. */
+  def sqlPrefix(idExpr: String): String =
+    s"substr(md5(CAST($idExpr AS VARCHAR)), 1, 2)"
+
+  /** DuckDB fragment equivalent to [[apply]]. */
+  def sql(idExpr: String, hexLt: String): String =
+    s"${sqlPrefix(idExpr)} < '$hexLt'"
+}

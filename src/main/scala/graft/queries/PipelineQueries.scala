@@ -134,8 +134,7 @@ object PipelineQueries {
       when(col("event_type") === t, lit(hex)).otherwise(acc)
     }
     Tables.events(s, d)
-      .withColumn("in_sample",
-        substring(md5(col("event_id").cast("string")), 1, 2) < threshold)
+      .withColumn("in_sample", graft.functions.HashGate.lt(col("event_id"), threshold))
       .groupBy(col("event_type"))
       .agg(
         count(lit(1)).as("n_total"),
@@ -152,9 +151,12 @@ object PipelineQueries {
     * (c) exactly the gated rows were updated. The +1000 shift keeps
     * updated values disjoint from the corpus range (value ≲ 500), so
     * n_updated is derivable from the merged output alone. */
+  /** p07's update-batch gate rate (~25 %). */
+  val UpsertGateHex = "40"
+
   def p07Upsert(s: SparkSession, d: String): DataFrame = {
     val base = Tables.events(s, d)
-    val gate = substring(md5(col("event_id").cast("string")), 1, 2) < "40"
+    val gate = graft.functions.HashGate(col("event_id"), UpsertGateHex)
     val updates = base.filter(gate)
       .withColumn("value", round(col("value") + 1000.0, 2))
       .withColumn("ts", col("ts") + expr("INTERVAL 1 HOUR"))
@@ -174,8 +176,9 @@ object PipelineQueries {
     * resulting history; the oracle is the GLOBAL rebuild over all events
     * — so the row proves incremental maintenance ≡ rebuild, interval by
     * interval. (Within-key ts ties would make `lead` pairing ambiguous
-    * but produce the same row multiset either way — the compare is
-    * order-insensitive past the sort.) */
+    * but produce the same row MULTISET either way; since the compare is
+    * row-ordered, `valid_to` joins the sort on both sides to make the
+    * order total.) */
   def p08Scd2(s: SparkSession, d: String): DataFrame = {
     val keys = Seq("user_id", "event_type")
     val ev = Tables.events(s, d).select(col("user_id"), col("event_type"), col("ts"))
@@ -188,7 +191,7 @@ object PipelineQueries {
         // sentinel
         coalesce(col("valid_to"), lit("9999-12-31").cast("timestamp")).as("valid_to"),
         col("is_current"))
-      .orderBy(col("user_id"), col("event_type"), col("valid_from"))
+      .orderBy(col("user_id"), col("event_type"), col("valid_from"), col("valid_to"))
   }
 
   val queries: Map[String, Q] = Map(
@@ -206,11 +209,11 @@ object PipelineQueries {
   val oracleSql: Map[String, String] = Map(
     // the upsert's fixpoint stated directly: gated rows carry the updated
     // value, ungated rows the original — one row per event_id either way
-    "p07_upsert" -> """
+    "p07_upsert" -> s"""
       SELECT event_type, count(*) AS n_rows,
-             round(sum(CASE WHEN substr(md5(CAST(event_id AS VARCHAR)), 1, 2) < '40'
+             round(sum(CASE WHEN ${graft.functions.HashGate.sql("event_id", UpsertGateHex)}
                             THEN round(value + 1000.0, 2) ELSE value END), 6) AS sum_value,
-             CAST(sum(CASE WHEN substr(md5(CAST(event_id AS VARCHAR)), 1, 2) < '40'
+             CAST(sum(CASE WHEN ${graft.functions.HashGate.sql("event_id", UpsertGateHex)}
                            THEN 1 ELSE 0 END) AS BIGINT) AS n_updated
       FROM events
       GROUP BY event_type
@@ -224,12 +227,12 @@ object PipelineQueries {
                TIMESTAMP '9999-12-31') AS valid_to,
              lead(ts) OVER (PARTITION BY user_id, event_type ORDER BY ts) IS NULL AS is_current
       FROM events
-      ORDER BY user_id, event_type, valid_from""",
+      ORDER BY user_id, event_type, valid_from, valid_to""",
     // same md5-prefix gate, rate thresholds inlined (see SampleThresholds)
-    "p06_stratified_sample" -> """
+    "p06_stratified_sample" -> s"""
       SELECT event_type,
              count(*) AS n_total,
-             sum(CASE WHEN substr(md5(CAST(event_id AS VARCHAR)), 1, 2) <
+             sum(CASE WHEN ${graft.functions.HashGate.sqlPrefix("event_id")} <
                    CASE event_type
                      WHEN 'click'    THEN '40'
                      WHEN 'view'     THEN '20'

@@ -238,7 +238,10 @@ object Similarity {
     * O(k·dim), the corpus pass that USES it is the distributed part. */
   private def lloyd(points: Array[Array[Double]], k: Int, iters: Int): Array[Array[Double]] = {
     val dim = points.head.length
-    var centroids = points.distinct.take(k)
+    // dedup by CONTENT — Array.distinct compares references, which would
+    // let duplicated sample vectors seed identical centroids and leave a
+    // permanently empty cell
+    var centroids = points.map(_.toSeq).distinct.take(k).map(_.toArray)
     require(centroids.length == k, s"lloyd: fewer than $k distinct sample points")
     for (_ <- 0 until iters) {
       val sums = Array.fill(k)(new Array[Double](dim))

@@ -42,9 +42,25 @@ object StreamReplay {
     * silently lose the sub-millisecond digits on the round-trip. */
   val JsonTsFormat = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
 
-  def st01StreamReplay(s: SparkSession, d: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft-st01-").toString
-    try {
+  /** Stage-and-clean scaffold shared by every replay: a fresh temp dir
+    * for the staged feed/lake, deleted success-or-failure — without a
+    * cleanup failure ever masking the replay's own exception. Results
+    * must be `localCheckpoint`ed inside `body` (the plan's source files
+    * are gone once this returns). */
+  private def withReplayTmp[A](s: SparkSession, prefix: String)(body: String => A): A = {
+    val tmp = java.nio.file.Files.createTempDirectory(prefix).toString
+    try body(tmp)
+    finally {
+      try {
+        val p = new org.apache.hadoop.fs.Path(tmp)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        ()
+      } catch { case _: Throwable => () }
+    }
+  }
+
+  def st01StreamReplay(s: SparkSession, d: String): DataFrame =
+    withReplayTmp(s, "graft-st01-") { tmp =>
       val ev = Tables.events(s, d)
       // stage the table as the landing-zone JSON feed the reference ingests
       ev.write.mode("overwrite").json(s"$tmp/incoming")
@@ -65,12 +81,17 @@ object StreamReplay {
       // form — Sinks.compactPartitioned). The count rollup below runs on
       // the post-compaction table, so the oracle also proves compaction
       // neither lost nor duplicated a row.
-      val lastTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
-        .toLocalDateTime
+      // derive the scope with Spark's year/month/day (session time zone)
+      // — the partition columns were derived under the SAME functions, so
+      // the scope always names a day that exists; Timestamp.toLocalDateTime
+      // would use the JVM default zone and target the wrong day on a
+      // non-UTC machine
+      val last = ev.agg(max(col("ts")).as("m"))
+        .select(year(col("m")), month(col("m")), dayofmonth(col("m"))).head()
       Sinks.compactPartitioned(s, layout.processed,
-        scope = Some(col("year") === lastTs.getYear &&
-          col("month") === lastTs.getMonthValue &&
-          col("day") === lastTs.getDayOfMonth))
+        scope = Some(col("year") === last.getInt(0) &&
+          col("month") === last.getInt(1) &&
+          col("day") === last.getInt(2)))
       s.read.parquet(layout.processed)
         .groupBy(col("year"), col("month"), col("day"), col("hour"))
         .agg(count(lit(1)).as("n_rows"))
@@ -78,16 +99,7 @@ object StreamReplay {
         // materialize before deleting the lake the plan reads from; each
         // replay otherwise leaks two full copies of events under /tmp
         .localCheckpoint(eager = true)
-    } finally {
-      // success or failure, never leak the staged JSON copy + lake — and
-      // never let a cleanup failure mask the replay's own exception
-      try {
-        val p = new org.apache.hadoop.fs.Path(tmp)
-        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
-        ()
-      } catch { case _: Throwable => () }
     }
-  }
 
   /** st02: stateful-tracking replay (T5). The events feed drains through
     * [[StreamingPipeline.trackState]] in FOUR micro-batches
@@ -98,9 +110,8 @@ object StreamReplay {
     * per key is the row with the largest running count (n and lastTs are
     * both monotone in the batch sequence), and must equal the batch
     * `groupBy(user).agg(count, max(ts))` oracle. */
-  def st02StateReplay(s: SparkSession, d: String): DataFrame = {
+  def st02StateReplay(s: SparkSession, d: String): DataFrame = withReplayTmp(s, "graft-st02-") { tmp =>
     import s.implicits._
-    val tmp = java.nio.file.Files.createTempDirectory("graft-st02-").toString
     val qname = "graft_st02_" + java.util.UUID.randomUUID().toString.replace("-", "")
     // The state store opens (and commits) one store per shuffle partition
     // per micro-batch; 15-150 keys do not need the session's full shuffle
@@ -143,11 +154,6 @@ object StreamReplay {
       try { s.conf.set("spark.sql.shuffle.partitions", prevShuffle) }
       catch { case _: Throwable => () }
       try { s.catalog.dropTempView(qname); () } catch { case _: Throwable => () }
-      try {
-        val p = new org.apache.hadoop.fs.Path(tmp)
-        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
-        ()
-      } catch { case _: Throwable => () }
     }
   }
 
@@ -187,11 +193,12 @@ object StreamReplay {
   }
 
   /** Hash gate shared by st03/st05: a deterministic ~6 % subset of events
-    * (md5 prefix of the decimal event_id), reproducible bit-for-bit in
-    * the DuckDB oracle — the staged feed's "late arrivals" (st03) and
-    * "corrupted lines" (st05) are the same rows in both engines. */
+    * ([[graft.functions.HashGate]]) — the staged feed's "late arrivals"
+    * (st03) and "corrupted lines" (st05) are the same rows in both
+    * engines. */
+  private val GateHex = "10"
   private def hashGate(idCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    substring(md5(idCol.cast("string")), 1, 2) < "10"
+    graft.functions.HashGate(idCol, GateHex)
 
   /** st03: tumbling-window + watermark replay (T2/T4). Two-phase drain
     * makes event-time late-drop semantics DETERMINISTIC — no wall clock
@@ -213,9 +220,8 @@ object StreamReplay {
     * oracle states in SQL. The parquet sink (not memory) is what
     * survives the restart: its metadata log carries phase-1 emissions
     * into the final read. */
-  def st03WindowedReplay(s: SparkSession, d: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft-st03-").toString
-    try {
+  def st03WindowedReplay(s: SparkSession, d: String): DataFrame =
+    withReplayTmp(s, "graft-st03-") { tmp =>
       val ev = Tables.events(s, d)
         .select(col("event_id"), col("ts"), col("event_type"), col("value"))
         .withColumn("late", hashGate(col("event_id")))
@@ -248,14 +254,7 @@ object StreamReplay {
         .agg(sum(col("n")).as("n"), round(sum(col("sum_value")), 6).as("sum_value"))
         .orderBy(col("window_start"), col("event_type"))
         .localCheckpoint(eager = true)
-    } finally {
-      try {
-        val p = new org.apache.hadoop.fs.Path(tmp)
-        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
-        ()
-      } catch { case _: Throwable => () }
     }
-  }
 
   /** st04: fan-out replay (T7) — ONE staged feed, TWO concurrently
     * draining sink queries (the reference's Firehose main stream + the
@@ -273,8 +272,7 @@ object StreamReplay {
   val FanoutFeedEnd  = "2024-01-08"
   val DlqFeedEnd     = "2024-01-04"
 
-  def st04FanoutReplay(s: SparkSession, d: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft-st04-").toString
+  def st04FanoutReplay(s: SparkSession, d: String): DataFrame = withReplayTmp(s, "graft-st04-") { tmp =>
     val qname = "graft_st04_" + java.util.UUID.randomUUID().toString.replace("-", "")
     try {
       val ev = Tables.events(s, d).filter(col("ts") < lit(FanoutFeedEnd).cast("timestamp"))
@@ -308,11 +306,6 @@ object StreamReplay {
         .localCheckpoint(eager = true)
     } finally {
       try { s.catalog.dropTempView(qname); () } catch { case _: Throwable => () }
-      try {
-        val p = new org.apache.hadoop.fs.Path(tmp)
-        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
-        ()
-      } catch { case _: Throwable => () }
     }
   }
 
@@ -327,9 +320,8 @@ object StreamReplay {
     * not remembered); the oracle says the recovered table must equal the
     * ORIGINAL corpus exactly — quarantine that loses a row, or replay
     * that fails to restore one, breaks the row. */
-  def st05DlqReplay(s: SparkSession, d: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft-st05-").toString
-    try {
+  def st05DlqReplay(s: SparkSession, d: String): DataFrame =
+    withReplayTmp(s, "graft-st05-") { tmp =>
       val ev = Tables.events(s, d).filter(col("ts") < lit(DlqFeedEnd).cast("timestamp"))
       val line = to_json(
         struct(ev.columns.map(col).toIndexedSeq: _*),
@@ -365,14 +357,7 @@ object StreamReplay {
           sum(when(hashGate(col("event_id")), 1L).otherwise(0L)).as("n_recovered"))
         .orderBy(col("event_type"))
         .localCheckpoint(eager = true)
-    } finally {
-      try {
-        val p = new org.apache.hadoop.fs.Path(tmp)
-        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
-        ()
-      } catch { case _: Throwable => () }
     }
-  }
 
   /** The reversible corruption marker for st05's staged feed. */
   val CorruptPrefix = "!corrupt!"
@@ -403,10 +388,10 @@ object StreamReplay {
     // final watermark (global max − 90 min; the late batch advances it
     // iff the corpus max is itself a gated row). A row counts iff it was
     // in-order or beat w1; a window emits iff its end ≤ w2.
-    "st03_windowed_replay" -> """
+    "st03_windowed_replay" -> s"""
       WITH e AS (
         SELECT ts, event_type, value,
-               substr(md5(CAST(event_id AS VARCHAR)), 1, 2) < '10' AS late
+               ${graft.functions.HashGate.sql("event_id", GateHex)} AS late
         FROM events),
       w1 AS (SELECT max(ts) - INTERVAL 90 MINUTE AS v FROM e WHERE NOT late),
       w2 AS (SELECT max(ts) - INTERVAL 90 MINUTE AS v FROM e),
@@ -424,18 +409,18 @@ object StreamReplay {
       GROUP BY 1, 2 ORDER BY window_start, event_type""",
     // Both fan-out legs must have seen every event exactly once (feed
     // bounded to the first week — see FanoutFeedEnd).
-    "st04_fanout_replay" -> """
+    "st04_fanout_replay" -> s"""
       SELECT event_type, count(*) AS n_processed, count(*) AS n_windowed
-      FROM events WHERE ts < TIMESTAMP '2024-01-08'
+      FROM events WHERE ts < TIMESTAMP '$FanoutFeedEnd'
       GROUP BY event_type ORDER BY event_type""",
     // The recovered processed table equals the original corpus; the
     // quarantine-path rows are exactly the gated subset (feed bounded to
     // the first three days — see DlqFeedEnd).
-    "st05_dlq_replay" -> """
+    "st05_dlq_replay" -> s"""
       SELECT event_type, count(*) AS n_rows,
-             CAST(sum(CASE WHEN substr(md5(CAST(event_id AS VARCHAR)), 1, 2) < '10'
+             CAST(sum(CASE WHEN ${graft.functions.HashGate.sql("event_id", GateHex)}
                            THEN 1 ELSE 0 END) AS BIGINT) AS n_recovered
-      FROM events WHERE ts < TIMESTAMP '2024-01-04'
+      FROM events WHERE ts < TIMESTAMP '$DlqFeedEnd'
       GROUP BY event_type ORDER BY event_type""",
   )
 }
