@@ -396,13 +396,26 @@ object Dedup {
     * keeps the join sort-merge: a broadcast of the history side would be
     * cheaper at toy SF but is exactly what cannot work at 100 TB of
     * accumulated fingerprints. */
-  /** Per-JVM-unique location for d06's bucketed history table: a FIXED
-    * path would let two JVMs on one host (a test run beside a bench run)
-    * overwrite each other's live table mid-scan. One dir per JVM,
-    * overwritten per call — bounded, and never shared across processes. */
-  private lazy val d06HistoryPath: String =
-    s"${System.getProperty("java.io.tmpdir")}/graft-d06-history-fp-" +
-      java.util.UUID.randomUUID().toString
+  /** Dirs created for d06 history tables this JVM, deleted at exit. The
+    * table name AND path are per-INVOCATION (UUID suffix): a fixed name
+    * races two concurrent calls in one session on drop/recreate, and a
+    * fixed path races two calls in one JVM on overwrite, corrupting a
+    * table mid-scan. The returned DataFrame scans the table lazily, so
+    * cleanup cannot happen at call exit — each invocation leaks one small
+    * fingerprint dir, reaped by the shutdown hook. */
+  private val d06Dirs = new java.util.concurrent.ConcurrentLinkedQueue[java.io.File]()
+  locally {
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      d06Dirs.forEach { dir =>
+        try {
+          def rm(f: java.io.File): Unit = {
+            val kids = f.listFiles(); if (kids != null) kids.foreach(rm)
+            f.delete(); ()
+          }
+          rm(dir)
+        } catch { case _: Throwable => () }
+      }))
+  }
 
   def d06IncrementalDedup(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
@@ -410,10 +423,14 @@ object Dedup {
     val batch = docs.filter(col("doc_id") % 2 === 1)
     val historyFp = history.select(md5(normText(col("text"))).as("fp"))
     val buckets = s.conf.get("spark.sql.shuffle.partitions").toInt
-    Sinks.writeBucketed(historyFp, "graft_d06_history_fp", "fp",
+    val tag = java.util.UUID.randomUUID().toString.replace("-", "")
+    val table = s"graft_d06_history_fp_$tag"
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft-d06-history-fp-$tag"
+    d06Dirs.add(new java.io.File(path))
+    Sinks.writeBucketed(historyFp, table, "fp",
       numBuckets = buckets,
-      path = Some(d06HistoryPath))
-    incrementalExactDedup(batch, s.table("graft_d06_history_fp").hint("merge"))
+      path = Some(path))
+    incrementalExactDedup(batch, s.table(table).hint("merge"))
       .select(col("doc_id"), col("fp"))
       .orderBy(col("doc_id"))
   }

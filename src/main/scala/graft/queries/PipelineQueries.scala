@@ -186,10 +186,13 @@ object PipelineQueries {
     val history = Transform.scd2(ev.filter(col("ts") < split), keys, "ts")
     Transform.scd2Apply(history, ev.filter(col("ts") >= split), keys, "ts")
       .select(col("user_id"), col("event_type"), col("valid_from"),
-        // the standard SCD2 open-row convention (and no nulls through
-        // the value-hash compare): current rows end at the far-future
-        // sentinel
-        coalesce(col("valid_to"), lit("9999-12-31").cast("timestamp")).as("valid_to"),
+        // open-row convention (and no nulls through the value-hash
+        // compare): current rows end at a far-future sentinel. 2100-01-01,
+        // NOT 9999-12-31 — the driver reads the dumped parquet through a
+        // nanosecond-resolution timestamp path, and 9999-12-31 exceeds the
+        // int64-nanos range (overflows to year 1816), failing the hash
+        // compare on values that are semantically identical.
+        coalesce(col("valid_to"), lit("2100-01-01").cast("timestamp")).as("valid_to"),
         col("is_current"))
       .orderBy(col("user_id"), col("event_type"), col("valid_from"), col("valid_to"))
   }
@@ -224,7 +227,7 @@ object PipelineQueries {
              coalesce(
                CAST(lead(ts) OVER (PARTITION BY user_id, event_type ORDER BY ts)
                     AS TIMESTAMP),
-               TIMESTAMP '9999-12-31') AS valid_to,
+               TIMESTAMP '2100-01-01') AS valid_to,
              lead(ts) OVER (PARTITION BY user_id, event_type ORDER BY ts) IS NULL AS is_current
       FROM events
       ORDER BY user_id, event_type, valid_from, valid_to""",

@@ -30,7 +30,10 @@ final class StateLog(spark: SparkSession, path: String) {
     * target when a later write fails. Without it, two overlapping failed
     * appends could roll the map back to a row that was itself never
     * journaled (A stamps, B stamps over A, A's write fails — no rollback,
-    * B owns the slot — then B's write fails and rolls back to A). */
+    * B owns the slot — then B's write fails and rolls back to A).
+    * Both this map and [[latest]] hold one row per pipeline id — they
+    * grow with the number of DISTINCT pipelines, not with append volume
+    * (a control-plane-sized footprint, not a data-sized one). */
   private val lastJournaled = TrieMap.empty[String, PipelineStateRow]
   import spark.implicits._
 
@@ -73,6 +76,18 @@ final class StateLog(spark: SparkSession, path: String) {
         lastJournaled.get(row.pipeline_id) match {
           case Some(j) if j.timestamp >= row.timestamp => ()
           case _ => lastJournaled.put(row.pipeline_id, row)
+        }
+        // repair `latest` if a FAILED newer append's rollback ran inside
+        // the window between this row's successful writeRow and this
+        // block: that rollback read lastJournaled before this update and
+        // restored an older journaled row (or cleared the slot), even
+        // though this row is already durable. Both paths serialize on
+        // this monitor, so after both have run, `latest` is the newest
+        // JOURNALED row either way. Never touches a newer stamped row —
+        // an in-flight append still owns the slot.
+        latest.get(row.pipeline_id) match {
+          case Some(cur) if cur.timestamp >= row.timestamp => ()
+          case _ => latest.put(row.pipeline_id, row)
         }
       }
     } catch {

@@ -111,25 +111,30 @@ object StreamReplay {
     * both monotone in the batch sequence), and must equal the batch
     * `groupBy(user).agg(count, max(ts))` oracle. */
   def st02StateReplay(s: SparkSession, d: String): DataFrame = withReplayTmp(s, "graft-st02-") { tmp =>
-    import s.implicits._
-    val qname = "graft_st02_" + java.util.UUID.randomUUID().toString.replace("-", "")
     // The state store opens (and commits) one store per shuffle partition
     // per micro-batch; 15-150 keys do not need the session's full shuffle
     // parallelism, and the replay would pay 4 batches × 32 partition
     // commits of bookkeeping for near-empty stores. Pin the stateful
-    // shuffle width for this query and restore the session conf after —
-    // at production scale this knob is sized to key cardinality, and the
-    // checkpoint records it per query.
-    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    // shuffle width in a CLONED session (same SparkContext, isolated
+    // SQLConf) — mutating the shared session's conf would silently
+    // resize any concurrently-planned query that reads it at call time
+    // (d06 sizes its bucket count from this conf). At production scale
+    // this knob is sized to key cardinality, and the checkpoint records
+    // it per query.
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.session.timeZone",
+      s.conf.get("spark.sql.session.timeZone", "UTC"))
+    s2.conf.set("spark.sql.shuffle.partitions", "8")
+    import s2.implicits._
+    val qname = "graft_st02_" + java.util.UUID.randomUUID().toString.replace("-", "")
     try {
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      val ev = Tables.events(s, d).select(col("user_id"), col("ts"))
+      val ev = Tables.events(s2, d).select(col("user_id"), col("ts"))
       ev.repartitionByRange(8, col("ts"))
         .write.mode("overwrite")
         .option("timestampFormat", JsonTsFormat)
         .json(s"$tmp/incoming")
       val source = StreamingPipeline.jsonFileSource(
-        s, s"$tmp/incoming", ev.schema, maxFilesPerTrigger = 2,
+        s2, s"$tmp/incoming", ev.schema, maxFilesPerTrigger = 2,
         options = Map("timestampFormat" -> JsonTsFormat))
       val typed = source
         .select(col("user_id").cast("string"), col("ts"))
@@ -142,7 +147,7 @@ object StreamReplay {
         .trigger(Trigger.AvailableNow())
         .start()
       query.awaitTermination()
-      s.table(qname)
+      s2.table(qname)
         .groupBy(col("key"))
         .agg(max(col("n")).as("n_events"), max(col("lastTs")).as("last_ts"))
         .select(col("key").cast("long").as("user_id"),
@@ -151,9 +156,7 @@ object StreamReplay {
         // materialize before the memory table is dropped below
         .localCheckpoint(eager = true)
     } finally {
-      try { s.conf.set("spark.sql.shuffle.partitions", prevShuffle) }
-      catch { case _: Throwable => () }
-      try { s.catalog.dropTempView(qname); () } catch { case _: Throwable => () }
+      try { s2.catalog.dropTempView(qname); () } catch { case _: Throwable => () }
     }
   }
 
