@@ -506,6 +506,54 @@ object Dedup {
     dupClusters(d02NgramJaccard(s, d).select(col("doc_a"), col("doc_b")))
       .orderBy(col("doc_id"))
 
+  /** d08 benchmark-role modulus: doc_id ≡ 0 (mod 20) (~5 % of the corpus)
+    * plays the held-out eval benchmark; every other doc is training data. */
+  val ContaminationBenchMod = 20
+
+  /** d08: benchmark decontamination — the pre-training hygiene pass that
+    * flags training documents sharing word 3-grams with an eval
+    * benchmark (n-gram-overlap decontamination, the standard published
+    * recipe). Output per training doc: its shingle count, how many of
+    * its distinct shingles appear anywhere in the benchmark, and the
+    * contamination fraction.
+    *
+    * Scale shape: the BENCHMARK side is small by nature (eval suites are
+    * MBs against a 100 TB corpus), so its distinct shingle hashes
+    * broadcast and the corpus-side probe is a map-side hash join on the
+    * scan — the training corpus is never shuffled, never re-read, and
+    * only (doc_id, n_shingles, hit) rows reach the per-doc aggregate,
+    * which combines map-side to one row per doc (explode output is
+    * doc-contiguous within a partition). Shingles hash to 64 bits
+    * immediately (`xxhash64`) so the broadcast and probe never carry
+    * strings — same trick as d02's inverted index. */
+  def d08Contamination(s: SparkSession, d: String): DataFrame = {
+    val sh = docShingles(s, d)
+    val isBench = col("doc_id") % ContaminationBenchMod === 0
+    val benchSh = sh.filter(isBench)
+      .select(explode(col("sh")).as("sg"))
+      .select(xxhash64(col("sg")).as("h"))
+      .distinct()
+      .withColumn("hit", lit(1L))
+    // one pass over the training side: explode_outer keeps zero-shingle
+    // docs alive so n_shingles rides the same scan as the probe
+    val probed = sh.filter(!isBench)
+      .select(col("doc_id"), size(col("sh")).cast("long").as("n_shingles"),
+        explode_outer(col("sh")).as("sg"))
+      // xxhash64 of an all-null input returns the SEED, not null — an
+      // explode_outer'd empty doc would otherwise probe with h=seed
+      .select(col("doc_id"), col("n_shingles"),
+        when(col("sg").isNotNull, xxhash64(col("sg"))).as("h"))
+      .join(broadcast(benchSh), Seq("h"), "left")
+    probed.groupBy(col("doc_id"))
+      .agg(max(col("n_shingles")).as("n_shingles"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_shared"))
+      .filter(col("n_shingles") > 0)
+      .select(col("doc_id"), col("n_shingles"), col("n_shared"),
+        round(col("n_shared").cast("double") / col("n_shingles"), 6)
+          .as("contam_frac"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, Q] = Map(
     "d01_exact_dedup"       -> d01ExactDedup _,
     "d02_ngram_jaccard"     -> d02NgramJaccard _,
@@ -514,6 +562,7 @@ object Dedup {
     "d05_embedding_neardup" -> d05EmbeddingNearDup _,
     "d06_incremental_dedup" -> d06IncrementalDedup _,
     "d07_dup_clusters"      -> d07DupClusters _,
+    "d08_contamination"     -> d08Contamination _,
   )
 
   /** Jaccard-pair CTE body shared by the d02/d03 oracles and d07's
@@ -593,6 +642,27 @@ object Dedup {
       ORDER BY user_id, event_type""",
     "d02_ngram_jaccard" -> JaccardPairsSql,
     "d03_minhash_lsh"   -> JaccardPairsSql,
+    "d08_contamination" -> s"""
+      WITH toks AS (
+        SELECT doc_id, ${graft.text.TextAnalysis.ToksSql} AS t
+        FROM documents),
+      sh AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(range(1, len(t) - 1),
+                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS s
+        FROM toks),
+      bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % $ContaminationBenchMod = 0),
+      train AS (SELECT doc_id, s FROM sh WHERE doc_id % $ContaminationBenchMod <> 0),
+      sizes AS (SELECT doc_id, count(*) AS n_shingles FROM train GROUP BY doc_id),
+      hits AS (
+        SELECT t.doc_id, count(*) AS n_shared
+        FROM train t JOIN bench b ON t.s = b.s
+        GROUP BY t.doc_id)
+      SELECT s.doc_id, s.n_shingles,
+             coalesce(h.n_shared, 0) AS n_shared,
+             round(coalesce(h.n_shared, 0) * 1.0 / s.n_shingles, 6) AS contam_frac
+      FROM sizes s LEFT JOIN hits h USING (doc_id)
+      ORDER BY doc_id""",
     "d05_embedding_neardup" -> """
       WITH e AS (SELECT vec_id, embedding FROM embeddings),
       p AS (

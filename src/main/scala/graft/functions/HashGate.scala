@@ -21,6 +21,19 @@ object HashGate {
   /** Gate against a per-row threshold column (stratified rates). */
   def lt(id: Column, threshold: Column): Column = prefix(id) < threshold
 
+  /** Deterministic shard id in [0, n) from the same two-hex-digit md5
+    * prefix (n must divide evenly into 256 for uniform shards; any
+    * n ≤ 256 is valid). Content-addressed sharding: re-running the
+    * assignment on any engine reproduces it bit-identically. */
+  def shard(id: Column, n: Int): Column = {
+    require(n > 0 && n <= 256, s"shard count $n out of [1, 256]")
+    (conv(prefix(id), 16, 10).cast("int") % n).cast("int")
+  }
+
+  /** DuckDB fragment equivalent to [[shard]]. */
+  def sqlShard(idExpr: String, n: Int): String =
+    s"CAST(CAST('0x' || ${sqlPrefix(idExpr)} AS INT) % $n AS INT)"
+
   /** DuckDB fragment computing [[prefix]]. */
   def sqlPrefix(idExpr: String): String =
     s"substr(md5(CAST($idExpr AS VARCHAR)), 1, 2)"

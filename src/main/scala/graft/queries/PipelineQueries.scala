@@ -197,6 +197,32 @@ object PipelineQueries {
       .orderBy(col("user_id"), col("event_type"), col("valid_from"), col("valid_to"))
   }
 
+  /** p09 shard count — 16 divides 256, so the two-hex-digit gate space
+    * spreads exactly evenly across shards. */
+  val NumShards = 16
+
+  /** p09: training-shard manifest — the "global shuffle" step that ends a
+    * training-data pipeline: every document gets a deterministic,
+    * content-addressed shard (md5 of its id, [[graft.functions.HashGate
+    * .shard]]), and the manifest reports per-shard doc counts, byte
+    * volume, and id range. Hash sharding (vs range/round-robin) is what
+    * survives scale: the assignment is a per-row expression on the scan
+    * (no global sort, no coordination), any engine reproduces it, and
+    * appending a new batch never reshuffles existing shards. The
+    * manifest aggregate combines map-side into ≤ [[NumShards]] rows per
+    * partition; [[graft.sink.Sinks.writeHashSharded]] is the sink that
+    * materializes the layout this manifest describes. */
+  def p09ShardManifest(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("shard", graft.functions.HashGate.shard(col("doc_id"), NumShards))
+      .groupBy(col("shard"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        min(col("doc_id")).as("min_doc_id"),
+        max(col("doc_id")).as("max_doc_id"))
+      .orderBy(col("shard"))
+
   val queries: Map[String, Q] = Map(
     "p01_validate_events"   -> p01ValidateEvents _,
     "p02_clean_dedup"       -> p02CleanDedup _,
@@ -205,11 +231,21 @@ object PipelineQueries {
     "p06_stratified_sample" -> p06StratifiedSample _,
     "p07_upsert"            -> p07Upsert _,
     "p08_scd2"              -> p08Scd2 _,
+    "p09_shard_manifest"    -> p09ShardManifest _,
     "g01_quality_score"     -> g01QualityScore _,
     "g02_hourly_metrics"    -> g02HourlyMetrics _,
   )
 
   val oracleSql: Map[String, String] = Map(
+    "p09_shard_manifest" -> s"""
+      SELECT ${graft.functions.HashGate.sqlShard("doc_id", NumShards)} AS shard,
+             count(*) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             min(doc_id) AS min_doc_id,
+             max(doc_id) AS max_doc_id
+      FROM documents
+      GROUP BY 1
+      ORDER BY shard""",
     // the upsert's fixpoint stated directly: gated rows carry the updated
     // value, ungated rows the original — one row per event_id either way
     "p07_upsert" -> s"""

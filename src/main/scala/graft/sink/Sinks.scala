@@ -269,4 +269,28 @@ object Sinks {
     // lives at the caller's location instead of the session warehouse
     path.fold(w)(p => w.option("path", p)).saveAsTable(table)
   }
+
+  /** Training-shard sink: the layout [[graft.queries.PipelineQueries
+    * .p09ShardManifest]] describes. Every row gets a deterministic
+    * content-addressed shard ([[graft.functions.HashGate.shard]] of its
+    * id), the frame is repartitioned ON the shard column so each shard's
+    * rows land in one task, and the write is Hive-partitioned by shard —
+    * one directory, and (absent AQE skew splits) one file, per shard.
+    *
+    * Why this shape at 100 TB: a training job reads shards as units
+    * (shard dirs = the sampling/mixing granularity), so shard count is a
+    * CONTRACT, not a parallelism artifact — it must not drift with the
+    * writing cluster's task count. Hash assignment keeps it reproducible
+    * from row identity alone; re-runs and late-arriving batches append
+    * into the same shard dirs without touching the others. */
+  def writeHashSharded(df: DataFrame, path: String, idCol: String,
+                       numShards: Int = 16,
+                       mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.withColumn("shard", graft.functions.HashGate.shard(col(idCol), numShards))
+      .repartition(numShards, col("shard"))
+      .write
+      .mode(mode)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("shard")
+      .parquet(path)
 }

@@ -239,6 +239,62 @@ object TextAnalysis {
         length(col("red")).as("redacted_len"))
       .orderBy(col("doc_id"))
 
+  /** t10 flag thresholds: a doc is `is_repetitive` past either bound —
+    * the gate a Gopher-style quality filter applies before training. */
+  val Dup3FracMax = 0.15
+  val TopTokFracMax = 0.3
+
+  /** t10: repetition signals (Gopher-style quality filters) — the
+    * duplicate-n-gram and top-token-frequency fractions that catch
+    * boilerplate and degenerate repetition in a pre-training corpus:
+    *
+    *  - `dup_2gram_frac` / `dup_3gram_frac`: 1 − distinct/total n-grams
+    *    (token-count form of the published duplicate-n-gram filters),
+    *  - `top_tok_frac`: most-frequent-token share of all tokens.
+    *
+    * The n-gram fractions are per-row array algebra on the scan (same
+    * lambda-local zip_with construction as [[graft.dedup.Dedup.shingles]]
+    * — nothing interpreted touches an outer expression). The top-token
+    * mode needs a per-(doc, token) count, which no array builtin gives
+    * without quadratic lambda re-evaluation, so it goes explode →
+    * two-level aggregate: the first combines map-side to one row per
+    * (doc, token) per partition, and since explode output is
+    * doc-contiguous the shuffled volume is ~the distinct-token total,
+    * never the corpus. The final join is doc_id-to-doc_id on two
+    * derivations of the same scan. */
+  def t10Repetition(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+    val toks = col("toks")
+    val t2 = slice(toks, lit(2), greatest(size(toks) - 1, lit(0)))
+    val bigrams = filter(
+      zip_with(toks, t2, (a, b) => when(b.isNotNull, concat_ws(" ", a, b))),
+      g => g.isNotNull)
+    val arr = base.select(
+      col("doc_id"),
+      size(toks).cast("long").as("n_tokens"),
+      greatest(size(toks) - 1, lit(0)).cast("long").as("tot2"),
+      size(array_distinct(bigrams)).cast("long").as("d2"),
+      greatest(size(toks) - 2, lit(0)).cast("long").as("tot3"),
+      size(graft.dedup.Dedup.shingles(toks)).cast("long").as("d3"))
+    val mode = base
+      .select(col("doc_id"), explode(toks).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(max(col("c")).as("top_cnt"))
+    val dup2 = when(col("tot2") === 0, 0.0)
+      .otherwise(round((col("tot2") - col("d2")).cast("double") / col("tot2"), 6))
+    val dup3 = when(col("tot3") === 0, 0.0)
+      .otherwise(round((col("tot3") - col("d3")).cast("double") / col("tot3"), 6))
+    val topFrac = when(col("n_tokens") === 0, 0.0)
+      .otherwise(round(coalesce(col("top_cnt"), lit(0L)).cast("double") / col("n_tokens"), 6))
+    arr.join(mode, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        dup2.as("dup_2gram_frac"), dup3.as("dup_3gram_frac"),
+        topFrac.as("top_tok_frac"),
+        (dup3 > Dup3FracMax || topFrac > TopTokFracMax).as("is_repetitive"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, Q] = Map(
     "t01_token_count" -> t01TokenCount _,
     "t02_quality"     -> t02Quality _,
@@ -249,6 +305,7 @@ object TextAnalysis {
     "t07_sentiment"   -> t07Sentiment _,
     "t08_token_pack"  -> t08TokenPack _,
     "t09_redact"      -> t09Redact _,
+    "t10_repetition"  -> t10Repetition _,
   )
 
   /** Shared SQL fragments for the DuckDB oracle (public: the dedup
@@ -357,6 +414,36 @@ object TextAnalysis {
              md5(red) AS redacted_fp,
              length(red) AS redacted_len
       FROM r ORDER BY doc_id""",
+    "t10_repetition" -> s"""
+      WITH t AS (SELECT doc_id, $ToksSql AS t FROM documents),
+      m AS (
+        SELECT doc_id,
+               CAST(len(t) AS BIGINT) AS n_tokens,
+               CAST(greatest(len(t) - 1, 0) AS BIGINT) AS tot2,
+               CAST(len(list_distinct(list_transform(range(1, len(t)),
+                 i -> t[i] || ' ' || t[i+1]))) AS BIGINT) AS d2,
+               CAST(greatest(len(t) - 2, 0) AS BIGINT) AS tot3,
+               CAST(len(list_distinct(list_transform(range(1, len(t) - 1),
+                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS BIGINT) AS d3
+        FROM t),
+      md AS (
+        SELECT doc_id, max(c) AS top_cnt FROM (
+          SELECT doc_id, tok, count(*) AS c
+          FROM (SELECT doc_id, unnest(t) AS tok FROM t)
+          GROUP BY doc_id, tok)
+        GROUP BY doc_id),
+      f AS (
+        SELECT m.doc_id, m.n_tokens,
+               CASE WHEN tot2 = 0 THEN 0.0
+                    ELSE round((tot2 - d2) * 1.0 / tot2, 6) END AS dup_2gram_frac,
+               CASE WHEN tot3 = 0 THEN 0.0
+                    ELSE round((tot3 - d3) * 1.0 / tot3, 6) END AS dup_3gram_frac,
+               CASE WHEN m.n_tokens = 0 THEN 0.0
+                    ELSE round(coalesce(top_cnt, 0) * 1.0 / m.n_tokens, 6) END AS top_tok_frac
+        FROM m LEFT JOIN md ON m.doc_id = md.doc_id)
+      SELECT doc_id, n_tokens, dup_2gram_frac, dup_3gram_frac, top_tok_frac,
+             (dup_3gram_frac > 0.15 OR top_tok_frac > 0.3) AS is_repetitive
+      FROM f ORDER BY doc_id""",
     "t07_sentiment" -> s"""
       WITH t AS (
         SELECT doc_id, $ToksSql AS toks FROM documents),

@@ -122,4 +122,21 @@ class PlanSpec extends SparkSpec {
     val p7 = executed(graft.text.TextAnalysis.t07Sentiment(spark, sf))
     assert("split\\(".r.findAllIn(p7).size == 1, p7)
   }
+
+  test("d08: benchmark side broadcasts; the corpus is probed map-side, no corpus-key shuffle") {
+    val plan = executed(graft.dedup.Dedup.d08Contamination(spark, sf))
+    // the probe must be a broadcast hash join (benchmark shingles are
+    // small by nature); a sort-merge join here would shuffle the entire
+    // exploded training corpus on the shingle hash
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    // the training corpus itself never hash-shuffles on a content key:
+    // the only doc-side exchange is the per-doc rollup keyed on doc_id;
+    // the one other hash exchange is the BENCHMARK side's distinct —
+    // bounded by the benchmark's size, not the corpus's
+    assert(plan.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning(doc_id")) == 1, plan)
+    assert(plan.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning")) == 2, plan)
+  }
 }
