@@ -225,6 +225,15 @@ object StreamReplay {
     * into the final read. */
   def st03WindowedReplay(s: SparkSession, d: String): DataFrame =
     withReplayTmp(s, "graft-st03-") { tmp =>
+      // cloned session, narrow stateful shuffle: the windowed aggregate
+      // opens (and commits) one state store per shuffle partition per
+      // micro-batch for ~720 windows × 5 types of state — 8 partitions
+      // carry that comfortably, and the pin can't leak (same rationale
+      // as st02).
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.session.timeZone",
+        s.conf.get("spark.sql.session.timeZone", "UTC"))
+      s2.conf.set("spark.sql.shuffle.partitions", "8")
       val ev = Tables.events(s, d)
         .select(col("event_id"), col("ts"), col("event_type"), col("value"))
         .withColumn("late", hashGate(col("event_id")))
@@ -233,7 +242,7 @@ object StreamReplay {
         .add("ts", "timestamp").add("event_type", "string").add("value", "double")
       def drain(): Unit = {
         val source = StreamingPipeline.jsonFileSource(
-          s, incoming, feedSchema, maxFilesPerTrigger = 2,
+          s2, incoming, feedSchema, maxFilesPerTrigger = 2,
           options = Map("timestampFormat" -> JsonTsFormat))
         val agg = StreamingPipeline.windowedAnalytics(
           source, "ts", "event_type", "1 hour", lateness = "90 minutes")
@@ -277,20 +286,28 @@ object StreamReplay {
 
   def st04FanoutReplay(s: SparkSession, d: String): DataFrame = withReplayTmp(s, "graft-st04-") { tmp =>
     val qname = "graft_st04_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    // cloned session, narrow stateful shuffle (same rationale as st02/st03)
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.session.timeZone",
+      s.conf.get("spark.sql.session.timeZone", "UTC"))
+    s2.conf.set("spark.sql.shuffle.partitions", "8")
     try {
       val ev = Tables.events(s, d).filter(col("ts") < lit(FanoutFeedEnd).cast("timestamp"))
       ev.write.mode("overwrite")
         .option("timestampFormat", JsonTsFormat)
         .json(s"$tmp/incoming")
       val layout = PipelineLayout(s"$tmp/lake")
-      def source() = StreamingPipeline.jsonFileSource(
-        s, s"$tmp/incoming", ev.schema, maxFilesPerTrigger = 1000,
+      def source(sess: SparkSession) = StreamingPipeline.jsonFileSource(
+        sess, s"$tmp/incoming", ev.schema, maxFilesPerTrigger = 1000,
         options = Map("timestampFormat" -> JsonTsFormat))
+      // the processing leg keeps the FULL session width — it's a
+      // stateless partitioned write whose throughput scales with writer
+      // tasks; only the stateful analytics leg wants the narrow width
       val processing = StreamingPipeline.processingStream(
-        source(), Seq(Rule("always_true", lit(true))))
+        source(s), Seq(Rule("always_true", lit(true))))
       // Complete-mode windowed counts: the memory table holds the full
       // current result, so the final read needs no per-batch bookkeeping.
-      val analytics = source()
+      val analytics = source(s2)
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
         .agg(count(lit(1)).as("n"))
       val (q1, q2) = StreamingPipeline.fanOut(
@@ -302,13 +319,13 @@ object StreamReplay {
       q2.awaitTermination()
       val processed = s.read.parquet(layout.processed)
         .groupBy(col("event_type")).agg(count(lit(1)).as("n_processed"))
-      val windowed = s.table(qname)
+      val windowed = s2.table(qname)
         .groupBy(col("event_type")).agg(sum(col("n")).as("n_windowed"))
       processed.join(windowed, Seq("event_type"))
         .orderBy(col("event_type"))
         .localCheckpoint(eager = true)
     } finally {
-      try { s.catalog.dropTempView(qname); () } catch { case _: Throwable => () }
+      try { s2.catalog.dropTempView(qname); () } catch { case _: Throwable => () }
     }
   }
 
