@@ -107,6 +107,38 @@ object PipelineQueries {
           .as("success_rate"))
       .orderBy(col("hour_bucket"))
 
+  /** g03 drift threshold: a day whose event-type mix sits more than this
+    * total-variation distance from the corpus-wide mix is flagged. */
+  val DriftTvMax = 0.05
+
+  /** g03: distribution-drift monitor — the dataset-health check a
+    * training-data pipeline runs on every ingest slice: per day, the
+    * total-variation distance between that day's event-type distribution
+    * and the corpus-wide distribution, with a drift flag. Everything
+    * derives from ONE (day, type) count aggregate that combines
+    * map-side; the window functions that turn counts into the two
+    * distributions run over that ~days×types-row aggregate, never the
+    * corpus — at 100 TB the windowed stage touches thousands of rows
+    * regardless of input volume. */
+  def g03DriftMonitor(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = Tables.events(s, d)
+      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val enriched = counts
+      .withColumn("p_day",
+        col("n").cast("double") / sum(col("n")).over(Window.partitionBy(col("day"))))
+      .withColumn("p_glob",
+        sum(col("n")).over(Window.partitionBy(col("event_type"))).cast("double") /
+          sum(col("n")).over(Window.partitionBy()))
+    enriched.groupBy(col("day"))
+      .agg(
+        round(sum(abs(col("p_day") - col("p_glob"))) / 2, 6).as("tv_distance"),
+        sum(col("n")).as("n_events"))
+      .withColumn("is_drifted", col("tv_distance") > DriftTvMax)
+      .orderBy(col("day"))
+  }
+
   /** Per-stratum sampling rates for p06, as 256ths encoded in the first
     * two hex digits of md5(event_id): a row is in the sample iff its hex
     * prefix sorts below the stratum's threshold. md5 of the decimal id
@@ -234,9 +266,25 @@ object PipelineQueries {
     "p09_shard_manifest"    -> p09ShardManifest _,
     "g01_quality_score"     -> g01QualityScore _,
     "g02_hourly_metrics"    -> g02HourlyMetrics _,
+    "g03_drift_monitor"     -> g03DriftMonitor _,
   )
 
   val oracleSql: Map[String, String] = Map(
+    "g03_drift_monitor" -> s"""
+      WITH c AS (
+        SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n
+        FROM events GROUP BY 1, 2),
+      e AS (
+        SELECT day, event_type, n,
+               n * 1.0 / sum(n) OVER (PARTITION BY day) AS p_day,
+               (sum(n) OVER (PARTITION BY event_type)) * 1.0 /
+                 (sum(n) OVER ()) AS p_glob
+        FROM c)
+      SELECT day,
+             round(sum(abs(p_day - p_glob)) / 2, 6) AS tv_distance,
+             CAST(sum(n) AS BIGINT) AS n_events,
+             round(sum(abs(p_day - p_glob)) / 2, 6) > $DriftTvMax AS is_drifted
+      FROM e GROUP BY day ORDER BY day""",
     "p09_shard_manifest" -> s"""
       SELECT ${graft.functions.HashGate.sqlShard("doc_id", NumShards)} AS shard,
              count(*) AS n_docs,

@@ -382,12 +382,60 @@ object StreamReplay {
   /** The reversible corruption marker for st05's staged feed. */
   val CorruptPrefix = "!corrupt!"
 
+  /** st06: ingest-time streaming dedup — the stream-side twin of d06's
+    * batch incremental dedup: the events feed drains in FOUR
+    * micro-batches through `dropDuplicatesWithinWatermark` on
+    * (user_id, event_type), so the dedup state genuinely carries across
+    * epochs (a key seen in batch 1 suppresses its duplicates in batch
+    * 4). The watermark delay spans the whole staged corpus, so no state
+    * is evicted and the replay is EXACT; at production scale the same
+    * delay knob bounds state to the late-arrival horizon — the honest
+    * tradeoff streaming dedup makes (an unbounded-watermark
+    * `dropDuplicates` would grow state forever).
+    *
+    * Which row of a duplicate set survives within a micro-batch is not
+    * deterministic, so the landed table is rolled up to per-type KEY
+    * counts — exactly-one-survivor-per-key is the dedup contract, and it
+    * must equal the batch `count(DISTINCT user_id)` per type. */
+  def st06DedupReplay(s: SparkSession, d: String): DataFrame =
+    withReplayTmp(s, "graft-st06-") { tmp =>
+      // cloned session, narrow stateful shuffle (same rationale as st02)
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.session.timeZone",
+        s.conf.get("spark.sql.session.timeZone", "UTC"))
+      s2.conf.set("spark.sql.shuffle.partitions", "8")
+      val ev = Tables.events(s, d).select(col("user_id"), col("event_type"), col("ts"))
+      stageOrderedJson(ev, nFiles = 4, s"$tmp/incoming", prefix = "a",
+        baseModTime = 1000000L)
+      val source = StreamingPipeline.jsonFileSource(
+        s2, s"$tmp/incoming", ev.schema, maxFilesPerTrigger = 1,
+        options = Map("timestampFormat" -> JsonTsFormat))
+      val deduped = source
+        .select(col("user_id"), col("event_type"), col("ts"))
+        .withWatermark("ts", "40 days")
+        .dropDuplicatesWithinWatermark("user_id", "event_type")
+      val q = deduped.writeStream
+        .format("parquet")
+        .option("path", s"$tmp/out")
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(s"$tmp/out")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_keys"))
+        .orderBy(col("event_type"))
+        .localCheckpoint(eager = true)
+    }
+
   val queries: Map[String, Q] = Map(
     "st01_stream_replay"   -> st01StreamReplay _,
     "st02_state_replay"    -> st02StateReplay _,
     "st03_windowed_replay" -> st03WindowedReplay _,
     "st04_fanout_replay"   -> st04FanoutReplay _,
     "st05_dlq_replay"      -> st05DlqReplay _,
+    "st06_dedup_replay"    -> st06DedupReplay _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -442,5 +490,10 @@ object StreamReplay {
                            THEN 1 ELSE 0 END) AS BIGINT) AS n_recovered
       FROM events WHERE ts < TIMESTAMP '$DlqFeedEnd'
       GROUP BY event_type ORDER BY event_type""",
+    // exactly one survivor per (user_id, event_type) key — the dedup
+    // contract, independent of WHICH duplicate row won within a batch
+    "st06_dedup_replay" -> """
+      SELECT event_type, count(DISTINCT user_id) AS n_keys
+      FROM events GROUP BY event_type ORDER BY event_type""",
   )
 }
