@@ -139,4 +139,33 @@ class PlanSpec extends SparkSpec {
     assert(plan.linesIterator.count(l =>
       l.contains("Exchange hashpartitioning")) == 2, plan)
   }
+
+  test("p09: shard manifest is one scan with map-side partial aggregation") {
+    val plan = executed(PipelineQueries.p09ShardManifest(spark, sf))
+    assert(plan.linesIterator.count(_.contains("Scan parquet")) == 1, plan)
+    // partial_count before the exchange = the shard rollup combines
+    // map-side; the shuffle carries ≤ NumShards rows per input partition
+    assert(plan.contains("partial_count"), plan)
+    assert(!plan.contains("Join"), plan)
+  }
+
+  test("g03: drift windows run over the (day, type) aggregate, not the corpus") {
+    val plan = executed(PipelineQueries.g03DriftMonitor(spark, sf))
+    assert(plan.linesIterator.count(_.contains("Scan parquet")) == 1, plan)
+    // the corpus-side aggregate must combine map-side BEFORE any Window
+    // touches the data — Window over the raw scan would single-task 100 TB
+    val lines = plan.linesIterator.toVector
+    val firstWindow = lines.indexWhere(_.contains("Window"))
+    val partialAgg = lines.indexWhere(_.contains("partial_count"))
+    assert(firstWindow >= 0 && partialAgg >= 0, plan)
+    // formatted plans print operators top-down (result first), so the
+    // partial aggregate must appear BELOW the window operators
+    assert(partialAgg > firstWindow, plan)
+  }
+
+  test("t10: repetition metrics touch the corpus twice at most (array pass + token mode)") {
+    val plan = executed(graft.text.TextAnalysis.t10Repetition(spark, sf))
+    assert(plan.linesIterator.count(_.contains("Scan parquet")) <= 2, plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
 }
