@@ -526,17 +526,24 @@ object Dedup {
     * doc-contiguous within a partition). Shingles hash to 64 bits
     * immediately (`xxhash64`) so the broadcast and probe never carry
     * strings — same trick as d02's inverted index. */
-  def d08Contamination(s: SparkSession, d: String): DataFrame = {
-    val sh = docShingles(s, d)
-    val isBench = col("doc_id") % ContaminationBenchMod === 0
-    val benchSh = sh.filter(isBench)
+  /** Reusable decontamination core: flag `train` documents sharing word
+    * 3-grams with `bench` documents. Returns one row per non-empty
+    * training doc: (doc_id, n_shingles, n_shared, contam_frac). See
+    * [[d08Contamination]] for the scale argument. */
+  def contamination(train: DataFrame, bench: DataFrame,
+                    textCol: String = "text",
+                    idCol: String = "doc_id"): DataFrame = {
+    def sh(df: DataFrame): DataFrame = df
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
+      .select(col("doc_id"), shingles(col("toks")).as("sh"))
+    val benchSh = sh(bench)
       .select(explode(col("sh")).as("sg"))
       .select(xxhash64(col("sg")).as("h"))
       .distinct()
       .withColumn("hit", lit(1L))
     // one pass over the training side: explode_outer keeps zero-shingle
     // docs alive so n_shingles rides the same scan as the probe
-    val probed = sh.filter(!isBench)
+    val probed = sh(train)
       .select(col("doc_id"), size(col("sh")).cast("long").as("n_shingles"),
         explode_outer(col("sh")).as("sg"))
       // xxhash64 of an all-null input returns the SEED, not null — an
@@ -552,6 +559,12 @@ object Dedup {
         round(col("n_shared").cast("double") / col("n_shingles"), 6)
           .as("contam_frac"))
       .orderBy(col("doc_id"))
+  }
+
+  def d08Contamination(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val isBench = col("doc_id") % ContaminationBenchMod === 0
+    contamination(docs.filter(!isBench), docs.filter(isBench))
   }
 
   val queries: Map[String, Q] = Map(

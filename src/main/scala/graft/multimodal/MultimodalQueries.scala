@@ -79,9 +79,26 @@ object MultimodalQueries {
       .orderBy(col("media_id"))
   }
 
+  /** m03: media content dedup — exact dedup of the media corpus by
+    * payload hash: `md5` over the OPAQUE binary column, no decode, no
+    * metadata trust (the same asset re-ingested under different ids or
+    * kinds collapses to one copy). The per-item hash is computed on the
+    * scan; only (fp, media_id) pairs shuffle to the keep-first rollup —
+    * the 100 TB story is identical to d01: fingerprints travel, payloads
+    * never do. Output: every duplicated payload with its kept id and
+    * copy count. */
+  def m03MediaDedup(s: SparkSession, d: String): DataFrame =
+    fromDocuments(s, d).toDF()
+      .select(md5(col("data")).as("fp"), col("media_id"))
+      .groupBy(col("fp"))
+      .agg(min(col("media_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .filter(col("n_copies") > 1)
+      .orderBy(col("keep_id"))
+
   val queries: Map[String, Q] = Map(
     "m01_media_meta"   -> m01MediaMeta _,
     "m02_frame_sample" -> m02FrameSample _,
+    "m03_media_dedup"  -> m03MediaDedup _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -106,5 +123,13 @@ object MultimodalQueries {
              CAST((16 * (1 + doc_id % 4)) * (16 * (1 + doc_id % 4)) AS BIGINT)
                AS px_per_frame
       FROM documents WHERE doc_id % 3 = 2 ORDER BY media_id""",
+    // the payload IS the text's UTF-8 bytes, so md5 over the binary
+    // equals DuckDB's md5 over the source string
+    "m03_media_dedup" -> """
+      SELECT fp, keep_id, n_copies FROM (
+        SELECT md5(text) AS fp, min(doc_id) AS keep_id,
+               count(*) AS n_copies
+        FROM documents GROUP BY 1)
+      WHERE n_copies > 1 ORDER BY keep_id""",
   )
 }

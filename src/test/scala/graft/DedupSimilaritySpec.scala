@@ -116,4 +116,21 @@ class DedupSimilaritySpec extends SparkSpec {
     // with more members than any single pair could produce)
     assert(lab.groupBy(_._2).values.exists(_.size >= 3))
   }
+
+  test("contamination: verbatim copy is fully contaminated, disjoint vocab is clean") {
+    import org.apache.spark.sql.functions.col
+    val bench = Seq((100L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"), // verbatim benchmark copy
+      (2L, "one two three four five six"),         // disjoint vocabulary
+      (3L, "alpha beta gamma unrelated tail here") // one shared shingle
+    ).toDF("doc_id", "text")
+    val out = Dedup.contamination(train, bench)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out(1L)._3 == 1.0, s"verbatim copy not fully contaminated: ${out(1L)}")
+    assert(out(2L)._2 == 0L && out(2L)._3 == 0.0, s"clean doc flagged: ${out(2L)}")
+    assert(out(3L)._2 == 1L, s"expected exactly one shared shingle: ${out(3L)}")
+  }
 }
