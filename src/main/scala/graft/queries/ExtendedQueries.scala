@@ -207,7 +207,52 @@ object ExtendedQueries {
         col("e.key").as("mk"), col("e.value").as("mv"))
       .orderBy(col("event_id"), col("mk"))
 
+  /** u01: the typed-Aggregator plugin surface (SURVEY §2.9 U2) as a
+    * driver row. [[graft.functions.Aggregators.PassRate]] is exact
+    * integer arithmetic (bit-identical to the SQL form on any engine);
+    * [[graft.functions.Aggregators.VarianceStats]] merges Welford
+    * buffers whose float result depends on merge order, so its contract
+    * is agreement with the builtin `var_pop` within 1e-6 relative — the
+    * honest cross-engine statement for a parallel variance. Both run
+    * with map-side partial aggregation like any builtin. */
+  def u01PluginAgg(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.Aggregators
+    val passRate = udaf(Aggregators.PassRate, org.apache.spark.sql.Encoders.scalaBoolean)
+    val varStats = udaf(Aggregators.VarianceStats, org.apache.spark.sql.Encoders.scalaDouble)
+    Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(
+        round(passRate(col("value") <= 300), 6).as("pass_rate"),
+        varStats(col("value")).as("vs"),
+        var_pop(col("value")).as("builtin_var"),
+        count(lit(1)).as("n"))
+      .select(
+        col("event_type"), col("pass_rate"), col("n"),
+        round(col("builtin_var"), 4).as("var_value"),
+        (abs(col("vs._3") - col("builtin_var")) <=
+          greatest(col("builtin_var"), lit(1e-12)) * 1e-6).as("welford_ok"))
+      .orderBy(col("event_type"))
+  }
+
+  /** u02: the SQL-registration path of the native vector expressions
+    * (SURVEY §2.9 U1 + §4 SparkSessionExtensions) as a driver row: the
+    * codegen'd `dot_product`/`cosine_similarity` called FROM SQL text,
+    * proving a pure-SQL user gets the plugin functions. The oracle
+    * mirrors the expressions' exact accumulation order, so values
+    * compare bit-for-bit after rounding. */
+  def u02SqlVector(s: SparkSession, d: String): DataFrame = {
+    graft.extensions.GraftExtensions.register(s)
+    Tables.embeddings(s, d).createOrReplaceTempView("u02_emb")
+    s.sql("""
+      SELECT vec_id,
+             round(dot_product(embedding, embedding), 6) AS self_dot,
+             round(cosine_similarity(embedding, embedding), 6) AS self_cos
+      FROM u02_emb ORDER BY vec_id""")
+  }
+
   val queries: Map[String, Q] = Map(
+    "u01_plugin_agg"     -> u01PluginAgg _,
+    "u02_sql_vector"     -> u02SqlVector _,
     "q31_right_join"     -> q31RightJoin _,
     "q32_map_funcs"      -> q32MapFuncs _,
     "a01_asof_join"      -> a01AsOfJoin _,
@@ -222,6 +267,30 @@ object ExtendedQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // PassRate is exact long arithmetic → value compare; the Welford
+    // variance carries a tolerance contract (see u01PluginAgg scaladoc)
+    "u01_plugin_agg" -> """
+      SELECT event_type,
+             round(avg(CASE WHEN value <= 300 THEN 1.0 ELSE 0.0 END), 6) AS pass_rate,
+             count(*) AS n,
+             round(var_pop(value), 4) AS var_value,
+             TRUE AS welford_ok
+      FROM events
+      GROUP BY event_type
+      ORDER BY event_type""",
+    // d = the expressions' accumulation (sequential sum of squares);
+    // denom mirrors sqrt(d)*sqrt(d) so float behavior matches exactly
+    "u02_sql_vector" -> """
+      WITH e AS (
+        SELECT vec_id,
+               list_sum(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS d
+        FROM embeddings)
+      SELECT vec_id,
+             round(d, 6) AS self_dot,
+             CASE WHEN sqrt(d) * sqrt(d) = 0 THEN NULL
+                  ELSE round(d / (sqrt(d) * sqrt(d)), 6) END AS self_cos
+      FROM e ORDER BY vec_id""",
     "q31_right_join" -> """
       SELECT c_mktsegment, count(o_orderkey) AS n_orders, count(*) AS n_rows
       FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
