@@ -79,21 +79,32 @@ object MultimodalQueries {
       .orderBy(col("media_id"))
   }
 
+  /** m03 re-ingestion model: every tenth asset arrives a second time
+    * under a fresh id (offset past every real id) — the "same bytes,
+    * different object key" duplication a media lake actually sees. */
+  val ReingestMod = 10L
+  val ReingestOffset = 10000000L
+
   /** m03: media content dedup — exact dedup of the media corpus by
     * payload hash: `md5` over the OPAQUE binary column, no decode, no
-    * metadata trust (the same asset re-ingested under different ids or
-    * kinds collapses to one copy). The per-item hash is computed on the
-    * scan; only (fp, media_id) pairs shuffle to the keep-first rollup —
-    * the 100 TB story is identical to d01: fingerprints travel, payloads
-    * never do. Output: every duplicated payload with its kept id and
-    * copy count. */
-  def m03MediaDedup(s: SparkSession, d: String): DataFrame =
-    fromDocuments(s, d).toDF()
+    * metadata trust (the same asset re-ingested under a different id or
+    * kind collapses to one copy). The corpus is the base media plus a
+    * deterministic re-ingested subset ([[ReingestMod]]); the per-item
+    * hash is computed on the scan and only (fp, media_id) pairs shuffle
+    * to the keep-first rollup — the 100 TB story is identical to d01:
+    * fingerprints travel, payloads never do. Output: every duplicated
+    * payload with its kept (minimum = original) id and copy count. */
+  def m03MediaDedup(s: SparkSession, d: String): DataFrame = {
+    val m = fromDocuments(s, d).toDF()
       .select(md5(col("data")).as("fp"), col("media_id"))
+    val reingested = m.filter(col("media_id") % ReingestMod === 0)
+      .withColumn("media_id", col("media_id") + ReingestOffset)
+    m.unionByName(reingested)
       .groupBy(col("fp"))
       .agg(min(col("media_id")).as("keep_id"), count(lit(1)).as("n_copies"))
       .filter(col("n_copies") > 1)
       .orderBy(col("keep_id"))
+  }
 
   val queries: Map[String, Q] = Map(
     "m01_media_meta"   -> m01MediaMeta _,
@@ -124,12 +135,18 @@ object MultimodalQueries {
                AS px_per_frame
       FROM documents WHERE doc_id % 3 = 2 ORDER BY media_id""",
     // the payload IS the text's UTF-8 bytes, so md5 over the binary
-    // equals DuckDB's md5 over the source string
-    "m03_media_dedup" -> """
+    // equals DuckDB's md5 over the source string; the union restates the
+    // deterministic re-ingested subset
+    "m03_media_dedup" -> s"""
       SELECT fp, keep_id, n_copies FROM (
-        SELECT md5(text) AS fp, min(doc_id) AS keep_id,
+        SELECT md5(text) AS fp, min(id) AS keep_id,
                count(*) AS n_copies
-        FROM documents GROUP BY 1)
+        FROM (
+          SELECT doc_id AS id, text FROM documents
+          UNION ALL
+          SELECT doc_id + $ReingestOffset AS id, text FROM documents
+          WHERE doc_id % $ReingestMod = 0)
+        GROUP BY 1)
       WHERE n_copies > 1 ORDER BY keep_id""",
   )
 }
