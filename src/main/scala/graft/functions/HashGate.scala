@@ -30,6 +30,17 @@ object HashGate {
     (conv(prefix(id), 16, 10).cast("int") % n).cast("int")
   }
 
+  /** Seeded full md5 hex of the decimal id — the permutation key for the
+    * deterministic training-order shuffle (p11): changing the seed
+    * re-deals the whole permutation, while any engine re-derives the same
+    * order from (seed, id) alone. */
+  def seededHex(id: Column, seed: String): Column =
+    md5(concat_ws(":", lit(seed), id.cast("string")))
+
+  /** DuckDB fragment equivalent to [[seededHex]]. */
+  def sqlSeededHex(idExpr: String, seed: String): String =
+    s"md5('$seed:' || CAST($idExpr AS VARCHAR))"
+
   /** DuckDB fragment equivalent to [[shard]]. */
   def sqlShard(idExpr: String, n: Int): String =
     s"CAST(CAST('0x' || ${sqlPrefix(idExpr)} AS INT) % $n AS INT)"

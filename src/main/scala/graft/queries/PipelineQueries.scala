@@ -255,6 +255,91 @@ object PipelineQueries {
         max(col("doc_id")).as("max_doc_id"))
       .orderBy(col("shard"))
 
+  /** p10 re-ingestion gate: ~25 % of docs arrive a second time (the m03
+    * deterministic re-ingestion model — overlapping crawls deliver the
+    * same content twice), so the funnel's dedup stage measures a real
+    * removal, not a vacuous pass-through. */
+  val FunnelReingestHex = "40"
+
+  /** p10 funnel bands, chosen to split the synthetic corpus non-trivially
+    * at every stage (640 → 545 → 463 → 383 → 300 at sf0.01). */
+  val FunnelLangs: Seq[String] = Seq("en", "es", "de", "fr")
+  val FunnelMinChars = 100
+  val FunnelMaxChars = 500
+  val FunnelMinTokens = 30
+
+  /** p10: corpus filter-funnel report — the per-stage survivor counts a
+    * training-data pipeline publishes with every corpus release
+    * (ingested → language filter → length band → token floor → exact
+    * dedup). ONE scan, genuinely: the re-ingested copy is a multiplicity
+    * WEIGHT on the row (gated docs count twice), not a union that would
+    * read the corpus a second time — stage counts become weighted sums,
+    * and the dedup stage is indifferent to multiplicity by definition
+    * (count-distinct over the stage-3 survivors' fingerprints). Catalyst
+    * plans the mixed distinct/non-distinct aggregate as a two-phase
+    * Expand — partial aggregation map-side, only counts cross the
+    * exchange; the corpus itself never shuffles. The single wide row
+    * then unpivots to the (stage_idx, stage, n_docs) funnel via `stack`
+    * — 5 rows, no second scan. */
+  def p10Funnel(s: SparkSession, d: String): DataFrame = {
+    import graft.text.TextAnalysis.{normText, tokens}
+    val c1 = col("lang").isin(FunnelLangs: _*)
+    val c2 = c1 && col("n_chars").between(FunnelMinChars, FunnelMaxChars)
+    val c3 = c2 && size(tokens(col("text"))) >= FunnelMinTokens
+    val weight = when(
+      graft.functions.HashGate(col("doc_id"), FunnelReingestHex), 2L).otherwise(1L)
+    Tables.documents(s, d)
+      .select(c1.as("c1"), c2.as("c2"), c3.as("c3"), weight.as("w"),
+        md5(normText(col("text"))).as("fp"))
+      .agg(
+        sum(col("w")).as("s0"),
+        sum(when(col("c1"), col("w")).otherwise(0L)).as("s1"),
+        sum(when(col("c2"), col("w")).otherwise(0L)).as("s2"),
+        sum(when(col("c3"), col("w")).otherwise(0L)).as("s3"),
+        countDistinct(when(col("c3"), col("fp"))).as("s4"))
+      .selectExpr(
+        """stack(5,
+             0, 'ingested',   s0,
+             1, 'lang_kept',  s1,
+             2, 'len_band',   s2,
+             3, 'tok_floor',  s3,
+             4, 'deduped',    s4) AS (stage_idx, stage, n_docs)""")
+      .orderBy(col("stage_idx"))
+  }
+
+  /** p11 shuffle geometry: seed re-deals the permutation; 16 shards (the
+    * p09 manifest count) so the two ops describe the same layout. */
+  val ShuffleSeed = "42"
+  val NumShuffleShards = 16
+
+  /** p11: deterministic training-order shuffle — the global permutation a
+    * training run consumes. Every doc gets a seeded content-addressed
+    * sort key ([[graft.functions.HashGate.seededHex]]); its shard is the
+    * key's hex prefix mod [[NumShuffleShards]], its position the
+    * row_number within the shard ordered by (key, doc_id). Scale shape:
+    * this is exactly the sharded-sink write pattern — ONE hash exchange
+    * on shard then a per-shard local sort (each shard is corpus/16; a
+    * real run writes shard files with this sortWithinPartitions order,
+    * never a global sort), and re-running with the same seed reproduces
+    * the permutation bit-identically on any engine, so a resumed or
+    * re-provisioned training job reads the same order without any stored
+    * shuffle state. */
+  def p11ShardShuffle(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keyed = Tables.documents(s, d)
+      .select(col("doc_id"),
+        graft.functions.HashGate.seededHex(col("doc_id"), ShuffleSeed).as("h"))
+      .withColumn("shard",
+        (conv(substring(col("h"), 1, 2), 16, 10).cast("int")
+          % NumShuffleShards).cast("int"))
+    keyed
+      .withColumn("pos", row_number()
+        .over(Window.partitionBy(col("shard")).orderBy(col("h"), col("doc_id")))
+        .cast("long"))
+      .select(col("doc_id"), col("shard"), col("pos"))
+      .orderBy(col("shard"), col("pos"))
+  }
+
   val queries: Map[String, Q] = Map(
     "p01_validate_events"   -> p01ValidateEvents _,
     "p02_clean_dedup"       -> p02CleanDedup _,
@@ -264,6 +349,8 @@ object PipelineQueries {
     "p07_upsert"            -> p07Upsert _,
     "p08_scd2"              -> p08Scd2 _,
     "p09_shard_manifest"    -> p09ShardManifest _,
+    "p10_funnel"            -> p10Funnel _,
+    "p11_shard_shuffle"     -> p11ShardShuffle _,
     "g01_quality_score"     -> g01QualityScore _,
     "g02_hourly_metrics"    -> g02HourlyMetrics _,
     "g03_drift_monitor"     -> g03DriftMonitor _,
@@ -285,6 +372,47 @@ object PipelineQueries {
              CAST(sum(n) AS BIGINT) AS n_events,
              round(sum(abs(p_day - p_glob)) / 2, 6) > $DriftTvMax AS is_drifted
       FROM e GROUP BY day ORDER BY day""",
+    "p10_funnel" -> s"""
+      WITH corpus AS (
+        SELECT * FROM documents
+        UNION ALL
+        SELECT * FROM documents
+        WHERE ${graft.functions.HashGate.sql("doc_id", FunnelReingestHex)}),
+      m AS (
+        SELECT lang, n_chars,
+               len(${graft.text.TextAnalysis.ToksSql}) AS n_tok,
+               md5(${graft.text.TextAnalysis.NormSql}) AS fp,
+               lang IN ('${FunnelLangs.mkString("','")}') AS c1
+        FROM corpus),
+      c AS (
+        SELECT count(*) AS s0,
+               count(*) FILTER (c1) AS s1,
+               count(*) FILTER (c1 AND n_chars BETWEEN $FunnelMinChars AND $FunnelMaxChars) AS s2,
+               count(*) FILTER (c1 AND n_chars BETWEEN $FunnelMinChars AND $FunnelMaxChars
+                                AND n_tok >= $FunnelMinTokens) AS s3,
+               count(DISTINCT fp) FILTER (c1 AND n_chars BETWEEN $FunnelMinChars AND $FunnelMaxChars
+                                          AND n_tok >= $FunnelMinTokens) AS s4
+        FROM m)
+      SELECT * FROM (
+        SELECT 0 AS stage_idx, 'ingested' AS stage, s0 AS n_docs FROM c
+        UNION ALL SELECT 1, 'lang_kept', s1 FROM c
+        UNION ALL SELECT 2, 'len_band',  s2 FROM c
+        UNION ALL SELECT 3, 'tok_floor', s3 FROM c
+        UNION ALL SELECT 4, 'deduped',   s4 FROM c)
+      ORDER BY stage_idx""",
+    "p11_shard_shuffle" -> s"""
+      WITH keyed AS (
+        SELECT doc_id,
+               ${graft.functions.HashGate.sqlSeededHex("doc_id", ShuffleSeed)} AS h
+        FROM documents),
+      sharded AS (
+        SELECT doc_id, h,
+               CAST(CAST('0x' || substr(h, 1, 2) AS INT) % $NumShuffleShards AS INT) AS shard
+        FROM keyed)
+      SELECT doc_id, shard,
+             CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS BIGINT) AS pos
+      FROM sharded
+      ORDER BY shard, pos""",
     "p09_shard_manifest" -> s"""
       SELECT ${graft.functions.HashGate.sqlShard("doc_id", NumShards)} AS shard,
              count(*) AS n_docs,

@@ -175,6 +175,68 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** s05 geometry: 16 corpus-organization clusters; separation contract
+    * slack calibrated against the measured SSW/SST ≈ 0.89 on this corpus
+    * (near-orthogonal vectors — clustering helps, but no toy-tight
+    * ratio; 0.97 is a regression tripwire with real margin, not a
+    * quality claim). */
+  val NumClusters = 16
+  val SepRatioMax = 0.97
+
+  /** s05: embedding corpus clustering — the k-means pass a training
+    * pipeline runs to organize a corpus into topic/quality buckets
+    * (curriculum mixes, per-cluster sampling rates, IVF cell layouts).
+    * Same scale shape as [[s03IvfTopK]]: the quantizer trains on a
+    * driver-side bounded sample (O(sample·k·iters), never the corpus),
+    * centroids ship as plan literals, and the full corpus is touched by
+    * exactly ONE codegen'd pass — nearest-centroid assignment plus the
+    * within/total scatter terms ride the same scan, combine map-side,
+    * and only counts and scalar sums cross the exchange (the mixed
+    * distinct/sum aggregate Expands ×2 on narrow columns; vectors never
+    * shuffle). The output is the summary contract: corpus fully
+    * assigned, cluster count in bounds, and k-means beating the
+    * one-cluster baseline (SSW < [[SepRatioMax]]·SST̂, with SST̂ against
+    * the sample mean — at scale the exact global mean is a luxury the
+    * baseline model doesn't get either). */
+  def s05ClusterProfile(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    import org.apache.spark.ml.stat.Summarizer
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val trainFrac = math.min(1.0, 4000.0 / math.max(1L, e.count()).toDouble)
+    val train = e.sample(withReplacement = false, trainFrac, seed = 42L)
+      .select(array_to_vector(col("embedding")).as("features"))
+    val model = new KMeans().setK(NumClusters).setSeed(42L).setMaxIter(10).fit(train)
+    val centroids = model.clusterCenters.map(_.toArray)
+    val mu = train.select(Summarizer.mean(col("features")).as("mu"))
+      .head().getAs[org.apache.spark.ml.linalg.Vector]("mu").toArray
+
+    val dot = graft.functions.VectorFunctions.dot _
+    // per-centroid (d² − ‖v‖²) structs: the row-constant ‖v‖² is added
+    // back once after the argmin instead of inside all k branches
+    def cDists(vec: org.apache.spark.sql.Column) =
+      centroids.zipWithIndex.map { case (c, i) =>
+        struct(
+          (lit(c.map(x => x * x).sum) - dot(vec, lit(c)) * 2).as("m"),
+          lit(i).as("cluster"))
+      }
+    val v = col("embedding")
+    val assigned = e.select(
+      least(cDists(v): _*).as("best"),
+      dot(v, v).as("vn2"),
+      dot(v, lit(mu)).as("vmu"))
+    assigned
+      .agg(
+        count(lit(1)).as("n_vectors"),
+        countDistinct(col("best.cluster")).as("n_used"),
+        sum(col("vn2") + col("best.m")).as("ssw"),
+        sum(col("vn2") - col("vmu") * 2 + lit(mu.map(x => x * x).sum)).as("sst"))
+      .select(
+        col("n_vectors"),
+        col("n_used").between(2, NumClusters).as("clusters_ok"),
+        (col("ssw") < lit(SepRatioMax) * col("sst")).as("sep_ok"))
+  }
+
   /** Recall floors asserted by the driver-checked contract queries —
     * regression tripwires, not quality claims. Calibrated against the
     * measured per-query recall on the fixed test corpus (worst query:
@@ -370,6 +432,7 @@ object Similarity {
     "s02_topk_lsh"        -> s02LshRecall _,
     "s03_topk_ivf"        -> s03IvfRecall _,
     "s04_topk_pq"         -> s04PqRecall _,
+    "s05_cluster_profile" -> s05ClusterProfile _,
   )
 
   /** The recall-contract oracle: every query id must come back with a full
@@ -385,6 +448,13 @@ object Similarity {
     "s02_topk_lsh" -> contractOracle,
     "s03_topk_ivf" -> contractOracle,
     "s04_topk_pq"  -> contractOracle,
+    // summary-contract form: DuckDB states the corpus size; the cluster
+    // bound and SSW/SST separation are facts only the engine can compute,
+    // asserted as booleans it must deliver TRUE
+    "s05_cluster_profile" -> """
+      SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+             TRUE AS clusters_ok, TRUE AS sep_ok
+      FROM embeddings""",
     "s01_topk_bruteforce" -> s"""
       WITH e AS (SELECT vec_id, embedding FROM embeddings),
       q AS (SELECT vec_id AS query_id, embedding AS qe FROM e WHERE vec_id < $NumQueries),

@@ -295,6 +295,38 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** t11 geometry: top bigrams reported per language. */
+  val NgramTopK = 5
+
+  /** t11: per-language top-k bigram table — the corpus-profile n-gram
+    * statistic every dataset card publishes. The bigram array is the same
+    * lambda-local zip_with construction as [[t10Repetition]] (one
+    * codegen'd pass on the scan, no quadratic lambda re-evaluation);
+    * explode output is doc-contiguous, so the (lang, bigram) count
+    * combines map-side before its ONE hash exchange, and only distinct
+    * (lang, bigram, count) rows — bounded by vocabulary², not corpus
+    * size — reach the per-lang top-k window. The window's per-lang sort
+    * is over that aggregated frame (WindowGroupLimit prunes it to k per
+    * lang before the final sort at scale). */
+  def t11NgramTopK(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = tokens(col("text"))
+    val t2 = slice(toks, lit(2), greatest(size(toks) - 1, lit(0)))
+    val bigrams = filter(
+      zip_with(toks, t2, (a, b) => when(b.isNotNull, concat_ws(" ", a, b))),
+      g => g.isNotNull)
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("n").desc, col("bigram"))
+    Tables.documents(s, d)
+      .select(col("lang"), explode(bigrams).as("bigram"))
+      .groupBy(col("lang"), col("bigram"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= NgramTopK)
+      .select(col("lang"), col("rank"), col("bigram"), col("n"))
+      .orderBy(col("lang"), col("rank"))
+  }
+
   val queries: Map[String, Q] = Map(
     "t01_token_count" -> t01TokenCount _,
     "t02_quality"     -> t02Quality _,
@@ -306,6 +338,7 @@ object TextAnalysis {
     "t08_token_pack"  -> t08TokenPack _,
     "t09_redact"      -> t09Redact _,
     "t10_repetition"  -> t10Repetition _,
+    "t11_ngram_topk"  -> t11NgramTopK _,
   )
 
   /** Shared SQL fragments for the DuckDB oracle (public: the dedup
@@ -414,6 +447,21 @@ object TextAnalysis {
              md5(red) AS redacted_fp,
              length(red) AS redacted_len
       FROM r ORDER BY doc_id""",
+    "t11_ngram_topk" -> s"""
+      WITH t AS (SELECT lang, $ToksSql AS t FROM documents),
+      b AS (
+        SELECT lang, unnest(list_transform(range(1, len(t)),
+                 i -> t[i] || ' ' || t[i+1])) AS bigram
+        FROM t),
+      c AS (SELECT lang, bigram, count(*) AS n FROM b GROUP BY lang, bigram),
+      r AS (
+        SELECT lang, bigram, n,
+               row_number() OVER (PARTITION BY lang
+                                  ORDER BY n DESC, bigram) AS rank
+        FROM c)
+      SELECT lang, rank, bigram, n FROM r
+      WHERE rank <= $NgramTopK
+      ORDER BY lang, rank""",
     "t10_repetition" -> s"""
       WITH t AS (SELECT doc_id, $ToksSql AS t FROM documents),
       m AS (

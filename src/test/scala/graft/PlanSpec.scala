@@ -168,4 +168,48 @@ class PlanSpec extends SparkSpec {
     assert(plan.linesIterator.count(_.contains("Scan parquet")) <= 2, plan)
     assert(!plan.contains("CartesianProduct"), plan)
   }
+
+  test("p10: funnel is ONE corpus scan (multiplicity weight, not a re-ingestion union)") {
+    val plan = executed(PipelineQueries.p10Funnel(spark, sf))
+    assert(plan.linesIterator.count(_.contains("Scan parquet")) == 1, plan)
+    assert(!plan.contains("Union"), plan)
+    // the mixed distinct/sum aggregate still combines map-side
+    assert(plan.contains("partial_sum") || plan.contains("partial_count"), plan)
+  }
+
+  test("p11: shuffle's window runs on the shard hash exchange; no extra exchange before it") {
+    val plan = executed(PipelineQueries.p11ShardShuffle(spark, sf))
+    assert(plan.linesIterator.count(_.contains("Scan parquet")) == 1, plan)
+    // exactly one hash exchange (on shard) feeds the row_number window;
+    // the trailing rangepartitioning belongs to the oracle-determinism
+    // orderBy, which a real sharded write replaces with per-shard files
+    assert(plan.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning")) == 1, plan)
+    assert(plan.contains("Window"), plan)
+  }
+
+  test("t11: bigram top-k aggregates before the window and prunes with WindowGroupLimit") {
+    val plan = executed(graft.text.TextAnalysis.t11NgramTopK(spark, sf))
+    assert(plan.linesIterator.count(_.contains("Scan parquet")) == 1, plan)
+    assert(plan.contains("WindowGroupLimit"), plan)
+    val lines = plan.linesIterator.toVector
+    val firstWindow = lines.indexWhere(_.contains("Window"))
+    val partialAgg = lines.indexWhere(_.contains("partial_count"))
+    assert(firstWindow >= 0 && partialAgg >= 0, plan)
+    // partial (lang, bigram) counts must form BELOW the window: the
+    // window sees vocabulary-bounded aggregate rows, never raw bigrams
+    assert(partialAgg > firstWindow, plan)
+  }
+
+  test("s05: cluster profile is one corpus pass; vectors never shuffle") {
+    val plan = executed(Similarity.s05ClusterProfile(spark, sf))
+    // one corpus scan for the assignment pass (the bounded KMeans sample
+    // reads happen at build time, before this plan exists)
+    assert(!plan.contains("Join"), plan)
+    assert(plan.contains("HashAggregate"), plan)
+    // nothing wider than the scalar scatter terms crosses an exchange:
+    // no embedding column in any exchange's output schema
+    val exLines = plan.linesIterator.filter(_.contains("Exchange")).toVector
+    assert(exLines.forall(!_.contains("embedding")), exLines.mkString("\n"))
+  }
 }
