@@ -1,6 +1,6 @@
 package graft.extensions
 
-import graft.functions.{CosineSimilarity, DotProduct}
+import graft.functions.{CosineSimilarity, DotProduct, NfcNormalize}
 import org.apache.spark.sql.{GraftColumnBridge, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -29,9 +29,19 @@ object GraftExtensions {
         make(children(0), children(1))
       })
 
+  private def unary(name: String, make: Expression => Expression)
+      : (String, ExpressionInfo, Seq[Expression] => Expression) =
+    (name,
+      new ExpressionInfo(classOf[GraftExtensions].getName, name),
+      { children: Seq[Expression] =>
+        require(children.length == 1, s"$name expects 1 argument")
+        make(children(0))
+      })
+
   val functions: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     binary("cosine_similarity", CosineSimilarity.apply),
-    binary("dot_product", DotProduct.apply))
+    binary("dot_product", DotProduct.apply),
+    unary("nfc_normalize", NfcNormalize.apply))
 
   /** Runtime registration on an already-built session (tests, REPLs). */
   def register(spark: SparkSession): Unit =

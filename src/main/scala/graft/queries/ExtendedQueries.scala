@@ -32,6 +32,41 @@ object ExtendedQueries {
       .orderBy(col("event_id"))
   }
 
+  /** a02: interval/range join (§2.3) — every event landing inside the
+    * 30-minute incident window opened by each error event, aggregated per
+    * window. The naive formulation is a pure theta-join (no equi key)
+    * that Spark plans as BroadcastNestedLoopJoin — O(N·M) comparisons
+    * against a broadcast corpus, exactly what cannot run at 100 TB. Here
+    * the time axis is bucketed at the window span: each interval covers
+    * at most two 30-min bins, so it explodes into ≤2 bin rows, the join
+    * is a plain shuffled hash equi-join on bin, and the exact containment
+    * predicate filters residuals — O(N + 2M) shuffled rows partitioned by
+    * bin like any grouped aggregate, AQE-salvageable if a bin is hot.
+    * Each (point, window) pair meets in exactly one bin (the point's), so
+    * no dedup pass is needed; self-inclusion (an error event opens its
+    * own window) guarantees ≥1 row per window, so the inner join drops no
+    * windows. */
+  def a02RangeJoin(s: SparkSession, d: String): DataFrame = {
+    val binUs = 1800L * 1000000L // 30-min bins in microseconds
+    val ev = Tables.events(s, d)
+    val pts = ev.select(col("ts").as("p_ts"), col("value"))
+      .withColumn("bin", expr(s"unix_micros(p_ts) div $binUs"))
+    val wins = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("win_id"), col("ts").as("w_start"))
+      .withColumn("w_start_us", expr("unix_micros(w_start)"))
+      .withColumn("w_end_us", col("w_start_us") + lit(binUs))
+      // end is exclusive, so the last covered bin is (end − 1) div width
+      .withColumn("bin",
+        explode(expr(s"sequence(w_start_us div $binUs, (w_end_us - 1) div $binUs)")))
+    wins.join(pts, "bin")
+      .filter(expr("unix_micros(p_ts)").between(
+        col("w_start_us"), col("w_end_us") - 1))
+      .groupBy(col("win_id"))
+      .agg(count(lit(1)).as("n_in_window"),
+        round(sum(col("value")), 2).as("sum_value"))
+      .orderBy(col("win_id"))
+  }
+
   /** q25: approximate distinct (G4) — HLL-based approx_count_distinct
     * next to the exact count; the oracle checks the exact count and that
     * both engines' sketches land within 10 % (sketches differ across
@@ -256,6 +291,7 @@ object ExtendedQueries {
     "q31_right_join"     -> q31RightJoin _,
     "q32_map_funcs"      -> q32MapFuncs _,
     "a01_asof_join"      -> a01AsOfJoin _,
+    "a02_range_join"     -> a02RangeJoin _,
     "q30_pivot"          -> q30Pivot _,
     "q25_approx_distinct"-> q25ApproxDistinct _,
     "q26_window_extras"  -> q26WindowExtras _,
@@ -344,6 +380,16 @@ object ExtendedQueries {
       SELECT event_id, user_id, purchase_id,
              round(purchase_value, 2) AS purchase_value
       FROM m WHERE side = 1 ORDER BY event_id""",
+    "a02_range_join" -> """
+      SELECT e.event_id AS win_id,
+             count(*) AS n_in_window,
+             round(sum(p.value), 2) AS sum_value
+      FROM events e
+      JOIN events p
+        ON p.ts >= e.ts AND p.ts < e.ts + INTERVAL 30 MINUTE
+      WHERE e.event_type = 'error'
+      GROUP BY 1
+      ORDER BY 1""",
     "q25_approx_distinct" -> """
       SELECT l_returnflag,
              count(DISTINCT l_orderkey) AS d_exact,

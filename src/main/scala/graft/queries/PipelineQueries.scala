@@ -340,6 +340,103 @@ object PipelineQueries {
       .orderBy(col("shard"), col("pos"))
   }
 
+  /** p12: deterministic train/val/test split — assignment is a pure
+    * function of (doc_id), not of row order or partitioning: the first
+    * two hex digits of md5(doc_id) land in [0,256) and fixed cut points
+    * carve ~4 % test, ~4 % val, rest train ([[graft.functions.HashGate]]).
+    * Scale: a stateless narrow map over the scan — no shuffle, no RNG
+    * state, identical assignment on any engine / cluster size / rerun,
+    * which is what makes held-out sets auditable at 100 TB. */
+  def p12TrainSplit(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.HashGate
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        when(HashGate.prefix(col("doc_id")) < "0a", "test")
+          .when(HashGate.prefix(col("doc_id")) < "14", "val")
+          .otherwise("train").as("split"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** p13: source-balancing mixture — per-source keep rates DERIVED from
+    * the data (rate = smallest source count / source count) so every
+    * source contributes ~equally to the mix, then applied as a
+    * deterministic per-row md5 gate. The two-phase shape is the 100 TB
+    * pattern for data mixing: a tiny per-source aggregate (broadcast
+    * back) decides rates; the gate itself is a narrow stateless map —
+    * rows are never shuffled, and the integer threshold arithmetic
+    * (`floor(rate·256)`) is bit-identical across engines. */
+  def p13SourceMix(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.HashGate
+    val docs = Tables.documents(s, d)
+    val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("n_total"))
+    val rates = counts.withColumn("threshold",
+      floor(min(col("n_total")).over() * 256.0 / col("n_total")).cast("int"))
+    docs.join(broadcast(rates), "source")
+      .groupBy(col("source"))
+      .agg(
+        first(col("n_total")).as("n_total"),
+        sum(when(conv(HashGate.prefix(col("doc_id")), 16, 10).cast("int")
+          < col("threshold"), 1L).otherwise(0L)).as("n_kept"))
+      .orderBy(col("source"))
+  }
+
+  /** Columns profiled by g04 with their kind; a case class rather than
+    * tuples so the per-column struct construction reads as a schema. */
+  private case class ProfiledCol(name: String, isNumeric: Boolean)
+
+  /** g04: one-pass column profiler (crawler/data-quality surface,
+    * SURVEY §2.10 X8 + G1) — per column: row count, null count, exact
+    * distinct count, numeric min/max, string min/max, in LONG form (one
+    * row per column) like a catalog stats table.
+    *
+    * Scale: a single aggregate over one scan; the multi-column exact
+    * `count(DISTINCT ...)` plans as one Expand (×K rows) feeding ONE
+    * shuffle with map-side partials — the standard profile plan. At
+    * 100 TB the drop-in economization is `approx_count_distinct` per
+    * column (no Expand, fixed-size HLL buffers); exact is kept here
+    * because the cross-engine oracle can state it, and q25 already
+    * carries the approx contract shape. The unpivot to long form is a
+    * driver-free explode over a one-row aggregate. */
+  def g04Profile(s: SparkSession, d: String): DataFrame = {
+    val cols = Seq(
+      ProfiledCol("event_id", isNumeric = true),
+      ProfiledCol("event_type", isNumeric = false),
+      ProfiledCol("props", isNumeric = false),
+      ProfiledCol("user_id", isNumeric = true),
+      ProfiledCol("value", isNumeric = true))
+    val aggs = cols.flatMap { c =>
+      Seq(
+        count(col(c.name)).as(s"${c.name}__nn"),
+        countDistinct(col(c.name)).as(s"${c.name}__nd")) ++
+        (if (c.isNumeric) Seq(
+          min(col(c.name)).cast("double").as(s"${c.name}__min"),
+          max(col(c.name)).cast("double").as(s"${c.name}__max"))
+        else Seq(
+          min(col(c.name)).as(s"${c.name}__mins"),
+          max(col(c.name)).as(s"${c.name}__maxs")))
+    }
+    val one = Tables.events(s, d)
+      .agg(count(lit(1)).as("__n"), aggs: _*)
+    val rows = cols.map { c =>
+      struct(
+        lit(c.name).as("col_name"),
+        col("__n").as("n"),
+        (col("__n") - col(s"${c.name}__nn")).as("n_null"),
+        col(s"${c.name}__nd").as("n_distinct"),
+        (if (c.isNumeric) col(s"${c.name}__min")
+         else lit(null).cast("double")).as("min_num"),
+        (if (c.isNumeric) col(s"${c.name}__max")
+         else lit(null).cast("double")).as("max_num"),
+        (if (c.isNumeric) lit(null).cast("string")
+         else col(s"${c.name}__mins")).as("min_s"),
+        (if (c.isNumeric) lit(null).cast("string")
+         else col(s"${c.name}__maxs")).as("max_s"))
+    }
+    one.select(explode(array(rows: _*)).as("p"))
+      .select(col("p.*"))
+      .orderBy(col("col_name"))
+  }
+
   val queries: Map[String, Q] = Map(
     "p01_validate_events"   -> p01ValidateEvents _,
     "p02_clean_dedup"       -> p02CleanDedup _,
@@ -351,12 +448,66 @@ object PipelineQueries {
     "p09_shard_manifest"    -> p09ShardManifest _,
     "p10_funnel"            -> p10Funnel _,
     "p11_shard_shuffle"     -> p11ShardShuffle _,
+    "p12_train_split"       -> p12TrainSplit _,
+    "p13_source_mix"        -> p13SourceMix _,
     "g01_quality_score"     -> g01QualityScore _,
     "g02_hourly_metrics"    -> g02HourlyMetrics _,
     "g03_drift_monitor"     -> g03DriftMonitor _,
+    "g04_profile"           -> g04Profile _,
   )
 
   val oracleSql: Map[String, String] = Map(
+    "p12_train_split" -> s"""
+      SELECT doc_id,
+             CASE WHEN ${graft.functions.HashGate.sqlPrefix("doc_id")} < '0a' THEN 'test'
+                  WHEN ${graft.functions.HashGate.sqlPrefix("doc_id")} < '14' THEN 'val'
+                  ELSE 'train' END AS split
+      FROM documents
+      ORDER BY doc_id""",
+    "p13_source_mix" -> s"""
+      WITH c AS (
+        SELECT source, count(*) AS n_total FROM documents GROUP BY source),
+      r AS (
+        SELECT source, n_total,
+               CAST(floor(min(n_total) OVER () * 256.0 / n_total) AS INT) AS threshold
+        FROM c)
+      SELECT d.source,
+             CAST(min(r.n_total) AS BIGINT) AS n_total,
+             CAST(sum(CASE WHEN CAST('0x' || ${graft.functions.HashGate.sqlPrefix("d.doc_id")} AS INT)
+                           < r.threshold THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+      FROM documents d JOIN r USING (source)
+      GROUP BY d.source
+      ORDER BY d.source""",
+    "g04_profile" -> """
+      WITH s AS (SELECT * FROM events)
+      SELECT * FROM (
+        SELECT 'event_id' AS col_name, count(*) AS n,
+               count(*) - count(event_id) AS n_null,
+               count(DISTINCT event_id) AS n_distinct,
+               CAST(min(event_id) AS DOUBLE) AS min_num,
+               CAST(max(event_id) AS DOUBLE) AS max_num,
+               NULL AS min_s, NULL AS max_s
+        FROM s
+        UNION ALL
+        SELECT 'event_type', count(*), count(*) - count(event_type),
+               count(DISTINCT event_type), NULL, NULL,
+               min(event_type), max(event_type)
+        FROM s
+        UNION ALL
+        SELECT 'props', count(*), count(*) - count(props),
+               count(DISTINCT props), NULL, NULL, min(props), max(props)
+        FROM s
+        UNION ALL
+        SELECT 'user_id', count(*), count(*) - count(user_id),
+               count(DISTINCT user_id), CAST(min(user_id) AS DOUBLE),
+               CAST(max(user_id) AS DOUBLE), NULL, NULL
+        FROM s
+        UNION ALL
+        SELECT 'value', count(*), count(*) - count(value),
+               count(DISTINCT value), CAST(min(value) AS DOUBLE),
+               CAST(max(value) AS DOUBLE), NULL, NULL
+        FROM s)
+      ORDER BY col_name""",
     "g03_drift_monitor" -> s"""
       WITH c AS (
         SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n

@@ -303,8 +303,15 @@ object Similarity {
     // dedup by CONTENT — Array.distinct compares references, which would
     // let duplicated sample vectors seed identical centroids and leave a
     // permanently empty cell
-    var centroids = points.map(_.toSeq).distinct.take(k).map(_.toArray)
-    require(centroids.length == k, s"lloyd: fewer than $k distinct sample points")
+    val seeds = points.map(_.toSeq).distinct.take(k).map(_.toArray)
+    // degenerate sample (fewer than k distinct points, plausible on tiny
+    // or constant corpora): pad with copies of the last distinct centroid
+    // instead of failing the run. Ties on distance resolve to the lowest
+    // code (struct ordering in codeOf), so padded cells are never chosen
+    // over their originals, and the ADC LUT keeps its fixed k width.
+    var centroids =
+      if (seeds.length == k) seeds
+      else seeds ++ Array.fill(k - seeds.length)(seeds.last.clone)
     for (_ <- 0 until iters) {
       val sums = Array.fill(k)(new Array[Double](dim))
       val counts = new Array[Long](k)

@@ -327,6 +327,36 @@ object TextAnalysis {
       .orderBy(col("lang"), col("rank"))
   }
 
+  /** t12: Unicode NFC normalization at ingest — the canonicalization pass
+    * that must precede any fingerprint/dedup (é as U+00E9 and as
+    * e+U+0301 are different bytes, same text). Runs the native codegen'd
+    * [[graft.functions.NfcNormalize]] expression (Spark has no builtin;
+    * a UDF would leave whole-stage codegen). The corpus text is
+    * synthetic ASCII, so the query plants a decomposed suffix on even
+    * doc_ids and a precomposed one on odd ids — the oracle
+    * (`nfc_normalize` in DuckDB) must agree that normalization composed
+    * the former (length shrinks by 1) and fixed-pointed the latter,
+    * and that both converge to the same final character.
+    *
+    * Scale: a narrow stateless projection on the scan; the
+    * `isNormalized` fast path means near-zero cost on the (dominant)
+    * already-canonical rows. */
+  def t12Normalize(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.StringFunctions.nfc
+    val aug = concat(col("text"),
+      when(col("doc_id") % 2 === 0, lit("caf" + "e\u0301"))
+        .otherwise(lit("caf\u00e9")))
+    Tables.documents(s, d)
+      .select(col("doc_id"), aug.as("aug"))
+      .select(
+        col("doc_id"),
+        length(col("aug")).as("n_raw"),
+        length(nfc(col("aug"))).as("n_nfc"),
+        (length(nfc(col("aug"))) < length(col("aug"))).as("changed"),
+        substring(nfc(col("aug")), -1, 1).as("last_char"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, Q] = Map(
     "t01_token_count" -> t01TokenCount _,
     "t02_quality"     -> t02Quality _,
@@ -339,6 +369,7 @@ object TextAnalysis {
     "t09_redact"      -> t09Redact _,
     "t10_repetition"  -> t10Repetition _,
     "t11_ngram_topk"  -> t11NgramTopK _,
+    "t12_normalize"   -> t12Normalize _,
   )
 
   /** Shared SQL fragments for the DuckDB oracle (public: the dedup
@@ -350,6 +381,23 @@ object TextAnalysis {
   val ToksSql = s"string_split($NormSql, ' ')"
 
   val oracleSql: Map[String, String] = Map(
+    // chr(769) = U+0301 combining acute; chr(233) = precomposed U+00E9. DuckDB's
+    // nfc_normalize must agree with the native NfcNormalize expression
+    // that the decomposed branch composes (length −1) and the
+    // precomposed branch is a fixed point, converging on one final char.
+    "t12_normalize" -> s"""
+      WITH a AS (
+        SELECT doc_id,
+               text || CASE WHEN doc_id % 2 = 0 THEN 'cafe' || chr(769)
+                            ELSE 'caf' || chr(233) END AS aug
+        FROM documents),
+      n AS (SELECT doc_id, aug, nfc_normalize(aug) AS norm FROM a)
+      SELECT doc_id,
+             length(aug) AS n_raw,
+             length(norm) AS n_nfc,
+             length(norm) < length(aug) AS changed,
+             right(norm, 1) AS last_char
+      FROM n ORDER BY doc_id""",
     "t01_token_count" -> s"""
       SELECT doc_id, len($ToksSql) AS n_tokens,
              length(text) AS n_chars_actual, n_chars

@@ -24,7 +24,7 @@ class ExtensionsSpec extends SparkSpec {
     // the config path a production deployment uses
     val ext = new GraftExtensions()
     assert(GraftExtensions.functions.map(_._1).toSet ==
-      Set("cosine_similarity", "dot_product"))
+      Set("cosine_similarity", "dot_product", "nfc_normalize"))
     // apply() must be callable without error on a fresh extensions object
     ext.apply(new org.apache.spark.sql.SparkSessionExtensions)
   }

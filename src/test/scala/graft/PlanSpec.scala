@@ -201,6 +201,28 @@ class PlanSpec extends SparkSpec {
     assert(partialAgg > firstWindow, plan)
   }
 
+  test("a02: range join is a binned equi-join — no nested-loop, no cartesian") {
+    val plan = executed(graft.queries.ExtendedQueries.a02RangeJoin(spark, sf))
+    // the whole point of the bin construction: a pure theta-join would
+    // plan BNLJ and do O(N·M) comparisons at scale
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("g04: profiler is one scan; multi-distinct plans as a single Expand pipeline") {
+    val plan = executed(PipelineQueries.g04Profile(spark, sf))
+    assert(plan.linesIterator.count(_.contains("Scan parquet")) == 1, plan)
+    assert(plan.contains("Expand"), plan)
+    assert(!plan.contains("Join"), plan)
+  }
+
+  test("p12: split assignment is shuffle-free (the only exchange is the oracle orderBy)") {
+    val plan = executed(PipelineQueries.p12TrainSplit(spark, sf))
+    assert(plan.linesIterator.count(_.contains("Exchange hashpartitioning")) == 0, plan)
+    assert(!plan.contains("Join"), plan)
+  }
+
   test("s05: cluster profile is one corpus pass; vectors never shuffle") {
     val plan = executed(Similarity.s05ClusterProfile(spark, sf))
     // one corpus scan for the assignment pass (the bounded KMeans sample
