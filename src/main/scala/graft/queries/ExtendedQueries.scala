@@ -67,6 +67,22 @@ object ExtendedQueries {
       .orderBy(col("win_id"))
   }
 
+  /** q37: sliding-window aggregate (T3's sliding half, batch form) —
+    * 1-hour windows every 15 minutes over events. Spark's `window(ts,
+    * "1 hour", "15 minutes")` expands each row into its 4 covering
+    * windows BEFORE the partial aggregate, so the map side combines
+    * (window, type) cells and the shuffle carries only aggregate rows —
+    * overlap multiplies in-core expansion, never exchange volume. The
+    * oracle reproduces the same epoch-aligned grid with `time_bucket` +
+    * `generate_series`. */
+  def q37SlidingWindow(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 6).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+      .orderBy(col("window_start"), col("event_type"))
+
   /** q25: approximate distinct (G4) — HLL-based approx_count_distinct
     * next to the exact count; the oracle checks the exact count and that
     * both engines' sketches land within 10 % (sketches differ across
@@ -292,6 +308,7 @@ object ExtendedQueries {
     "q32_map_funcs"      -> q32MapFuncs _,
     "a01_asof_join"      -> a01AsOfJoin _,
     "a02_range_join"     -> a02RangeJoin _,
+    "q37_sliding_window" -> q37SlidingWindow _,
     "q30_pivot"          -> q30Pivot _,
     "q25_approx_distinct"-> q25ApproxDistinct _,
     "q26_window_extras"  -> q26WindowExtras _,
@@ -390,6 +407,20 @@ object ExtendedQueries {
       WHERE e.event_type = 'error'
       GROUP BY 1
       ORDER BY 1""",
+    // time_bucket aligns the 15-min grid to the epoch exactly like
+    // Spark's window(); each event scatters to its 4 covering starts
+    "q37_sliding_window" -> """
+      WITH g AS (
+        SELECT time_bucket(INTERVAL '15 minutes', ts) AS grid, event_type, value
+        FROM events),
+      w AS (
+        SELECT unnest(generate_series(grid - INTERVAL '45 minutes', grid,
+                 INTERVAL '15 minutes')) AS window_start,
+               event_type, value
+        FROM g)
+      SELECT CAST(window_start AS TIMESTAMP) AS window_start, event_type,
+             count(*) AS n, round(sum(value), 6) AS sum_value
+      FROM w GROUP BY 1, 2 ORDER BY window_start, event_type""",
     "q25_approx_distinct" -> """
       SELECT l_returnflag,
              count(DISTINCT l_orderkey) AS d_exact,

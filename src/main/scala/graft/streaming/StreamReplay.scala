@@ -429,6 +429,62 @@ object StreamReplay {
         .localCheckpoint(eager = true)
     }
 
+  /** Feed bound for st07 — same rationale as [[FanoutFeedEnd]]: the row
+    * proves SESSION semantics, not write throughput. */
+  val SessionFeedEnd = "2024-01-08"
+
+  /** st07: session-window replay (T3) — the first week of events drained
+    * through the real `session_window` streaming aggregate
+    * ([[StreamingPipeline.sessionized]], 30-min gap per user, 10-min
+    * watermark) in multiple AvailableNow micro-batches, so sessions
+    * genuinely grow and merge across state-store epochs before the
+    * watermark closes them. Append mode emits exactly the sessions whose
+    * end (last event + gap) ≤ the final watermark (feed max − 10 min) —
+    * a pure function of the corpus, which the oracle states as the q35
+    * gaps-and-islands SQL plus that same watermark cutoff. Sessions
+    * still open at drain end are unemitted in BOTH engines, making the
+    * late/open boundary a checked contract rather than a race.
+    *
+    * Scale: session state is per-key and evicted at close; the staged
+    * in-order feed means state holds only each user's open session, not
+    * history — the same bound that holds on an unbounded stream. */
+  def st07SessionReplay(s: SparkSession, d: String): DataFrame =
+    withReplayTmp(s, "graft-st07-") { tmp =>
+      // cloned session, narrow stateful shuffle (same rationale as st03):
+      // merging-session state opens one store per shuffle partition per
+      // micro-batch — 8 partitions carry ~150 users comfortably.
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.session.timeZone",
+        s.conf.get("spark.sql.session.timeZone", "UTC"))
+      s2.conf.set("spark.sql.shuffle.partitions", "8")
+      val ev = Tables.events(s, d)
+        .filter(col("ts") < lit(SessionFeedEnd).cast("timestamp"))
+        .select(col("user_id"), col("ts"))
+      val incoming = s"$tmp/incoming"
+      val feedSchema = new StructType()
+        .add("user_id", "long").add("ts", "timestamp")
+      stageOrderedJson(ev, nFiles = 4, incoming, prefix = "a",
+        baseModTime = 1000000L)
+      val source = StreamingPipeline.jsonFileSource(
+        s2, incoming, feedSchema, maxFilesPerTrigger = 2,
+        options = Map("timestampFormat" -> JsonTsFormat))
+      val sess = StreamingPipeline.sessionized(
+        source, "ts", "user_id", gap = "30 minutes", lateness = "10 minutes")
+      val q = sess.writeStream
+        .format("parquet")
+        .option("path", s"$tmp/out")
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(s"$tmp/out")
+        .select(col("session_start"), col("session_end"), col("user_id"),
+          col("n_events"))
+        .orderBy(col("user_id"), col("session_start"))
+        .localCheckpoint(eager = true)
+    }
+
   val queries: Map[String, Q] = Map(
     "st01_stream_replay"   -> st01StreamReplay _,
     "st02_state_replay"    -> st02StateReplay _,
@@ -436,6 +492,7 @@ object StreamReplay {
     "st04_fanout_replay"   -> st04FanoutReplay _,
     "st05_dlq_replay"      -> st05DlqReplay _,
     "st06_dedup_replay"    -> st06DedupReplay _,
+    "st07_session_replay"  -> st07SessionReplay _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -490,6 +547,33 @@ object StreamReplay {
                            THEN 1 ELSE 0 END) AS BIGINT) AS n_recovered
       FROM events WHERE ts < TIMESTAMP '$DlqFeedEnd'
       GROUP BY event_type ORDER BY event_type""",
+    // q35's gaps-and-islands sessionization over the bounded feed, plus
+    // the append-mode emission rule: a session emits iff its end
+    // (last event + 30-min gap) ≤ the final watermark (feed max − 10 min).
+    // Sessions still open at drain end are unemitted in both engines.
+    "st07_session_replay" -> s"""
+      WITH e AS (
+        SELECT user_id, ts FROM events WHERE ts < TIMESTAMP '$SessionFeedEnd'),
+      wm AS (SELECT max(ts) - INTERVAL 10 MINUTE AS v FROM e),
+      flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      sess AS (
+        SELECT user_id, ts,
+               sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM flagged)
+      SELECT CAST(min(ts) AS TIMESTAMP) AS session_start,
+             CAST(max(ts) + INTERVAL 30 MINUTE AS TIMESTAMP) AS session_end,
+             user_id, count(*) AS n_events
+      FROM sess
+      GROUP BY user_id, sid
+      HAVING max(ts) + INTERVAL 30 MINUTE <= (SELECT v FROM wm)
+      ORDER BY user_id, session_start""",
     // exactly one survivor per (user_id, event_type) key — the dedup
     // contract, independent of WHICH duplicate row won within a batch
     "st06_dedup_replay" -> """

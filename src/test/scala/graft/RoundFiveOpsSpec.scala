@@ -110,6 +110,32 @@ class RoundFiveOpsSpec extends SparkSpec {
     }
   }
 
+  test("q37: sliding windows scatter every event into exactly 4 covering windows") {
+    val ev = Tables.events(spark, sf)
+    val total = ExtendedQueries.q37SlidingWindow(spark, sf)
+      .agg(sum(col("n"))).as[Long].head()
+    assert(total == 4 * ev.count())
+  }
+
+  test("st07: streamed session windows equal the batch session aggregate under the same watermark") {
+    val got = graft.streaming.StreamReplay.st07SessionReplay(spark, sf)
+    val feedEnd = lit(graft.streaming.StreamReplay.SessionFeedEnd).cast("timestamp")
+    val ev = Tables.events(spark, sf).filter(col("ts") < feedEnd)
+      .select(col("user_id"), col("ts"))
+    val wm = ev.agg(max(col("ts"))).as[java.sql.Timestamp].head().getTime - 10 * 60 * 1000L
+    val batch = ev
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"), col("user_id"), col("n_events"))
+      .filter(col("session_end") <= lit(new java.sql.Timestamp(wm)))
+      .orderBy(col("user_id"), col("session_start"))
+    val g = got.collect()
+    val b = batch.collect()
+    assert(g.length == b.length && g.length > 0, s"${g.length} vs ${b.length}")
+    g.zip(b).foreach { case (x, y) => assert(x == y, s"$x != $y") }
+  }
+
   test("t12: normalization shrinks exactly the planted decomposed rows; final char converges") {
     val rows = TextAnalysis.t12Normalize(spark, sf).collect()
     assert(rows.nonEmpty)
