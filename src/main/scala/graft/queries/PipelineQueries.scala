@@ -6,7 +6,7 @@ import graft.quality.Quality.Check
 import graft.transform.Transform
 import graft.validate.SchemaValidator
 import graft.validate.SchemaValidator.Rule
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Oracle-checked queries exercising the pipeline operators (SURVEY §2.2
@@ -380,6 +380,117 @@ object PipelineQueries {
       .orderBy(col("source"))
   }
 
+  /** p14 snapshot model: keys ≡ [[DiffRemovedMod]] (mod 10) exist only in
+    * the old snapshot, keys ≡ [[DiffAddedMod]] only in the new one, and
+    * every fifth shared key carries a price bump — added / removed /
+    * changed / unchanged all non-empty by construction. */
+  val DiffRemovedMod = 3
+  val DiffAddedMod = 7
+
+  /** Row fingerprint for p14: the compared columns collapse to one md5 so
+    * the diff join carries 16 bytes per side, not the row width. Doubles
+    * enter via round(·,2) → DECIMAL(18,2) → string, a rendering both
+    * engines produce identically ("123.40"); raw double-to-string is NOT
+    * cross-engine stable. */
+  private def diffFp(price: Column): Column =
+    md5(concat_ws("|",
+      col("o_orderstatus"), col("o_orderpriority"),
+      round(price, 2).cast("decimal(18,2)").cast("string")))
+
+  /** p14: snapshot diff — the added / removed / changed / unchanged
+    * audit between two versions of a mutable table (the companion to
+    * p07's upsert and p08's SCD2: upsert writes the new version, diff
+    * explains it). Two deterministic snapshots are derived from `orders`
+    * (see [[DiffRemovedMod]]); the diff itself is ONE full-outer join on
+    * the key comparing row fingerprints.
+    *
+    * Scale: each side reduces to (key, 16-byte fingerprint) on its scan —
+    * the join never carries row bodies; at 100 TB both snapshots live as
+    * key-bucketed tables ([[graft.sink.Sinks.writeBucketed]]) and the
+    * full-outer join plans with zero Exchange, so a daily diff of a
+    * billion-row dimension is a map-side merge per bucket. */
+  def p14SnapshotDiff(s: SparkSession, d: String): DataFrame = {
+    val orders = Tables.orders(s, d)
+    val oldSnap = orders
+      .filter(col("o_orderkey") % 10 =!= DiffAddedMod)
+      .select(col("o_orderkey").as("k"), diffFp(col("o_totalprice")).as("fp_old"))
+    val newSnap = orders
+      .filter(col("o_orderkey") % 10 =!= DiffRemovedMod)
+      .select(col("o_orderkey").as("k"),
+        diffFp(when(col("o_orderkey") % 5 === 0, col("o_totalprice") + 1.0)
+          .otherwise(col("o_totalprice"))).as("fp_new"))
+    oldSnap.join(newSnap, Seq("k"), "full")
+      .select(col("k"),
+        when(col("fp_old").isNull, "added")
+          .when(col("fp_new").isNull, "removed")
+          .when(col("fp_old") =!= col("fp_new"), "changed")
+          .otherwise("unchanged").as("category"))
+      .groupBy(col("category"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("k")).as("min_key"), max(col("k")).as("max_key"))
+      .orderBy(col("category"))
+  }
+
+  /** p15: per-source document cap. */
+  val SourceCapK = 30
+
+  /** p15: per-source quality cap — keep the top [[SourceCapK]] documents
+    * per source by (n_chars desc, doc_id), the "cap any one domain's
+    * contribution" rule of web-corpus curation (the rate-based
+    * counterpart is p13; the cap is rank-based and deterministic).
+    *
+    * Scale: `row_number` + `rank <= K` plans a WindowGroupLimit
+    * (pinned in PlanSpec) — each map task keeps only its local top-K per
+    * source before the exchange, so the shuffle carries O(sources·K) per
+    * task, not the corpus; bodies never ride the window (doc_id, source,
+    * n_chars only). */
+  def p15SourceCap(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= SourceCapK)
+      .select(col("source"), col("rank"), col("doc_id"), col("n_chars"))
+      .orderBy(col("source"), col("rank"))
+  }
+
+  /** g05: histogram bin count. */
+  val HistBins = 8
+
+  /** g05: equi-width histograms for numeric columns (long form: one row
+    * per column × bin) — the distribution companion to g04's scalar
+    * profile. Two aggregates: a 3-row min/max bounds pass, broadcast back
+    * into the binning scan, then the (col, bin) count.
+    *
+    * Scale: the unpivot (`stack`) is row-local on the scan; binning is
+    * `floor((v − lo)·B / (hi − lo))` — one shared subexpression, the
+    * SAME tree on both engines so double arithmetic is bit-identical —
+    * and only (col, bin) pairs (≤ K·B distinct) reach the exchange via
+    * map-side partials. The extra bounds scan is the honest price of
+    * exact edges; at 100 TB bounds come from catalog stats (g04) or the
+    * parquet footers, making this single-pass. */
+  def g05Histogram(s: SparkSession, d: String): DataFrame = {
+    val long = Tables.lineitem(s, d).selectExpr(
+      s"""stack(3,
+           'l_discount',      CAST(l_discount AS DOUBLE),
+           'l_extendedprice', CAST(l_extendedprice AS DOUBLE),
+           'l_quantity',      CAST(l_quantity AS DOUBLE)) AS (col_name, v)""")
+    val bounds = long.groupBy(col("col_name"))
+      .agg(min(col("v")).as("lo"), max(col("v")).as("hi"))
+    val bin = when(col("hi") === col("lo"), lit(0L)).otherwise(
+      least(floor((col("v") - col("lo")) * HistBins / (col("hi") - col("lo"))),
+        lit((HistBins - 1).toLong))).cast("long")
+    long.join(broadcast(bounds), "col_name")
+      .withColumn("bin", bin)
+      .groupBy(col("col_name"), col("bin"))
+      .agg(count(lit(1)).as("n"),
+        round(min(col("v")), 6).as("v_min"),
+        round(max(col("v")), 6).as("v_max"))
+      .orderBy(col("col_name"), col("bin"))
+  }
+
   /** Columns profiled by g04 with their kind; a case class rather than
     * tuples so the per-column struct construction reads as a schema. */
   private case class ProfiledCol(name: String, isNumeric: Boolean)
@@ -450,13 +561,70 @@ object PipelineQueries {
     "p11_shard_shuffle"     -> p11ShardShuffle _,
     "p12_train_split"       -> p12TrainSplit _,
     "p13_source_mix"        -> p13SourceMix _,
+    "p14_snapshot_diff"     -> p14SnapshotDiff _,
+    "p15_source_cap"        -> p15SourceCap _,
     "g01_quality_score"     -> g01QualityScore _,
+    "g05_histogram"         -> g05Histogram _,
     "g02_hourly_metrics"    -> g02HourlyMetrics _,
     "g03_drift_monitor"     -> g03DriftMonitor _,
     "g04_profile"           -> g04Profile _,
   )
 
   val oracleSql: Map[String, String] = Map(
+    // same fingerprint construction both sides: round(·,2) →
+    // DECIMAL(18,2) → VARCHAR renders "123.40" in both engines
+    "p14_snapshot_diff" -> s"""
+      WITH o AS (
+        SELECT o_orderkey AS k,
+               md5(concat_ws('|', o_orderstatus, o_orderpriority,
+                 CAST(CAST(round(o_totalprice, 2) AS DECIMAL(18,2)) AS VARCHAR))) AS fp_old
+        FROM orders WHERE o_orderkey % 10 <> $DiffAddedMod),
+      n AS (
+        SELECT o_orderkey AS k,
+               md5(concat_ws('|', o_orderstatus, o_orderpriority,
+                 CAST(CAST(round(CASE WHEN o_orderkey % 5 = 0
+                                      THEN o_totalprice + 1.0
+                                      ELSE o_totalprice END, 2)
+                      AS DECIMAL(18,2)) AS VARCHAR))) AS fp_new
+        FROM orders WHERE o_orderkey % 10 <> $DiffRemovedMod),
+      j AS (
+        SELECT coalesce(o.k, n.k) AS k,
+               CASE WHEN o.fp_old IS NULL THEN 'added'
+                    WHEN n.fp_new IS NULL THEN 'removed'
+                    WHEN o.fp_old <> n.fp_new THEN 'changed'
+                    ELSE 'unchanged' END AS category
+        FROM o FULL JOIN n ON o.k = n.k)
+      SELECT category, count(*) AS n_rows,
+             min(k) AS min_key, max(k) AS max_key
+      FROM j GROUP BY category ORDER BY category""",
+    "p15_source_cap" -> s"""
+      WITH r AS (
+        SELECT doc_id, source, n_chars,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY n_chars DESC, doc_id) AS rank
+        FROM documents)
+      SELECT source, CAST(rank AS BIGINT) AS rank, doc_id, n_chars
+      FROM r WHERE rank <= $SourceCapK
+      ORDER BY source, rank""",
+    // binning expression textually identical to the Spark side —
+    // (v - lo) * B / (hi - lo) — so IEEE double results agree bitwise
+    "g05_histogram" -> s"""
+      WITH v AS (
+        SELECT 'l_discount' AS col_name, CAST(l_discount AS DOUBLE) AS v FROM lineitem
+        UNION ALL
+        SELECT 'l_extendedprice', CAST(l_extendedprice AS DOUBLE) FROM lineitem
+        UNION ALL
+        SELECT 'l_quantity', CAST(l_quantity AS DOUBLE) FROM lineitem),
+      b AS (SELECT col_name, min(v) AS lo, max(v) AS hi FROM v GROUP BY col_name),
+      j AS (
+        SELECT v.col_name, v.v,
+               CAST(CASE WHEN b.hi = b.lo THEN 0
+                    ELSE least(floor((v.v - b.lo) * $HistBins / (b.hi - b.lo)),
+                               ${HistBins - 1}) END AS BIGINT) AS bin
+        FROM v JOIN b USING (col_name))
+      SELECT col_name, bin, count(*) AS n,
+             round(min(v), 6) AS v_min, round(max(v), 6) AS v_max
+      FROM j GROUP BY col_name, bin ORDER BY col_name, bin""",
     "p12_train_split" -> s"""
       SELECT doc_id,
              CASE WHEN ${graft.functions.HashGate.sqlPrefix("doc_id")} < '0a' THEN 'test'

@@ -485,6 +485,74 @@ object StreamReplay {
         .localCheckpoint(eager = true)
     }
 
+  /** Feed bound for st08 — same rationale as [[FanoutFeedEnd]]. */
+  val JoinFeedEnd = "2024-01-08"
+
+  /** st08 join window: the corpus is sparse (~2 events/user/day), so the
+    * attribution window is a day, not minutes — 30 minutes would make the
+    * row vacuous (zero pairs below sf0.1). */
+  val JoinWindow = "1 day"
+
+  /** st08: stream-stream interval-join replay (§2.3 J6's streaming form,
+    * previously spec-only) — purchases and clicks staged as two ordered
+    * feeds and drained through the real [[StreamingPipeline.intervalJoin]]
+    * (click within [[JoinWindow]] before the purchase, per user) in
+    * interleaved micro-batches, so each side's join state genuinely
+    * carries across epochs: a click from batch 1 matches a purchase
+    * arriving in batch 3. The watermark delay spans the staged corpus, so
+    * no state is evicted and the streamed inner join is EXACT — it must
+    * equal the batch theta-join; at production scale the same delay knob
+    * bounds join state to the late-arrival horizon (the honest streaming
+    * tradeoff, as in st06).
+    *
+    * Scale: join state is per-key and time-bounded; matched pairs roll up
+    * to per-hour counts — raw pair rows never leave the replay. */
+  def st08JoinReplay(s: SparkSession, d: String): DataFrame =
+    withReplayTmp(s, "graft-st08-") { tmp =>
+      // cloned session, narrow stateful shuffle (same rationale as st02)
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.session.timeZone",
+        s.conf.get("spark.sql.session.timeZone", "UTC"))
+      s2.conf.set("spark.sql.shuffle.partitions", "8")
+      val ev = Tables.events(s, d)
+        .filter(col("ts") < lit(JoinFeedEnd).cast("timestamp"))
+        .select(col("user_id"), col("event_type"), col("ts"))
+      stageOrderedJson(
+        ev.filter(col("event_type") === "purchase").select(col("user_id"), col("ts")),
+        nFiles = 2, s"$tmp/purchases", prefix = "a", baseModTime = 1000000L)
+      stageOrderedJson(
+        ev.filter(col("event_type") === "click").select(col("user_id"), col("ts")),
+        nFiles = 2, s"$tmp/clicks", prefix = "b", baseModTime = 1000000L)
+      val feedSchema = new StructType()
+        .add("user_id", "long").add("ts", "timestamp")
+      def feed(dir: String, tsName: String) = StreamingPipeline.jsonFileSource(
+        s2, dir, feedSchema, maxFilesPerTrigger = 1,
+        options = Map("timestampFormat" -> JsonTsFormat))
+        // drop the source's corrupt-record slot: the staged feed is clean
+        // by construction, and the join should carry (key, ts) only
+        .select(col("user_id"), col("ts").as(tsName))
+      val joined = StreamingPipeline.intervalJoin(
+        feed(s"$tmp/purchases", "p_ts"), feed(s"$tmp/clicks", "c_ts"),
+        key = "user_id", leftTs = "p_ts", rightTs = "c_ts",
+        window_ = JoinWindow, lateness = "40 days")
+        // both sides carry `user_id`; positional rename disambiguates
+        .toDF("p_user", "p_ts", "c_user", "c_ts")
+      val q = joined.writeStream
+        .format("parquet")
+        .option("path", s"$tmp/out")
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(s"$tmp/out")
+        .groupBy(date_trunc("hour", col("p_ts")).as("hour_bucket"))
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct(col("p_user")).as("n_users"))
+        .orderBy(col("hour_bucket"))
+        .localCheckpoint(eager = true)
+    }
+
   val queries: Map[String, Q] = Map(
     "st01_stream_replay"   -> st01StreamReplay _,
     "st02_state_replay"    -> st02StateReplay _,
@@ -493,9 +561,26 @@ object StreamReplay {
     "st05_dlq_replay"      -> st05DlqReplay _,
     "st06_dedup_replay"    -> st06DedupReplay _,
     "st07_session_replay"  -> st07SessionReplay _,
+    "st08_join_replay"     -> st08JoinReplay _,
   )
 
   val oracleSql: Map[String, String] = Map(
+    // The streamed interval join (no state eviction — watermark spans the
+    // feed) must equal the batch theta-join over the bounded corpus.
+    "st08_join_replay" -> s"""
+      WITH p AS (
+        SELECT user_id, ts AS p_ts FROM events
+        WHERE event_type = 'purchase' AND ts < TIMESTAMP '$JoinFeedEnd'),
+      c AS (
+        SELECT user_id, ts AS c_ts FROM events
+        WHERE event_type = 'click' AND ts < TIMESTAMP '$JoinFeedEnd')
+      SELECT CAST(date_trunc('hour', p_ts) AS TIMESTAMP) AS hour_bucket,
+             count(*) AS n_pairs,
+             count(DISTINCT p.user_id) AS n_users
+      FROM p JOIN c ON p.user_id = c.user_id
+                   AND c.c_ts >= p.p_ts - INTERVAL 1 DAY
+                   AND c.c_ts <= p.p_ts
+      GROUP BY 1 ORDER BY hour_bucket""",
     // Same oracle as p05: the streamed (and then compacted) partition
     // layout must agree with the batch derivation row-for-row.
     "st01_stream_replay" -> """

@@ -357,6 +357,44 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** t13 chunk geometry: 64-token windows advancing by 48 (16-token
+    * overlap) — the context-window segmentation a training pipeline runs
+    * between tokenization and packing. */
+  val ChunkSize = 64
+  val ChunkStride = 48
+
+  /** t13: document chunking with overlap — split each document's token
+    * stream into fixed-size windows ([[ChunkSize]] tokens, stride
+    * [[ChunkStride]]), the segmentation pass that feeds embedding models
+    * and context-window training. Each chunk carries its token count and
+    * a content fingerprint (md5 of the re-joined tokens) so the oracle
+    * verifies the exact chunk CONTENT without hauling text.
+    *
+    * Scale: tokenize once (structural single evaluation, same shape as
+    * t02), then a per-row `sequence`→`transform`→`explode` — a generator
+    * on the scan with no shuffle; chunk rows fan out ~n_tokens/stride per
+    * document and never revisit the source text. The final ORDER BY
+    * exists for oracle comparability only. */
+  def t13Chunk(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+    val toks = col("toks")
+    // window starts 1, 1+stride, … — at least one chunk per document,
+    // even for empty/short texts (slice clamps at the array end)
+    val starts = sequence(lit(1), greatest(size(toks), lit(1)), lit(ChunkStride))
+    base
+      .select(col("doc_id"), size(toks).as("n_tokens"),
+        posexplode(transform(starts,
+          st => slice(toks, st, lit(ChunkSize)))).as(Seq("chunk_idx", "chunk")))
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        col("chunk_idx").cast("long").as("chunk_idx"),
+        size(col("chunk")).as("n_chunk_tokens"),
+        md5(concat_ws(" ", col("chunk"))).as("chunk_fp"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
   val queries: Map[String, Q] = Map(
     "t01_token_count" -> t01TokenCount _,
     "t02_quality"     -> t02Quality _,
@@ -370,6 +408,7 @@ object TextAnalysis {
     "t10_repetition"  -> t10Repetition _,
     "t11_ngram_topk"  -> t11NgramTopK _,
     "t12_normalize"   -> t12Normalize _,
+    "t13_chunk"       -> t13Chunk _,
   )
 
   /** Shared SQL fragments for the DuckDB oracle (public: the dedup
@@ -381,6 +420,25 @@ object TextAnalysis {
   val ToksSql = s"string_split($NormSql, ' ')"
 
   val oracleSql: Map[String, String] = Map(
+    // DuckDB range(a, b, s) is end-exclusive; list slicing l[a:b] is
+    // 1-based inclusive and clamps at the array end, matching Spark's
+    // slice(arr, start, len). chunk_idx counts from 0 in both (posexplode
+    // / range position).
+    "t13_chunk" -> s"""
+      WITH t AS (SELECT doc_id, $ToksSql AS toks FROM documents),
+      st AS (
+        SELECT doc_id, len(toks) AS n_tokens, toks,
+               unnest(range(1, greatest(len(toks), 1) + 1, $ChunkStride)) AS start
+        FROM t),
+      c AS (
+        SELECT doc_id, n_tokens,
+               CAST((start - 1) / $ChunkStride AS BIGINT) AS chunk_idx,
+               toks[start : start + ${ChunkSize - 1}] AS chunk
+        FROM st)
+      SELECT doc_id, n_tokens, chunk_idx,
+             len(chunk) AS n_chunk_tokens,
+             md5(array_to_string(chunk, ' ')) AS chunk_fp
+      FROM c ORDER BY doc_id, chunk_idx""",
     // chr(769) = U+0301 combining acute; chr(233) = precomposed U+00E9. DuckDB's
     // nfc_normalize must agree with the native NfcNormalize expression
     // that the decomposed branch composes (length −1) and the

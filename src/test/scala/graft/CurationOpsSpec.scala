@@ -1,0 +1,134 @@
+package graft
+
+import graft.queries.PipelineQueries
+import graft.text.TextAnalysis
+import org.apache.spark.sql.functions._
+
+/** Semantic laws for the second batch of round-5 additions: chunking
+  * geometry (t13), snapshot-diff category partition (p14), per-source cap
+  * dominance (p15), histogram conservation (g05), and the streamed
+  * interval join's batch equivalence (st08). Plan shapes live in
+  * [[PlanSpec]]. */
+class CurationOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("t13: chunk count, sizes, and first-chunk fingerprint follow from the geometry") {
+    val C = TextAnalysis.ChunkSize
+    val S = TextAnalysis.ChunkStride
+    val chunks = TextAnalysis.t13Chunk(spark, sf).collect()
+    assert(chunks.nonEmpty)
+    val byDoc = chunks.groupBy(_.getAs[Long]("doc_id"))
+    byDoc.foreach { case (_, rows) =>
+      val n = math.max(rows.head.getAs[Int]("n_tokens"), 1)
+      // starts are 1, 1+S, … ≤ n  →  floor((n−1)/S)+1 chunks
+      assert(rows.length == (n - 1) / S + 1, rows.head.toString)
+      rows.foreach { r =>
+        val start = r.getAs[Long]("chunk_idx").toInt * S + 1
+        val want = math.min(C, n - start + 1)
+        assert(r.getAs[Int]("n_chunk_tokens") == want, r.toString)
+      }
+    }
+    // first chunk's fingerprint = md5 of the first min(C, n) tokens,
+    // derived independently of the generator pipeline
+    val direct = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        md5(concat_ws(" ", slice(TextAnalysis.tokens(col("text")), 1, C))).as("fp"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("fp")).toMap
+    byDoc.foreach { case (id, rows) =>
+      val first = rows.minBy(_.getAs[Long]("chunk_idx"))
+      assert(first.getAs[String]("chunk_fp") == direct(id), s"doc $id")
+    }
+  }
+
+  test("t13: overlapping chunks agree on the shared tokens (stride < size)") {
+    // stride 48 < size 64 ⇒ chunk i's last 16 tokens = chunk i+1's first 16
+    // (when both are full); verified on one long synthetic doc
+    val doc = Seq((1L, (1 to 200).map(i => s"w$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val toks = TextAnalysis.tokens(col("text"))
+    val S = TextAnalysis.ChunkStride
+    val C = TextAnalysis.ChunkSize
+    val starts = sequence(lit(1), greatest(size(toks), lit(1)), lit(S))
+    val rows = doc.select(posexplode(transform(starts,
+        st => slice(toks, st, lit(C)))).as(Seq("i", "chunk")))
+      .collect().sortBy(_.getAs[Int]("i"))
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        val ca = a.getSeq[String](1)
+        val cb = b.getSeq[String](1)
+        if (ca.length == C) assert(ca.drop(S) == cb.take(C - S))
+      case _ => ()
+    }
+  }
+
+  test("p14: categories partition the key space exactly as planted") {
+    val got = PipelineQueries.p14SnapshotDiff(spark, sf).collect()
+      .map(r => r.getAs[String]("category") -> r.getAs[Long]("n_rows")).toMap
+    val keys = Tables.orders(spark, sf).select(col("o_orderkey")).as[Long].collect()
+    val added = keys.count(k => k % 10 == PipelineQueries.DiffAddedMod)
+    val removed = keys.count(k => k % 10 == PipelineQueries.DiffRemovedMod)
+    val changed = keys.count(k => k % 5 == 0 &&
+      k % 10 != PipelineQueries.DiffAddedMod && k % 10 != PipelineQueries.DiffRemovedMod)
+    assert(got("added") == added)
+    assert(got("removed") == removed)
+    assert(got("changed") == changed)
+    assert(got.values.sum == keys.length)
+    assert(got.keySet == Set("added", "removed", "changed", "unchanged"))
+  }
+
+  test("p15: per-source caps hold and kept docs dominate dropped ones") {
+    val kept = PipelineQueries.p15SourceCap(spark, sf).collect()
+    val all = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"), col("n_chars")).collect()
+    val bySource = all.groupBy(_.getAs[String]("source"))
+    val K = PipelineQueries.SourceCapK
+    kept.groupBy(_.getAs[String]("source")).foreach { case (src, rows) =>
+      assert(rows.length == math.min(K, bySource(src).length), src)
+      // the kept set is exactly the top-K under (n_chars desc, doc_id asc)
+      val want = bySource(src)
+        .map(r => (-r.getAs[Long]("n_chars"), r.getAs[Long]("doc_id")))
+        .sorted.take(K).map(_._2).toSet
+      assert(rows.map(_.getAs[Long]("doc_id")).toSet == want, src)
+    }
+  }
+
+  test("g05: histogram conserves rows, bins stay in range, edges are ordered") {
+    val rows = PipelineQueries.g05Histogram(spark, sf).collect()
+    val n = Tables.lineitem(spark, sf).count()
+    val B = PipelineQueries.HistBins
+    rows.groupBy(_.getAs[String]("col_name")).foreach { case (c, bins) =>
+      assert(bins.map(_.getAs[Long]("n")).sum == n, c)
+      bins.foreach { b =>
+        val i = b.getAs[Long]("bin")
+        assert(i >= 0 && i < B, b.toString)
+        assert(b.getAs[Double]("v_min") <= b.getAs[Double]("v_max"), b.toString)
+      }
+      bins.sortBy(_.getAs[Long]("bin")).sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[Double]("v_max") <= b.getAs[Double]("v_min"), c)
+        case _ => ()
+      }
+    }
+  }
+
+  test("st08: streamed interval join equals the batch theta-join") {
+    val got = graft.streaming.StreamReplay.st08JoinReplay(spark, sf).collect()
+    val feedEnd = lit(graft.streaming.StreamReplay.JoinFeedEnd).cast("timestamp")
+    val ev = Tables.events(spark, sf).filter(col("ts") < feedEnd)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+    val batch = p.join(c,
+        col("p_user") === col("c_user") &&
+          col("c_ts") >= col("p_ts") -
+            expr(s"INTERVAL ${graft.streaming.StreamReplay.JoinWindow}") &&
+          col("c_ts") <= col("p_ts"))
+      .groupBy(date_trunc("hour", col("p_ts")).as("hour_bucket"))
+      .agg(count(lit(1)).as("n_pairs"), countDistinct(col("p_user")).as("n_users"))
+      .orderBy(col("hour_bucket")).collect()
+    assert(got.length == batch.length && got.length > 0,
+      s"${got.length} vs ${batch.length}")
+    got.zip(batch).foreach { case (g, b) => assert(g == b, s"$g != $b") }
+  }
+}

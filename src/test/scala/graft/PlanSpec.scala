@@ -223,6 +223,34 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Join"), plan)
   }
 
+  test("p15: the per-source cap plans as WindowGroupLimit (map-side top-K per source)") {
+    val plan = executed(PipelineQueries.p15SourceCap(spark, sf))
+    // rank <= K must prune per-task BEFORE the exchange: each map task
+    // keeps O(sources·K) rows, the shuffle never carries the corpus
+    assert(plan.contains("WindowGroupLimit"), plan)
+    assert(!plan.contains("Join"), plan)
+  }
+
+  test("p14: the diff join carries fingerprints only — no row bodies cross the exchange") {
+    val plan = executed(PipelineQueries.p14SnapshotDiff(spark, sf))
+    assert(plan.contains("FullOuter"), plan)
+    // each snapshot side reduces to (key, md5) on its scan; the compared
+    // columns must not appear in any exchange's output
+    val exLines = plan.linesIterator.filter(_.contains("Exchange")).toVector
+    assert(exLines.forall(l => !l.contains("o_totalprice") &&
+      !l.contains("o_orderstatus")), exLines.mkString("\n"))
+  }
+
+  test("g05: histogram bounds broadcast back; binning scan never shuffles rows") {
+    val plan = executed(PipelineQueries.g05Histogram(spark, sf))
+    // the 3-row bounds frame must broadcast — a sort-merge join here
+    // would shuffle the full unpivoted corpus on col_name (3 keys!)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    // the only hash exchanges are the two tiny aggregates' (bounds +
+    // final (col,bin) rollup) — never keyed on the unpivoted row stream
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
   test("s05: cluster profile is one corpus pass; vectors never shuffle") {
     val plan = executed(Similarity.s05ClusterProfile(spark, sf))
     // one corpus scan for the assignment pass (the bounded KMeans sample
