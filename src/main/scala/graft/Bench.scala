@@ -29,7 +29,11 @@ object Bench {
       //    (st01 7.5 s → 13.5 s, d02 1.3 s → 2.8 s);
       //  - adaptive.enabled=false removes the per-stage replan barriers
       //    but loses runtime coalescing and is net SLOWER (like-for-like
-      //    32.5 s → 34.8 s).
+      //    32.5 s → 34.8 s);
+      //  - shuffle.partitions=8 (vs cpus=32) trades tiny-shuffle
+      //    scheduling overhead for parallelism and LOSES (18-query
+      //    sample at sf0.1: 20.5 s → 23.5 s, round 5) — the per-query
+      //    floor is job scheduling, not shuffle-partition count.
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

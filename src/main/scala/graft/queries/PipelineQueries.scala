@@ -507,7 +507,14 @@ object PipelineQueries {
     * column (no Expand, fixed-size HLL buffers); exact is kept here
     * because the cross-engine oracle can state it, and q25 already
     * carries the approx contract shape. The unpivot to long form is a
-    * driver-free explode over a one-row aggregate. */
+    * driver-free explode over a one-row aggregate.
+    *
+    * Measured trade-off (round 5, sf0.1): splitting into a non-distinct
+    * agg + a distinct-only agg cross-joined runs 0.8 s vs 1.8 s mixed —
+    * the mixed plan's Expand re-aggregates every non-distinct lane
+    * through the exchange. Kept one-pass anyway: at production scale the
+    * second SCAN costs more than the Expand constant, and partial
+    * aggregation dedups each distinct lane before it ships. */
   def g04Profile(s: SparkSession, d: String): DataFrame = {
     val cols = Seq(
       ProfiledCol("event_id", isNumeric = true),
