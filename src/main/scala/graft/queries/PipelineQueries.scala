@@ -491,6 +491,38 @@ object PipelineQueries {
       .orderBy(col("col_name"), col("bin"))
   }
 
+  /** g06 anomaly gate: |z| beyond this flags the hour. */
+  val AnomalyZMax = 3.0
+
+  /** g06: hourly anomaly detection — each hour's event count z-scored
+    * against its trailing 24-hour window (exclusive), the alerting rule
+    * behind the reference's error/stream-rate alarms (SDP.py:513-576:
+    * "N errors in M periods") run as a batch monitor over the same
+    * journal G2 feeds.
+    *
+    * Scale: the window runs over the HOURLY AGGREGATE (one row per hour —
+    * 8,760/year), never the corpus; a single-partition window over that
+    * frame is deliberate and bounded. Hours with fewer than 2 trailing
+    * observations (or zero variance) get a NULL z and never flag, stated
+    * identically in both engines. */
+  def g06Anomaly(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("hour_bucket")).rowsBetween(-24, -1)
+    val hourly = Tables.events(s, d)
+      .groupBy(date_trunc("hour", col("ts")).as("hour_bucket"))
+      .agg(count(lit(1)).as("n"))
+    val cnt = count(col("n")).over(w)
+    val mean = avg(col("n")).over(w)
+    val std = stddev_samp(col("n")).over(w)
+    val z = when(cnt >= 2 && std > 0,
+      (col("n") - mean) / std).otherwise(lit(null).cast("double"))
+    hourly
+      .select(col("hour_bucket"), col("n"),
+        round(z, 6).as("z"),
+        coalesce(abs(z) > AnomalyZMax, lit(false)).as("is_anomaly"))
+      .orderBy(col("hour_bucket"))
+  }
+
   /** Columns profiled by g04 with their kind; a case class rather than
     * tuples so the per-column struct construction reads as a schema. */
   private case class ProfiledCol(name: String, isNumeric: Boolean)
@@ -572,6 +604,7 @@ object PipelineQueries {
     "p15_source_cap"        -> p15SourceCap _,
     "g01_quality_score"     -> g01QualityScore _,
     "g05_histogram"         -> g05Histogram _,
+    "g06_anomaly"           -> g06Anomaly _,
     "g02_hourly_metrics"    -> g02HourlyMetrics _,
     "g03_drift_monitor"     -> g03DriftMonitor _,
     "g04_profile"           -> g04Profile _,
@@ -613,6 +646,27 @@ object PipelineQueries {
       SELECT source, CAST(rank AS BIGINT) AS rank, doc_id, n_chars
       FROM r WHERE rank <= $SourceCapK
       ORDER BY source, rank""",
+    // trailing-24h z-score with the same <2-observations / zero-variance
+    // guard; stddev_samp over ≤24 values agrees to well past the 6th
+    // decimal, which round(·,6) pins
+    "g06_anomaly" -> s"""
+      WITH h AS (
+        SELECT date_trunc('hour', ts) AS hour_bucket, count(*) AS n
+        FROM events GROUP BY 1),
+      w AS (
+        SELECT hour_bucket, n,
+               count(n) OVER tw AS cnt,
+               avg(n) OVER tw AS mean,
+               stddev_samp(n) OVER tw AS std
+        FROM h
+        WINDOW tw AS (ORDER BY hour_bucket ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)),
+      z AS (
+        SELECT hour_bucket, n,
+               CASE WHEN cnt >= 2 AND std > 0 THEN (n - mean) / std END AS z
+        FROM w)
+      SELECT hour_bucket, n, round(z, 6) AS z,
+             coalesce(abs(z) > $AnomalyZMax, false) AS is_anomaly
+      FROM z ORDER BY hour_bucket""",
     // binning expression textually identical to the Spark side —
     // (v - lo) * B / (hi - lo) — so IEEE double results agree bitwise
     "g05_histogram" -> s"""

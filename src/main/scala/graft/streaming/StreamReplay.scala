@@ -553,6 +553,81 @@ object StreamReplay {
         .localCheckpoint(eager = true)
     }
 
+  /** st09: metrics-listener replay (K4, previously spec-only) — a bounded
+    * feed drained through a [[graft.state.StreamMetricsListener]]-metered
+    * query; the listener journals lifecycle + per-batch progress into the
+    * [[graft.state.StateLog]] (the reference's SNS/CloudWatch surface,
+    * SDP.py:282, :511-576), and the row is the JOURNAL's rollup: the
+    * per-batch `rows=` counts must sum to exactly the corpus size
+    * (progress metering neither drops nor double-counts a batch) and the
+    * stream must journal exactly one clean termination. The monitoring
+    * path itself — listener bus → async append → parquet journal — is
+    * what's under test, end to end.
+    *
+    * Scale: the journal receives one small row per micro-batch, not per
+    * record; the rollup reads only the journal. */
+  def st09MetricsReplay(s: SparkSession, d: String): DataFrame =
+    withReplayTmp(s, "graft-st09-") { tmp =>
+      import graft.model.PipelineStatus
+      import graft.state.{StateLog, StreamMetricsListener}
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.session.timeZone",
+        s.conf.get("spark.sql.session.timeZone", "UTC"))
+      s2.conf.set("spark.sql.shuffle.partitions", "8")
+      val ev = Tables.events(s, d)
+        .filter(col("ts") < lit(DlqFeedEnd).cast("timestamp"))
+        .select(col("event_id"), col("ts"))
+      stageOrderedJson(ev, nFiles = 3, s"$tmp/incoming", prefix = "a",
+        baseModTime = 1000000L)
+      val stateLog = new StateLog(s2, s"$tmp/state")
+      val listener = new StreamMetricsListener(stateLog)
+      s2.streams.addListener(listener)
+      val qname = "graft_st09_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      try {
+        val feedSchema = new StructType()
+          .add("event_id", "long").add("ts", "timestamp")
+        val source = StreamingPipeline.jsonFileSource(
+          s2, s"$tmp/incoming", feedSchema, maxFilesPerTrigger = 1,
+          options = Map("timestampFormat" -> JsonTsFormat))
+        val q = source.writeStream
+          .format("noop")
+          .queryName(qname)
+          .option("checkpointLocation", s"$tmp/ckpt")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        // the TERMINATED event is delivered async on the listener bus —
+        // poll the journal (bounded) until the clean-termination row lands
+        val deadline = System.currentTimeMillis() + 30000
+        def terminated(): Boolean = stateLog.journal()
+          .filter(col("pipeline_id") === qname && col("stage") === "stream" &&
+            col("status") === PipelineStatus.Succeeded)
+          .limit(1).count() == 1
+        while (System.currentTimeMillis() < deadline && !terminated())
+          Thread.sleep(200)
+        listener.flush()
+        val j = stateLog.journal().filter(col("pipeline_id") === qname)
+          .select(col("stage"), col("status"), {
+            // lifecycle rows carry no rows= field; regexp_extract yields
+            // "" there and an ANSI cast would throw — null them instead
+            val m = regexp_extract(col("detail"), "rows=(\\d+)", 1)
+            when(m =!= "", m.cast("long")).as("rows")
+          })
+        j.groupBy(col("stage"))
+          .agg(
+            sum(col("rows")).as("r"),
+            sum(when(col("status") === PipelineStatus.Succeeded, 1L)
+              .otherwise(0L)).as("s"))
+          .select(col("stage"),
+            when(col("stage") === "stream_batch", col("r"))
+              .otherwise(col("s")).as("total"))
+          .orderBy(col("stage"))
+          .localCheckpoint(eager = true)
+      } finally {
+        s2.streams.removeListener(listener)
+      }
+    }
+
   val queries: Map[String, Q] = Map(
     "st01_stream_replay"   -> st01StreamReplay _,
     "st02_state_replay"    -> st02StateReplay _,
@@ -562,9 +637,19 @@ object StreamReplay {
     "st06_dedup_replay"    -> st06DedupReplay _,
     "st07_session_replay"  -> st07SessionReplay _,
     "st08_join_replay"     -> st08JoinReplay _,
+    "st09_metrics_replay"  -> st09MetricsReplay _,
   )
 
   val oracleSql: Map[String, String] = Map(
+    // The journal's per-batch rows= counts must sum to the corpus size;
+    // exactly one clean stream termination is journaled.
+    "st09_metrics_replay" -> s"""
+      SELECT * FROM (
+        SELECT 'stream' AS stage, CAST(1 AS BIGINT) AS total
+        UNION ALL
+        SELECT 'stream_batch', count(*) FROM events
+        WHERE ts < TIMESTAMP '$DlqFeedEnd')
+      ORDER BY stage""",
     // The streamed interval join (no state eviction — watermark spans the
     // feed) must equal the batch theta-join over the bounded corpus.
     "st08_join_replay" -> s"""

@@ -111,6 +111,32 @@ class CurationOpsSpec extends SparkSpec {
     }
   }
 
+  test("g06: anomalies require |z| > 3; warm-up hours never flag") {
+    val rows = PipelineQueries.g06Anomaly(spark, sf).collect()
+    val hours = Tables.events(spark, sf)
+      .select(date_trunc("hour", col("ts"))).distinct().count()
+    assert(rows.length == hours)
+    // the very first hour has an empty trailing window → null z, no flag
+    assert(rows.head.isNullAt(rows.head.fieldIndex("z")))
+    assert(!rows.head.getAs[Boolean]("is_anomaly"))
+    rows.foreach { r =>
+      if (r.getAs[Boolean]("is_anomaly"))
+        assert(math.abs(r.getAs[Double]("z")) > PipelineQueries.AnomalyZMax, r.toString)
+      if (!r.isNullAt(r.fieldIndex("z")) &&
+          math.abs(r.getAs[Double]("z")) > PipelineQueries.AnomalyZMax)
+        assert(r.getAs[Boolean]("is_anomaly"), r.toString)
+    }
+  }
+
+  test("st09: the metrics journal accounts for every row and one clean termination") {
+    val got = graft.streaming.StreamReplay.st09MetricsReplay(spark, sf).collect()
+      .map(r => r.getAs[String]("stage") -> r.getAs[Long]("total")).toMap
+    val n = Tables.events(spark, sf)
+      .filter(col("ts") < lit(graft.streaming.StreamReplay.DlqFeedEnd).cast("timestamp"))
+      .count()
+    assert(got == Map("stream" -> 1L, "stream_batch" -> n), got.toString)
+  }
+
   test("st08: streamed interval join equals the batch theta-join") {
     val got = graft.streaming.StreamReplay.st08JoinReplay(spark, sf).collect()
     val feedEnd = lit(graft.streaming.StreamReplay.JoinFeedEnd).cast("timestamp")
