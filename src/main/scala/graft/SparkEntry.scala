@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.dedup.Dedup
 import graft.multimodal.MultimodalQueries
-import graft.queries.{ExtendedQueries, PipelineQueries, RelationalQueries}
+import graft.queries.{ControlPlaneQueries, ExtendedQueries, PipelineQueries, RelationalQueries}
 import graft.similarity.Similarity
 import graft.streaming.StreamReplay
 import graft.text.TextAnalysis
@@ -26,7 +26,7 @@ object SparkEntry {
     RelationalQueries.queries ++ ExtendedQueries.queries ++
       PipelineQueries.queries ++ TextAnalysis.queries ++
       Dedup.queries ++ Similarity.queries ++ StreamReplay.queries ++
-      MultimodalQueries.queries
+      MultimodalQueries.queries ++ ControlPlaneQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -34,5 +34,5 @@ object SparkEntry {
     RelationalQueries.oracleSql ++ ExtendedQueries.oracleSql ++
       PipelineQueries.oracleSql ++ TextAnalysis.oracleSql ++
       Dedup.oracleSql ++ Similarity.oracleSql ++ StreamReplay.oracleSql ++
-      MultimodalQueries.oracleSql
+      MultimodalQueries.oracleSql ++ ControlPlaneQueries.oracleSql
 }

@@ -1,0 +1,134 @@
+package graft.queries
+
+import graft.Tables
+import graft.catalog.CatalogSync
+import graft.model.PipelineLayout
+import graft.orchestrate.ReferencePipeline
+import graft.quality.Quality.Check
+import graft.sink.Sinks
+import graft.state.StateLog
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver rows for the control-plane surfaces that were spec-only: the
+  * orchestrated batch pipeline end to end (SURVEY §2.10 / §3.1) and the
+  * catalog + SQL analytics path (§3.4). Each runs the REAL machinery —
+  * Flow runner, state journal, staged-promote sink, catalog registration
+  * — against a temp lake, then rolls the landed tables up into a frame
+  * the DuckDB oracle can state from the raw corpus alone.
+  */
+object ControlPlaneQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Feed bound: these rows prove ORCHESTRATION and CATALOG semantics,
+    * not partitioned-write throughput (st01 carries that) — three days
+    * keeps the hour-partition count small. */
+  val E2eFeedEnd = "2024-01-04"
+
+  private def withTmp[A](s: SparkSession, prefix: String)(body: String => A): A = {
+    val tmp = java.nio.file.Files.createTempDirectory(prefix).toString
+    try body(tmp)
+    finally {
+      try {
+        val p = new org.apache.hadoop.fs.Path(tmp)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        ()
+      } catch { case _: Throwable => () }
+    }
+  }
+
+  /** x01: the reference pipeline (§3.1) as a hard row — validate → route
+    * (invalid rows quarantined) → archive → transform → staged partitioned
+    * write → quality gate → atomic promote, with every stage journaled by
+    * the Flow runner. The row reads back what LANDED: per event type, the
+    * processed-table count and the quarantine count, which must exactly
+    * complement each other against the corpus — a routing bug, a lost
+    * stage, a gate mis-fire, or a promote that moved partial staging all
+    * break it. The gate check passes by construction on the valid subset
+    * (score 1.0 > 0.8), so a FAILED outcome — which this query turns into
+    * an exception — means the gate scored the wrong frame. */
+  def x01PipelineE2e(s: SparkSession, d: String): DataFrame =
+    withTmp(s, "graft-x01-") { tmp =>
+      val ev = Tables.events(s, d)
+        .filter(col("ts") < lit(E2eFeedEnd).cast("timestamp"))
+      val layout = PipelineLayout(s"$tmp/lake")
+      val stateLog = new StateLog(s, s"$tmp/state")
+      val spec = ReferencePipeline.Spec(
+        rules = PipelineQueries.eventRules,
+        transform = identity[DataFrame] _,
+        checks = Seq(Check("value_le_300", col("value") <= 300.0)))
+      val outcome = ReferencePipeline.run("x01", ev, spec, layout, stateLog)
+      require(outcome.isSuccess, s"x01 reference pipeline failed: $outcome")
+      val processed = s.read.parquet(layout.processed)
+        .groupBy(col("event_type")).agg(count(lit(1)).as("n_processed"))
+      val quarantined = Sinks.readQuarantine(s, layout.errors)
+        .groupBy(col("event_type")).agg(count(lit(1)).as("n_quarantined"))
+      processed.join(quarantined, Seq("event_type"), "full")
+        .select(col("event_type"),
+          coalesce(col("n_processed"), lit(0L)).as("n_processed"),
+          coalesce(col("n_quarantined"), lit(0L)).as("n_quarantined"))
+        .orderBy(col("event_type"))
+        // materialize before the temp lake the plan reads from is deleted
+        .localCheckpoint(eager = true)
+    }
+
+  /** x02: the analytics path (§3.4) as a hard row — partitioned landing,
+    * catalog registration (external table + partition recovery, the
+    * crawler pass), then ANSI SQL over the TABLE NAME with a partition
+    * predicate. The rollup must equal the same SQL stated over the raw
+    * corpus; a registration that missed partitions, a recovery that
+    * skipped directories, or pruning that dropped the wrong hours all
+    * break it. The `day <= 2` predicate prunes at the catalog level
+    * (partition directories, not row filters — asserted in PlanSpec). */
+  def x02CatalogSql(s: SparkSession, d: String): DataFrame =
+    withTmp(s, "graft-x02-") { tmp =>
+      val ev = Tables.events(s, d)
+        .filter(col("ts") < lit(E2eFeedEnd).cast("timestamp"))
+      Sinks.writePartitioned(ev, s"$tmp/t")
+      val table = "graft_x02_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      CatalogSync.register(s, table, s"$tmp/t")
+      try {
+        s.sql(
+          s"""SELECT year, month, day, hour, count(*) AS n_rows,
+             |       round(sum(value), 6) AS sum_value
+             |FROM $table WHERE day <= 2
+             |GROUP BY year, month, day, hour
+             |ORDER BY year, month, day, hour""".stripMargin)
+          .localCheckpoint(eager = true)
+      } finally {
+        try { s.sql(s"DROP TABLE IF EXISTS $table"); () }
+        catch { case _: Throwable => () }
+      }
+    }
+
+  val queries: Map[String, Q] = Map(
+    "x01_pipeline_e2e" -> x01PipelineE2e _,
+    "x02_catalog_sql"  -> x02CatalogSql _,
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    // processed = rows passing every rule; quarantined = the complement —
+    // NULL rule results count as failures (SchemaValidator semantics)
+    "x01_pipeline_e2e" -> s"""
+      WITH v AS (
+        SELECT event_type,
+               ((value <= 300.0)
+                AND (event_type IN ('click','view','purchase','signup'))
+                AND (CAST(json_extract_string(props, '$$.k') AS BIGINT) < 80))
+               IS TRUE AS ok
+        FROM events WHERE ts < TIMESTAMP '$E2eFeedEnd')
+      SELECT event_type,
+             CAST(sum(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS n_processed,
+             CAST(sum(CASE WHEN ok THEN 0 ELSE 1 END) AS BIGINT) AS n_quarantined
+      FROM v GROUP BY event_type ORDER BY event_type""",
+    "x02_catalog_sql" -> s"""
+      SELECT year(ts) AS year, month(ts) AS month, day(ts) AS day,
+             hour(ts) AS hour, count(*) AS n_rows,
+             round(sum(value), 6) AS sum_value
+      FROM events
+      WHERE ts < TIMESTAMP '$E2eFeedEnd' AND day(ts) <= 2
+      GROUP BY 1, 2, 3, 4
+      ORDER BY year, month, day, hour""",
+  )
+}

@@ -23,7 +23,7 @@ object PipelineQueries {
   type Q = (SparkSession, String) => DataFrame
 
   /** The shared demo rule set over `events`. */
-  private def eventRules = Seq(
+  private[queries] def eventRules = Seq(
     Rule("value_le_300", col("value") <= 300.0),
     Rule("known_type", col("event_type").isin("click", "view", "purchase", "signup")),
     Rule("k_lt_80", get_json_object(col("props"), "$.k").cast("long") < 80))

@@ -137,6 +137,38 @@ class CurationOpsSpec extends SparkSpec {
     assert(got == Map("stream" -> 1L, "stream_batch" -> n), got.toString)
   }
 
+  test("x01: processed and quarantined exactly complement the corpus; invalid types never land") {
+    import graft.queries.ControlPlaneQueries
+    val rows = ControlPlaneQueries.x01PipelineE2e(spark, sf).collect()
+    val feedEnd = lit(ControlPlaneQueries.E2eFeedEnd).cast("timestamp")
+    val byType = Tables.events(spark, sf).filter(col("ts") < feedEnd)
+      .groupBy(col("event_type")).count().collect()
+      .map(r => r.getAs[String]("event_type") -> r.getAs[Long]("count")).toMap
+    assert(rows.map(_.getAs[String]("event_type")).toSet == byType.keySet)
+    rows.foreach { r =>
+      val t = r.getAs[String]("event_type")
+      assert(r.getAs[Long]("n_processed") + r.getAs[Long]("n_quarantined") == byType(t), t)
+      // the known_type rule quarantines every 'error' row
+      if (t == "error") assert(r.getAs[Long]("n_processed") == 0L, r.toString)
+      else assert(r.getAs[Long]("n_processed") > 0L, r.toString)
+    }
+  }
+
+  test("x02: SQL over the registered catalog table equals the direct aggregation") {
+    import graft.queries.ControlPlaneQueries
+    val got = ControlPlaneQueries.x02CatalogSql(spark, sf).collect()
+    val feedEnd = lit(ControlPlaneQueries.E2eFeedEnd).cast("timestamp")
+    val direct = Tables.events(spark, sf)
+      .filter(col("ts") < feedEnd && dayofmonth(col("ts")) <= 2)
+      .groupBy(year(col("ts")).as("year"), month(col("ts")).as("month"),
+        dayofmonth(col("ts")).as("day"), hour(col("ts")).as("hour"))
+      .agg(count(lit(1)).as("n_rows"), round(sum(col("value")), 6).as("sum_value"))
+      .orderBy(col("year"), col("month"), col("day"), col("hour"))
+      .collect()
+    assert(got.length == direct.length && got.length > 0)
+    got.zip(direct).foreach { case (g, b) => assert(g == b, s"$g != $b") }
+  }
+
   test("st08: streamed interval join equals the batch theta-join") {
     val got = graft.streaming.StreamReplay.st08JoinReplay(spark, sf).collect()
     val feedEnd = lit(graft.streaming.StreamReplay.JoinFeedEnd).cast("timestamp")
