@@ -398,11 +398,12 @@ object PipelineQueries {
       round(price, 2).cast("decimal(18,2)").cast("string")))
 
   /** p14: snapshot diff — the added / removed / changed / unchanged
-    * audit between two versions of a mutable table (the companion to
-    * p07's upsert and p08's SCD2: upsert writes the new version, diff
-    * explains it). Two deterministic snapshots are derived from `orders`
-    * (see [[DiffRemovedMod]]); the diff itself is ONE full-outer join on
-    * the key comparing row fingerprints.
+    * audit between two versions of a mutable table
+    * ([[Transform.snapshotDiff]]; the companion to p07's upsert and
+    * p08's SCD2: upsert writes the new version, diff explains it). Two
+    * deterministic snapshots are derived from `orders` (see
+    * [[DiffRemovedMod]]); the diff itself is ONE full-outer join on the
+    * key comparing row fingerprints.
     *
     * Scale: each side reduces to (key, 16-byte fingerprint) on its scan —
     * the join never carries row bodies; at 100 TB both snapshots live as
@@ -413,18 +414,13 @@ object PipelineQueries {
     val orders = Tables.orders(s, d)
     val oldSnap = orders
       .filter(col("o_orderkey") % 10 =!= DiffAddedMod)
-      .select(col("o_orderkey").as("k"), diffFp(col("o_totalprice")).as("fp_old"))
+      .withColumn("__price", col("o_totalprice"))
     val newSnap = orders
       .filter(col("o_orderkey") % 10 =!= DiffRemovedMod)
-      .select(col("o_orderkey").as("k"),
-        diffFp(when(col("o_orderkey") % 5 === 0, col("o_totalprice") + 1.0)
-          .otherwise(col("o_totalprice"))).as("fp_new"))
-    oldSnap.join(newSnap, Seq("k"), "full")
-      .select(col("k"),
-        when(col("fp_old").isNull, "added")
-          .when(col("fp_new").isNull, "removed")
-          .when(col("fp_old") =!= col("fp_new"), "changed")
-          .otherwise("unchanged").as("category"))
+      .withColumn("__price",
+        when(col("o_orderkey") % 5 === 0, col("o_totalprice") + 1.0)
+          .otherwise(col("o_totalprice")))
+    Transform.snapshotDiff(oldSnap, newSnap, "o_orderkey", diffFp(col("__price")))
       .groupBy(col("category"))
       .agg(count(lit(1)).as("n_rows"),
         min(col("k")).as("min_key"), max(col("k")).as("max_key"))

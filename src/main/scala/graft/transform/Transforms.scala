@@ -117,6 +117,28 @@ object Transform {
     closed.unionByName(scd2(updates, keys, versionCol))
   }
 
+  /** Snapshot diff — categorize every key of two table versions as
+    * added / removed / changed / unchanged by comparing a caller-supplied
+    * row fingerprint (companion to [[upsert]]/[[scd2]]: they write the
+    * new version, diff explains it; p14 is the query form).
+    *
+    * Scale: each side reduces to (key, fingerprint) on its own scan
+    * before the single full-outer join, so the join never carries row
+    * bodies; with both snapshots stored key-bucketed
+    * ([[graft.sink.Sinks.writeBucketed]]) the join plans with zero
+    * Exchange. */
+  def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame,
+                   key: String, fingerprint: Column): DataFrame = {
+    val o = oldSnap.select(col(key).as("k"), fingerprint.as("fp_old"))
+    val n = newSnap.select(col(key).as("k"), fingerprint.as("fp_new"))
+    o.join(n, Seq("k"), "full")
+      .select(col("k"),
+        when(col("fp_old").isNull, "added")
+          .when(col("fp_new").isNull, "removed")
+          .when(col("fp_old") =!= col("fp_new"), "changed")
+          .otherwise("unchanged").as("category"))
+  }
+
   /** P3: enrichment via broadcast join against a small dimension —
     * dimension rows ship with the plan, no shuffle of the fact side. */
   def enrich(dim: DataFrame, joinExpr: Column): Step = df =>

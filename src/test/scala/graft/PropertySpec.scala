@@ -88,6 +88,42 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("snapshot diff: diff(A, A) is all-unchanged; dropping k keys yields exactly k removed") {
+    import graft.transform.Transform
+    val rows = Gen.listOfN(20, Gen.zip(Gen.chooseNum(0L, 18L), Gen.alphaStr.map(_.take(6))))
+    samples(Gen.zip(rows, Gen.chooseNum(0, 5)), 6).foreach { case (xs, k) =>
+      val a = xs.distinctBy(_._1).toDF("id", "payload")
+      val fp = md5(concat_ws("|", col("payload")))
+      val self = Transform.snapshotDiff(a, a, "id", fp)
+        .groupBy("category").count().as[(String, Long)].collect().toMap
+      assert(self.keySet == Set("unchanged"), self.toString)
+      val keys = xs.map(_._1).distinct
+      val dropped = keys.take(k).toSet
+      val b = a.filter(!col("id").isin(dropped.toSeq: _*))
+      val d = Transform.snapshotDiff(a, b, "id", fp)
+        .groupBy("category").count().as[(String, Long)].collect().toMap
+      assert(d.getOrElse("removed", 0L) == dropped.size, d.toString)
+      assert(d.getOrElse("unchanged", 0L) == keys.length - dropped.size, d.toString)
+      assert(!d.contains("added") && !d.contains("changed"), d.toString)
+    }
+  }
+
+  test("chunking: chunks tile the token stream — reconstruction is exact") {
+    val S = graft.text.TextAnalysis.ChunkStride
+    val C = graft.text.TextAnalysis.ChunkSize
+    samples(Gen.chooseNum(1, 300), 10).foreach { n =>
+      val toks = (1 to n).map(i => s"w$i")
+      val starts = 1 to math.max(n, 1) by S
+      val chunks = starts.map(st => toks.slice(st - 1, st - 1 + C))
+      // the law t13 relies on: chunk i's first S tokens, plus the last
+      // chunk's tail, reconstruct the document exactly
+      val rebuilt = chunks.init.flatMap(_.take(S)) ++ chunks.last
+      assert(rebuilt == toks, s"n=$n")
+      assert(chunks.length == (math.max(n, 1) - 1) / S + 1)
+      assert(chunks.forall(c => c.nonEmpty && c.length <= C))
+    }
+  }
+
   test("valid rows survive the JSON → validate → parquet round trip unchanged") {
     import graft.validate.SchemaValidator
     import org.apache.spark.sql.types._
