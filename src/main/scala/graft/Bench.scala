@@ -8,6 +8,37 @@ object Bench {
   private def runToNoop(df: org.apache.spark.sql.DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
 
+  /** Per-query job/stage/task provenance (VERDICT r5 item 9): the bench's
+    * open question is how much of each query is scheduling floor vs data
+    * work, so count the scheduler events behind each timed run. A simple
+    * 100k-row scan+agg should be a couple of jobs; a floor regression
+    * shows up as a job-count jump even when wall time is noisy. */
+  private final class JobCounter extends org.apache.spark.scheduler.SparkListener {
+    val jobs   = new java.util.concurrent.atomic.AtomicLong
+    val stages = new java.util.concurrent.atomic.AtomicLong
+    val tasks  = new java.util.concurrent.atomic.AtomicLong
+    override def onJobStart(e: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+      jobs.incrementAndGet(); stages.addAndGet(e.stageInfos.size); ()
+    }
+    override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      tasks.incrementAndGet(); ()
+    }
+    def snapshot: (Long, Long, Long) = (jobs.get, stages.get, tasks.get)
+    /** Listener-bus delivery is async; wait for the counters to go quiet
+      * (outside the timed window) before reading a delta. */
+    def settle(): Unit = {
+      var prev = snapshot
+      var same = 0
+      var spins = 0
+      while (same < 2 && spins < 100) {
+        Thread.sleep(10)
+        val cur = snapshot
+        if (cur == prev) same += 1 else { same = 0; prev = cur }
+        spins += 1
+      }
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -55,13 +86,23 @@ object Bench {
     // what scales, and the min filters out one-off GC pauses / page-cache
     // misses / range-sampling jitter that a single sample at toy SF is
     // dominated by (observed run-to-run swings of 2-5× on the heavies).
+    val counter = new JobCounter
+    spark.sparkContext.addSparkListener(counter)
+    val provenance = scala.collection.mutable.LinkedHashMap.empty[String, (Long, Long, Long)]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
         try { runToNoop(fn(spark, sfDir)) } catch { case _: Throwable => () }
         (System.nanoTime() - t0) / 1e9
       }
-      name -> math.min(once(), once())
+      val first = once()
+      counter.settle()
+      val (j0, s0, t0) = counter.snapshot
+      val second = once()
+      counter.settle()
+      val (j1, s1, t1) = counter.snapshot
+      provenance(name) = (j1 - j0, s1 - s0, t1 - t0)
+      name -> math.min(first, second)
     }.toMap
     val total = if (results.nonEmpty) results.values.sum else 0.0
     def fmt(v: Double): String = f"$v%.3f"
@@ -74,9 +115,13 @@ object Bench {
     val full = results.toSeq.sortBy(-_._2)
     val fullJson = full.map { case (k, v) => s"\"$k\":${fmt(v)}" }
       .mkString("{", ",", "}")
+    val provJson = full.map { case (k, _) =>
+      val (j, st, ta) = provenance.getOrElse(k, (0L, 0L, 0L))
+      s""""$k":{"jobs":$j,"stages":$st,"tasks":$ta}"""
+    }.mkString("{", ",", "}")
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_full.json"),
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$fullJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$fullJson,"provenance":$provJson,"sf":"$sfDir"}"""
     ) catch { case _: Throwable => () }
     val budget = 1500
     val header = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","queries":"""

@@ -14,8 +14,34 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Per-session memo of resolved table DataFrames. `spark.read.parquet`
+    * pays a driver-side file listing + footer/schema read on EVERY call;
+    * across a 100-query bench run that re-resolution is pure per-query
+    * floor (the test tables are immutable, so the resolved plan never goes
+    * stale). Weak keys: a stopped/collected session drops its entries, so
+    * test suites that build many short-lived sessions don't leak plans.
+    * NOTE this memoizes the logical plan only — the DATA is still scanned
+    * from parquet per query, keeping the DuckDB bench comparison
+    * like-for-like (both engines re-scan; neither holds rows in memory). */
+  private val memo =
+    new java.util.WeakHashMap[SparkSession, java.util.concurrent.ConcurrentHashMap[String, DataFrame]]()
+
+  private def cached(spark: SparkSession, key: String)(make: => DataFrame): DataFrame = {
+    val m = memo.synchronized {
+      var c = memo.get(spark)
+      if (c == null) {
+        c = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+        memo.put(spark, c)
+      }
+      c
+    }
+    m.computeIfAbsent(key, _ => make)
+  }
+
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    cached(spark, s"$sfDir/$name.parquet") {
+      spark.read.parquet(s"$sfDir/$name.parquet")
+    }
 
   def region(s: SparkSession, d: String): DataFrame     = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame     = load(s, d, "nation")
@@ -29,10 +55,11 @@ object Tables {
     * legacy conf, then rebuild a real TimestampType column with integer
     * division (`div`, not `/` — double arithmetic on ~1.7e18 ns values loses
     * sub-millisecond precision past the 53-bit mantissa). */
-  def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
-  }
+  def events(s: SparkSession, d: String): DataFrame =
+    cached(s, s"$d/events.parquet#ts") {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      load(s, d, "events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 }

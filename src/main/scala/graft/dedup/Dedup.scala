@@ -491,12 +491,99 @@ object Dedup {
       labels = next.drop("changed")
       iter += 1
     }
-    // a silent non-converged result would mislabel clusters — fail loudly
-    require(converged,
-      s"dupClusters: no fixpoint after $maxIter rounds — component diameter " +
-        "exceeds the near-dup assumption; use large-star/small-star for deep graphs")
-    labels.select(col("v").as("doc_id"), col("lab").as("cluster_id"),
+    // a non-converged propagation means the component diameter exceeds
+    // the near-dup assumption (real corpora have chain-shaped dup graphs
+    // — boilerplate edit chains); escalate to the O(log n)-round
+    // large-star/small-star algorithm instead of failing or silently
+    // mislabeling
+    if (!converged) starClusters(pairs)
+    else labels.select(col("v").as("doc_id"), col("lab").as("cluster_id"),
       (col("v") === col("lab")).as("is_rep"))
+  }
+
+  /** Round cap for [[starClusters]]: rounds needed is O(log n) in the
+    * node count regardless of diameter (each large-star at least halves
+    * the height of every tall tree), so 60 covers any graph that fits on
+    * hardware; hitting it still fails loudly. */
+  val MaxStarRounds = 60
+
+  /** Connected components by alternating large-star/small-star rounds
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SOCC'14) — the deep-graph path [[dupClusters]] escalates to when
+    * min-label propagation hasn't converged in `MaxClusterIters` rounds.
+    * Propagation needs diameter-many rounds; star contraction needs
+    * O(log n) rounds on ANY shape, at the cost of two join+agg passes
+    * per round instead of one.
+    *
+    *  - large-star: every node v > u in u's closed neighborhood re-links
+    *    to that neighborhood's minimum — tall trees halve in height;
+    *  - small-star: edges orient (larger → smaller); each center and its
+    *    ≤-neighbors link to their minimum — local stars contract.
+    *
+    * Everything shuffled is an (id, id) edge — no bodies, no
+    * fingerprints; `localCheckpoint` truncates per-round lineage exactly
+    * like the propagation loop. Convergence = the edge set stops
+    * changing, detected by a one-row (count, xxhash64-XOR) signature agg
+    * per round rather than a set-difference join (XOR is commutative and
+    * overflow-free under ANSI mode; the edge set is distinct, so set
+    * equality is signature equality up to a 64-bit collision). At
+    * fixpoint the edges are component stars (node → component min);
+    * nodes with no outgoing edge are the roots. */
+  def starClusters(pairs: DataFrame, maxRounds: Int = MaxStarRounds): DataFrame = {
+    val nodes = pairs.select(col("doc_a").as("v"))
+      .union(pairs.select(col("doc_b").as("v")))
+      .distinct()
+      .localCheckpoint(eager = true)
+    var e = pairs
+      .select(col("doc_a").as("u"), col("doc_b").as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint(eager = true)
+    def signature(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)),
+        coalesce(bit_xor(xxhash64(col("u"), col("v"))), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    var sig = (-1L, 0L)
+    var rounds = 0
+    var done = false
+    while (!done && rounds < maxRounds) {
+      // large-star over the symmetric neighbor list; least(min(v), u)
+      // is the closed-neighborhood minimum without a union with self
+      val nbr = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      val lmin = nbr.groupBy(col("u"))
+        .agg(least(min(col("v")), first(col("u"))).as("m"))
+      val large = nbr.join(lmin, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+      // small-star on the (larger → smaller)-oriented edges
+      val dir = large.select(
+        greatest(col("u"), col("v")).as("a"), least(col("u"), col("v")).as("b"))
+      val smin = dir.groupBy(col("a")).agg(min(col("b")).as("m"))
+      val small = dir.join(smin, "a")
+        .select(col("b").as("u"), col("m").as("v"))
+        .union(smin.select(col("a").as("u"), col("m").as("v")))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+        .localCheckpoint(eager = true)
+      val s = signature(small)
+      done = s == sig
+      sig = s
+      e = small
+      rounds += 1
+    }
+    require(done, s"starClusters: no fixpoint after $maxRounds rounds — " +
+      "this exceeds the O(log n) bound and indicates a bug, not a deep graph")
+    // star edges label every non-root; roots label themselves. min() is a
+    // safety net for the (converged-in-theory-impossible) multi-center
+    // case rather than trusting one row per node.
+    nodes.join(e.select(col("u").as("v"), col("v").as("lab")), Seq("v"), "left")
+      .groupBy(col("v"))
+      .agg(min(coalesce(col("lab"), col("v"))).as("cluster_id"))
+      .select(col("v").as("doc_id"), col("cluster_id"),
+        (col("v") === col("cluster_id")).as("is_rep"))
   }
 
   /** d07 registered form: components over the exact J ≥ 0.6 pair list

@@ -43,9 +43,14 @@ object GraftExtensions {
     binary("dot_product", DotProduct.apply),
     unary("nfc_normalize", NfcNormalize.apply))
 
-  /** Runtime registration on an already-built session (tests, REPLs). */
+  /** Runtime registration on an already-built session (tests, REPLs).
+    * Idempotent: re-registering an existing name is skipped — callers
+    * (e.g. the u02 query) may run many times per session, and each
+    * replace re-invalidates the registry lookup and spams WARNs. */
   def register(spark: SparkSession): Unit =
     functions.foreach { case (name, _, builder) =>
-      GraftColumnBridge.registerFunction(spark, name, builder)
+      if (!spark.sessionState.functionRegistry
+            .functionExists(FunctionIdentifier(name)))
+        GraftColumnBridge.registerFunction(spark, name, builder)
     }
 }

@@ -542,8 +542,20 @@ object PipelineQueries {
     * the mixed plan's Expand re-aggregates every non-distinct lane
     * through the exchange. Kept one-pass anyway: at production scale the
     * second SCAN costs more than the Expand constant, and partial
-    * aggregation dedups each distinct lane before it ships. */
-  def g04Profile(s: SparkSession, d: String): DataFrame = {
+    * aggregation dedups each distinct lane before it ships.
+    *
+    * `exact = false` is the 100 TB knob (VERDICT r5 item 3): per-column
+    * `approx_count_distinct` (rsd 5%) — no Expand at all, one plain
+    * hash-aggregate pass with fixed-size HLL buffers per lane, so the
+    * exchange carries K sketches instead of K× the deduped lane rows.
+    * The exact path stays the default because the cross-engine oracle
+    * can state it; g07_profile_approx carries the approx contract
+    * (q25-style band vs the exact counts) and PlanSpec asserts the
+    * approx plan is Expand-free. */
+  def g04Profile(s: SparkSession, d: String): DataFrame =
+    g04Profile(s, d, exact = true)
+
+  def g04Profile(s: SparkSession, d: String, exact: Boolean): DataFrame = {
     val cols = Seq(
       ProfiledCol("event_id", isNumeric = true),
       ProfiledCol("event_type", isNumeric = false),
@@ -553,7 +565,8 @@ object PipelineQueries {
     val aggs = cols.flatMap { c =>
       Seq(
         count(col(c.name)).as(s"${c.name}__nn"),
-        countDistinct(col(c.name)).as(s"${c.name}__nd")) ++
+        (if (exact) countDistinct(col(c.name))
+         else approx_count_distinct(col(c.name), 0.05)).as(s"${c.name}__nd")) ++
         (if (c.isNumeric) Seq(
           min(col(c.name)).cast("double").as(s"${c.name}__min"),
           max(col(c.name)).cast("double").as(s"${c.name}__max"))
@@ -583,6 +596,24 @@ object PipelineQueries {
       .orderBy(col("col_name"))
   }
 
+  /** g07: the approx-profile contract row — the `exact = false` profiler
+    * (the 100 TB path) checked q25-style against the exact counts: the
+    * HLL estimate must land within 10 % per column (rsd 5% ⇒ ~2σ). Runs
+    * BOTH paths at test SF so the band is stated from data; the approx
+    * plan's Expand-freeness is asserted separately in PlanSpec. */
+  def g07ProfileApprox(s: SparkSession, d: String): DataFrame = {
+    val approx = g04Profile(s, d, exact = false)
+      .select(col("col_name"), col("n"), col("n_null"),
+        col("n_distinct").as("nd_approx"))
+    val exact = g04Profile(s, d, exact = true)
+      .select(col("col_name"), col("n_distinct").as("nd_exact"))
+    approx.join(broadcast(exact), Seq("col_name"))
+      .select(col("col_name"), col("n"), col("n_null"),
+        (abs(col("nd_approx") - col("nd_exact")) <=
+          col("nd_exact") * 0.1).as("approx_ok"))
+      .orderBy(col("col_name"))
+  }
+
   val queries: Map[String, Q] = Map(
     "p01_validate_events"   -> p01ValidateEvents _,
     "p02_clean_dedup"       -> p02CleanDedup _,
@@ -603,7 +634,8 @@ object PipelineQueries {
     "g06_anomaly"           -> g06Anomaly _,
     "g02_hourly_metrics"    -> g02HourlyMetrics _,
     "g03_drift_monitor"     -> g03DriftMonitor _,
-    "g04_profile"           -> g04Profile _,
+    "g04_profile"           -> (g04Profile(_, _)),
+    "g07_profile_approx"    -> g07ProfileApprox _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -703,6 +735,23 @@ object PipelineQueries {
       FROM documents d JOIN r USING (source)
       GROUP BY d.source
       ORDER BY d.source""",
+    // approx contract row: exact n/n_null plus the band boolean — the
+    // sketch VALUES differ across engines, the bound is the contract
+    "g07_profile_approx" -> """
+      WITH s AS (SELECT * FROM events)
+      SELECT * FROM (
+        SELECT 'event_id' AS col_name, count(*) AS n,
+               count(*) - count(event_id) AS n_null, TRUE AS approx_ok
+        FROM s
+        UNION ALL
+        SELECT 'event_type', count(*), count(*) - count(event_type), TRUE FROM s
+        UNION ALL
+        SELECT 'props', count(*), count(*) - count(props), TRUE FROM s
+        UNION ALL
+        SELECT 'user_id', count(*), count(*) - count(user_id), TRUE FROM s
+        UNION ALL
+        SELECT 'value', count(*), count(*) - count(value), TRUE FROM s)
+      ORDER BY col_name""",
     "g04_profile" -> """
       WITH s AS (SELECT * FROM events)
       SELECT * FROM (

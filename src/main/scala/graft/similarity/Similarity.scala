@@ -277,20 +277,23 @@ object Similarity {
     recallContract(s, d, s03IvfTopK(s, d), IvfRecallFloor)
 
   /** PQ geometry: [[PqSubspaces]] subvectors × [[PqCodes]] centroids each
-    * (a 4-bit code per subspace). A 64-float vector (256 B) encodes to
-    * 8 nibbles (4 B) — 64× compression; the ADC scan touches the compact
-    * code table, never the vectors. */
+    * (a 5-bit code per subspace). A 64-float vector (256 B) encodes to
+    * 8 5-bit codes (5 B) — ~51× compression; the ADC scan touches the
+    * compact code table, never the vectors. 32 codes (vs the original
+    * 16) measured at sf0.1: worst-query recall 0.5 → 0.7 at refine=200
+    * for the same scan shape — the finer codebook pays for itself long
+    * before the refine knob does. */
   val PqSubspaces = 8
-  val PqCodes = 16
+  val PqCodes = 32
   val PqSubDim: Int = Dim / PqSubspaces
   /** Exact-refine depth: ADC ranks the corpus by approximate inner
     * product, the top [[PqRefine]] candidates re-rank exactly. Sized so
-    * the refine join stays trivial (≤ 200 ids/query) while covering the
-    * ADC ranking noise on this near-orthogonal corpus — 4-bit codes on
-    * 64 dims leave ~±0.1 quantization error around the cos≈0.5 neighbor
-    * band, so true neighbors sit well inside the top-200 but not always
-    * the top-50 at 100 k rows. */
-  val PqRefine = 200
+    * the refine join stays trivial (≤ 500 ids/query) while covering the
+    * ADC ranking noise on this near-orthogonal corpus. Measured recall
+    * grid at sf0.1 (worst query / mean over 5 queries, RecallProbe):
+    * 16×200 0.50/0.74, 16×500 0.80/0.86, 32×200 0.70/0.84,
+    * 32×500 0.90/0.96 — shipped config is 32×500; sf0.01 is 1.00/1.00. */
+  val PqRefine = 500
 
   /** Driver-side Lloyd's iterations for one PQ subspace codebook —
     * deterministic (seeded farthest-first-ish init: first k distinct
@@ -354,7 +357,10 @@ object Similarity {
     * s03's IVF cells (scan only probed cells' code lists). Unrolled
     * element_at sums keep the ADC expression codegen'd — no HOF lambda
     * re-evaluation. */
-  def s04PqTopK(s: SparkSession, d: String): DataFrame = {
+  def s04PqTopK(s: SparkSession, d: String): DataFrame =
+    s04PqTopK(s, d, PqCodes, PqRefine)
+
+  def s04PqTopK(s: SparkSession, d: String, codes: Int, refine: Int): DataFrame = {
     val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
     // bounded driver-side sample → per-subspace codebooks
     val n = math.max(1L, e.count())
@@ -367,7 +373,7 @@ object Similarity {
       if (nrm == 0) v else v.map(_ / nrm)
     }
     val codebooks: Array[Array[Array[Double]]] = Array.tabulate(PqSubspaces) { m =>
-      lloyd(sampleNormed.map(_.slice(m * PqSubDim, (m + 1) * PqSubDim)), PqCodes, 10)
+      lloyd(sampleNormed.map(_.slice(m * PqSubDim, (m + 1) * PqSubDim)), codes, 10)
     }
 
     import graft.functions.VectorFunctions.dot
@@ -393,8 +399,8 @@ object Similarity {
         array((0 until PqSubspaces).map(codeOf): _*).as("codes"))
 
     // per-query ADC lookup table: exact IP from the query's normalized
-    // subvector to every subspace centroid, flattened [m*PqCodes + j]
-    val lut = array((for (m <- 0 until PqSubspaces; j <- 0 until PqCodes) yield
+    // subvector to every subspace centroid, flattened [m*codes + j]
+    val lut = array((for (m <- 0 until PqSubspaces; j <- 0 until codes) yield
       dot(slice(col("nemb"), m * PqSubDim + 1, PqSubDim),
         lit(codebooks(m)(j)))): _*)
     val q = normalized(e.filter(col("vec_id") < NumQueries))
@@ -403,14 +409,14 @@ object Similarity {
     // ADC scan over the code table: 8 lookups per candidate, unrolled
     val adc = (0 until PqSubspaces).map(m =>
       element_at(col("lut"),
-        lit(m * PqCodes + 1) + element_at(col("codes"), m + 1))).reduce(_ + _)
+        lit(m * codes + 1) + element_at(col("codes"), m + 1))).reduce(_ + _)
     val wAdc = Window.partitionBy(col("query_id"))
       .orderBy(col("adc").desc, col("vec_id"))
     val cand = coded.join(broadcast(q.select(col("query_id"), col("lut"))),
         col("vec_id") =!= col("query_id"))
       .withColumn("adc", adc)
       .withColumn("arank", row_number().over(wAdc))
-      .filter(col("arank") <= PqRefine)
+      .filter(col("arank") <= refine)
       .select(col("query_id"), col("vec_id"))
     // exact refine of the ADC short-list
     val w = Window.partitionBy(col("query_id"))
@@ -426,9 +432,11 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  /** s04 recall floor — calibrated like [[LshRecallFloor]]: measured
-    * worst-query recall with margin below; chance is k/N ≈ 0.01. */
-  val PqRecallFloor = 0.4
+  /** s04 recall floor — calibrated like [[LshRecallFloor]]: the measured
+    * worst-query recall (0.90 at sf0.1 with 32 codes × refine 500) clears
+    * this by 2×, so a tripped floor means the quantizer or ADC broke, not
+    * codebook-seed noise; chance is k/N ≈ 0.01. */
+  val PqRecallFloor = 0.45
 
   /** s04 registered form: PQ top-k recall contract. */
   def s04PqRecall(s: SparkSession, d: String): DataFrame =

@@ -117,6 +117,28 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(lab.groupBy(_._2).values.exists(_.size >= 3))
   }
 
+  test("dup clusters: a path graph deeper than MaxClusterIters converges via star fallback") {
+    import org.apache.spark.sql.functions.col
+    // a 61-node chain (diameter 60, 3× MaxClusterIters) — propagation
+    // alone cannot close it; dupClusters must escalate to
+    // large-star/small-star and still label the whole chain with node 0
+    val chain = (0L until 60L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val out = Dedup.dupClusters(chain)
+      .select("doc_id", "cluster_id").as[(Long, Long)].collect()
+    assert(out.length == 61)
+    assert(out.forall(_._2 == 0L), out.filter(_._2 != 0L).take(5).mkString(","))
+  }
+
+  test("starClusters matches propagation on the real near-dup pair graph") {
+    import org.apache.spark.sql.functions.col
+    val pairList = Dedup.d02NgramJaccard(spark, sf).select(col("doc_a"), col("doc_b"))
+    val viaStars = Dedup.starClusters(pairList)
+      .select("doc_id", "cluster_id", "is_rep").as[(Long, Long, Boolean)].collect().toSet
+    val viaProp = Dedup.dupClusters(pairList)
+      .select("doc_id", "cluster_id", "is_rep").as[(Long, Long, Boolean)].collect().toSet
+    assert(viaStars == viaProp && viaStars.nonEmpty)
+  }
+
   test("contamination: verbatim copy is fully contaminated, disjoint vocab is clean") {
     import org.apache.spark.sql.functions.col
     val bench = Seq((100L, "alpha beta gamma delta epsilon zeta"))

@@ -217,6 +217,15 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Join"), plan)
   }
 
+  test("g04 approx knob: HLL profiler is one scan with NO Expand (the 100 TB path)") {
+    val plan = executed(PipelineQueries.g04Profile(spark, sf, exact = false))
+    assert(plan.linesIterator.count(_.contains("Scan parquet")) == 1, plan)
+    // the knob's whole value: K approx-distinct lanes aggregate as
+    // fixed-size HLL buffers in ONE pass — no Expand row multiplication
+    assert(!plan.contains("Expand"), plan)
+    assert(!plan.contains("Join"), plan)
+  }
+
   test("p12: split assignment is shuffle-free (the only exchange is the oracle orderBy)") {
     val plan = executed(PipelineQueries.p12TrainSplit(spark, sf))
     assert(plan.linesIterator.count(_.contains("Exchange hashpartitioning")) == 0, plan)
