@@ -102,9 +102,49 @@ object ControlPlaneQueries {
       }
     }
 
+  /** x03: the Parallel scatter/gather operator (§2.10 X3, the reference's
+    * fixed 3-way Parallel, SDP.py:372-390) as a hard row — run through
+    * the REAL runner ([[graft.orchestrate.PipelineRunner]]: retries,
+    * journaling, deadline), not a bare union. The corpus scatters over 3
+    * branches by user_id mod 3, each branch tags its slice, the gather
+    * rolls the union up per event type. The row must equal the same
+    * rollup stated over the UNSCATTERED corpus: a branch that dropped or
+    * double-took rows, a union that lost a branch, or a gather over a
+    * partial scatter all break n_events/sum_value, and n_branches pins
+    * every type having flowed through all 3 branches. */
+  def x03ParallelScatter(s: SparkSession, d: String): DataFrame =
+    withTmp(s, "graft-x03-") { tmp =>
+      import graft.orchestrate.{Flow, PipelineRunner}
+      val ev = Tables.events(s, d)
+        .filter(col("ts") < lit(E2eFeedEnd).cast("timestamp"))
+      val stateLog = new StateLog(s, s"$tmp/state")
+      val branches = (0 until 3).map { k =>
+        (df: DataFrame) =>
+          df.filter(pmod(col("user_id"), lit(3)) === k)
+            .withColumn("branch", lit(k))
+      }
+      val flow = Flow.Parallel("scatter3", branches,
+        Flow.Task("gather_rollup", df =>
+          df.groupBy(col("event_type")).agg(
+            count(lit(1)).as("n_events"),
+            round(sum(col("value")), 6).as("sum_value"),
+            countDistinct(col("branch")).as("n_branches")),
+          Flow.Task("land",
+            { df => df.coalesce(1).write.mode("overwrite")
+                      .parquet(s"$tmp/out"); df },
+            Flow.Succeed())))
+      val outcome = new PipelineRunner(stateLog).run("x03", flow, ev)
+      require(outcome.isSuccess, s"x03 parallel flow failed: $outcome")
+      s.read.parquet(s"$tmp/out")
+        .orderBy(col("event_type"))
+        // materialize before the temp dir the plan reads from is deleted
+        .localCheckpoint(eager = true)
+    }
+
   val queries: Map[String, Q] = Map(
-    "x01_pipeline_e2e" -> x01PipelineE2e _,
-    "x02_catalog_sql"  -> x02CatalogSql _,
+    "x01_pipeline_e2e"    -> x01PipelineE2e _,
+    "x02_catalog_sql"     -> x02CatalogSql _,
+    "x03_parallel_scatter" -> x03ParallelScatter _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -130,5 +170,16 @@ object ControlPlaneQueries {
       WHERE ts < TIMESTAMP '$E2eFeedEnd' AND day(ts) <= 2
       GROUP BY 1, 2, 3, 4
       ORDER BY year, month, day, hour""",
+    // the scatter/gather must be invisible: same rollup stated directly
+    // over the corpus, with the branch count restated from user_id mod 3
+    "x03_parallel_scatter" -> s"""
+      SELECT event_type,
+             count(*) AS n_events,
+             round(sum(value), 6) AS sum_value,
+             CAST(count(DISTINCT user_id % 3) AS BIGINT) AS n_branches
+      FROM events
+      WHERE ts < TIMESTAMP '$E2eFeedEnd'
+      GROUP BY event_type
+      ORDER BY event_type""",
   )
 }

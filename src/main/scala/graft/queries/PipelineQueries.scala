@@ -500,19 +500,39 @@ object PipelineQueries {
     * 8,760/year), never the corpus; a single-partition window over that
     * frame is deliberate and bounded. Hours with fewer than 2 trailing
     * observations (or zero variance) get a NULL z and never flag, stated
-    * identically in both engines. */
-  def g06Anomaly(s: SparkSession, d: String): DataFrame = {
+    * identically in both engines.
+    *
+    * The hourly series is DENSIFIED before the window (sequence over
+    * [min, max] hour, left join, n = 0 fill): an hour with zero events
+    * must appear as a row, both so the ROWS BETWEEN -24 AND -1 frame
+    * really is the trailing 24 wall-clock hours (gaps would silently
+    * stretch an observation-count frame) and because a silent feed is
+    * exactly the condition an anomaly monitor exists to flag — a dead
+    * hour scores a large NEGATIVE z against a healthy baseline. */
+  def g06Anomaly(s: SparkSession, d: String): DataFrame =
+    anomalyMonitor(Tables.events(s, d))
+
+  /** [[g06Anomaly]]'s core over any event frame (spec entry point for
+    * gap behavior, which the gap-free test corpus can't exhibit). */
+  def anomalyMonitor(events: DataFrame, tsCol: String = "ts"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.orderBy(col("hour_bucket")).rowsBetween(-24, -1)
-    val hourly = Tables.events(s, d)
-      .groupBy(date_trunc("hour", col("ts")).as("hour_bucket"))
+    val hourly = events
+      .groupBy(date_trunc("hour", col(tsCol)).as("hour_bucket"))
       .agg(count(lit(1)).as("n"))
+    val bounds = hourly.agg(min(col("hour_bucket")).as("lo"),
+      max(col("hour_bucket")).as("hi"))
+    val grid = bounds.select(
+      explode(sequence(col("lo"), col("hi"), expr("INTERVAL 1 HOUR")))
+        .as("hour_bucket"))
+    val dense = grid.join(hourly, Seq("hour_bucket"), "left")
+      .select(col("hour_bucket"), coalesce(col("n"), lit(0L)).as("n"))
     val cnt = count(col("n")).over(w)
     val mean = avg(col("n")).over(w)
     val std = stddev_samp(col("n")).over(w)
     val z = when(cnt >= 2 && std > 0,
       (col("n") - mean) / std).otherwise(lit(null).cast("double"))
-    hourly
+    dense
       .select(col("hour_bucket"), col("n"),
         round(z, 6).as("z"),
         coalesce(abs(z) > AnomalyZMax, lit(false)).as("is_anomaly"))
@@ -676,11 +696,19 @@ object PipelineQueries {
       ORDER BY source, rank""",
     // trailing-24h z-score with the same <2-observations / zero-variance
     // guard; stddev_samp over ≤24 values agrees to well past the 6th
-    // decimal, which round(·,6) pins
+    // decimal, which round(·,6) pins. Both engines densify the hourly
+    // series (generate_series / sequence) so the frame is wall-clock.
     "g06_anomaly" -> s"""
-      WITH h AS (
+      WITH o AS (
         SELECT date_trunc('hour', ts) AS hour_bucket, count(*) AS n
         FROM events GROUP BY 1),
+      g AS (
+        SELECT unnest(generate_series(min(hour_bucket), max(hour_bucket),
+                 INTERVAL 1 HOUR)) AS hour_bucket
+        FROM o),
+      h AS (
+        SELECT g.hour_bucket, coalesce(o.n, 0) AS n
+        FROM g LEFT JOIN o ON g.hour_bucket = o.hour_bucket),
       w AS (
         SELECT hour_bucket, n,
                count(n) OVER tw AS cnt,

@@ -36,6 +36,24 @@ final class StreamMetricsListener(stateLog: StateLog)
     executor.submit(new Runnable { def run(): Unit = () })
       .get(timeoutMs, java.util.concurrent.TimeUnit.MILLISECONDS)
 
+  /** Per-query termination latches: `awaitTerminated` callers block on a
+    * latch the journaling task itself counts down, instead of polling
+    * the parquet journal (each poll is a full Spark read) and guessing
+    * at delivery timing. */
+  private val terminations =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.CountDownLatch]()
+
+  private def terminationLatch(key: String): java.util.concurrent.CountDownLatch =
+    terminations.computeIfAbsent(key, _ => new java.util.concurrent.CountDownLatch(1))
+
+  /** Block until `name`'s termination row is IN the journal (the latch
+    * counts down after the append executes, and the append executor is
+    * single-threaded FIFO, so every earlier progress row is journaled
+    * too). Returns false on timeout — callers decide how loud to be. */
+  def awaitTerminated(name: String, timeoutMs: Long = 30000): Boolean =
+    terminationLatch(name)
+      .await(timeoutMs, java.util.concurrent.TimeUnit.MILLISECONDS)
+
   override def onQueryStarted(event: StreamingQueryListener.QueryStartedEvent): Unit = {
     val (n, id, runId) = (event.name, event.id.toString, event.runId)
     Option(n).filter(_.nonEmpty).foreach(names.put(id, _))
@@ -53,9 +71,12 @@ final class StreamMetricsListener(stateLog: StateLog)
   override def onQueryTerminated(event: StreamingQueryListener.QueryTerminatedEvent): Unit = {
     val (id, err) = (event.id.toString, event.exception)
     val key = name(names.remove(id), id)
-    async(stateLog.append(key, "stream",
-      err.fold(PipelineStatus.Succeeded)(_ => PipelineStatus.Failed),
-      err.getOrElse("")))
+    async {
+      stateLog.append(key, "stream",
+        err.fold(PipelineStatus.Succeeded)(_ => PipelineStatus.Failed),
+        err.getOrElse(""))
+      terminationLatch(key).countDown()
+    }
   }
 
   private def name(n: String, id: String): String =

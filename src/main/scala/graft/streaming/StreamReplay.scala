@@ -597,15 +597,12 @@ object StreamReplay {
           .start()
         q.awaitTermination()
         // the TERMINATED event is delivered async on the listener bus —
-        // poll the journal (bounded) until the clean-termination row lands
-        val deadline = System.currentTimeMillis() + 30000
-        def terminated(): Boolean = stateLog.journal()
-          .filter(col("pipeline_id") === qname && col("stage") === "stream" &&
-            col("status") === PipelineStatus.Succeeded)
-          .limit(1).count() == 1
-        while (System.currentTimeMillis() < deadline && !terminated())
-          Thread.sleep(200)
-        listener.flush()
+        // block on the listener's own termination latch (counted down
+        // AFTER the journal append runs, on the FIFO append thread, so
+        // every batch-progress row is journaled too) and fail loudly on
+        // timeout rather than rolling up a journal missing the stream row
+        require(listener.awaitTerminated(qname, 30000),
+          s"st09: stream $qname did not journal a termination row within 30 s")
         val j = stateLog.journal().filter(col("pipeline_id") === qname)
           .select(col("stage"), col("status"), {
             // lifecycle rows carry no rows= field; regexp_extract yields

@@ -375,17 +375,22 @@ object TextAnalysis {
     * on the scan with no shuffle; chunk rows fan out ~n_tokens/stride per
     * document and never revisit the source text. The final ORDER BY
     * exists for oracle comparability only. */
+  /** The chunk construction t13 explodes — window starts 1, 1+stride, …
+    * (at least one chunk per document; `slice` clamps at the array end).
+    * Shared with the overlap-law spec so the test exercises THIS
+    * expression, not a copy. */
+  def chunkArrays(toks: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val starts = sequence(lit(1), greatest(size(toks), lit(1)), lit(ChunkStride))
+    transform(starts, st => slice(toks, st, lit(ChunkSize)))
+  }
+
   def t13Chunk(s: SparkSession, d: String): DataFrame = {
     val base = Tables.documents(s, d)
       .select(col("doc_id"), tokens(col("text")).as("toks"))
     val toks = col("toks")
-    // window starts 1, 1+stride, … — at least one chunk per document,
-    // even for empty/short texts (slice clamps at the array end)
-    val starts = sequence(lit(1), greatest(size(toks), lit(1)), lit(ChunkStride))
     base
       .select(col("doc_id"), size(toks).as("n_tokens"),
-        posexplode(transform(starts,
-          st => slice(toks, st, lit(ChunkSize)))).as(Seq("chunk_idx", "chunk")))
+        posexplode(chunkArrays(toks)).as(Seq("chunk_idx", "chunk")))
       .select(
         col("doc_id"),
         col("n_tokens"),

@@ -42,15 +42,16 @@ class CurationOpsSpec extends SparkSpec {
 
   test("t13: overlapping chunks agree on the shared tokens (stride < size)") {
     // stride 48 < size 64 ⇒ chunk i's last 16 tokens = chunk i+1's first 16
-    // (when both are full); verified on one long synthetic doc
+    // (when both are full); verified on one long synthetic doc through
+    // the PRODUCTION chunk expression (TextAnalysis.chunkArrays), so a
+    // regression in t13's construction fails here, not just its copy
     val doc = Seq((1L, (1 to 200).map(i => s"w$i").mkString(" ")))
       .toDF("doc_id", "text")
-    val toks = TextAnalysis.tokens(col("text"))
     val S = TextAnalysis.ChunkStride
     val C = TextAnalysis.ChunkSize
-    val starts = sequence(lit(1), greatest(size(toks), lit(1)), lit(S))
-    val rows = doc.select(posexplode(transform(starts,
-        st => slice(toks, st, lit(C)))).as(Seq("i", "chunk")))
+    val rows = doc.select(
+        posexplode(TextAnalysis.chunkArrays(TextAnalysis.tokens(col("text"))))
+          .as(Seq("i", "chunk")))
       .collect().sortBy(_.getAs[Int]("i"))
     rows.sliding(2).foreach {
       case Array(a, b) =>
@@ -113,9 +114,16 @@ class CurationOpsSpec extends SparkSpec {
 
   test("g06: anomalies require |z| > 3; warm-up hours never flag") {
     val rows = PipelineQueries.g06Anomaly(spark, sf).collect()
-    val hours = Tables.events(spark, sf)
+    // densified: one row per WALL-CLOCK hour in [min, max], not per
+    // observed hour (sf0.001 has empty hours, which must appear as n=0)
+    val span = Tables.events(spark, sf)
+      .select((unix_timestamp(date_trunc("hour", max(col("ts")))) -
+        unix_timestamp(date_trunc("hour", min(col("ts"))))) / 3600 + 1)
+      .as[Double].head().toLong
+    assert(rows.length == span)
+    val observed = Tables.events(spark, sf)
       .select(date_trunc("hour", col("ts"))).distinct().count()
-    assert(rows.length == hours)
+    assert(rows.count(_.getAs[Long]("n") > 0) == observed)
     // the very first hour has an empty trailing window → null z, no flag
     assert(rows.head.isNullAt(rows.head.fieldIndex("z")))
     assert(!rows.head.getAs[Boolean]("is_anomaly"))
@@ -126,6 +134,27 @@ class CurationOpsSpec extends SparkSpec {
           math.abs(r.getAs[Double]("z")) > PipelineQueries.AnomalyZMax)
         assert(r.getAs[Boolean]("is_anomaly"), r.toString)
     }
+  }
+
+  test("g06: a silent hour appears as n=0 and flags against a healthy baseline") {
+    // 30 hours of steady traffic with hour 27 missing entirely — the
+    // densified series must materialize it (n = 0) and score it as a
+    // large NEGATIVE z; an observation-count frame would silently skip it
+    val ts0 = java.sql.Timestamp.valueOf("2024-03-01 00:00:00").getTime
+    val rows = for {
+      h <- 0 until 30 if h != 27
+      i <- 0 until (10 + (h % 2) * 2) // 10/12 alternating: std > 0
+    } yield new java.sql.Timestamp(ts0 + h * 3600000L + i * 1000L)
+    val events = rows.toDF("ts")
+    val out = PipelineQueries.anomalyMonitor(events).collect()
+    assert(out.length == 30) // every wall-clock hour, including the gap
+    val gap = out(27)
+    assert(gap.getAs[Long]("n") == 0L)
+    assert(gap.getAs[Double]("z") < -PipelineQueries.AnomalyZMax)
+    assert(gap.getAs[Boolean]("is_anomaly"))
+    // surrounding healthy hours stay quiet... except the gap pollutes the
+    // NEXT hour's baseline only mildly (1 of 24 observations)
+    assert(!out(26).getAs[Boolean]("is_anomaly"))
   }
 
   test("st09: the metrics journal accounts for every row and one clean termination") {

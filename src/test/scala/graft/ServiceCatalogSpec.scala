@@ -73,6 +73,67 @@ class ServiceCatalogSpec extends SparkSpec {
     assert(spark.read.parquet(layout.processed).count() > 0)
   }
 
+  test("HTTP facade: start/status/list/update/cancel over real HTTP round-trips") {
+    import graft.service.PipelineHttpServer
+    import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+    import java.net.URI
+    val stateLog = new StateLog(spark, Files.createTempDirectory("graft-http").toString + "/state")
+    val svc = new PipelineService(spark, stateLog)
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    // a real pipeline body journals its own terminal state (as
+    // ReferencePipeline.run does); "quick" mirrors that contract
+    val server = new PipelineHttpServer(svc, Map(
+      "quick"   -> ((id: String) => {
+        stateLog.append(id, "pipeline", PipelineStatus.Succeeded)
+        PipelineOutcome.Succeeded(1.0)
+      }),
+      "blocked" -> ((_: String) => { gate.await(); PipelineOutcome.Succeeded(1.0) })
+    )).start()
+    val base = s"http://127.0.0.1:${server.boundPort}/pipelines"
+    val client = HttpClient.newHttpClient()
+    def send(method: String, url: String, body: String = ""): (Int, String) = {
+      val b = HttpRequest.newBuilder(URI.create(url))
+      val req = (method match {
+        case "GET"    => b.GET()
+        case "DELETE" => b.DELETE()
+        case m => b.method(m, HttpRequest.BodyPublishers.ofString(body))
+      }).build()
+      val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
+      (resp.statusCode(), resp.body())
+    }
+    try {
+      // POST by registered name → 202 with an id
+      val (c1, b1) = send("POST", base, """{"pipeline": "quick"}""")
+      assert(c1 == 202 && b1.contains("\"id\""), s"$c1 $b1")
+      val id = b1.split("\"").apply(3)
+      eventually(send("GET", s"$base/$id")._2.contains(PipelineStatus.Succeeded))
+      // unknown pipeline name → 404
+      assert(send("POST", base, """{"pipeline": "nope"}""")._1 == 404)
+      // GET list (no filter) sees the run; status filter narrows
+      val (c2, b2) = send("GET", base)
+      assert(c2 == 200 && b2.contains(id), s"$c2 $b2")
+      val (c3, b3) = send("GET", s"$base?status=${PipelineStatus.Succeeded}")
+      assert(c3 == 200 && b3.contains(id))
+      assert(!send("GET", s"$base?status=${PipelineStatus.Failed}")._2.contains(id))
+      // PUT updates detail without perturbing lifecycle state
+      assert(send("PUT", s"$base/$id", """{"detail": "priority=high"}""")._1 == 200)
+      val after = send("GET", s"$base/$id")._2
+      assert(after.contains("updated: priority=high") &&
+        after.contains(PipelineStatus.Succeeded), after)
+      assert(send("PUT", s"$base/no-such-id", """{"detail": "x"}""")._1 == 404)
+      // DELETE cancels a running pipeline; 404 on a finished/unknown one
+      val (c4, b4) = send("POST", base, """{"pipeline": "blocked"}""")
+      assert(c4 == 202)
+      val blockedId = b4.split("\"").apply(3)
+      assert(send("DELETE", s"$base/$blockedId")._1 == 200)
+      gate.countDown()
+      eventually(send("GET", s"$base/$blockedId")._2.contains(PipelineStatus.Cancelled))
+      assert(send("DELETE", s"$base/$id")._1 == 404)
+      // GET on an unknown id → 404
+      assert(send("GET", s"$base/does-not-exist")._1 == 404)
+    } finally server.stop()
+  }
+
   test("catalog register + partition pruning + crawler sync") {
     val root = Files.createTempDirectory("graft-cat").toString
     val events = Tables.events(spark, sf)

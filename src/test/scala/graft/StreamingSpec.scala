@@ -79,6 +79,35 @@ class StreamingSpec extends SparkSpec {
     assert(quarantined.select("errors").as[Seq[String]].head() == Seq("malformed_json"))
   }
 
+  test("the pipeline is source-agnostic: same composition runs behind a rate source") {
+    import graft.streaming.{RateEventSource, StreamSource}
+    val root = Files.createTempDirectory("graft-rate").toString
+    val layout = PipelineLayout(root)
+    // the SAME composition st01 runs on the file transport, behind the
+    // synthetic broker stand-in — nothing downstream knows the transport
+    val src: StreamSource = RateEventSource(rowsPerSecond = 500, numPartitions = 2)
+    val stream = StreamingPipeline.processingStream(src.read(spark),
+      Seq(Rule("value_nonneg", col("value") >= 0)))
+    val q = StreamingPipeline.partitionedSink(stream, layout,
+      triggerInterval = "1 seconds").start()
+    try {
+      def processedCount(): Long =
+        try spark.read.parquet(layout.processed).count()
+        catch { case _: Exception => -1L }
+      val end = System.currentTimeMillis() + 60000
+      while (System.currentTimeMillis() < end && processedCount() < 4) Thread.sleep(200)
+      assert(processedCount() >= 4)
+    } finally q.stop()
+    val processed = spark.read.parquet(layout.processed)
+    // routing and partition derivation both ran: only rule-passing rows
+    // landed, and the event-time partition columns exist
+    assert(processed.filter(col("value") < 0).isEmpty)
+    assert(Seq("year", "month", "day", "hour").forall(processed.columns.contains))
+    // the negative rows went to quarantine, not the floor
+    val quarantined = graft.sink.Sinks.readQuarantine(spark, layout.errors)
+    assert(quarantined.filter(col("value") < 0).count() > 0)
+  }
+
   test("st01 batch replay through the streaming sink equals batch derivation") {
     val streamed = graft.streaming.StreamReplay.st01StreamReplay(spark, sf)
       .collect().toSeq.map(_.toString)
