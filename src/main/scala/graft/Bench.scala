@@ -52,8 +52,18 @@ object Bench {
       // re-evaluates a full linear pass per scan for zero pruning value.
       .config("spark.sql.optimizer.excludedRules",
         "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
-      // AQE stays at defaults DELIBERATELY — both directions were measured
-      // at sf0.1 and rejected:
+      // AQE coalescing floor (round 6): size-based coalescing only sees
+      // shuffle BYTES, but at toy SF several hot shuffles are small in
+      // bytes and dense in CPU (d05's cosine cells, q32/q33's JSON sort
+      // lanes) — the default 1 MB floor collapses them to 1-2 tasks and
+      // serializes the compute. 64 kB keeps them wide; measured (5-query
+      // hot sample, sf0.1/local[32]): 5.47 s → 4.63 s, no regressions.
+      // At production SF partitions dwarf either floor, so this knob is
+      // a local-bench parallelism guard, not a scale tunable. Set in the
+      // BUILDER so cloned sessions (st-replays) inherit it.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
+      // AQE otherwise stays at defaults DELIBERATELY — both directions
+      // were measured at sf0.1 and rejected:
       //  - coalescePartitions.parallelismFirst=false (size-based
       //    coalescing) collapses the tiny shuffles to 1-6 partitions and
       //    serializes the partitioned write and the dedup self-joins

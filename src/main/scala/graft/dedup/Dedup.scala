@@ -232,19 +232,32 @@ object Dedup {
     * (A corpus with real near-dup structure — planted pairs at cos ≥ 0.9
     * — should instead generate candidates with the s02 LSH bucketer,
     * where per-pair recall is ~1 at 25°; at this corpus's threshold that
-    * would break exactness.) */
+    * would break exactness.)
+    *
+    * The cell join's width is pinned with an explicit numbered
+    * repartition: the shuffled BYTES per cell are small (vector blocks)
+    * but the per-cell CPU is the (N/B)² cosine scan, so AQE's size-based
+    * partition coalescing — which only sees bytes — collapses the 36
+    * cells onto a few tasks and serializes the compute (measured at
+    * sf0.1/local[32]: 2.44 s coalesced vs 0.89 s pinned). A numbered
+    * repartition carries REPARTITION_BY_NUM, which AQE leaves alone, and
+    * the join inherits the partitioning so no further exchange is
+    * added. */
   def d05EmbeddingNearDup(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val b = NearDupBlocks
+    val width = s.conf.get("spark.sql.shuffle.partitions", "200").toInt
     // the B(B+1)/2 unordered block pairs (i ≤ j): tiny, broadcast
     val cells = (for { i <- 0 until b; j <- i until b } yield (i, j)).toDF("bi", "bj")
     val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
     val left = e.select(col("vec_id").as("id_l"), col("embedding").as("em_l"),
         pmod(col("vec_id"), lit(b)).as("bi"))
       .join(broadcast(cells), "bi")
+      .repartition(width, col("bi"), col("bj"))
     val right = e.select(col("vec_id").as("id_r"), col("embedding").as("em_r"),
         pmod(col("vec_id"), lit(b)).as("bj"))
       .join(broadcast(cells), "bj")
+      .repartition(width, col("bi"), col("bj"))
     left.join(right, Seq("bi", "bj")) // equijoin on the cell key
       // cross-block cells see each unordered pair exactly once (i < j by
       // construction); the diagonal needs the id tie-break
