@@ -667,6 +667,42 @@ object Dedup {
     contamination(docs.filter(!isBench), docs.filter(isBench))
   }
 
+  /** d09: canonical representative selection — the keep-decision step a
+    * dedup pipeline runs AFTER clustering (d07): among each dup-cluster's
+    * members, keep the highest-QUALITY document (t02's composite score),
+    * not the arbitrary lowest-id one. Published dedup recipes keep the
+    * longest / highest-scoring member for exactly this reason: the min-id
+    * representative is whichever crawl happened to be fetched first, and
+    * may be the truncated or boilerplate-wrapped copy of the pair.
+    *
+    * Output per cluster: (cluster_id, n_members, rep_doc_id,
+    * rep_quality), rep = arg-max quality with min-doc_id tie-break.
+    *
+    * Scale shape: composition over d07's clusters and t02's per-row
+    * scores — the join shuffles (doc_id, cluster_id, quality) triples
+    * only (never bodies), and the selection is ONE aggregate whose
+    * arg-max rides `max(struct(quality, -doc_id))` (highest quality,
+    * then lowest id). Struct max is not hash-aggregable, so Spark plans
+    * a SortAggregate — still partial map-side (PlanSpec pins
+    * `partial_max` before the exchange), so the cluster-keyed shuffle
+    * carries ONE candidate row per cluster per map partition, and there
+    * is no WindowExec/rank-filter pipeline. */
+  def d09CanonicalSelect(s: SparkSession, d: String): DataFrame = {
+    val clusters =
+      dupClusters(d02NgramJaccard(s, d).select(col("doc_a"), col("doc_b")))
+        .select(col("doc_id"), col("cluster_id"))
+    val quality = graft.text.TextAnalysis.t02Quality(s, d)
+      .select(col("doc_id"), col("quality"))
+    clusters.join(quality, "doc_id")
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_members"),
+        max(struct(col("quality").as("q"), (-col("doc_id")).as("nid"))).as("best"))
+      .select(col("cluster_id"), col("n_members"),
+        (-col("best.nid")).as("rep_doc_id"),
+        col("best.q").as("rep_quality"))
+      .orderBy(col("cluster_id"))
+  }
+
   val queries: Map[String, Q] = Map(
     "d01_exact_dedup"       -> d01ExactDedup _,
     "d02_ngram_jaccard"     -> d02NgramJaccard _,
@@ -676,6 +712,7 @@ object Dedup {
     "d06_incremental_dedup" -> d06IncrementalDedup _,
     "d07_dup_clusters"      -> d07DupClusters _,
     "d08_contamination"     -> d08Contamination _,
+    "d09_canonical_select"  -> d09CanonicalSelect _,
   )
 
   /** Jaccard-pair CTE body shared by the d02/d03 oracles and d07's
@@ -733,6 +770,43 @@ object Dedup {
       SELECT v AS doc_id, min(r) AS cluster_id,
              (v = min(r)) AS is_rep
       FROM reach GROUP BY v ORDER BY doc_id""",
+    // d07's recursive-component oracle + t02's quality formula (same
+    // expression tree, so the rounded doubles agree bitwise), then
+    // arg-max per cluster via the rank-1 window
+    "d09_canonical_select" -> s"""
+      WITH RECURSIVE $JaccardPairsCte,
+      edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM jpairs
+        UNION ALL
+        SELECT doc_b AS src, doc_a AS dst FROM jpairs),
+      nodes AS (SELECT DISTINCT src AS v FROM edges),
+      reach(v, r) AS (
+        SELECT v, v AS r FROM nodes
+        UNION
+        SELECT e.src AS v, reach.r AS r
+        FROM edges e JOIN reach ON reach.v = e.dst),
+      comp AS (SELECT v AS doc_id, min(r) AS cluster_id FROM reach GROUP BY v),
+      q AS (
+        SELECT doc_id,
+               round(least(1.0, CAST(len(qtoks) AS DOUBLE) / 200.0) * 0.4
+                 + (CAST(len(list_filter(qtoks, w ->
+                      list_contains(['the','a','of','to','in','and','is'], w)))
+                    AS DOUBLE) / CAST(len(qtoks) AS DOUBLE)) * 0.3
+                 + (CASE WHEN length(qnorm) = 0 THEN 0.0
+                         ELSE CAST(length(regexp_replace(qnorm, '[^a-z ]', '', 'g'))
+                              AS DOUBLE) / CAST(length(qnorm) AS DOUBLE) END) * 0.3,
+                 6) AS quality
+        FROM (SELECT doc_id, ${graft.text.TextAnalysis.ToksSql} AS qtoks,
+                     ${graft.text.TextAnalysis.NormSql} AS qnorm
+              FROM documents))
+      SELECT cluster_id, n_members, doc_id AS rep_doc_id, quality AS rep_quality
+      FROM (
+        SELECT c.cluster_id, c.doc_id, q.quality,
+               count(*) OVER (PARTITION BY c.cluster_id) AS n_members,
+               row_number() OVER (PARTITION BY c.cluster_id
+                                  ORDER BY q.quality DESC, c.doc_id) AS rn
+        FROM comp c JOIN q USING (doc_id))
+      WHERE rn = 1 ORDER BY cluster_id""",
     "d06_incremental_dedup" -> s"""
       WITH fp AS (
         SELECT doc_id, md5(${graft.text.TextAnalysis.NormSql}) AS fp

@@ -400,6 +400,88 @@ object TextAnalysis {
       .orderBy(col("doc_id"), col("chunk_idx"))
   }
 
+  /** t14 document-frequency threshold: a 3-gram appearing in ≥ this many
+    * documents counts as corpus-frequent ("boilerplate"). At test SF a
+    * fixed absolute cutoff is oracle-checkable; a production run sets it
+    * from corpus size (e.g. df ≥ 1e-6 · N_docs) — same plan either way. */
+  val BoilerplateDocFreq = 3
+
+  /** t14: boilerplate detection — per-document fraction of word 3-grams
+    * that are corpus-frequent (document frequency ≥
+    * [[BoilerplateDocFreq]]). The filtering pass published pretraining
+    * recipes (C4, CCNet, RefinedWeb) run to drop navigation chrome,
+    * license headers, and templated text that exact/near dedup misses
+    * because the surrounding document differs.
+    *
+    * Scale shape (same skeleton as d08 decontamination, but the probe set
+    * is SELF-derived): shingles hash to 64 bits immediately, the
+    * document-frequency count is one shuffle of (hash) with map-side
+    * partials, and the frequent set — heavy hitters by construction, tiny
+    * relative to the shingle universe — broadcasts back so the per-doc
+    * scoring pass is a map-side probe on the scan. The corpus is scanned
+    * twice (count pass + probe pass) rather than caching the shingle
+    * arrays: recomputing a codegen'd projection beats materializing
+    * array<string> columns (measured ~50× — see the d02 scaladoc). */
+  def t14Boilerplate(s: SparkSession, d: String): DataFrame = {
+    def hashedShingles(df: DataFrame): DataFrame = df
+      .select(col("doc_id"),
+        graft.dedup.Dedup.shingles(tokens(col("text"))).as("sh"))
+      .select(col("doc_id"), size(col("sh")).cast("long").as("n_shingles"),
+        explode_outer(col("sh")).as("sg"))
+      // xxhash64 of an all-null input returns the seed (d08's trap): keep
+      // zero-shingle docs' probe key null so they can't hit the freq set
+      .select(col("doc_id"), col("n_shingles"),
+        when(col("sg").isNotNull, xxhash64(col("sg"))).as("h"))
+    val docs = Tables.documents(s, d)
+    val freq = hashedShingles(docs)
+      .filter(col("h").isNotNull)
+      .groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= BoilerplateDocFreq)
+      .select(col("h"), lit(1L).as("hit"))
+    hashedShingles(docs)
+      .join(broadcast(freq), Seq("h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(max(col("n_shingles")).as("n_shingles"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_frequent"))
+      .filter(col("n_shingles") > 0)
+      .select(col("doc_id"), col("n_shingles"), col("n_frequent"),
+        round(col("n_frequent").cast("double") / col("n_shingles"), 6)
+          .as("boiler_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** t15: corpus-unigram language-model scoring — each document's mean
+    * and minimum token log-probability under the corpus's own unigram
+    * MLE distribution. The cheap stand-in for perplexity filtering
+    * (CCNet-style): low avg_logp = rare-token-heavy gibberish, high
+    * avg_logp = repetitive filler; min_logp flags the single rarest
+    * token (OOV-ish spike detection).
+    *
+    * Scale shape: the LM itself is one (token → count) shuffle with
+    * map-side partials and a scalar-total broadcast; scoring joins the
+    * token stream to the LM on the token key. At test SF the LM side is
+    * broadcast automatically; at 100 TB the vocabulary is Zipf-skewed and
+    * too big to broadcast, so the scoring join is a shuffle join whose
+    * head keys AQE's skew-join splitting handles — the alternative
+    * (salting "the") is not needed because the joined payload per hot key
+    * is 8 bytes of logp. Means aggregate exact doubles; the 6-dp rounding
+    * matches the t06 TF-IDF precedent for cross-engine log comparability. */
+  def t15UnigramLm(s: SparkSession, d: String): DataFrame = {
+    val tok = Tables.documents(s, d)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .filter(col("term") =!= "")
+    val cnt = tok.groupBy(col("term")).agg(count(lit(1)).as("c"))
+    val total = cnt.agg(sum(col("c")).as("total"))
+    val lm = cnt.crossJoin(broadcast(total))
+      .select(col("term"), log(col("c").cast("double") / col("total")).as("logp"))
+    tok.join(lm, "term")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(avg(col("logp")), 6).as("avg_logp"),
+        round(min(col("logp")), 6).as("min_logp"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, Q] = Map(
     "t01_token_count" -> t01TokenCount _,
     "t02_quality"     -> t02Quality _,
@@ -414,6 +496,8 @@ object TextAnalysis {
     "t11_ngram_topk"  -> t11NgramTopK _,
     "t12_normalize"   -> t12Normalize _,
     "t13_chunk"       -> t13Chunk _,
+    "t14_boilerplate" -> t14Boilerplate _,
+    "t15_unigram_lm"  -> t15UnigramLm _,
   )
 
   /** Shared SQL fragments for the DuckDB oracle (public: the dedup
@@ -624,5 +708,34 @@ object TextAnalysis {
                   WHEN polarity < -0.01 THEN 'negative'
                   ELSE 'neutral' END AS label
       FROM p ORDER BY doc_id""",
+    // same 3-gram construction as the d02/d08 oracles; freq = the
+    // corpus-frequent shingle set the Spark side broadcasts
+    "t14_boilerplate" -> s"""
+      WITH t AS (SELECT doc_id, $ToksSql AS t FROM documents),
+      sh AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(range(1, len(t) - 1),
+                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS s
+        FROM t),
+      freq AS (SELECT s FROM sh GROUP BY s HAVING count(*) >= $BoilerplateDocFreq),
+      sizes AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id),
+      hits AS (
+        SELECT sh.doc_id, count(*) AS n_frequent
+        FROM sh JOIN freq USING (s) GROUP BY sh.doc_id)
+      SELECT s.doc_id, s.n_shingles, coalesce(h.n_frequent, 0) AS n_frequent,
+             round(coalesce(h.n_frequent, 0) * 1.0 / s.n_shingles, 6) AS boiler_frac
+      FROM sizes s LEFT JOIN hits h USING (doc_id)
+      ORDER BY doc_id""",
+    "t15_unigram_lm" -> s"""
+      WITH tok AS (SELECT doc_id, unnest($ToksSql) AS term FROM documents),
+      tok2 AS (SELECT doc_id, term FROM tok WHERE term <> ''),
+      cnt AS (SELECT term, count(*) AS c FROM tok2 GROUP BY term),
+      tot AS (SELECT sum(c) AS total FROM cnt),
+      lm AS (SELECT term, ln(c * 1.0 / total) AS logp FROM cnt, tot)
+      SELECT doc_id, count(*) AS n_tokens,
+             round(avg(logp), 6) AS avg_logp,
+             round(min(logp), 6) AS min_logp
+      FROM tok2 JOIN lm USING (term)
+      GROUP BY doc_id ORDER BY doc_id""",
   )
 }

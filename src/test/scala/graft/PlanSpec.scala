@@ -260,6 +260,39 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), plan)
   }
 
+  test("t14: the frequent-shingle set broadcasts; the probe never shuffles on content") {
+    val plan = executed(graft.text.TextAnalysis.t14Boilerplate(spark, sf))
+    // same contract as d08, with a SELF-derived probe set: the df-count
+    // aggregate shuffles 8-byte hashes, the heavy-hitter result
+    // broadcasts, and the scoring pass probes map-side on the scan — a
+    // sort-merge join here would shuffle the whole exploded corpus
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    // the only doc-keyed exchange is the final per-doc rollup
+    assert(plan.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning(doc_id")) == 1, plan)
+  }
+
+  test("t15: LM scoring joins broadcast at test SF; no window, no cartesian on data") {
+    val plan = executed(graft.text.TextAnalysis.t15UnigramLm(spark, sf))
+    // the LM side (term → logp) is small at test SF and must broadcast;
+    // at 100 TB AQE picks the skew-aware shuffle join instead — either
+    // way there is never a WindowExec or a data-sized cartesian here
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("WindowExec"), plan)
+  }
+
+  test("d09: representative selection aggregates map-side, no window/rank pipeline") {
+    val plan = executed(graft.dedup.Dedup.d09CanonicalSelect(spark, sf))
+    // the arg-max rides max(struct(quality, -id)) inside the cluster
+    // rollup; struct max is not hash-aggregable so the shape is a
+    // SortAggregate — the load-bearing property is the MAP-SIDE partial
+    // (one candidate per cluster per partition crosses the exchange),
+    // and no WindowExec/rank-filter pipeline
+    assert(!plan.contains("Window"), plan)
+    assert(plan.contains("partial_max(struct"), plan)
+  }
+
   test("s05: cluster profile is one corpus pass; vectors never shuffle") {
     val plan = executed(Similarity.s05ClusterProfile(spark, sf))
     // one corpus scan for the assignment pass (the bounded KMeans sample

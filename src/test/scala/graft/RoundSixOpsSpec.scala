@@ -1,0 +1,90 @@
+package graft
+
+import graft.dedup.Dedup
+import graft.text.TextAnalysis
+import org.apache.spark.sql.functions._
+
+/** Semantic laws for the round-6 additions: boilerplate detection (t14),
+  * corpus-unigram LM scoring (t15), and quality-aware canonical selection
+  * (d09). Each law re-derives the expected result through an INDEPENDENT
+  * path (exact strings instead of hashes, driver-side arithmetic, the
+  * upstream operators' own outputs) so a regression in the production
+  * pipeline cannot cancel out in the check. */
+class RoundSixOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("t14: hashed-broadcast counts equal exact string-keyed counts; frac bounded") {
+    val got = TextAnalysis.t14Boilerplate(spark, sf).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val n = r.getAs[Long]("n_shingles")
+      val f = r.getAs[Long]("n_frequent")
+      val frac = r.getAs[Double]("boiler_frac")
+      assert(f >= 0 && f <= n, r.toString)
+      assert(frac >= 0.0 && frac <= 1.0, r.toString)
+    }
+    // independent derivation: exact shingle STRINGS (no xxhash64, no
+    // broadcast) through a plain groupBy — catches hash-collision
+    // assumptions and join-key bugs in the production path
+    val sh = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        explode(Dedup.shingles(TextAnalysis.tokens(col("text")))).as("sg"))
+    val freq = sh.groupBy(col("sg")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= TextAnalysis.BoilerplateDocFreq)
+      .select(col("sg"))
+    val want = sh.join(freq, "sg")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_frequent"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_frequent"))
+      .toMap
+    got.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[Long]("n_frequent") == want.getOrElse(id, 0L), s"doc $id")
+    }
+  }
+
+  test("t15: per-doc scores match a driver-side recomputation of the unigram LM") {
+    val got = TextAnalysis.t15UnigramLm(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Double]("avg_logp"),
+          r.getAs[Double]("min_logp"))).toMap
+    assert(got.nonEmpty)
+    // independent path: collect the token stream, build the MLE counts in
+    // plain Scala, recompute each doc's mean/min log-prob
+    val toks = Tables.documents(spark, sf)
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("t"))
+      .as[(Long, Seq[String])].collect()
+      .map { case (id, t) => id -> t.filter(_.nonEmpty) }
+    val counts = toks.flatMap(_._2).groupBy(identity).map { case (w, o) => w -> o.length }
+    val total = counts.values.map(_.toLong).sum.toDouble
+    toks.filter(_._2.nonEmpty).foreach { case (id, t) =>
+      val lps = t.map(w => math.log(counts(w) / total))
+      val (n, avg, min) = got(id)
+      assert(n == t.length, s"doc $id n_tokens")
+      assert(math.abs(avg - lps.sum / lps.length) < 1e-6, s"doc $id avg_logp")
+      assert(math.abs(min - lps.min) < 1e-6, s"doc $id min_logp")
+    }
+  }
+
+  test("d09: each representative is its cluster's quality arg-max with id tie-break") {
+    val reps = Dedup.d09CanonicalSelect(spark, sf).collect()
+    assert(reps.nonEmpty)
+    // re-derive from the upstream operators' own outputs
+    val clusters = Dedup.d07DupClusters(spark, sf)
+      .select(col("doc_id"), col("cluster_id"))
+      .as[(Long, Long)].collect()
+    val quality = TextAnalysis.t02Quality(spark, sf)
+      .select(col("doc_id"), col("quality"))
+      .as[(Long, Double)].collect().toMap
+    val byCluster = clusters.groupBy(_._2)
+    assert(reps.length == byCluster.size)
+    reps.foreach { r =>
+      val cid = r.getAs[Long]("cluster_id")
+      val members = byCluster(cid).map(_._1)
+      assert(r.getAs[Long]("n_members") == members.length, s"cluster $cid")
+      val want = members.map(id => (quality(id), id))
+        .sortBy { case (q, id) => (-q, id) }.head
+      assert(r.getAs[Long]("rep_doc_id") == want._2, s"cluster $cid rep")
+      assert(r.getAs[Double]("rep_quality") == want._1, s"cluster $cid quality")
+    }
+  }
+}
