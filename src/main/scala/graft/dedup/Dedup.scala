@@ -703,6 +703,67 @@ object Dedup {
       .orderBy(col("cluster_id"))
   }
 
+  /** d10 span geometry: 40-character grams at stride 1 — any verbatim
+    * copy of ≥ 40 characters is guaranteed to produce at least one
+    * shared gram in both copies. */
+  val SpanLen = 40
+
+  /** d10: verbatim-span detection — per document, the fraction of
+    * character positions whose [[SpanLen]]-char gram occurs ≥ 2 times in
+    * the corpus. The character-level counterpart of word-shingle dedup
+    * (the substring-dedup recipe of Lee et al., "Deduplicating Training
+    * Data Makes Language Models Better", ACL'22): word 3-grams miss
+    * verbatim spans that cross token-normalization boundaries, and
+    * span-level fractions localize HOW MUCH of a document is copied
+    * rather than whether two documents look alike overall.
+    *
+    * Scale shape: grams hash to 64 bits inside the per-row generator
+    * (the raw text never leaves the scan — PlanSpec pins that no
+    * exchange carries the text column), the position stream is
+    * checkpointed once (fixed-width (id, n, hash) rows — same
+    * materialize-vs-recompute call as t14) and reused by both the
+    * occurrence count and the probe. Unlike t14's heavy-hitter set, the
+    * dup-gram set scales with the corpus's duplicated MASS, so the probe
+    * is a plain hash-partitioned join on the 8-byte gram hash — AQE
+    * broadcasts it at test SF, shuffles it at corpus scale — never a
+    * driver-side collect. */
+  def d10VerbatimSpans(s: SparkSession, d: String): DataFrame = {
+    // Two deliberate generator choices, both measured at sf0.1:
+    //  - explode + flat projection, NOT a transform() lambda: HOFs
+    //    evaluate interpreted, and the explode pipeline stays inside one
+    //    whole-stage-codegen span;
+    //  - grams are sliced from the BYTES (cast to binary), not the
+    //    string: UTF8String.substringSQL scans from offset 0 for
+    //    codepoint boundaries, making per-position slicing O(len²) per
+    //    document (1.55 s for the gram pass at sf0.1); binary substring
+    //    is an O(1) offset slice (0.18 s, ~8×). Byte-grams equal
+    //    char-grams on ASCII corpora (this one: verified 0 non-ASCII
+    //    docs) and remain sound byte-equality spans on any corpus; the
+    //    char-based DuckDB oracle matches under exactly that ASCII
+    //    equivalence.
+    val grams = Tables.documents(s, d)
+      .select(col("doc_id"), col("text").cast("binary").as("tb"))
+      .select(col("doc_id"), col("tb"),
+        greatest(length(col("tb")) - (SpanLen - 1), lit(1)).cast("long")
+          .as("n_positions"))
+      .select(col("doc_id"), col("tb"), col("n_positions"),
+        explode(sequence(lit(1), col("n_positions"))).as("i"))
+      .select(col("doc_id"), col("n_positions"),
+        xxhash64(expr(s"substring(tb, i, $SpanLen)")).as("h"))
+      .localCheckpoint(eager = true)
+    val dup = grams.groupBy(col("h")).agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2)
+      .select(col("h"), lit(1L).as("hit"))
+    grams.join(dup, Seq("h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(max(col("n_positions")).as("n_positions"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_dup_positions"))
+      .select(col("doc_id"), col("n_positions"), col("n_dup_positions"),
+        round(col("n_dup_positions").cast("double") / col("n_positions"), 6)
+          .as("dup_frac"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, Q] = Map(
     "d01_exact_dedup"       -> d01ExactDedup _,
     "d02_ngram_jaccard"     -> d02NgramJaccard _,
@@ -713,6 +774,7 @@ object Dedup {
     "d07_dup_clusters"      -> d07DupClusters _,
     "d08_contamination"     -> d08Contamination _,
     "d09_canonical_select"  -> d09CanonicalSelect _,
+    "d10_verbatim_spans"    -> d10VerbatimSpans _,
   )
 
   /** Jaccard-pair CTE body shared by the d02/d03 oracles and d07's
@@ -770,6 +832,25 @@ object Dedup {
       SELECT v AS doc_id, min(r) AS cluster_id,
              (v = min(r)) AS is_rep
       FROM reach GROUP BY v ORDER BY doc_id""",
+    // exact strings on the oracle side vs 64-bit gram hashes on the
+    // Spark side — occurrence counts agree because collisions over ~1e6
+    // grams are ~5e-8-probable (same argument as d02/d08)
+    "d10_verbatim_spans" -> s"""
+      WITH g AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, greatest(length(text) - ${SpanLen - 1}, 1) + 1),
+                 i -> substr(text, i, $SpanLen))) AS gram
+        FROM documents),
+      cnt AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+      sizes AS (SELECT doc_id, count(*) AS n_positions FROM g GROUP BY doc_id),
+      dups AS (
+        SELECT g.doc_id, count(*) AS n_dup_positions
+        FROM g JOIN cnt USING (gram) GROUP BY g.doc_id)
+      SELECT s.doc_id, s.n_positions,
+             coalesce(d.n_dup_positions, 0) AS n_dup_positions,
+             round(coalesce(d.n_dup_positions, 0) * 1.0 / s.n_positions, 6) AS dup_frac
+      FROM sizes s LEFT JOIN dups d USING (doc_id)
+      ORDER BY doc_id""",
     // d07's recursive-component oracle + t02's quality formula (same
     // expression tree, so the rounded doubles agree bitwise), then
     // arg-max per cluster via the rank-1 window

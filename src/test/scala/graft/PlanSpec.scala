@@ -293,6 +293,16 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("partial_max(struct"), plan)
   }
 
+  test("d10: no cartesian/BNLJ; no exchange carries the text column") {
+    val plan = executed(graft.dedup.Dedup.d10VerbatimSpans(spark, sf))
+    // grams hash to 64 bits inside the generator, so everything shuffled
+    // downstream is (id, n, hash) fixed-width rows
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    val exLines = plan.linesIterator.filter(_.contains("Exchange")).toVector
+    assert(exLines.forall(!_.contains("text#")), exLines.mkString("\n"))
+  }
+
   test("s05: cluster profile is one corpus pass; vectors never shuffle") {
     val plan = executed(Similarity.s05ClusterProfile(spark, sf))
     // one corpus scan for the assignment pass (the bounded KMeans sample

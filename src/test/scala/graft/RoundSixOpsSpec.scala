@@ -65,6 +65,31 @@ class RoundSixOpsSpec extends SparkSpec {
     }
   }
 
+  test("d10: hashed span counts equal exact substring counts; fractions bounded") {
+    val got = Dedup.d10VerbatimSpans(spark, sf).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val f = r.getAs[Double]("dup_frac")
+      assert(f >= 0.0 && f <= 1.0, r.toString)
+      assert(r.getAs[Long]("n_dup_positions") <= r.getAs[Long]("n_positions"), r.toString)
+    }
+    // independent path: exact substring STRINGS (no xxhash64) — catches
+    // hash-collision assumptions and generator off-by-ones
+    val L = Dedup.SpanLen
+    val g = Tables.documents(spark, sf).select(col("doc_id"),
+      explode(expr(s"transform(sequence(1, greatest(length(text) - ${L - 1}, 1))," +
+        s" i -> substring(text, i, $L))")).as("gram"))
+    val dup = g.groupBy(col("gram")).agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2).select(col("gram"))
+    val want = g.join(dup, "gram")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n")).toMap
+    got.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[Long]("n_dup_positions") == want.getOrElse(id, 0L), s"doc $id")
+    }
+  }
+
   test("d09: each representative is its cluster's quality arg-max with id tie-break") {
     val reps = Dedup.d09CanonicalSelect(spark, sf).collect()
     assert(reps.nonEmpty)
