@@ -634,6 +634,55 @@ object PipelineQueries {
       .orderBy(col("col_name"))
   }
 
+  /** p16 curation-funnel thresholds: quality floor and boilerplate
+    * ceiling chosen to split the synthetic corpus non-trivially
+    * (500 docs → ~428 kept at sf0.01: quality drops the short/low-alpha
+    * tail, the boilerplate ceiling drops the near-verbatim clones t14
+    * saturates on, exact dedup removes the byte-identical survivors). */
+  val CurationMinQuality = 0.35
+  val CurationMaxBoiler = 0.5
+
+  /** p16: the corpus-curation funnel END-TO-END as one oracle row — the
+    * full pass a training-data pipeline runs between raw crawl and
+    * training shards, composed from the verified operators rather than
+    * re-implemented: t02 quality gate ≥ [[CurationMinQuality]], t14
+    * boilerplate ceiling ≤ [[CurationMaxBoiler]], exact dedup keep-first
+    * on the t04 content fingerprint, p12's deterministic md5 train/val/
+    * test assignment, rolled up per split (docs, tokens, mean quality).
+    *
+    * Scale shape: every stage keys on doc_id or the 128-bit fingerprint
+    * — narrow rows, never bodies. The three per-doc score frames join on
+    * doc_id (at scale these fuse into one scan pass per scoring family;
+    * the composition here deliberately reuses the verified operator
+    * outputs instead of inlining a fused copy), the dedup is one
+    * fingerprint-keyed WindowGroupLimit like d06/p07, and the rollup is
+    * a 3-group aggregate. */
+  def p16CurationE2e(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.HashGate
+    import graft.text.TextAnalysis
+    val quality = TextAnalysis.t02Quality(s, d)
+      .select(col("doc_id"), col("n_tokens"), col("quality"))
+    val boiler = TextAnalysis.t14Boilerplate(s, d)
+      .select(col("doc_id"), col("boiler_frac"))
+    val fp = Tables.documents(s, d)
+      .select(col("doc_id"), md5(TextAnalysis.normText(col("text"))).as("fp"))
+    val gated = quality.join(boiler, "doc_id").join(fp, "doc_id")
+      .filter(col("quality") >= CurationMinQuality &&
+        col("boiler_frac") <= CurationMaxBoiler)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("fp")).orderBy(col("doc_id"))
+    gated.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("n_tokens"), col("quality"),
+        when(HashGate.prefix(col("doc_id")) < "0a", "test")
+          .when(HashGate.prefix(col("doc_id")) < "14", "val")
+          .otherwise("train").as("split"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("sum_tokens"),
+        round(avg(col("quality")), 6).as("avg_quality"))
+      .orderBy(col("split"))
+  }
+
   val queries: Map[String, Q] = Map(
     "p01_validate_events"   -> p01ValidateEvents _,
     "p02_clean_dedup"       -> p02CleanDedup _,
@@ -649,6 +698,7 @@ object PipelineQueries {
     "p13_source_mix"        -> p13SourceMix _,
     "p14_snapshot_diff"     -> p14SnapshotDiff _,
     "p15_source_cap"        -> p15SourceCap _,
+    "p16_curation_e2e"      -> p16CurationE2e _,
     "g01_quality_score"     -> g01QualityScore _,
     "g05_histogram"         -> g05Histogram _,
     "g06_anomaly"           -> g06Anomaly _,
@@ -694,6 +744,58 @@ object PipelineQueries {
       SELECT source, CAST(rank AS BIGINT) AS rank, doc_id, n_chars
       FROM r WHERE rank <= $SourceCapK
       ORDER BY source, rank""",
+    // the t02 quality formula, t14 boilerplate fraction, t04 fingerprint
+    // dedup, and p12 split gate composed verbatim — the CAST on the sum
+    // keeps DuckDB's HUGEINT from drifting the column dtype
+    "p16_curation_e2e" -> s"""
+      WITH t AS (
+        SELECT doc_id, ${graft.text.TextAnalysis.ToksSql} AS toks,
+               ${graft.text.TextAnalysis.NormSql} AS norm
+        FROM documents),
+      q AS (
+        SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+               round(least(1.0, CAST(len(toks) AS DOUBLE) / 200.0) * 0.4
+                 + (CAST(len(list_filter(toks, w ->
+                      list_contains(['the','a','of','to','in','and','is'], w)))
+                    AS DOUBLE) / CAST(len(toks) AS DOUBLE)) * 0.3
+                 + (CASE WHEN length(norm) = 0 THEN 0.0
+                         ELSE CAST(length(regexp_replace(norm, '[^a-z ]', '', 'g'))
+                              AS DOUBLE) / CAST(length(norm) AS DOUBLE) END) * 0.3,
+                 6) AS quality
+        FROM t),
+      sh AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS s
+        FROM t),
+      freq AS (SELECT s FROM sh GROUP BY s
+               HAVING count(*) >= ${graft.text.TextAnalysis.BoilerplateDocFreq}),
+      sizes AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id),
+      hits AS (
+        SELECT sh.doc_id, count(*) AS n_frequent
+        FROM sh JOIN freq USING (s) GROUP BY sh.doc_id),
+      b AS (
+        SELECT s.doc_id,
+               round(coalesce(h.n_frequent, 0) * 1.0 / s.n_shingles, 6) AS boiler_frac
+        FROM sizes s LEFT JOIN hits h USING (doc_id)),
+      fp AS (SELECT doc_id, md5(${graft.text.TextAnalysis.NormSql}) AS fp FROM documents),
+      gated AS (
+        SELECT q.doc_id, q.n_tokens, q.quality, fp.fp
+        FROM q JOIN b USING (doc_id) JOIN fp USING (doc_id)
+        WHERE q.quality >= $CurationMinQuality
+          AND b.boiler_frac <= $CurationMaxBoiler),
+      kept AS (
+        SELECT doc_id, n_tokens, quality FROM (
+          SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+          FROM gated)
+        WHERE rn = 1)
+      SELECT CASE WHEN ${graft.functions.HashGate.sqlPrefix("doc_id")} < '0a' THEN 'test'
+                  WHEN ${graft.functions.HashGate.sqlPrefix("doc_id")} < '14' THEN 'val'
+                  ELSE 'train' END AS split,
+             count(*) AS n_docs,
+             CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+             round(avg(quality), 6) AS avg_quality
+      FROM kept GROUP BY 1 ORDER BY 1""",
     // trailing-24h z-score with the same <2-observations / zero-variance
     // guard; stddev_samp over ≤24 values agrees to well past the 6th
     // decimal, which round(·,6) pins. Both engines densify the hourly

@@ -303,6 +303,16 @@ class PlanSpec extends SparkSpec {
     assert(exLines.forall(!_.contains("text#")), exLines.mkString("\n"))
   }
 
+  test("p16: curation dedup prunes as WindowGroupLimit; no body column crosses an exchange") {
+    val plan = executed(PipelineQueries.p16CurationE2e(spark, sf))
+    // keep-first on the content fingerprint must prune map-side like
+    // d06/p07 (top-1 per fp before the exchange), and every exchange
+    // carries only ids/scores/fingerprints — never text
+    assert(plan.contains("WindowGroupLimit"), plan)
+    val exLines = plan.linesIterator.filter(_.contains("Exchange")).toVector
+    assert(exLines.forall(!_.contains("text#")), exLines.mkString("\n"))
+  }
+
   test("s05: cluster profile is one corpus pass; vectors never shuffle") {
     val plan = executed(Similarity.s05ClusterProfile(spark, sf))
     // one corpus scan for the assignment pass (the bounded KMeans sample

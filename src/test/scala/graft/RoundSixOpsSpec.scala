@@ -90,6 +90,38 @@ class RoundSixOpsSpec extends SparkSpec {
     }
   }
 
+  test("p16: curation rollup equals recomposing the operator outputs in plain Scala") {
+    import graft.queries.PipelineQueries
+    val got = PipelineQueries.p16CurationE2e(spark, sf).collect()
+      .map(r => r.getAs[String]("split") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("sum_tokens"))).toMap
+    assert(got.nonEmpty && got.values.map(_._1).sum > 0)
+    // independent path: collect each upstream operator's own output and
+    // re-run the funnel driver-side (md5 via MessageDigest, not Spark)
+    val quality = TextAnalysis.t02Quality(spark, sf)
+      .select(col("doc_id"), col("n_tokens"), col("quality"))
+      .as[(Long, Long, Double)].collect()
+    val boiler = TextAnalysis.t14Boilerplate(spark, sf)
+      .select(col("doc_id"), col("boiler_frac"))
+      .as[(Long, Double)].collect().toMap
+    val fps = TextAnalysis.t04Fingerprint(spark, sf)
+      .select(col("doc_id"), col("fp")).as[(Long, String)].collect().toMap
+    def md5hex(v: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(v.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val kept = quality
+      .filter { case (id, _, q) =>
+        q >= PipelineQueries.CurationMinQuality &&
+          boiler(id) <= PipelineQueries.CurationMaxBoiler }
+      .groupBy { case (id, _, _) => fps(id) }
+      .map { case (_, members) => members.minBy(_._1) }
+    val want = kept.groupBy { case (id, _, _) =>
+      val p = md5hex(id.toString).substring(0, 2)
+      if (p < "0a") "test" else if (p < "14") "val" else "train"
+    }.map { case (s, m) => s -> (m.size.toLong, m.map(_._2).sum) }
+    assert(got == want, s"got $got want $want")
+  }
+
   test("d09: each representative is its cluster's quality arg-max with id tie-break") {
     val reps = Dedup.d09CanonicalSelect(spark, sf).collect()
     assert(reps.nonEmpty)
