@@ -688,9 +688,11 @@ object Dedup {
     * carries ONE candidate row per cluster per map partition, and there
     * is no WindowExec/rank-filter pipeline. */
   def d09CanonicalSelect(s: SparkSession, d: String): DataFrame = {
-    val clusters =
-      dupClusters(d02NgramJaccard(s, d).select(col("doc_a"), col("doc_b")))
-        .select(col("doc_id"), col("cluster_id"))
+    // composition, not a re-inlined copy: if d07's pair source or
+    // clustering ever changes, d09 follows (its orderBy is eliminated
+    // under the aggregate by EliminateSorts)
+    val clusters = d07DupClusters(s, d)
+      .select(col("doc_id"), col("cluster_id"))
     val quality = graft.text.TextAnalysis.t02Quality(s, d)
       .select(col("doc_id"), col("quality"))
     clusters.join(quality, "doc_id")
@@ -742,6 +744,11 @@ object Dedup {
     //    char-based DuckDB oracle matches under exactly that ASCII
     //    equivalence.
     val grams = Tables.documents(s, d)
+      // xxhash64(null) returns the seed, so null-text docs would all
+      // share gram h=seed and mark each other verbatim duplicates; the
+      // oracle's unnest produces no rows for them — drop them up front
+      // (same trap t14/d08 guard against)
+      .filter(col("text").isNotNull)
       .select(col("doc_id"), col("text").cast("binary").as("tb"))
       .select(col("doc_id"), col("tb"),
         greatest(length(col("tb")) - (SpanLen - 1), lit(1)).cast("long")
@@ -785,9 +792,7 @@ object Dedup {
       SELECT doc_id, ${graft.text.TextAnalysis.ToksSql} AS t
       FROM documents),
     sh AS (
-      SELECT doc_id,
-             unnest(list_distinct(list_transform(range(1, len(t) - 1),
-               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS s
+      SELECT doc_id, unnest(${graft.text.TextAnalysis.shinglesSql("t")}) AS s
       FROM toks),
     sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
     common AS (
@@ -868,17 +873,9 @@ object Dedup {
         FROM edges e JOIN reach ON reach.v = e.dst),
       comp AS (SELECT v AS doc_id, min(r) AS cluster_id FROM reach GROUP BY v),
       q AS (
-        SELECT doc_id,
-               round(least(1.0, CAST(len(qtoks) AS DOUBLE) / 200.0) * 0.4
-                 + (CAST(len(list_filter(qtoks, w ->
-                      list_contains(['the','a','of','to','in','and','is'], w)))
-                    AS DOUBLE) / CAST(len(qtoks) AS DOUBLE)) * 0.3
-                 + (CASE WHEN length(qnorm) = 0 THEN 0.0
-                         ELSE CAST(length(regexp_replace(qnorm, '[^a-z ]', '', 'g'))
-                              AS DOUBLE) / CAST(length(qnorm) AS DOUBLE) END) * 0.3,
-                 6) AS quality
-        FROM (SELECT doc_id, ${graft.text.TextAnalysis.ToksSql} AS qtoks,
-                     ${graft.text.TextAnalysis.NormSql} AS qnorm
+        SELECT doc_id, ${graft.text.TextAnalysis.QualityExprSql} AS quality
+        FROM (SELECT doc_id, ${graft.text.TextAnalysis.ToksSql} AS toks,
+                     ${graft.text.TextAnalysis.NormSql} AS norm
               FROM documents))
       SELECT cluster_id, n_members, doc_id AS rep_doc_id, quality AS rep_quality
       FROM (
@@ -890,7 +887,7 @@ object Dedup {
       WHERE rn = 1 ORDER BY cluster_id""",
     "d06_incremental_dedup" -> s"""
       WITH fp AS (
-        SELECT doc_id, md5(${graft.text.TextAnalysis.NormSql}) AS fp
+        SELECT doc_id, ${graft.text.TextAnalysis.FpSql} AS fp
         FROM documents),
       hist AS (SELECT fp FROM fp WHERE doc_id % 2 = 0),
       batch AS (SELECT doc_id, fp FROM fp WHERE doc_id % 2 = 1),
@@ -915,9 +912,7 @@ object Dedup {
         SELECT doc_id, ${graft.text.TextAnalysis.ToksSql} AS t
         FROM documents),
       sh AS (
-        SELECT doc_id,
-               unnest(list_distinct(list_transform(range(1, len(t) - 1),
-                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS s
+        SELECT doc_id, unnest(${graft.text.TextAnalysis.shinglesSql("t")}) AS s
         FROM toks),
       bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % $ContaminationBenchMod = 0),
       train AS (SELECT doc_id, s FROM sh WHERE doc_id % $ContaminationBenchMod <> 0),

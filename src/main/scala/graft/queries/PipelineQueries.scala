@@ -347,15 +347,26 @@ object PipelineQueries {
     * Scale: a stateless narrow map over the scan — no shuffle, no RNG
     * state, identical assignment on any engine / cluster size / rerun,
     * which is what makes held-out sets auditable at 100 TB. */
-  def p12TrainSplit(s: SparkSession, d: String): DataFrame = {
+  /** The p12 split assignment as a reusable expression (md5-prefix cut
+    * points ~4/4/92 %) — shared by p12 and the p16 curation funnel, with
+    * [[splitCaseSql]] as its oracle twin. */
+  def splitCol(id: Column): Column = {
     import graft.functions.HashGate
-    Tables.documents(s, d)
-      .select(col("doc_id"),
-        when(HashGate.prefix(col("doc_id")) < "0a", "test")
-          .when(HashGate.prefix(col("doc_id")) < "14", "val")
-          .otherwise("train").as("split"))
-      .orderBy(col("doc_id"))
+    when(HashGate.prefix(id) < "0a", "test")
+      .when(HashGate.prefix(id) < "14", "val")
+      .otherwise("train")
   }
+
+  /** DuckDB form of [[splitCol]]. */
+  def splitCaseSql(idCol: String): String =
+    s"""CASE WHEN ${graft.functions.HashGate.sqlPrefix(idCol)} < '0a' THEN 'test'
+             WHEN ${graft.functions.HashGate.sqlPrefix(idCol)} < '14' THEN 'val'
+             ELSE 'train' END"""
+
+  def p12TrainSplit(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), splitCol(col("doc_id")).as("split"))
+      .orderBy(col("doc_id"))
 
   /** p13: source-balancing mixture — per-source keep rates DERIVED from
     * the data (rate = smallest source count / source count) so every
@@ -658,24 +669,24 @@ object PipelineQueries {
     * fingerprint-keyed WindowGroupLimit like d06/p07, and the rollup is
     * a 3-group aggregate. */
   def p16CurationE2e(s: SparkSession, d: String): DataFrame = {
-    import graft.functions.HashGate
     import graft.text.TextAnalysis
     val quality = TextAnalysis.t02Quality(s, d)
       .select(col("doc_id"), col("n_tokens"), col("quality"))
     val boiler = TextAnalysis.t14Boilerplate(s, d)
       .select(col("doc_id"), col("boiler_frac"))
-    val fp = Tables.documents(s, d)
-      .select(col("doc_id"), md5(TextAnalysis.normText(col("text"))).as("fp"))
-    val gated = quality.join(boiler, "doc_id").join(fp, "doc_id")
+    val fp = TextAnalysis.t04Fingerprint(s, d).select(col("doc_id"), col("fp"))
+    // LEFT join on t14: docs with < 3 tokens have no shingles, hence no
+    // t14 row — they carry zero boilerplate by definition and must still
+    // flow through the funnel (an inner join would silently drop them)
+    val gated = quality
+      .join(boiler, Seq("doc_id"), "left")
+      .join(fp, "doc_id")
       .filter(col("quality") >= CurationMinQuality &&
-        col("boiler_frac") <= CurationMaxBoiler)
+        coalesce(col("boiler_frac"), lit(0.0)) <= CurationMaxBoiler)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("fp")).orderBy(col("doc_id"))
     gated.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .select(col("n_tokens"), col("quality"),
-        when(HashGate.prefix(col("doc_id")) < "0a", "test")
-          .when(HashGate.prefix(col("doc_id")) < "14", "val")
-          .otherwise("train").as("split"))
+      .select(col("n_tokens"), col("quality"), splitCol(col("doc_id")).as("split"))
       .groupBy(col("split"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).as("sum_tokens"),
@@ -744,9 +755,12 @@ object PipelineQueries {
       SELECT source, CAST(rank AS BIGINT) AS rank, doc_id, n_chars
       FROM r WHERE rank <= $SourceCapK
       ORDER BY source, rank""",
-    // the t02 quality formula, t14 boilerplate fraction, t04 fingerprint
-    // dedup, and p12 split gate composed verbatim — the CAST on the sum
-    // keeps DuckDB's HUGEINT from drifting the column dtype
+    // the t02 quality, t14 shingle, t04 fingerprint, and p12 split
+    // fragments composed from their SHARED definitions (QualityExprSql /
+    // shinglesSql / FpSql / splitCaseSql) — the CAST on the sum keeps
+    // DuckDB's HUGEINT from drifting the column dtype; the LEFT JOIN on
+    // the boilerplate side keeps sub-3-token (shingle-less) docs in the
+    // funnel with zero boilerplate, mirroring the Spark side
     "p16_curation_e2e" -> s"""
       WITH t AS (
         SELECT doc_id, ${graft.text.TextAnalysis.ToksSql} AS toks,
@@ -754,20 +768,11 @@ object PipelineQueries {
         FROM documents),
       q AS (
         SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
-               round(least(1.0, CAST(len(toks) AS DOUBLE) / 200.0) * 0.4
-                 + (CAST(len(list_filter(toks, w ->
-                      list_contains(['the','a','of','to','in','and','is'], w)))
-                    AS DOUBLE) / CAST(len(toks) AS DOUBLE)) * 0.3
-                 + (CASE WHEN length(norm) = 0 THEN 0.0
-                         ELSE CAST(length(regexp_replace(norm, '[^a-z ]', '', 'g'))
-                              AS DOUBLE) / CAST(length(norm) AS DOUBLE) END) * 0.3,
-                 6) AS quality
+               ${graft.text.TextAnalysis.QualityExprSql} AS quality
         FROM t),
-      sh AS (
-        SELECT doc_id,
-               unnest(list_distinct(list_transform(range(1, len(toks) - 1),
-                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS s
-        FROM t),
+      sh AS (SELECT doc_id,
+               unnest(${graft.text.TextAnalysis.shinglesSql("toks")}) AS s
+             FROM t),
       freq AS (SELECT s FROM sh GROUP BY s
                HAVING count(*) >= ${graft.text.TextAnalysis.BoilerplateDocFreq}),
       sizes AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id),
@@ -778,20 +783,18 @@ object PipelineQueries {
         SELECT s.doc_id,
                round(coalesce(h.n_frequent, 0) * 1.0 / s.n_shingles, 6) AS boiler_frac
         FROM sizes s LEFT JOIN hits h USING (doc_id)),
-      fp AS (SELECT doc_id, md5(${graft.text.TextAnalysis.NormSql}) AS fp FROM documents),
+      fp AS (SELECT doc_id, ${graft.text.TextAnalysis.FpSql} AS fp FROM documents),
       gated AS (
         SELECT q.doc_id, q.n_tokens, q.quality, fp.fp
-        FROM q JOIN b USING (doc_id) JOIN fp USING (doc_id)
+        FROM q LEFT JOIN b USING (doc_id) JOIN fp USING (doc_id)
         WHERE q.quality >= $CurationMinQuality
-          AND b.boiler_frac <= $CurationMaxBoiler),
+          AND coalesce(b.boiler_frac, 0.0) <= $CurationMaxBoiler),
       kept AS (
         SELECT doc_id, n_tokens, quality FROM (
           SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
           FROM gated)
         WHERE rn = 1)
-      SELECT CASE WHEN ${graft.functions.HashGate.sqlPrefix("doc_id")} < '0a' THEN 'test'
-                  WHEN ${graft.functions.HashGate.sqlPrefix("doc_id")} < '14' THEN 'val'
-                  ELSE 'train' END AS split,
+      SELECT ${splitCaseSql("doc_id")} AS split,
              count(*) AS n_docs,
              CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
              round(avg(quality), 6) AS avg_quality
@@ -845,10 +848,7 @@ object PipelineQueries {
              round(min(v), 6) AS v_min, round(max(v), 6) AS v_max
       FROM j GROUP BY col_name, bin ORDER BY col_name, bin""",
     "p12_train_split" -> s"""
-      SELECT doc_id,
-             CASE WHEN ${graft.functions.HashGate.sqlPrefix("doc_id")} < '0a' THEN 'test'
-                  WHEN ${graft.functions.HashGate.sqlPrefix("doc_id")} < '14' THEN 'val'
-                  ELSE 'train' END AS split
+      SELECT doc_id, ${splitCaseSql("doc_id")} AS split
       FROM documents
       ORDER BY doc_id""",
     "p13_source_mix" -> s"""

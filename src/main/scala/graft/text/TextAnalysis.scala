@@ -429,18 +429,18 @@ object TextAnalysis {
     * 1.47 s → 1.06 s). At cluster scale the same role is played by a
     * persisted (doc_id, n, h) intermediate table. */
   def t14Boilerplate(s: SparkSession, d: String): DataFrame = {
+    // plain explode: docs with < 3 tokens have no shingles, produce no
+    // rows, and are absent from the output — the same contract as the
+    // oracle's unnest (p16's composition treats them as zero-boilerplate
+    // via its left join)
     val hashed = Tables.documents(s, d)
       .select(col("doc_id"),
         graft.dedup.Dedup.shingles(tokens(col("text"))).as("sh"))
       .select(col("doc_id"), size(col("sh")).cast("long").as("n_shingles"),
-        explode_outer(col("sh")).as("sg"))
-      // xxhash64 of an all-null input returns the seed (d08's trap): keep
-      // zero-shingle docs' probe key null so they can't hit the freq set
-      .select(col("doc_id"), col("n_shingles"),
-        when(col("sg").isNotNull, xxhash64(col("sg"))).as("h"))
+        explode(col("sh")).as("sg"))
+      .select(col("doc_id"), col("n_shingles"), xxhash64(col("sg")).as("h"))
       .localCheckpoint(eager = true)
     val freq = hashed
-      .filter(col("h").isNotNull)
       .groupBy(col("h")).agg(count(lit(1)).as("df"))
       .filter(col("df") >= BoilerplateDocFreq)
       .select(col("h"), lit(1L).as("hit"))
@@ -449,7 +449,6 @@ object TextAnalysis {
       .groupBy(col("doc_id"))
       .agg(max(col("n_shingles")).as("n_shingles"),
         sum(coalesce(col("hit"), lit(0L))).as("n_frequent"))
-      .filter(col("n_shingles") > 0)
       .select(col("doc_id"), col("n_shingles"), col("n_frequent"),
         round(col("n_frequent").cast("double") / col("n_shingles"), 6)
           .as("boiler_frac"))
@@ -514,6 +513,31 @@ object TextAnalysis {
   val NormSql = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
   val ToksSql = s"string_split($NormSql, ' ')"
 
+  /** The t04 content fingerprint — shared by the t04/d06/p16 oracles. */
+  val FpSql = s"md5($NormSql)"
+
+  /** [[graft.dedup.Dedup.shingles]] in DuckDB form over a bound tokens
+    * column — shared by the d02/d03/d07/d08/d09/t14/p16 oracles so the
+    * shingle construction can never drift between them. */
+  def shinglesSql(toksCol: String): String =
+    s"list_distinct(list_transform(range(1, len($toksCol) - 1), " +
+      s"i -> $toksCol[i] || ' ' || $toksCol[i+1] || ' ' || $toksCol[i+2]))"
+
+  /** The t02 quality composite over bound `toks`/`norm` columns — shared
+    * by the t02/d09/p16 oracles. The d09/p16 oracles compare these
+    * doubles for equality/ordering against the Spark side, so all three
+    * MUST evaluate the same expression tree (same ops, same order) for
+    * the round(·,6) results to agree bitwise. */
+  val QualityExprSql: String =
+    """round(least(1.0, CAST(len(toks) AS DOUBLE) / 200.0) * 0.4
+           + (CAST(len(list_filter(toks, w ->
+                list_contains(['the','a','of','to','in','and','is'], w)))
+              AS DOUBLE) / CAST(len(toks) AS DOUBLE)) * 0.3
+           + (CASE WHEN length(norm) = 0 THEN 0.0
+                   ELSE CAST(length(regexp_replace(norm, '[^a-z ]', '', 'g'))
+                        AS DOUBLE) / CAST(length(norm) AS DOUBLE) END) * 0.3,
+           6)"""
+
   val oracleSql: Map[String, String] = Map(
     // DuckDB range(a, b, s) is end-exclusive; list slicing l[a:b] is
     // 1-based inclusive and clamps at the array end, matching Spark's
@@ -566,15 +590,15 @@ object TextAnalysis {
                  list_contains(['the','a','of','to','in','and','is'], t))) AS DOUBLE) AS n_stop,
                CASE WHEN length(norm) = 0 THEN 0.0
                     ELSE CAST(length(regexp_replace(norm, '[^a-z ]', '', 'g')) AS DOUBLE)
-                         / CAST(length(norm) AS DOUBLE) END AS alpha
+                         / CAST(length(norm) AS DOUBLE) END AS alpha,
+               $QualityExprSql AS quality
         FROM t)
       SELECT doc_id,
              CAST(n_tok AS BIGINT) AS n_tokens,
              round(sum_len / n_tok, 6) AS avg_token_len,
              round(n_stop / n_tok, 6) AS stop_ratio,
              round(alpha, 6) AS alpha_ratio,
-             round(least(1.0, n_tok / 200.0) * 0.4 + (n_stop / n_tok) * 0.3
-                   + alpha * 0.3, 6) AS quality
+             quality
       FROM m ORDER BY doc_id""",
     "t03_langid" -> s"""
       WITH t AS (SELECT lang, $ToksSql AS toks FROM documents),
@@ -594,7 +618,7 @@ object TextAnalysis {
       SELECT lang, lang_pred, count(*) AS n_docs
       FROM p GROUP BY lang, lang_pred ORDER BY lang, lang_pred""",
     "t04_fingerprint" -> s"""
-      SELECT doc_id, md5($NormSql) AS fp, length($NormSql) AS norm_len
+      SELECT doc_id, $FpSql AS fp, length($NormSql) AS norm_len
       FROM documents ORDER BY doc_id""",
     "t05_subword_tokens" -> s"""
       WITH t AS (
@@ -717,12 +741,8 @@ object TextAnalysis {
     // same 3-gram construction as the d02/d08 oracles; freq = the
     // corpus-frequent shingle set the Spark side broadcasts
     "t14_boilerplate" -> s"""
-      WITH t AS (SELECT doc_id, $ToksSql AS t FROM documents),
-      sh AS (
-        SELECT doc_id,
-               unnest(list_distinct(list_transform(range(1, len(t) - 1),
-                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS s
-        FROM t),
+      WITH t AS (SELECT doc_id, $ToksSql AS toks FROM documents),
+      sh AS (SELECT doc_id, unnest(${shinglesSql("toks")}) AS s FROM t),
       freq AS (SELECT s FROM sh GROUP BY s HAVING count(*) >= $BoilerplateDocFreq),
       sizes AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id),
       hits AS (

@@ -111,8 +111,9 @@ class RoundSixOpsSpec extends SparkSpec {
         .map("%02x".format(_)).mkString
     val kept = quality
       .filter { case (id, _, q) =>
+        // shingle-less docs are absent from t14 = zero boilerplate
         q >= PipelineQueries.CurationMinQuality &&
-          boiler(id) <= PipelineQueries.CurationMaxBoiler }
+          boiler.getOrElse(id, 0.0) <= PipelineQueries.CurationMaxBoiler }
       .groupBy { case (id, _, _) => fps(id) }
       .map { case (_, members) => members.minBy(_._1) }
     val want = kept.groupBy { case (id, _, _) =>
