@@ -721,10 +721,13 @@ object Dedup {
     *
     * Scale shape: grams hash to 64 bits inside the per-row generator
     * (the raw text never leaves the scan — PlanSpec pins that no
-    * exchange carries the text column), the position stream is
-    * checkpointed once (fixed-width (id, n, hash) rows — same
-    * materialize-vs-recompute call as t14) and reused by both the
-    * occurrence count and the probe. Unlike t14's heavy-hitter set, the
+    * exchange carries the text column). The occurrence count and the
+    * probe each re-run the generator rather than materializing it: the
+    * codegen'd byte-slice pipeline costs ~0.2 s/pass at sf0.1 while
+    * checkpointing its 1.3M rows costs more than the second pass
+    * (1.54 s recompute vs 1.77 s checkpointed, measured warm — the
+    * OPPOSITE trade from t14, whose tokenizer pass is ~3× the
+    * fixed-width materialize). Unlike t14's heavy-hitter set, the
     * dup-gram set scales with the corpus's duplicated MASS, so the probe
     * is a plain hash-partitioned join on the 8-byte gram hash — AQE
     * broadcasts it at test SF, shuffles it at corpus scale — never a
@@ -757,7 +760,6 @@ object Dedup {
         explode(sequence(lit(1), col("n_positions"))).as("i"))
       .select(col("doc_id"), col("n_positions"),
         xxhash64(expr(s"substring(tb, i, $SpanLen)")).as("h"))
-      .localCheckpoint(eager = true)
     val dup = grams.groupBy(col("h")).agg(count(lit(1)).as("c"))
       .filter(col("c") >= 2)
       .select(col("h"), lit(1L).as("hit"))
