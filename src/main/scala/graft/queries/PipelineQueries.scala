@@ -463,6 +463,43 @@ object PipelineQueries {
       .orderBy(col("source"), col("rank"))
   }
 
+  /** p17: per-source token budget (bites at every test SF: sources carry
+    * ~1.2k tokens at sf0.01 and ~12k at sf0.1, so the 800-token quota
+    * always truncates; the kept PREFIX is SF-stable because ranking is
+    * n_chars-desc). */
+  val SourceTokenBudget = 800L
+
+  /** p17: per-source TOKEN-budget fill — rank each source's documents by
+    * (n_chars desc, doc_id) and keep the longest prefix whose cumulative
+    * token count fits [[SourceTokenBudget]]. This is the token-quota form
+    * of domain capping (training mixes are specified in tokens, not
+    * document counts — a source's budget is "N billion tokens", and the
+    * fill takes the best-ranked documents until the quota is spent);
+    * p15 is the document-COUNT form, p13 the rate form.
+    *
+    * Scale: the window input is projected to (doc_id, source, n_chars,
+    * n_tokens) before the exchange — bodies never ride the sort — and the
+    * running sum is one pass per source partition. Unlike p15's rank≤K
+    * there is no WindowGroupLimit analogue for a cumsum predicate (the
+    * cutoff rank isn't known until the frame is summed), so each source's
+    * (id, counts) tuples do reach one task; at 100 TB that is
+    * O(docs-per-source × 24 bytes), and a source too large for that has
+    * its quota split by shard first ([[graft.functions.HashGate.shard]]).
+    * The oracle recomputes the same window in DuckDB row-for-row. */
+  def p17TokenBudget(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        size(graft.text.TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") <= SourceTokenBudget)
+      .select(col("source"), col("doc_id"), col("n_tokens"), col("cum_tokens"))
+      .orderBy(col("source"), col("cum_tokens"))
+  }
+
   /** g05: histogram bin count. */
   val HistBins = 8
 
@@ -710,6 +747,7 @@ object PipelineQueries {
     "p14_snapshot_diff"     -> p14SnapshotDiff _,
     "p15_source_cap"        -> p15SourceCap _,
     "p16_curation_e2e"      -> p16CurationE2e _,
+    "p17_token_budget"      -> p17TokenBudget _,
     "g01_quality_score"     -> g01QualityScore _,
     "g05_histogram"         -> g05Histogram _,
     "g06_anomaly"           -> g06Anomaly _,
@@ -746,6 +784,22 @@ object PipelineQueries {
       SELECT category, count(*) AS n_rows,
              min(k) AS min_key, max(k) AS max_key
       FROM j GROUP BY category ORDER BY category""",
+    // CAST the window sum: DuckDB's sum(BIGINT) yields HUGEINT, whose
+    // pandas dtype kind differs from Spark's int64 even at equal values
+    "p17_token_budget" -> s"""
+      WITH t AS (
+        SELECT doc_id, source, n_chars,
+               CAST(len(${graft.text.TextAnalysis.ToksSql}) AS BIGINT) AS n_tokens
+        FROM documents),
+      c AS (
+        SELECT doc_id, source, n_tokens,
+               CAST(sum(n_tokens) OVER (PARTITION BY source
+                 ORDER BY n_chars DESC, doc_id
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+        FROM t)
+      SELECT source, doc_id, n_tokens, cum_tokens
+      FROM c WHERE cum_tokens <= $SourceTokenBudget
+      ORDER BY source, cum_tokens""",
     "p15_source_cap" -> s"""
       WITH r AS (
         SELECT doc_id, source, n_chars,

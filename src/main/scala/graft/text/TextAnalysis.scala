@@ -487,6 +487,72 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** t16 hashed-feature space size: 3 hex digits of md5 → 4096 buckets.
+    * DSIR's published configuration uses 10k hashed n-gram buckets; 4096
+    * keeps the bucket id derivable from the same md5-prefix arithmetic
+    * the oracle already shares ([[graft.functions.HashGate]] precedent)
+    * while leaving ~15 tokens/bucket at sf0.01 — enough collisions to
+    * exercise the hashing, not enough to wash out the signal. */
+  val DsirBuckets = 4096
+
+  /** t16's stand-in "target domain": English documents (the quality
+    * corpus a real run would point at Wikipedia-like text). */
+  val DsirTargetLang = "en"
+
+  /** t16: DSIR-style importance weighting (Xie et al. 2023, "Data
+    * Selection for Language Models via Importance Resampling"): score
+    * every document by the log-likelihood ratio of its hashed unigram
+    * features under the TARGET distribution (here: the corpus's English
+    * slice) vs the RAW distribution (the whole corpus), both with
+    * add-one smoothing over the [[DsirBuckets]]-bucket feature space.
+    * `selected` marks documents scoring above the corpus-mean log-ratio
+    * ("more target-like than average") — the deterministic analogue of
+    * DSIR's Gumbel-top-k resample (the noise draw is the one part of the
+    * method that cannot be made engine-reproducible, so selection is
+    * thresholded instead). An absolute `logw > 0` cut would be wrong:
+    * add-one smoothing divides by the SMALLER target total, which biases
+    * every shared-vocabulary token slightly negative, so the whole
+    * corpus sits below zero and only the relative ordering carries the
+    * signal.
+    *
+    * Scale shape: one (bucket → counts) shuffle with map-side partials —
+    * the feature table is FIXED-WIDTH (≤ [[DsirBuckets]] rows) no matter
+    * the corpus size, so the log-ratio side of the scoring join is always
+    * broadcastable, and scoring itself is a map-side join + one keyed
+    * aggregate on doc_id. Nothing grows with corpus size except the token
+    * stream itself; at 100 TB this is exactly two passes over the scan.
+    * The hashing (3-hex md5 prefix → int) is bit-identical in DuckDB, so
+    * the oracle rebuilds the same feature space; log-ratio sums round to
+    * 6 dp (the t06/t15 cross-engine precedent). */
+  def t16DsirWeights(s: SparkSession, d: String): DataFrame = {
+    val feat = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), explode(tokens(col("text"))).as("term"))
+      .filter(col("term") =!= "")
+      .select(col("doc_id"), col("lang"),
+        conv(substring(md5(col("term")), 1, 3), 16, 10).cast("int").as("b"))
+    val counts = feat.groupBy(col("b")).agg(
+      count(lit(1)).as("raw_c"),
+      sum(when(col("lang") === DsirTargetLang, 1L).otherwise(0L)).as("tgt_c"))
+    val totals = counts.agg(sum(col("raw_c")).as("raw_total"),
+      sum(col("tgt_c")).as("tgt_total"))
+    val ratio = counts.crossJoin(broadcast(totals))
+      .select(col("b"),
+        (log((col("tgt_c") + 1).cast("double") /
+             (col("tgt_total") + DsirBuckets).cast("double")) -
+         log((col("raw_c") + 1).cast("double") /
+             (col("raw_total") + DsirBuckets).cast("double"))).as("lr"))
+    val scored = feat.join(broadcast(ratio), "b")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), round(sum(col("lr")), 6).as("logw"))
+    // selection threshold: the corpus mean of the ROUNDED weights (both
+    // engines average identical 6-dp values, so the cut is reproducible)
+    val mean = scored.agg(round(avg(col("logw")), 6).as("mean_logw"))
+    scored.crossJoin(broadcast(mean))
+      .select(col("doc_id"), col("n_tokens"), col("logw"),
+        (col("logw") > col("mean_logw")).as("selected"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, Q] = Map(
     "t01_token_count" -> t01TokenCount _,
     "t02_quality"     -> t02Quality _,
@@ -503,6 +569,7 @@ object TextAnalysis {
     "t13_chunk"       -> t13Chunk _,
     "t14_boilerplate" -> t14Boilerplate _,
     "t15_unigram_lm"  -> t15UnigramLm _,
+    "t16_dsir_weights" -> t16DsirWeights _,
   )
 
   /** Shared SQL fragments for the DuckDB oracle (public: the dedup
@@ -763,5 +830,29 @@ object TextAnalysis {
              round(min(logp), 6) AS min_logp
       FROM tok2 JOIN lm USING (term)
       GROUP BY doc_id ORDER BY doc_id""",
+    // same 3-hex md5 bucket arithmetic as HashGate.sqlShard; ln = Spark's
+    // natural log; smoothing adds 1 per bucket / DsirBuckets per total
+    "t16_dsir_weights" -> s"""
+      WITH tok AS (SELECT doc_id, lang, unnest($ToksSql) AS term FROM documents),
+      f AS (
+        SELECT doc_id, lang,
+               CAST(CAST('0x' || substr(md5(term), 1, 3) AS INT) AS INT) AS b
+        FROM tok WHERE term <> ''),
+      c AS (
+        SELECT b, count(*) AS raw_c,
+               sum(CASE WHEN lang = '$DsirTargetLang' THEN 1 ELSE 0 END) AS tgt_c
+        FROM f GROUP BY b),
+      t AS (SELECT sum(raw_c) AS raw_total, sum(tgt_c) AS tgt_total FROM c),
+      r AS (
+        SELECT b, ln((tgt_c + 1) * 1.0 / (tgt_total + $DsirBuckets))
+                - ln((raw_c + 1) * 1.0 / (raw_total + $DsirBuckets)) AS lr
+        FROM c, t),
+      w AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+               round(sum(lr), 6) AS logw
+        FROM f JOIN r USING (b) GROUP BY doc_id),
+      m AS (SELECT round(avg(logw), 6) AS mean_logw FROM w)
+      SELECT doc_id, n_tokens, logw, logw > mean_logw AS selected
+      FROM w, m ORDER BY doc_id""",
   )
 }

@@ -145,4 +145,67 @@ class RoundSixOpsSpec extends SparkSpec {
       assert(r.getAs[Double]("rep_quality") == want._1, s"cluster $cid quality")
     }
   }
+
+  test("t16: weights match a driver-side rebuild of both hashed distributions") {
+    val got = TextAnalysis.t16DsirWeights(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Double]("logw"),
+          r.getAs[Boolean]("selected"))).toMap
+    assert(got.nonEmpty)
+    assert(got.values.exists(_._3) && got.values.exists(!_._3),
+      "mean threshold should split the corpus non-trivially")
+    val mean = BigDecimal(got.values.map(_._2).sum / got.size)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // independent path: java MD5 (not Spark's md5), plain-Scala counts
+    def bucket(term: String): Int = Integer.parseInt(
+      java.security.MessageDigest.getInstance("MD5").digest(term.getBytes("UTF-8"))
+        .take(2).map("%02x".format(_)).mkString.substring(0, 3), 16)
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"), TextAnalysis.tokens(col("text")).as("t"))
+      .as[(Long, String, Seq[String])].collect()
+      .map { case (id, lang, t) => (id, lang, t.filter(_.nonEmpty).map(bucket)) }
+    val raw = docs.flatMap(_._3).groupBy(identity).map { case (b, o) => b -> o.length.toLong }
+    val tgt = docs.filter(_._2 == TextAnalysis.DsirTargetLang)
+      .flatMap(_._3).groupBy(identity).map { case (b, o) => b -> o.length.toLong }
+    val (rawT, tgtT) = (raw.values.sum.toDouble, tgt.values.sum.toDouble)
+    val B = TextAnalysis.DsirBuckets
+    docs.filter(_._3.nonEmpty).foreach { case (id, _, bs) =>
+      val want = bs.map(b => math.log((tgt.getOrElse(b, 0L) + 1) / (tgtT + B))
+        - math.log((raw(b) + 1) / (rawT + B))).sum
+      val (n, logw, sel) = got(id)
+      assert(n == bs.length, s"doc $id n_tokens")
+      assert(math.abs(logw - want) < 1e-5, s"doc $id logw $logw want $want")
+      // driver-side mean drifts by float-sum order; only assert the flag
+      // for docs clearly away from the boundary
+      if (math.abs(logw - mean) > 1e-4)
+        assert(sel == (logw > mean), s"doc $id selected (logw $logw mean $mean)")
+    }
+  }
+
+  test("p17: kept set is exactly each source's maximal affordable ranked prefix") {
+    import graft.queries.PipelineQueries
+    val got = PipelineQueries.p17TokenBudget(spark, sf).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("n_tokens"), r.getAs[Long]("cum_tokens")))
+    assert(got.nonEmpty)
+    val all = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n"))
+      .as[(Long, String, Long, Long)].collect()
+    val budget = PipelineQueries.SourceTokenBudget
+    all.groupBy(_._2).foreach { case (src, members) =>
+      val ranked = members.sortBy { case (id, _, nc, _) => (-nc, id) }
+      val want = ranked.scanLeft(0L)(_ + _._4).tail.zip(ranked)
+        .takeWhile { case (cum, _) => cum <= budget }
+      val keptHere = got.filter(_._1 == src).sortBy(_._4)
+      assert(keptHere.length == want.length, s"source $src size")
+      keptHere.zip(want).foreach { case ((_, id, n, cum), (wCum, (wId, _, _, wN))) =>
+        assert(id == wId && n == wN && cum == wCum, s"source $src doc $id")
+      }
+      // maximality: the next ranked doc (if any) must not fit
+      if (want.length < ranked.length)
+        assert(want.lastOption.map(_._1).getOrElse(0L) + ranked(want.length)._4 > budget,
+          s"source $src prefix not maximal")
+    }
+  }
 }
