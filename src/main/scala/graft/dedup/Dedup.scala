@@ -773,6 +773,85 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** d11 line geometry: 10-token non-overlapping windows ("lines" — the
+    * corpus has no literal line breaks, so the line unit is positional,
+    * like t13's chunks but stride = size). Tail lines shorter than
+    * [[LineLen]] participate like any other line. */
+  val LineLen = 10
+
+  /** d11: corpus-level line deduplication with document rewrite — the
+    * C4 recipe (Raffel et al. JMLR'20 §2.2 discard "any three-sentence
+    * span" seen before; Lee et al. ACL'22 measure the line-level form):
+    * every line that already occurred earlier in the corpus — in
+    * (doc_id, position) order, the deterministic stand-in for crawl
+    * order — is REMOVED from its document, and the output reports each
+    * document's surviving shape (kept-line count, kept-token count, and
+    * the fingerprint of the rewritten text). Differs from d01/d05
+    * (whole-doc decisions) and d10 (detection only): this is the
+    * operator that EDITS documents, which is why exact-dup docs come out
+    * with n_kept = 0 — their every line lost to the original — while
+    * partially-copied docs shrink instead of dying.
+    *
+    * Scale shape: lines hash to 64 bits in a flat codegen'd projection
+    * (explode + `slice`, not a HOF lambda — d10's measured choice), so
+    * the first-occurrence shuffle carries (doc_id, pos, hash) fixed-width
+    * rows only. The decision is carried by the REMOVAL set, not the keep
+    * set: a line occurring once is trivially its own winner, so only
+    * DUPLICATED lines (count ≥ 2, winner = min(struct(doc_id, pos)))
+    * enter the decision join — that set scales with the corpus's
+    * duplicated mass (d10's probe-set argument), never with corpus size,
+    * unlike the naive all-lines winner table which is one row per
+    * distinct line and could never broadcast at 100 TB. Removed
+    * positions come back as one small int-array row per affected doc
+    * (most docs have none); the rewrite keeps the complement via per-row
+    * array algebra on the original token column — document text never
+    * crosses any exchange (PlanSpec-pinned; at corpus scale the removal
+    * join keys on doc_id, so a doc_id-bucketed corpus table
+    * ([[graft.sink.Sinks.writeBucketed]], the d06 history precedent)
+    * keeps the text side zero-Exchange). */
+  def d11LineDedup(s: SparkSession, d: String): DataFrame = {
+    val L = LineLen
+    val base = Tables.documents(s, d)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      // tokens() never yields an empty array (split of "" is [""]), so
+      // every document owns >= 1 line and survives to the output
+      .select(col("doc_id"), col("t"),
+        floor((size(col("t")) + lit(L - 1)) / lit(L)).cast("int").as("n_lines"))
+    val lines = base
+      .select(col("doc_id"), col("t"),
+        explode(sequence(lit(0), col("n_lines") - 1)).as("pos"))
+      .select(col("doc_id"), col("pos"),
+        xxhash64(concat_ws(" ", slice(col("t"), col("pos") * L + 1, lit(L))))
+          .as("lh"))
+    val dupWinners = lines.groupBy(col("lh"))
+      .agg(count(lit(1)).as("c"), min(struct(col("doc_id"), col("pos"))).as("w"))
+      .filter(col("c") >= 2)
+      .select(col("lh"), col("w"))
+    val removed = lines.join(dupWinners, Seq("lh"))
+      .filter(col("doc_id") =!= col("w.doc_id") || col("pos") =!= col("w.pos"))
+      .groupBy(col("doc_id"))
+      .agg(collect_list(col("pos")).as("rm"))
+    base.join(removed, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_lines").cast("long").as("n_lines"),
+        coalesce(col("rm"), array()).as("rm"), col("t"))
+      // HOF rewrite is interpreted-eval but runs once per DOC (not per
+      // line/token) on the final 1-row-per-doc frame — negligible next
+      // to the hashed-line passes
+      .select(col("doc_id"), col("n_lines"), col("t"),
+        filter(sequence(lit(0), col("n_lines").cast("int") - 1),
+          i => !array_contains(col("rm"), i)).as("keep"))
+      .select(col("doc_id"), col("n_lines"),
+        size(col("keep")).cast("long").as("n_kept"),
+        flatten(transform(col("keep"),
+          p => slice(col("t"), p * L + 1, lit(L)))).as("kt"))
+      .select(col("doc_id"), col("n_lines"), col("n_kept"),
+        size(col("kt")).cast("long").as("n_tokens_kept"),
+        when(col("n_kept") > 0, md5(concat_ws(" ", col("kt"))))
+          .as("kept_fp"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, Q] = Map(
     "d01_exact_dedup"       -> d01ExactDedup _,
     "d02_ngram_jaccard"     -> d02NgramJaccard _,
@@ -784,6 +863,7 @@ object Dedup {
     "d08_contamination"     -> d08Contamination _,
     "d09_canonical_select"  -> d09CanonicalSelect _,
     "d10_verbatim_spans"    -> d10VerbatimSpans _,
+    "d11_line_dedup"        -> d11LineDedup _,
   )
 
   /** Jaccard-pair CTE body shared by the d02/d03 oracles and d07's
@@ -842,6 +922,33 @@ object Dedup {
     // exact strings on the oracle side vs 64-bit gram hashes on the
     // Spark side — occurrence counts agree because collisions over ~1e6
     // grams are ~5e-8-probable (same argument as d02/d08)
+    // the oracle keys the first-occurrence decision on the LINE STRING
+    // itself (Spark keys on its 64-bit hash; equal lines produce equal
+    // keys in each engine, so the winner sets agree unless xxhash64
+    // collides — ~1e-11 at sf0.1); string_agg(... ORDER BY pos) over the
+    // kept lines reproduces the flattened-slice rewrite verbatim
+    "d11_line_dedup" -> s"""
+      WITH b AS (
+        SELECT doc_id, ${graft.text.TextAnalysis.ToksSql} AS t,
+               len(${graft.text.TextAnalysis.ToksSql}) AS n
+        FROM documents),
+      l AS (
+        SELECT doc_id, CAST(pos AS INT) AS pos,
+               array_to_string(t[(pos*$LineLen+1):(pos*$LineLen+$LineLen)], ' ') AS line,
+               least($LineLen, n - pos*$LineLen) AS nl
+        FROM (SELECT doc_id, t, n,
+                     unnest(range(0, CAST(ceil(n / ($LineLen * 1.0)) AS BIGINT))) AS pos
+              FROM b)),
+      k AS (
+        SELECT doc_id, pos, line, nl,
+               row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn
+        FROM l)
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_lines,
+             CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+             CAST(sum(CASE WHEN rn = 1 THEN nl ELSE 0 END) AS BIGINT) AS n_tokens_kept,
+             md5(string_agg(CASE WHEN rn = 1 THEN line END, ' ' ORDER BY pos)) AS kept_fp
+      FROM k GROUP BY doc_id ORDER BY doc_id""",
     "d10_verbatim_spans" -> s"""
       WITH g AS (
         SELECT doc_id,

@@ -293,6 +293,17 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("partial_max(struct"), plan)
   }
 
+  test("d11: no cartesian/BNLJ; no exchange carries text or token arrays") {
+    val plan = executed(graft.dedup.Dedup.d11LineDedup(spark, sf))
+    // lines hash in the generator projection; the dup-winner probe and
+    // the removal decision shuffle only fixed-width (id, pos, hash) rows
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    val exLines = plan.linesIterator.filter(_.contains("Exchange")).toVector
+    assert(exLines.forall(l => !l.contains("text#") && !l.contains("t#")),
+      exLines.mkString("\n"))
+  }
+
   test("d10: no cartesian/BNLJ; no exchange carries the text column") {
     val plan = executed(graft.dedup.Dedup.d10VerbatimSpans(spark, sf))
     // grams hash to 64 bits inside the generator, so everything shuffled

@@ -182,6 +182,41 @@ class RoundSixOpsSpec extends SparkSpec {
     }
   }
 
+  test("d11: rewrite equals a plain-Scala first-occurrence line dedup") {
+    val got = Dedup.d11LineDedup(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_lines"), r.getAs[Long]("n_kept"),
+          r.getAs[Long]("n_tokens_kept"), r.getAs[String]("kept_fp"))).toMap
+    assert(got.nonEmpty)
+    // independent path: line STRINGS (no xxhash64), plain-Scala global
+    // first-occurrence scan in (doc_id, pos) order, java MD5
+    val L = Dedup.LineLen
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+      .sortBy(_._1)
+      .map { case (id, tx) =>
+        id -> tx.trim.toLowerCase.replaceAll("\\s+", " ").split(" ", -1)
+          .grouped(L).map(_.mkString(" ")).toVector
+      }
+    val seen = scala.collection.mutable.Set.empty[String]
+    docs.foreach { case (id, ls) =>
+      val kept = ls.filter(seen.add) // add returns false on repeats
+      val (wLines, wKept) = (ls.length.toLong, kept.length.toLong)
+      val joined = kept.mkString(" ")
+      val wToks = if (kept.isEmpty) 0L else joined.split(" ", -1).length.toLong
+      val wFp = if (kept.isEmpty) null
+        else java.security.MessageDigest.getInstance("MD5")
+          .digest(joined.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val (gl, gk, gt, gf) = got(id)
+      assert(gl == wLines && gk == wKept && gt == wToks, s"doc $id counts")
+      assert(gf == wFp, s"doc $id fingerprint")
+    }
+    // the operator must actually bite both ways at test SF
+    assert(got.values.exists(_._2 == 0), "an exact-dup doc should lose every line")
+    assert(got.values.exists(v => v._2 > 0 && v._2 < v._1),
+      "a partially-copied doc should shrink, not die")
+  }
+
   test("p17: kept set is exactly each source's maximal affordable ranked prefix") {
     import graft.queries.PipelineQueries
     val got = PipelineQueries.p17TokenBudget(spark, sf).collect()
