@@ -500,6 +500,50 @@ object PipelineQueries {
       .orderBy(col("source"), col("cum_tokens"))
   }
 
+  /** g08: inter-source duplication matrix — for every ordered source
+    * pair (a, b), how many of a's distinct word-3-gram shingles also
+    * appear in b, and what fraction of a that covers. The curation
+    * diagnostic run BEFORE dropping or deprioritizing a source: a high
+    * overlap_frac(a→b) with b's much larger shingle set says a is mostly
+    * contained in b (a re-crawl, a mirror, a subset dump) and can go;
+    * asymmetry says which side is the superset. Complements d08 (corpus
+    * vs one benchmark) by comparing every source against every other.
+    *
+    * Scale shape: ONE corpus scan — shingles hash to 64 bits in the
+    * generator, one (hash, source) shuffle with map-side partial
+    * `collect_set` dedup, and each shingle's source set explodes into
+    * ordered pairs, INCLUDING the diagonal: (a, a) counts once per
+    * shingle containing a, so the same aggregate yields both the shared
+    * counts and each source's distinct-shingle total — no second corpus
+    * pass for the denominators. The pair fanout is bounded by
+    * #sources² per shingle (sources are an enumerable domain, 20 here),
+    * and everything after the first aggregate is O(#sources²) rows. The
+    * ≤ #sources² matrix is localCheckpoint'd (t14's measured trade) so
+    * the diagonal join doesn't re-run the scan. */
+  def g08SourceOverlap(s: SparkSession, d: String): DataFrame = {
+    import graft.dedup.Dedup.shingles
+    import graft.text.TextAnalysis.tokens
+    val sets = Tables.documents(s, d)
+      .select(col("source"),
+        explode(shingles(tokens(col("text")))).as("sg"))
+      .select(col("source"), xxhash64(col("sg")).as("h"))
+      .groupBy(col("h")).agg(collect_set(col("source")).as("ss"))
+    val m = sets
+      .select(col("ss"), explode(col("ss")).as("source_a"))
+      .select(col("source_a"), explode(col("ss")).as("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint(eager = true) // ≤ #sources² rows; consumed twice
+    val diag = m.filter(col("source_a") === col("source_b"))
+      .select(col("source_a"), col("n").as("n_a"))
+    m.filter(col("source_a") =!= col("source_b"))
+      .join(broadcast(diag), Seq("source_a"))
+      .select(col("source_a"), col("source_b"), col("n").as("n_shared"),
+        col("n_a"),
+        round(col("n").cast("double") / col("n_a"), 6).as("overlap_frac"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
   /** g05: histogram bin count. */
   val HistBins = 8
 
@@ -749,6 +793,7 @@ object PipelineQueries {
     "p16_curation_e2e"      -> p16CurationE2e _,
     "p17_token_budget"      -> p17TokenBudget _,
     "g01_quality_score"     -> g01QualityScore _,
+    "g08_source_overlap"    -> g08SourceOverlap _,
     "g05_histogram"         -> g05Histogram _,
     "g06_anomaly"           -> g06Anomaly _,
     "g02_hourly_metrics"    -> g02HourlyMetrics _,
@@ -800,6 +845,26 @@ object PipelineQueries {
       SELECT source, doc_id, n_tokens, cum_tokens
       FROM c WHERE cum_tokens <= $SourceTokenBudget
       ORDER BY source, cum_tokens""",
+    // exact shingle STRINGS (hash-independent, the d02/t14 precedent);
+    // the self-join on sg reproduces the source-set pair explosion, and
+    // the diagonal row (a = a) is a's distinct-shingle total
+    "g08_source_overlap" -> s"""
+      WITH toks AS (
+        SELECT source, ${graft.text.TextAnalysis.ToksSql} AS t FROM documents),
+      sh AS (
+        SELECT DISTINCT source,
+               unnest(${graft.text.TextAnalysis.shinglesSql("t")}) AS sg
+        FROM toks),
+      m AS (
+        SELECT a.source AS source_a, b.source AS source_b,
+               CAST(count(*) AS BIGINT) AS n
+        FROM sh a JOIN sh b USING (sg) GROUP BY 1, 2)
+      SELECT m.source_a, m.source_b, m.n AS n_shared, d.n AS n_a,
+             round(m.n * 1.0 / d.n, 6) AS overlap_frac
+      FROM m JOIN (SELECT source_a, n FROM m WHERE source_a = source_b) d
+        USING (source_a)
+      WHERE m.source_a <> m.source_b
+      ORDER BY m.source_a, m.source_b""",
     "p15_source_cap" -> s"""
       WITH r AS (
         SELECT doc_id, source, n_chars,

@@ -217,6 +217,39 @@ class RoundSixOpsSpec extends SparkSpec {
       "a partially-copied doc should shrink, not die")
   }
 
+  test("g08: matrix matches an exact string-keyed rebuild; count symmetry holds") {
+    import graft.queries.PipelineQueries
+    val got = PipelineQueries.g08SourceOverlap(spark, sf).collect()
+      .map(r => (r.getAs[String]("source_a"), r.getAs[String]("source_b")) ->
+        (r.getAs[Long]("n_shared"), r.getAs[Long]("n_a"),
+          r.getAs[Double]("overlap_frac"))).toMap
+    assert(got.nonEmpty)
+    // shared-shingle counts are symmetric even though fractions are not
+    got.foreach { case ((a, b), (n, na, f)) =>
+      assert(got((b, a))._1 == n, s"n_shared asymmetry for ($a,$b)")
+      assert(f > 0.0 && f <= 1.0 && n <= na, s"bounds for ($a,$b)")
+    }
+    // independent path: exact shingle STRINGS (no xxhash64), per-source
+    // distinct sets intersected in plain Scala
+    val bySource = Tables.documents(spark, sf)
+      .select(col("source"),
+        explode(Dedup.shingles(TextAnalysis.tokens(col("text")))).as("sg"))
+      .as[(String, String)].collect()
+      .groupBy(_._1).map { case (src, rows) => src -> rows.map(_._2).toSet }
+    for (a <- bySource.keys; b <- bySource.keys if a != b) {
+      val shared = (bySource(a) & bySource(b)).size.toLong
+      got.get((a, b)) match {
+        case Some((n, na, f)) =>
+          assert(n == shared, s"($a,$b) shared $n want $shared")
+          assert(na == bySource(a).size.toLong, s"($a,$b) n_a")
+          val wf = BigDecimal(shared.toDouble / bySource(a).size)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+          assert(f == wf, s"($a,$b) frac $f want $wf")
+        case None => assert(shared == 0L, s"($a,$b) missing but shares $shared")
+      }
+    }
+  }
+
   test("p17: kept set is exactly each source's maximal affordable ranked prefix") {
     import graft.queries.PipelineQueries
     val got = PipelineQueries.p17TokenBudget(spark, sf).collect()
