@@ -500,6 +500,51 @@ object PipelineQueries {
       .orderBy(col("source"), col("cum_tokens"))
   }
 
+  /** p18: epoch-mix materialization — deterministic OVER-sampling to a
+    * token-mass target (the "2.5 epochs of source X" training recipe;
+    * the up-sampling counterpart of p13's down-sampling rates and p17's
+    * truncation): every source's repeat factor equalizes its token mass
+    * to the LARGEST source, each document emits floor(factor) copies,
+    * and the fractional epoch is an md5-gated extra copy — so the
+    * materialized list is a pure function of the corpus, reproducible
+    * on any engine, with no RNG state (the p06/p11/p12 determinism
+    * rule). The factor arithmetic stays in BIGINTs (whole = max div tok;
+    * 256ths threshold = (max mod tok)·256 div tok, the p13 idiom) so no
+    * float rounding can flip a copy count between engines.
+    *
+    * Scale shape: the factor table is one tiny aggregate broadcast back;
+    * the copy explosion is map-side on the scan (`sequence` + explode,
+    * fanout = per-source epochs, bounded by the mix recipe); the rollup
+    * is one source-keyed aggregate with map-side partials. The exploded
+    * list itself is what a real run writes to shards ([[graft.sink.Sinks
+    * .writeHashSharded]]); the row reports the per-source accounting
+    * (n_copies, tokens_after) that proves the generator ran. */
+  def p18EpochMix(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.HashGate
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        size(graft.text.TextAnalysis.tokens(col("text"))).cast("long").as("nt"))
+    val factors = docs.groupBy(col("source")).agg(sum(col("nt")).as("tok"))
+      .withColumn("tok_max", max(col("tok")).over())
+      .select(col("source"),
+        expr("tok_max div tok").as("whole"),
+        expr("((tok_max % tok) * 256) div tok").as("thr"))
+    docs.join(broadcast(factors), "source")
+      .select(col("doc_id"), col("source"), col("nt"),
+        (col("whole") + when(conv(HashGate.prefix(col("doc_id")), 16, 10)
+          .cast("long") < col("thr"), 1L).otherwise(0L)).as("copies"))
+      .select(col("doc_id"), col("source"), col("nt"),
+        explode(sequence(lit(1L), col("copies"))).as("copy_idx"))
+      .groupBy(col("source"))
+      .agg(
+        sum(when(col("copy_idx") === 1L, 1L).otherwise(0L)).as("n_docs"),
+        sum(when(col("copy_idx") === 1L, col("nt")).otherwise(0L))
+          .as("tokens_before"),
+        count(lit(1)).as("n_copies"),
+        sum(col("nt")).as("tokens_after"))
+      .orderBy(col("source"))
+  }
+
   /** g08: inter-source duplication matrix — for every ordered source
     * pair (a, b), how many of a's distinct word-3-gram shingles also
     * appear in b, and what fraction of a that covers. The curation
@@ -792,6 +837,7 @@ object PipelineQueries {
     "p15_source_cap"        -> p15SourceCap _,
     "p16_curation_e2e"      -> p16CurationE2e _,
     "p17_token_budget"      -> p17TokenBudget _,
+    "p18_epoch_mix"         -> p18EpochMix _,
     "g01_quality_score"     -> g01QualityScore _,
     "g08_source_overlap"    -> g08SourceOverlap _,
     "g05_histogram"         -> g05Histogram _,
@@ -845,6 +891,34 @@ object PipelineQueries {
       SELECT source, doc_id, n_tokens, cum_tokens
       FROM c WHERE cum_tokens <= $SourceTokenBudget
       ORDER BY source, cum_tokens""",
+    // integer division (//) keeps the factor arithmetic exact; the md5
+    // gate is HashGate's shared fragment, so copy counts agree per doc
+    "p18_epoch_mix" -> s"""
+      WITH d0 AS (
+        SELECT doc_id, source,
+               CAST(len(${graft.text.TextAnalysis.ToksSql}) AS BIGINT) AS nt
+        FROM documents),
+      tot AS (SELECT source, CAST(sum(nt) AS BIGINT) AS tok FROM d0 GROUP BY source),
+      mx AS (SELECT max(tok) AS tok_max FROM tot),
+      f AS (
+        SELECT source, tok_max // tok AS whole,
+               ((tok_max % tok) * 256) // tok AS thr
+        FROM tot, mx),
+      c AS (
+        SELECT d0.doc_id, d0.source, d0.nt,
+               f.whole + (CASE WHEN CAST('0x' ||
+                 ${graft.functions.HashGate.sqlPrefix("d0.doc_id")} AS BIGINT)
+                 < f.thr THEN 1 ELSE 0 END) AS copies
+        FROM d0 JOIN f USING (source)),
+      x AS (
+        SELECT doc_id, source, nt, unnest(range(1, copies + 1)) AS copy_idx
+        FROM c)
+      SELECT source,
+             CAST(sum(CASE WHEN copy_idx = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs,
+             CAST(sum(CASE WHEN copy_idx = 1 THEN nt ELSE 0 END) AS BIGINT) AS tokens_before,
+             CAST(count(*) AS BIGINT) AS n_copies,
+             CAST(sum(nt) AS BIGINT) AS tokens_after
+      FROM x GROUP BY source ORDER BY source""",
     // exact shingle STRINGS (hash-independent, the d02/t14 precedent);
     // the self-join on sg reproduces the source-set pair explosion, and
     // the diagonal row (a = a) is a's distinct-shingle total

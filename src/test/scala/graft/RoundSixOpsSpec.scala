@@ -217,6 +217,44 @@ class RoundSixOpsSpec extends SparkSpec {
       "a partially-copied doc should shrink, not die")
   }
 
+  test("p18: copy counts match driver-side BIGINT factor arithmetic per doc") {
+    import graft.queries.PipelineQueries
+    val got = PipelineQueries.p18EpochMix(spark, sf).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("tokens_before"),
+          r.getAs[Long]("n_copies"), r.getAs[Long]("tokens_after"))).toMap
+    assert(got.nonEmpty)
+    // independent path: java MD5 gate + plain-Scala integer arithmetic
+    def gate(id: Long): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8")).take(1).map("%02x".format(_))
+        .mkString, 16)
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("nt"))
+      .as[(Long, String, Long)].collect()
+    val tok = docs.groupBy(_._2).map { case (s0, m) => s0 -> m.map(_._3).sum }
+    val tokMax = tok.values.max
+    docs.groupBy(_._2).foreach { case (src, members) =>
+      val (whole, thr) = (tokMax / tok(src), (tokMax % tok(src)) * 256 / tok(src))
+      val copies = members.map { case (id, _, nt) =>
+        (nt, whole + (if (gate(id) < thr) 1L else 0L))
+      }
+      val (nd, tb, nc, ta) = got(src)
+      assert(nd == members.length.toLong, s"$src n_docs")
+      assert(tb == tok(src), s"$src tokens_before")
+      assert(nc == copies.map(_._2).sum, s"$src n_copies")
+      assert(ta == copies.map { case (nt, c) => nt * c }.sum, s"$src tokens_after")
+    }
+    // the largest source is already at target: exactly one copy per doc
+    val biggest = tok.maxBy(_._2)._1
+    assert(got(biggest)._3 == got(biggest)._1 && got(biggest)._4 == got(biggest)._2,
+      s"largest source $biggest must materialize unchanged")
+    // and at least one source must actually oversample
+    assert(got.exists { case (_, (nd, _, nc, _)) => nc > nd },
+      "no source oversampled — factor derivation is broken")
+  }
+
   test("g08: matrix matches an exact string-keyed rebuild; count symmetry holds") {
     import graft.queries.PipelineQueries
     val got = PipelineQueries.g08SourceOverlap(spark, sf).collect()
