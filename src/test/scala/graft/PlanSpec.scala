@@ -293,6 +293,42 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("partial_max(struct"), plan)
   }
 
+  test("t16: the bucket-ratio side broadcasts; scoring never windows or cartesians data") {
+    val plan = executed(graft.text.TextAnalysis.t16DsirWeights(spark, sf))
+    // the feature table is fixed-width (<= DsirBuckets rows) at ANY
+    // corpus size, so the log-ratio join is always a broadcast; the only
+    // crossJoins are single-row scalar broadcasts (totals, corpus mean)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("WindowExec"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    val exLines = plan.linesIterator.filter(_.contains("Exchange")).toVector
+    assert(exLines.forall(l => !l.contains("text#") && !l.contains("term#")),
+      exLines.mkString("\n"))
+  }
+
+  test("p17: budget fill is one window over a counts-only exchange; bodies never ride") {
+    val plan = executed(graft.queries.PipelineQueries.p17TokenBudget(spark, sf))
+    // the cumsum window runs on the (id, source, counts) projection —
+    // exactly one source-keyed exchange feeds it, and no exchange or
+    // sort carries the text column
+    assert(plan.contains("Window"), plan)
+    val moved = plan.linesIterator
+      .filter(l => l.contains("Exchange") || l.contains("Sort")).toVector
+    assert(moved.forall(!_.contains("text#")), moved.mkString("\n"))
+  }
+
+  test("p18: the factor table broadcasts; the copy explosion is map-side on the scan") {
+    val plan = executed(graft.queries.PipelineQueries.p18EpochMix(spark, sf))
+    // docs join the tiny per-source factor frame by broadcast, the
+    // sequence-explode generator runs before any exchange, and the only
+    // shuffle is the final source rollup
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(plan.contains("Generate explode"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    val exLines = plan.linesIterator.filter(_.contains("Exchange")).toVector
+    assert(exLines.forall(!_.contains("text#")), exLines.mkString("\n"))
+  }
+
   test("d11: no cartesian/BNLJ; no exchange carries text or token arrays") {
     val plan = executed(graft.dedup.Dedup.d11LineDedup(spark, sf))
     // lines hash in the generator projection; the dup-winner probe and
