@@ -773,6 +773,61 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** d12: ingest-time NEAR-dup admission control — the near-duplicate
+    * counterpart of d06's exact-fingerprint gate: flag every BATCH
+    * document (odd ids, d06's split convention) whose shingle Jaccard
+    * with ANY HISTORY document (even ids) reaches 0.6, reporting the
+    * match count and the best-matching history doc. This is the check a
+    * real ingest runs so paraphrased or lightly-edited re-submissions
+    * don't re-enter a deduplicated corpus — exact fingerprints (d06)
+    * can't see them, and batch-internal near-dup (d02/d03) doesn't look
+    * at history.
+    *
+    * Scale shape: d03's banded-MinHash machinery across two frames —
+    * signatures build in one shuffle per side, candidates come from the
+    * (band, band_hash) bucket join only (at J = 0.6 the 32×2-band miss
+    * probability is ~6e-7, d03's math), and the exact-Jaccard verify
+    * joins candidate ids back to the one repartition exchange both
+    * verify joins reuse. Nothing is ever all-pairs. At a real ingest the
+    * history side (signatures + shingle sets) is a maintained bucketed
+    * table (the d06 precedent) so only the small batch side computes per
+    * run; here both sides derive in-query so the oracle can restate the
+    * whole decision exactly. The best-match tie-break rides the ROUNDED
+    * jaccard (d09's engine-stable arg-max idiom). */
+  def d12IncrementalNearDup(s: SparkSession, d: String): DataFrame = {
+    val ds = docShingles(s, d).repartition(col("doc_id"))
+    val exploded = ds.select(col("doc_id"), explode(col("sh")).as("sg"))
+      .withColumn("h", xxhash64(col("sg")))
+    val mins = (0 until NumHashes).map(i => min(xxhash64(col("h"), lit(i))).as(s"m$i"))
+    val sig = exploded.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+    val bands = (0 until NumBands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64((0 until BandRows).map(r => col(s"m${b * BandRows + r}")): _*).as("bh"))
+    }
+    val buckets = sig
+      .select(col("doc_id"), explode(array(bands: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
+    val candidates = buckets.filter(col("doc_id") % 2 === 1).as("a")
+      .join(buckets.filter(col("doc_id") % 2 === 0).as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh"))
+      .select(col("a.doc_id").as("doc_id"), col("b.doc_id").as("hist_id"))
+      .distinct()
+    candidates
+      .join(ds.select(col("doc_id"), col("sh").as("sha")), "doc_id")
+      .join(ds.select(col("doc_id").as("hist_id"), col("sh").as("shb")), "hist_id")
+      .withColumn("jaccard",
+        size(array_intersect(col("sha"), col("shb"))).cast("double") /
+        size(array_union(col("sha"), col("shb"))).cast("double"))
+      .filter(col("jaccard") >= 0.6)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_matches"),
+        max(struct(round(col("jaccard"), 6).as("j"), (-col("hist_id")).as("nid")))
+          .as("best"))
+      .select(col("doc_id"), col("n_matches"),
+        (-col("best.nid")).as("best_match_id"), col("best.j").as("best_jaccard"))
+      .orderBy(col("doc_id"))
+  }
+
   /** d11 line geometry: 10-token non-overlapping windows ("lines" — the
     * corpus has no literal line breaks, so the line unit is positional,
     * like t13's chunks but stride = size). Tail lines shorter than
@@ -864,6 +919,7 @@ object Dedup {
     "d09_canonical_select"  -> d09CanonicalSelect _,
     "d10_verbatim_spans"    -> d10VerbatimSpans _,
     "d11_line_dedup"        -> d11LineDedup _,
+    "d12_incremental_neardup" -> d12IncrementalNearDup _,
   )
 
   /** Jaccard-pair CTE body shared by the d02/d03 oracles and d07's
@@ -922,6 +978,25 @@ object Dedup {
     // exact strings on the oracle side vs 64-bit gram hashes on the
     // Spark side — occurrence counts agree because collisions over ~1e6
     // grams are ~5e-8-probable (same argument as d02/d08)
+    // the exact cross-parity cut of the shared Jaccard pair list: jpairs'
+    // jaccard is already rounded 6, so the best-match window orders by
+    // the same engine-stable key as Spark's struct arg-max
+    "d12_incremental_neardup" -> s"""
+      WITH $JaccardPairsCte,
+      m AS (
+        SELECT CASE WHEN doc_a % 2 = 1 THEN doc_a ELSE doc_b END AS doc_id,
+               CASE WHEN doc_a % 2 = 1 THEN doc_b ELSE doc_a END AS hist_id,
+               jaccard
+        FROM jpairs WHERE (doc_a % 2) <> (doc_b % 2)),
+      r AS (
+        SELECT doc_id, hist_id, jaccard,
+               row_number() OVER (PARTITION BY doc_id
+                 ORDER BY jaccard DESC, hist_id) AS rn,
+               count(*) OVER (PARTITION BY doc_id) AS n_matches
+        FROM m)
+      SELECT doc_id, CAST(n_matches AS BIGINT) AS n_matches,
+             hist_id AS best_match_id, jaccard AS best_jaccard
+      FROM r WHERE rn = 1 ORDER BY doc_id""",
     // the oracle keys the first-occurrence decision on the LINE STRING
     // itself (Spark keys on its 64-bit hash; equal lines produce equal
     // keys in each engine, so the winner sets agree unless xxhash64

@@ -329,6 +329,12 @@ class PlanSpec extends SparkSpec {
     assert(exLines.forall(!_.contains("text#")), exLines.mkString("\n"))
   }
 
+  test("d12: candidate generation is the band-bucket equi-join — never all-pairs") {
+    val plan = executed(graft.dedup.Dedup.d12IncrementalNearDup(spark, sf))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("d11: no cartesian/BNLJ; no exchange carries text or token arrays") {
     val plan = executed(graft.dedup.Dedup.d11LineDedup(spark, sf))
     // lines hash in the generator projection; the dup-winner probe and

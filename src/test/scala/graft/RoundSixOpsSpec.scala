@@ -255,6 +255,27 @@ class RoundSixOpsSpec extends SparkSpec {
       "no source oversampled — factor derivation is broken")
   }
 
+  test("d12: flags are exactly the cross-parity cut of the exact pair list") {
+    // d02 is the exact Jaccard pair list (itself oracle-checked); the
+    // incremental gate must agree with its odd-vs-even projection —
+    // this catches any LSH bucket miss as well as split/tie-break bugs
+    val want = Dedup.d02NgramJaccard(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Double]("jaccard")))
+      .filter { case (a, b, _) => a % 2 != b % 2 }
+      .map { case (a, b, j) => if (a % 2 == 1) (a, b, j) else (b, a, j) }
+      .groupBy(_._1).map { case (id, ms) =>
+        val best = ms.maxBy(m => (m._3, -m._2))
+        id -> (ms.size.toLong, best._2, best._3)
+      }
+    val got = Dedup.d12IncrementalNearDup(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_matches"), r.getAs[Long]("best_match_id"),
+          r.getAs[Double]("best_jaccard"))).toMap
+    assert(got.nonEmpty, "gate found nothing — split or banding is broken")
+    assert(got == want, s"got ${got.toSeq.sorted} want ${want.toSeq.sorted}")
+  }
+
   test("g08: matrix matches an exact string-keyed rebuild; count symmetry holds") {
     import graft.queries.PipelineQueries
     val got = PipelineQueries.g08SourceOverlap(spark, sf).collect()
