@@ -864,14 +864,17 @@ object Dedup {
     * join keys on doc_id, so a doc_id-bucketed corpus table
     * ([[graft.sink.Sinks.writeBucketed]], the d06 history precedent)
     * keeps the text side zero-Exchange). */
-  def d11LineDedup(s: SparkSession, d: String): DataFrame = {
+  /** The rewrite frame behind [[d11LineDedup]], with `source` carried so
+    * downstream curation stages (p19) can budget the POST-rewrite corpus:
+    * (doc_id, source, n_lines, n_kept, kt = kept-token array). */
+  def d11Rewritten(s: SparkSession, d: String): DataFrame = {
     val L = LineLen
     val base = Tables.documents(s, d)
       .filter(col("text").isNotNull)
-      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .select(col("doc_id"), col("source"), tokens(col("text")).as("t"))
       // tokens() never yields an empty array (split of "" is [""]), so
       // every document owns >= 1 line and survives to the output
-      .select(col("doc_id"), col("t"),
+      .select(col("doc_id"), col("source"), col("t"),
         floor((size(col("t")) + lit(L - 1)) / lit(L)).cast("int").as("n_lines"))
     val lines = base
       .select(col("doc_id"), col("t"),
@@ -888,24 +891,28 @@ object Dedup {
       .groupBy(col("doc_id"))
       .agg(collect_list(col("pos")).as("rm"))
     base.join(removed, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_lines").cast("long").as("n_lines"),
+      .select(col("doc_id"), col("source"),
+        col("n_lines").cast("long").as("n_lines"),
         coalesce(col("rm"), array()).as("rm"), col("t"))
       // HOF rewrite is interpreted-eval but runs once per DOC (not per
       // line/token) on the final 1-row-per-doc frame — negligible next
       // to the hashed-line passes
-      .select(col("doc_id"), col("n_lines"), col("t"),
+      .select(col("doc_id"), col("source"), col("n_lines"), col("t"),
         filter(sequence(lit(0), col("n_lines").cast("int") - 1),
           i => !array_contains(col("rm"), i)).as("keep"))
-      .select(col("doc_id"), col("n_lines"),
+      .select(col("doc_id"), col("source"), col("n_lines"),
         size(col("keep")).cast("long").as("n_kept"),
         flatten(transform(col("keep"),
           p => slice(col("t"), p * L + 1, lit(L)))).as("kt"))
+  }
+
+  def d11LineDedup(s: SparkSession, d: String): DataFrame =
+    d11Rewritten(s, d)
       .select(col("doc_id"), col("n_lines"), col("n_kept"),
         size(col("kt")).cast("long").as("n_tokens_kept"),
         when(col("n_kept") > 0, md5(concat_ws(" ", col("kt"))))
           .as("kept_fp"))
       .orderBy(col("doc_id"))
-  }
 
   val queries: Map[String, Q] = Map(
     "d01_exact_dedup"       -> d01ExactDedup _,
@@ -921,6 +928,27 @@ object Dedup {
     "d11_line_dedup"        -> d11LineDedup _,
     "d12_incremental_neardup" -> d12IncrementalNearDup _,
   )
+
+  /** Shared d11 line-dedup CTE (`b`/`l`/`k`): `k.rn = 1` marks each
+    * line's corpus-wide first occurrence in (doc_id, pos) order;
+    * `source` rides through so curation stages that budget the
+    * POST-rewrite corpus (p19) reuse the identical decision. */
+  val LineDedupCte = s"""
+      b AS (
+        SELECT doc_id, source, ${graft.text.TextAnalysis.ToksSql} AS t,
+               len(${graft.text.TextAnalysis.ToksSql}) AS n
+        FROM documents),
+      l AS (
+        SELECT doc_id, source, CAST(pos AS INT) AS pos,
+               array_to_string(t[(pos*$LineLen+1):(pos*$LineLen+$LineLen)], ' ') AS line,
+               least($LineLen, n - pos*$LineLen) AS nl
+        FROM (SELECT doc_id, source, t, n,
+                     unnest(range(0, CAST(ceil(n / ($LineLen * 1.0)) AS BIGINT))) AS pos
+              FROM b)),
+      k AS (
+        SELECT doc_id, source, pos, line, nl,
+               row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn
+        FROM l)"""
 
   /** Jaccard-pair CTE body shared by the d02/d03 oracles and d07's
     * recursive component oracle: `jpairs` is the exact J ≥ 0.6 pair
@@ -1003,21 +1031,7 @@ object Dedup {
     // collides — ~1e-11 at sf0.1); string_agg(... ORDER BY pos) over the
     // kept lines reproduces the flattened-slice rewrite verbatim
     "d11_line_dedup" -> s"""
-      WITH b AS (
-        SELECT doc_id, ${graft.text.TextAnalysis.ToksSql} AS t,
-               len(${graft.text.TextAnalysis.ToksSql}) AS n
-        FROM documents),
-      l AS (
-        SELECT doc_id, CAST(pos AS INT) AS pos,
-               array_to_string(t[(pos*$LineLen+1):(pos*$LineLen+$LineLen)], ' ') AS line,
-               least($LineLen, n - pos*$LineLen) AS nl
-        FROM (SELECT doc_id, t, n,
-                     unnest(range(0, CAST(ceil(n / ($LineLen * 1.0)) AS BIGINT))) AS pos
-              FROM b)),
-      k AS (
-        SELECT doc_id, pos, line, nl,
-               row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn
-        FROM l)
+      WITH $LineDedupCte
       SELECT doc_id,
              CAST(count(*) AS BIGINT) AS n_lines,
              CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,

@@ -500,6 +500,40 @@ object PipelineQueries {
       .orderBy(col("source"), col("cum_tokens"))
   }
 
+  /** p19: minimum surviving-token floor — a document gutted by line
+    * dedup below this is not worth budgeting (the floor bites at test
+    * SF: exact-dup docs come out of d11 with 0 kept tokens). */
+  val MinKeptTokens = 20L
+
+  /** p19: dedup-then-budget — the stage CHAINING real curation runs:
+    * [[graft.dedup.Dedup.d11Rewritten]] first (corpus-wide line dedup
+    * rewrites every document), then the p17 token-budget fill ranks and
+    * spends on the POST-rewrite token counts. The ordering matters:
+    * budgeting before dedup overcounts exactly the duplicated mass the
+    * rewrite removes, so a source full of boilerplate would steal quota
+    * it cannot fill. Docs gutted below [[MinKeptTokens]] drop before
+    * ranking (an exact-dup doc keeps 0 tokens and must not occupy a
+    * budget slot).
+    *
+    * Scale: d11's shape (hashes shuffle, text doesn't) feeding p17's
+    * shape (the cumsum window rides (id, counts) tuples only); the
+    * chained plan keeps both properties — the only new work is the
+    * per-source window over the already-reduced (doc, count) frame. */
+  def p19DedupBudget(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("n_tokens").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    graft.dedup.Dedup.d11Rewritten(s, d)
+      .select(col("doc_id"), col("source"),
+        size(col("kt")).cast("long").as("n_tokens"))
+      .filter(col("n_tokens") >= MinKeptTokens)
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") <= SourceTokenBudget)
+      .select(col("source"), col("doc_id"), col("n_tokens"), col("cum_tokens"))
+      .orderBy(col("source"), col("cum_tokens"))
+  }
+
   /** p18: epoch-mix materialization — deterministic OVER-sampling to a
     * token-mass target (the "2.5 epochs of source X" training recipe;
     * the up-sampling counterpart of p13's down-sampling rates and p17's
@@ -838,6 +872,7 @@ object PipelineQueries {
     "p16_curation_e2e"      -> p16CurationE2e _,
     "p17_token_budget"      -> p17TokenBudget _,
     "p18_epoch_mix"         -> p18EpochMix _,
+    "p19_dedup_budget"      -> p19DedupBudget _,
     "g01_quality_score"     -> g01QualityScore _,
     "g08_source_overlap"    -> g08SourceOverlap _,
     "g05_histogram"         -> g05Histogram _,
@@ -888,6 +923,24 @@ object PipelineQueries {
                  ORDER BY n_chars DESC, doc_id
                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
         FROM t)
+      SELECT source, doc_id, n_tokens, cum_tokens
+      FROM c WHERE cum_tokens <= $SourceTokenBudget
+      ORDER BY source, cum_tokens""",
+    // d11's shared first-occurrence CTE feeds the same window as p17 —
+    // the budget spends the POST-rewrite token counts
+    "p19_dedup_budget" -> s"""
+      WITH ${graft.dedup.Dedup.LineDedupCte},
+      rw AS (
+        SELECT doc_id, source,
+               CAST(sum(CASE WHEN rn = 1 THEN nl ELSE 0 END) AS BIGINT) AS n_tokens
+        FROM k GROUP BY doc_id, source),
+      f AS (SELECT * FROM rw WHERE n_tokens >= $MinKeptTokens),
+      c AS (
+        SELECT doc_id, source, n_tokens,
+               CAST(sum(n_tokens) OVER (PARTITION BY source
+                 ORDER BY n_tokens DESC, doc_id
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+        FROM f)
       SELECT source, doc_id, n_tokens, cum_tokens
       FROM c WHERE cum_tokens <= $SourceTokenBudget
       ORDER BY source, cum_tokens""",

@@ -276,6 +276,29 @@ class RoundSixOpsSpec extends SparkSpec {
     assert(got == want, s"got ${got.toSeq.sorted} want ${want.toSeq.sorted}")
   }
 
+  test("p19: budget fill is the p17 law applied to d11's post-rewrite counts") {
+    import graft.queries.PipelineQueries
+    // recompose driver-side from the two upstream operators' own outputs
+    val src = Tables.documents(spark, sf).select(col("doc_id"), col("source"))
+      .as[(Long, String)].collect().toMap
+    val rw = Dedup.d11LineDedup(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_tokens_kept")))
+    val budget = PipelineQueries.SourceTokenBudget
+    val want = rw.filter(_._2 >= PipelineQueries.MinKeptTokens)
+      .map { case (id, n) => (src(id), id, n) }
+      .groupBy(_._1).flatMap { case (_, ms) =>
+        val ranked = ms.toVector.sortBy { case (_, id, n) => (-n, id) }
+        ranked.scanLeft(0L)(_ + _._3).tail.zip(ranked)
+          .takeWhile(_._1 <= budget)
+          .map { case (cum, (s1, id, n)) => (s1, id, n, cum) }
+      }.toSet
+    val got = PipelineQueries.p19DedupBudget(spark, sf).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("n_tokens"), r.getAs[Long]("cum_tokens"))).toSet
+    assert(got.nonEmpty)
+    assert(got == want, s"got ${got.toSeq.sorted} want ${want.toSeq.sorted}")
+  }
+
   test("g08: matrix matches an exact string-keyed rebuild; count symmetry holds") {
     import graft.queries.PipelineQueries
     val got = PipelineQueries.g08SourceOverlap(spark, sf).collect()
