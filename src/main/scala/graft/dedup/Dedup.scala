@@ -914,6 +914,104 @@ object Dedup {
           .as("kept_fp"))
       .orderBy(col("doc_id"))
 
+  /** d13 geometry: the pair threshold (rounded cosine, d05's idiom) and
+    * the salt factor that widens the per-cluster self-join beyond the
+    * cluster count. */
+  val SemDupTau = 0.4
+  val SemDupSalt = 4
+
+  /** d13: SemDeDup — cluster-partitioned semantic deduplication (Abbas et
+    * al. 2023): assign every embedding to its nearest codebook centroid by
+    * cosine, generate near-duplicate candidates ONLY within a cluster, and
+    * keep per duplicate-neighborhood the vector FARTHEST from its centroid
+    * (the paper's keep-the-atypical rule — centroid-near members are the
+    * redundant mass). A vector is dropped iff some same-cluster vector
+    * that PRECEDES it in (centroid-cos asc, vec_id asc) order sits within
+    * cosine ≥ [[SemDupTau]] — the ranked-screening form of the published
+    * algorithm, which needs no connected-components pass (contrast d07).
+    * Complements d05: d05 is the global threshold join over ALL pairs;
+    * SemDeDup trades exhaustiveness for cluster-bounded cost, which is
+    * what makes embedding dedup feasible when N² is off the table.
+    *
+    * Codebook: element-wise means of the corpus's label partitions,
+    * rounded to 9 dp so both engines seed from bit-identical doubles. The
+    * operator is codebook-agnostic — at production scale s05's k-means
+    * centers drop in unchanged; the label-mean codebook keeps the oracle
+    * EXACT where a Lloyd's run is seed-dependent. Collecting it is a
+    * bounded scalar fetch (10 labels × 64 dims, s04's codebook precedent).
+    *
+    * Scale shape: the pair space is cluster-partitioned — per-cluster
+    * (N/K)² instead of d05's N², and K grows with corpus size in the
+    * published recipe so cluster cost stays bounded. The self-join keys on
+    * (cluster, salt): the y-side replicates [[SemDupSalt]]× via a map-side
+    * explode (no BNLJ), widening parallelism to K×salt lanes — the d05
+    * lesson that these joins are CPU-dense in cosine evals while tiny in
+    * bytes, so AQE's size-based coalescing must not collapse them (the
+    * explicit numbered repartition carries REPARTITION_BY_NUM, which AQE
+    * leaves alone). Precedence compares ROUNDED centroid-cos (6 dp) so the
+    * keep decision is engine-stable (d09's idiom); the cheap rank filter
+    * runs before the cosine eval. */
+  def d13SemDedup(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val centRows = Tables.embeddings(s, d)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("i", "x")))
+      .groupBy(col("label"), col("i"))
+      .agg(round(avg(col("x").cast("double")), 9).as("v"))
+      .collect()
+    val cents: Seq[(Int, Array[Double])] = centRows
+      .groupBy(_.getAs[Int]("label"))
+      .map { case (lab, rs) =>
+        lab -> rs.sortBy(_.getAs[Int]("i")).map(_.getAs[Double]("v")).toArray
+      }
+      .toSeq.sortBy(_._1)
+    semDedup(s, e, cents)
+  }
+
+  /** The SemDeDup core behind an explicit codebook: `vectors` must carry
+    * (vec_id, embedding); `codebook` is any (clusterId, centroid) set —
+    * s05's k-means `clusterCenters` at production scale, the label-mean
+    * codebook in the d13 oracle row. Kept public so the clustering choice
+    * and the dedup decision compose independently. */
+  def semDedup(s: SparkSession, vectors: DataFrame,
+               codebook: Seq[(Int, Array[Double])]): DataFrame = {
+    val e = vectors
+    val cents = codebook
+    require(cents.nonEmpty, "semDedup: empty codebook")
+    val v = col("embedding")
+    // argmax over (rounded cos, label) structs — lexicographic greatest =
+    // max cos with ties to the larger label, restated in the oracle as
+    // row_number() ORDER BY ccos DESC, label DESC (s05's least() mirrored)
+    val best = greatest(cents.map { case (lab, c) =>
+      struct(round(VectorFunctions.cosine(v, lit(c)), 6).as("ccos"),
+        lit(lab).as("cluster"))
+    }: _*)
+    val width = s.conf.get("spark.sql.shuffle.partitions", "200").toInt
+    val assigned = e
+      .select(col("vec_id"), col("embedding"), best.as("b"))
+      .select(col("vec_id"), col("embedding"),
+        col("b.cluster").as("cluster"), col("b.ccos").as("ccos"))
+    val xs = assigned
+      .withColumn("sx", pmod(col("vec_id"), lit(SemDupSalt)).cast("int"))
+      .repartition(width, col("cluster"), col("sx"))
+    val ys = assigned
+      .select(col("vec_id").as("y_id"), col("embedding").as("y_em"),
+        col("cluster"), col("ccos").as("y_ccos"))
+      .withColumn("sx", explode(lit((0 until SemDupSalt).toArray)))
+      .repartition(width, col("cluster"), col("sx"))
+    val dominated = xs.join(ys, Seq("cluster", "sx"))
+      .filter(col("y_ccos") < col("ccos") ||
+        (col("y_ccos") === col("ccos") && col("y_id") < col("vec_id")))
+      .filter(round(VectorFunctions.cosine(col("embedding"), col("y_em")), 4)
+        >= SemDupTau)
+      .groupBy(col("vec_id"))
+      .agg(count(lit(1)).as("n_dup_above"))
+    assigned.join(dominated, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"), col("ccos"),
+        coalesce(col("n_dup_above"), lit(0L)).as("n_dup_above"),
+        col("n_dup_above").isNull.as("kept"))
+      .orderBy(col("vec_id"))
+  }
+
   val queries: Map[String, Q] = Map(
     "d01_exact_dedup"       -> d01ExactDedup _,
     "d02_ngram_jaccard"     -> d02NgramJaccard _,
@@ -927,6 +1025,7 @@ object Dedup {
     "d10_verbatim_spans"    -> d10VerbatimSpans _,
     "d11_line_dedup"        -> d11LineDedup _,
     "d12_incremental_neardup" -> d12IncrementalNearDup _,
+    "d13_semdedup"            -> d13SemDedup _,
   )
 
   /** Shared d11 line-dedup CTE (`b`/`l`/`k`): `k.rn = 1` marks each
@@ -1138,5 +1237,53 @@ object Dedup {
       SELECT vec_a, vec_b, round(cos, 6) AS cos
       FROM p WHERE round(cos, 4) >= 0.4
       ORDER BY vec_a, vec_b""",
+    // d13: the codebook (label-partition means rounded to 9 dp) and both
+    // cosine forms are restated verbatim; the keep decision compares the
+    // same round(·,6)/round(·,4) doubles as the Spark side, so the ranked
+    // screening is engine-stable. coalesce keeps n_dup_above BIGINT
+    // (a bare LEFT-JOIN NULL would float-ify the pandas column).
+    "d13_semdedup" -> s"""
+      WITH cm AS (
+        SELECT label, i, round(avg(CAST(embedding[i] AS DOUBLE)), 9) AS v
+        FROM (SELECT label, embedding,
+                     unnest(range(1, len(embedding) + 1)) AS i
+              FROM embeddings)
+        GROUP BY label, i),
+      c AS (SELECT label, list(v ORDER BY i) AS cen FROM cm GROUP BY label),
+      ac AS (
+        SELECT e.vec_id, e.embedding, c.label,
+               round(
+                 list_sum(list_transform(range(1, len(e.embedding) + 1),
+                   i -> CAST(e.embedding[i] AS DOUBLE) * c.cen[i]))
+                 / (sqrt(list_sum(list_transform(e.embedding,
+                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(c.cen, x -> x * x)))),
+                 6) AS ccos
+        FROM embeddings e CROSS JOIN c),
+      a AS (
+        SELECT vec_id, embedding, label AS cluster, ccos
+        FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                     ORDER BY ccos DESC, label DESC) AS rn FROM ac)
+        WHERE rn = 1),
+      p AS (
+        SELECT x.vec_id, CAST(count(*) AS BIGINT) AS n_dup_above
+        FROM a x JOIN a y
+          ON x.cluster = y.cluster
+         AND (y.ccos < x.ccos OR (y.ccos = x.ccos AND y.vec_id < x.vec_id))
+         AND round(
+               list_sum(list_transform(range(1, len(x.embedding) + 1),
+                 i -> CAST(x.embedding[i] AS DOUBLE)
+                    * CAST(y.embedding[i] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(x.embedding,
+                    v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
+                * sqrt(list_sum(list_transform(y.embedding,
+                    v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))),
+               4) >= $SemDupTau
+        GROUP BY x.vec_id)
+      SELECT a.vec_id, a.cluster, a.ccos,
+             coalesce(p.n_dup_above, 0) AS n_dup_above,
+             p.vec_id IS NULL AS kept
+      FROM a LEFT JOIN p ON a.vec_id = p.vec_id
+      ORDER BY a.vec_id""",
   )
 }

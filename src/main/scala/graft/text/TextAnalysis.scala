@@ -553,6 +553,84 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** t17 rule thresholds — the published Gopher bounds (Rae et al. 2021,
+    * App. A1.1), verbatim where the corpus can express them. On this
+    * single-line synthetic corpus the line-shape rules (bullet/ellipsis)
+    * and the symbol rule pass trivially — the machinery is still exercised
+    * end-to-end (real line splits, real token probes) and the word-count /
+    * stopword rules do the discrimination (measured at sf0.01: word-count
+    * quartiles 32-76 against the 50 floor; 317/500 docs clear the
+    * 2-distinct-stopword gate). */
+  val GopherMinWords = 50
+  val GopherMaxWords = 100000
+  val GopherMinStopwords = 2
+
+  /** t17: the Gopher-style document-quality RULE battery — hard per-rule
+    * gates (word-count bounds, mean-word-length band, alphabetic-word
+    * fraction, symbol-to-word ratio, bullet/ellipsis line shares, distinct
+    * required stopwords) with a conjunctive keep verdict. Distinct from
+    * t02, which blends soft signals into one weighted score: production
+    * curation stacks run BOTH — the rule battery as the cheap hard gate,
+    * the score for ranking what survives (the reference gates batches on
+    * quality thresholds the same way, SDP.py:413).
+    *
+    * Scale shape: one narrow projection over the scan — tokenizer and
+    * line-splitter materialize once (t02's single-split idiom), every rule
+    * reads the bound arrays, no shuffle but the oracle ORDER BY. All
+    * integer-count ratios divide exactly in both engines. */
+  def t17GopherRules(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("toks"),
+        split(col("text"), "\n").as("lines"))
+    val toks = col("toks")
+    val lines = col("lines")
+    val nW = size(toks)
+    val nL = size(lines)
+    val sumLen = aggregate(toks, lit(0), (acc, t) => acc + length(t))
+    val mwl = round(sumLen.cast("double") / nW.cast("double"), 6)
+    val alphaFrac = round(
+      size(filter(toks, t => t.rlike("[a-z]"))).cast("double") /
+        nW.cast("double"), 6)
+    val symRatio = round(
+      size(filter(toks, t =>
+        t.contains("#") || t.contains("...") || t.contains("…")))
+        .cast("double") / nW.cast("double"), 6)
+    val bulletFrac = round(
+      size(filter(lines, l => trim(l).startsWith("-") ||
+        trim(l).startsWith("*") || trim(l).startsWith("•")))
+        .cast("double") / nL.cast("double"), 6)
+    val ellipsisFrac = round(
+      size(filter(lines, l => trim(l).endsWith("...") ||
+        trim(l).endsWith("…"))).cast("double") / nL.cast("double"), 6)
+    val nStop = size(array_distinct(filter(toks, t => t.isin(Stopwords: _*))))
+    val rWords = nW.between(GopherMinWords, GopherMaxWords)
+    val rMeanLen = mwl.between(3.0, 10.0)
+    val rAlpha = alphaFrac >= 0.8
+    val rSymbol = symRatio <= 0.1
+    val rBullet = bulletFrac <= 0.9
+    val rEllipsis = ellipsisFrac <= 0.3
+    val rStop = nStop >= GopherMinStopwords
+    base.select(
+      col("doc_id"),
+      nW.cast("long").as("n_words"),
+      mwl.as("mean_word_len"),
+      alphaFrac.as("alpha_frac"),
+      symRatio.as("symbol_ratio"),
+      bulletFrac.as("bullet_frac"),
+      ellipsisFrac.as("ellipsis_frac"),
+      nStop.cast("long").as("n_stopwords"),
+      rWords.as("r_words"),
+      rMeanLen.as("r_mean_len"),
+      rAlpha.as("r_alpha"),
+      rSymbol.as("r_symbol"),
+      rBullet.as("r_bullet"),
+      rEllipsis.as("r_ellipsis"),
+      rStop.as("r_stop"),
+      (rWords && rMeanLen && rAlpha && rSymbol &&
+        rBullet && rEllipsis && rStop).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, Q] = Map(
     "t01_token_count" -> t01TokenCount _,
     "t02_quality"     -> t02Quality _,
@@ -570,6 +648,7 @@ object TextAnalysis {
     "t14_boilerplate" -> t14Boilerplate _,
     "t15_unigram_lm"  -> t15UnigramLm _,
     "t16_dsir_weights" -> t16DsirWeights _,
+    "t17_gopher_rules" -> t17GopherRules _,
   )
 
   /** Shared SQL fragments for the DuckDB oracle (public: the dedup
@@ -854,5 +933,50 @@ object TextAnalysis {
       m AS (SELECT round(avg(logw), 6) AS mean_logw FROM w)
       SELECT doc_id, n_tokens, logw, logw > mean_logw AS selected
       FROM w, m ORDER BY doc_id""",
+    // t17: every ratio divides exact integer counts (drift-free across
+    // engines); the rule booleans compare the same round(·,6) doubles.
+    // Spark's split(text, '\n') and DuckDB's string_split(text, chr(10))
+    // both yield one-element lists on the newline-free corpus.
+    "t17_gopher_rules" -> s"""
+      WITH t AS (
+        SELECT doc_id, $ToksSql AS toks,
+               string_split(text, chr(10)) AS lines
+        FROM documents),
+      m AS (
+        SELECT doc_id,
+               CAST(len(toks) AS BIGINT) AS n_words,
+               round(list_sum(list_transform(toks, w -> len(w))) * 1.0
+                     / len(toks), 6) AS mean_word_len,
+               round(len(list_filter(toks, w -> regexp_matches(w, '[a-z]')))
+                     * 1.0 / len(toks), 6) AS alpha_frac,
+               round(len(list_filter(toks, w -> contains(w, '#')
+                       OR contains(w, '...') OR contains(w, '…')))
+                     * 1.0 / len(toks), 6) AS symbol_ratio,
+               round(len(list_filter(lines, l -> starts_with(trim(l), '-')
+                       OR starts_with(trim(l), '*')
+                       OR starts_with(trim(l), '•')))
+                     * 1.0 / len(lines), 6) AS bullet_frac,
+               round(len(list_filter(lines, l -> ends_with(trim(l), '...')
+                       OR ends_with(trim(l), '…')))
+                     * 1.0 / len(lines), 6) AS ellipsis_frac,
+               CAST(len(list_distinct(list_filter(toks, w ->
+                     list_contains(['the','a','of','to','in','and','is'], w))))
+                    AS BIGINT) AS n_stopwords
+        FROM t)
+      SELECT doc_id, n_words, mean_word_len, alpha_frac, symbol_ratio,
+             bullet_frac, ellipsis_frac, n_stopwords,
+             n_words BETWEEN $GopherMinWords AND $GopherMaxWords AS r_words,
+             mean_word_len BETWEEN 3.0 AND 10.0 AS r_mean_len,
+             alpha_frac >= 0.8 AS r_alpha,
+             symbol_ratio <= 0.1 AS r_symbol,
+             bullet_frac <= 0.9 AS r_bullet,
+             ellipsis_frac <= 0.3 AS r_ellipsis,
+             n_stopwords >= $GopherMinStopwords AS r_stop,
+             (n_words BETWEEN $GopherMinWords AND $GopherMaxWords)
+               AND mean_word_len BETWEEN 3.0 AND 10.0
+               AND alpha_frac >= 0.8 AND symbol_ratio <= 0.1
+               AND bullet_frac <= 0.9 AND ellipsis_frac <= 0.3
+               AND n_stopwords >= $GopherMinStopwords AS keep
+      FROM m ORDER BY doc_id""",
   )
 }

@@ -377,4 +377,25 @@ class PlanSpec extends SparkSpec {
     val exLines = plan.linesIterator.filter(_.contains("Exchange")).toVector
     assert(exLines.forall(!_.contains("embedding")), exLines.mkString("\n"))
   }
+
+  test("t17: the rule battery is one scan-side projection — no join, no data shuffle") {
+    val plan = executed(graft.text.TextAnalysis.t17GopherRules(spark, sf))
+    assert(!plan.contains("Join"), plan)
+    // the only exchange is the oracle ORDER BY's range partitioner
+    val exLines = plan.linesIterator.filter(_.contains("Exchange")).toVector
+    assert(exLines.forall(_.contains("rangepartitioning")), exLines.mkString("\n"))
+  }
+
+  test("d13: the pair join keys on (cluster, salt) with pinned width — never all-pairs") {
+    val plan = executed(graft.dedup.Dedup.d13SemDedup(spark, sf))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoop"), plan)
+    // the y-side salt replication is a map-side explode (Generate), not a
+    // join against a salt table
+    assert(plan.contains("Generate"), plan)
+    // the explicit numbered repartition must survive into the executed
+    // plan — AQE's size-based coalescing would otherwise collapse the
+    // CPU-dense, byte-tiny cosine lanes (the d05 lesson)
+    assert(plan.contains("REPARTITION_BY_NUM"), plan)
+  }
 }

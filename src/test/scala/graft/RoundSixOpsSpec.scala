@@ -358,4 +358,79 @@ class RoundSixOpsSpec extends SparkSpec {
           s"source $src prefix not maximal")
     }
   }
+
+  test("t17: rule battery recomputes in plain Scala; keep is the conjunction") {
+    val got = TextAnalysis.t17GopherRules(spark, sf).collect()
+    assert(got.nonEmpty)
+    // the battery must discriminate on this corpus, not rubber-stamp
+    assert(got.exists(_.getAs[Boolean]("keep")) &&
+      got.exists(!_.getAs[Boolean]("keep")), "keep verdict is constant")
+    val texts = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    got.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      // independent derivation: JVM-string tokenization, no Spark exprs
+      val toks = texts(id).trim.toLowerCase.replaceAll("\\s+", " ").split(" ", -1)
+      assert(r.getAs[Long]("n_words") == toks.length, s"doc $id n_words")
+      val mwl = toks.map(_.length).sum.toDouble / toks.length
+      assert(math.abs(r.getAs[Double]("mean_word_len") - mwl) < 1e-6, s"doc $id mwl")
+      val nStop = toks.filter(TextAnalysis.Stopwords.contains).distinct.length
+      assert(r.getAs[Long]("n_stopwords") == nStop, s"doc $id n_stopwords")
+      // per-rule booleans must agree with the row's own metrics...
+      assert(r.getAs[Boolean]("r_words") ==
+        (toks.length >= TextAnalysis.GopherMinWords &&
+          toks.length <= TextAnalysis.GopherMaxWords), s"doc $id r_words")
+      assert(r.getAs[Boolean]("r_stop") ==
+        (nStop >= TextAnalysis.GopherMinStopwords), s"doc $id r_stop")
+      assert(r.getAs[Boolean]("r_mean_len") ==
+        (r.getAs[Double]("mean_word_len") >= 3.0 &&
+          r.getAs[Double]("mean_word_len") <= 10.0), s"doc $id r_mean_len")
+      assert(r.getAs[Boolean]("r_alpha") == (r.getAs[Double]("alpha_frac") >= 0.8))
+      assert(r.getAs[Boolean]("r_symbol") == (r.getAs[Double]("symbol_ratio") <= 0.1))
+      assert(r.getAs[Boolean]("r_bullet") == (r.getAs[Double]("bullet_frac") <= 0.9))
+      assert(r.getAs[Boolean]("r_ellipsis") == (r.getAs[Double]("ellipsis_frac") <= 0.3))
+      // ...and keep must be exactly their conjunction
+      val conj = Seq("r_words", "r_mean_len", "r_alpha", "r_symbol",
+        "r_bullet", "r_ellipsis", "r_stop").forall(n => r.getAs[Boolean](n))
+      assert(r.getAs[Boolean]("keep") == conj, s"doc $id keep")
+    }
+  }
+
+  test("d13: drop decisions equal a plain-Scala ranked screening within clusters") {
+    val got = Dedup.d13SemDedup(spark, sf).collect()
+    assert(got.nonEmpty)
+    // bite both ways: real duplicates dropped, the bulk kept
+    assert(got.exists(!_.getAs[Boolean]("kept")), "nothing dropped")
+    assert(got.count(_.getAs[Boolean]("kept")) > got.length / 2, "over-dropping")
+    val embs = Tables.embeddings(spark, sf).select("vec_id", "embedding").collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[Seq[Float]]("embedding").toArray).toMap
+    // sequential double accumulation in float-read order — the exact
+    // arithmetic CosineSimilarity.eval performs, so the rounded-threshold
+    // comparison reproduces the production decision bit-for-bit
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < math.min(a.length, b.length)) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def round4(x: Double): Double =
+      BigDecimal.valueOf(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val byCluster = got.groupBy(_.getAs[Int]("cluster"))
+    got.foreach { r =>
+      val id = r.getAs[Long]("vec_id")
+      val cc = r.getAs[Double]("ccos")
+      // a vector is dropped iff a PRECEDING same-cluster vector (lower
+      // rounded centroid-cos, id tie-break) sits within the threshold
+      val preceding = byCluster(r.getAs[Int]("cluster")).filter { y =>
+        val yc = y.getAs[Double]("ccos"); val yid = y.getAs[Long]("vec_id")
+        (yc < cc || (yc == cc && yid < id)) &&
+          round4(cos(embs(id), embs(yid))) >= Dedup.SemDupTau
+      }
+      assert(r.getAs[Long]("n_dup_above") == preceding.length, s"vec $id count")
+      assert(r.getAs[Boolean]("kept") == preceding.isEmpty, s"vec $id kept")
+    }
+  }
 }
