@@ -442,12 +442,76 @@ object Similarity {
   def s04PqRecall(s: SparkSession, d: String): DataFrame =
     recallContract(s, d, s04PqTopK(s, d), PqRecallFloor)
 
+  /** s06 query workload: fixed two-term conjunctions over the corpus
+    * vocabulary. Exactly two terms per query is load-bearing for the
+    * oracle: the per-document score is a SUM of per-term contributions,
+    * and two-operand double addition is commutative bit-for-bit, so
+    * aggregation order can never drift the result between engines (3+
+    * terms would need per-contribution rounding to stay stable). */
+  val Bm25Queries: Seq[(Int, Seq[String])] = Seq(
+    1 -> Seq("table", "scan"), 2 -> Seq("query", "join"),
+    3 -> Seq("stream", "window"), 4 -> Seq("fast", "merge"),
+    5 -> Seq("slow", "filter"))
+
+  /** s06: Okapi BM25 top-k full-text retrieval (Robertson et al.; the
+    * Lucene ln(1+x) idf form) — the lexical-retrieval counterpart of the
+    * dense ANN family: score(q,d) = Σ_t idf(t)·tf·(k1+1)/(tf + k1·(1−b +
+    * b·dl/avgdl)), k1=1.2, b=0.75, ranked per query with a deterministic
+    * (rounded score desc, doc_id) tie-break.
+    *
+    * Scale shape: the posting lists are pruned MAP-SIDE to the query
+    * vocabulary before the only data shuffle — the (doc_id, term) tf
+    * aggregate scales with vocabulary hits, never the corpus token
+    * stream. Document-frequency and corpus stats are scalar-sized
+    * broadcasts; the query table broadcasts; the final top-k is a
+    * per-query window over candidates only. Every arithmetic literal
+    * (2.2, 1.2, 0.75, 0.25, 0.5) is written identically in both engines
+    * so the doubles agree bitwise (constant-folding 1+k1 in Scala could
+    * land one ulp off the SQL literal). */
+  def s06Bm25TopK(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val vocab = Bm25Queries.flatMap(_._2).distinct
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), graft.text.TextAnalysis.tokens(col("text")).as("toks"))
+    val stats = toks
+      .select(size(col("toks")).cast("long").as("dl"))
+      .agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+    val tf = toks
+      .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
+        explode(col("toks")).as("term"))
+      .filter(col("term").isin(vocab: _*))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val q = Bm25Queries
+      .flatMap { case (qid, ts) => ts.map(t => (qid, t)) }
+      .toDF("query_id", "term")
+    val contrib = log(lit(1.0) +
+        (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)) *
+      (col("tf") * 2.2) /
+      (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
+    val scored = tf
+      .join(broadcast(dfreq), "term")
+      .join(broadcast(q), "term")
+      .crossJoin(broadcast(stats))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(round(sum(contrib), 6).as("score"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("score"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   val queries: Map[String, Q] = Map(
     "s01_topk_bruteforce" -> s01BruteForceTopK _,
     "s02_topk_lsh"        -> s02LshRecall _,
     "s03_topk_ivf"        -> s03IvfRecall _,
     "s04_topk_pq"         -> s04PqRecall _,
     "s05_cluster_profile" -> s05ClusterProfile _,
+    "s06_bm25_topk"       -> s06Bm25TopK _,
   )
 
   /** The recall-contract oracle: every query id must come back with a full
@@ -489,6 +553,43 @@ object Similarity {
         FROM scored)
       SELECT query_id, vec_id AS neighbor_id, round(cos, 6) AS cos, rank
       FROM ranked WHERE rank <= $TopK
+      ORDER BY query_id, rank""",
+    // s06: the BM25 arithmetic restated with the SAME literals and the
+    // SAME association order (left-assoc * /) — two-term queries make the
+    // contribution sum order-independent, so round(·,6) agrees bitwise.
+    "s06_bm25_topk" -> s"""
+      WITH t AS (
+        SELECT doc_id, ${graft.text.TextAnalysis.ToksSql} AS toks
+        FROM documents),
+      d AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, toks FROM t),
+      s AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM d),
+      tf AS (
+        SELECT doc_id, dl, term, count(*) AS tf
+        FROM (SELECT doc_id, dl, unnest(toks) AS term FROM d)
+        WHERE term IN (${Bm25Queries.flatMap(_._2).distinct
+          .map(t => s"'$t'").mkString(", ")})
+        GROUP BY doc_id, dl, term),
+      df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+      q(query_id, term) AS (VALUES ${Bm25Queries
+        .flatMap { case (qid, ts) => ts.map(t => s"($qid, '$t')") }
+        .mkString(", ")}),
+      c AS (
+        SELECT q.query_id, tf.doc_id,
+               ln(1.0 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+               * (tf.tf * 2.2)
+               / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / s.avgdl)) AS contrib
+        FROM tf JOIN df USING (term) JOIN q ON q.term = tf.term
+        CROSS JOIN s),
+      sc AS (
+        SELECT query_id, doc_id, round(sum(contrib), 6) AS score
+        FROM c GROUP BY query_id, doc_id),
+      r AS (
+        SELECT query_id, doc_id, score,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY score DESC, doc_id) AS rank
+        FROM sc)
+      SELECT query_id, rank, doc_id, score
+      FROM r WHERE rank <= $TopK
       ORDER BY query_id, rank""",
   )
 }

@@ -398,4 +398,19 @@ class PlanSpec extends SparkSpec {
     // CPU-dense, byte-tiny cosine lanes (the d05 lesson)
     assert(plan.contains("REPARTITION_BY_NUM"), plan)
   }
+
+  test("s06: postings prune to the query vocabulary before any exchange; df/q broadcast") {
+    val plan = executed(Similarity.s06Bm25TopK(spark, sf))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    // the vocabulary filter must sit scan-side: the exploded token stream
+    // is pruned BEFORE the (doc_id, dl, term) tf exchange, so the only
+    // data shuffle scales with query-vocab hits, not the corpus tokens
+    val firstEx = plan.linesIterator.indexWhere(_.contains("Exchange hashpartitioning(doc_id"))
+    val filterIdx = plan.linesIterator.indexWhere(l =>
+      l.contains("Filter") && l.contains("term"))
+    assert(firstEx >= 0 && filterIdx > firstEx,
+      s"vocab filter not below the tf exchange (ex=$firstEx filter=$filterIdx)\n$plan")
+  }
 }

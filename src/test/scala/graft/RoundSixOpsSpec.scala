@@ -433,4 +433,50 @@ class RoundSixOpsSpec extends SparkSpec {
       assert(r.getAs[Boolean]("kept") == preceding.isEmpty, s"vec $id kept")
     }
   }
+
+  test("s06: BM25 top-k matches a plain-Scala recomputation of the ranking") {
+    import graft.similarity.Similarity
+    val got = Similarity.s06Bm25TopK(spark, sf).collect()
+      .map(r => (r.getAs[Int]("query_id"), r.getAs[Int]("rank"),
+        r.getAs[Long]("doc_id"), r.getAs[Double]("score")))
+    assert(got.nonEmpty)
+    // independent rebuild: JVM tokenization + the BM25 formula in plain
+    // doubles (same literals, same association order)
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("text").trim.toLowerCase
+          .replaceAll("\\s+", " ").split(" ", -1).toSeq)
+    val n = docs.length.toLong
+    val avgdl = docs.map(_._2.length.toLong).sum.toDouble / n
+    val dfm = Similarity.Bm25Queries.flatMap(_._2).distinct
+      .map(t => t -> docs.count(_._2.contains(t)).toLong).toMap
+    def score(qTerms: Seq[String], toks: Seq[String]): Double = {
+      val dl = toks.length.toLong
+      val contribs = qTerms.flatMap { t =>
+        val tf = toks.count(_ == t).toLong
+        if (tf == 0) None
+        else {
+          val df = dfm(t)
+          Some(math.log(1.0 + (n - df + 0.5) / (df + 0.5)) *
+            (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)))
+        }
+      }
+      if (contribs.isEmpty) Double.NaN
+      else BigDecimal.valueOf(contribs.sum)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    Similarity.Bm25Queries.foreach { case (qid, terms) =>
+      val want = docs
+        .map { case (id, toks) => (id, score(terms, toks)) }
+        .filter(!_._2.isNaN)
+        .sortBy { case (id, sc) => (-sc, id) }
+        .take(Similarity.TopK)
+      val here = got.filter(_._1 == qid).sortBy(_._2)
+      assert(here.length == want.length, s"query $qid size")
+      here.zip(want).zipWithIndex.foreach { case (((_, rk, id, sc), (wId, wSc)), i) =>
+        assert(rk == i + 1, s"query $qid rank $rk")
+        assert(id == wId && math.abs(sc - wSc) < 1e-9, s"query $qid pos $i")
+      }
+    }
+  }
 }
