@@ -828,7 +828,10 @@ object PipelineQueries {
     * outputs instead of inlining a fused copy), the dedup is one
     * fingerprint-keyed WindowGroupLimit like d06/p07, and the rollup is
     * a 3-group aggregate. */
-  def p16CurationE2e(s: SparkSession, d: String): DataFrame = {
+  /** Shared p16/p20 funnel FRONT: quality ≥ floor and boilerplate ≤ cap
+    * gates with the t04 fingerprint attached (pre-dedup), so both rows
+    * run the identical gate stack and can only drift together. */
+  private def curationGated(s: SparkSession, d: String): DataFrame = {
     import graft.text.TextAnalysis
     val quality = TextAnalysis.t02Quality(s, d)
       .select(col("doc_id"), col("n_tokens"), col("quality"))
@@ -838,11 +841,16 @@ object PipelineQueries {
     // LEFT join on t14: docs with < 3 tokens have no shingles, hence no
     // t14 row — they carry zero boilerplate by definition and must still
     // flow through the funnel (an inner join would silently drop them)
-    val gated = quality
+    quality
       .join(boiler, Seq("doc_id"), "left")
       .join(fp, "doc_id")
       .filter(col("quality") >= CurationMinQuality &&
         coalesce(col("boiler_frac"), lit(0.0)) <= CurationMaxBoiler)
+  }
+
+  /** Shared p16/p20 funnel TAIL: keep-first exact dedup on the content
+    * fingerprint, then the per-split rollup. */
+  private def curationRollup(gated: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("fp")).orderBy(col("doc_id"))
     gated.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
@@ -852,6 +860,50 @@ object PipelineQueries {
         sum(col("n_tokens")).as("sum_tokens"),
         round(avg(col("quality")), 6).as("avg_quality"))
       .orderBy(col("split"))
+  }
+
+  def p16CurationE2e(s: SparkSession, d: String): DataFrame =
+    curationRollup(curationGated(s, d))
+
+  /** p20 gate: training docs whose shingle overlap with the benchmark cut
+    * exceeds this fraction never reach a shard. Calibrated on the fixed
+    * corpus (3-7 docs over the cap at sf0.01/0.001, including the full
+    * copies at contam_frac = 1.0) — a high bar on purpose: the gate
+    * exists for substantial benchmark overlap, while light incidental
+    * overlap is the near-dedup family's job. Known synthetic-data
+    * artifact: this corpus draws shingles from a FIXED pool (~27k types
+    * at sf0.1 for 5k docs), so incidental train↔bench overlap grows with
+    * SF and the cap over-drops at sf0.1 (~98% of gated train docs).
+    * Real corpora have open shingle universes — benchmark overlap stays
+    * rare as the corpus grows, which is why published decontamination
+    * recipes (GPT-3 13-gram collisions, Llama 8-gram overlap) use fixed
+    * caps. The operator inherits d08's scale shape either way. */
+  val CurationMaxContam = 0.2
+
+  /** p20: the DECONTAMINATED curation funnel — p16's pass with d08's
+    * benchmark-overlap gate inserted before the split rollup, in the
+    * stage order real pipelines run: benchmark rows never enter the
+    * training cut, and training docs substantially overlapping the
+    * benchmark (contam_frac > [[CurationMaxContam]]) are dropped before
+    * sharding. Pure composition: the gate stack is [[curationGated]]
+    * verbatim, the overlap scores are [[graft.dedup.Dedup.contamination]]
+    * verbatim, and the join carries (doc_id, contam_frac) pairs only —
+    * at scale it inherits d08's broadcast-probe shape (benchmark shingles
+    * broadcast; the corpus is probed map-side, never shuffled on
+    * content). Docs with no contamination row (< 3 tokens → no shingles)
+    * coalesce to 0.0: no shingles means nothing can overlap. */
+  def p20DecontamFunnel(s: SparkSession, d: String): DataFrame = {
+    import graft.dedup.Dedup
+    val docs = Tables.documents(s, d)
+    val isBench = col("doc_id") % Dedup.ContaminationBenchMod === 0
+    val contam = Dedup.contamination(docs.filter(!isBench), docs.filter(isBench))
+      .select(col("doc_id"), col("contam_frac"))
+    curationRollup(
+      curationGated(s, d)
+        .filter(col("doc_id") % Dedup.ContaminationBenchMod =!= 0)
+        .join(contam, Seq("doc_id"), "left")
+        .filter(coalesce(col("contam_frac"), lit(0.0)) <= CurationMaxContam)
+        .drop("contam_frac"))
   }
 
   val queries: Map[String, Q] = Map(
@@ -873,6 +925,7 @@ object PipelineQueries {
     "p17_token_budget"      -> p17TokenBudget _,
     "p18_epoch_mix"         -> p18EpochMix _,
     "p19_dedup_budget"      -> p19DedupBudget _,
+    "p20_decontam_funnel"   -> p20DecontamFunnel _,
     "g01_quality_score"     -> g01QualityScore _,
     "g08_source_overlap"    -> g08SourceOverlap _,
     "g05_histogram"         -> g05Histogram _,
@@ -882,6 +935,46 @@ object PipelineQueries {
     "g04_profile"           -> (g04Profile(_, _)),
     "g07_profile_approx"    -> g07ProfileApprox _,
   )
+
+  /** Shared p16/p20 oracle front (`t`..`gated`) — the funnel gate CTEs,
+    * single-sourced so the two rows' gate stacks can only drift together
+    * (the LineDedupCte precedent). */
+  private val CurationGateCtes: String = s"""
+      t AS (
+        SELECT doc_id, ${graft.text.TextAnalysis.ToksSql} AS toks,
+               ${graft.text.TextAnalysis.NormSql} AS norm
+        FROM documents),
+      q AS (
+        SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+               ${graft.text.TextAnalysis.QualityExprSql} AS quality
+        FROM t),
+      sh AS (SELECT doc_id,
+               unnest(${graft.text.TextAnalysis.shinglesSql("toks")}) AS s
+             FROM t),
+      freq AS (SELECT s FROM sh GROUP BY s
+               HAVING count(*) >= ${graft.text.TextAnalysis.BoilerFloorSql}),
+      sizes AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id),
+      hits AS (
+        SELECT sh.doc_id, count(*) AS n_frequent
+        FROM sh JOIN freq USING (s) GROUP BY sh.doc_id),
+      b AS (
+        SELECT s.doc_id,
+               round(coalesce(h.n_frequent, 0) * 1.0 / s.n_shingles, 6) AS boiler_frac
+        FROM sizes s LEFT JOIN hits h USING (doc_id)),
+      fp AS (SELECT doc_id, ${graft.text.TextAnalysis.FpSql} AS fp FROM documents),
+      gated AS (
+        SELECT q.doc_id, q.n_tokens, q.quality, fp.fp
+        FROM q LEFT JOIN b USING (doc_id) JOIN fp USING (doc_id)
+        WHERE q.quality >= $CurationMinQuality
+          AND coalesce(b.boiler_frac, 0.0) <= $CurationMaxBoiler)"""
+
+  /** Shared p16/p20 oracle tail — the per-split rollup over `kept`. */
+  private val CurationRollupSql: String = s"""
+      SELECT ${splitCaseSql("doc_id")} AS split,
+             count(*) AS n_docs,
+             CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+             round(avg(quality), 6) AS avg_quality
+      FROM kept GROUP BY 1 ORDER BY 1"""
 
   val oracleSql: Map[String, String] = Map(
     // same fingerprint construction both sides: round(·,2) →
@@ -1008,43 +1101,38 @@ object PipelineQueries {
     // the boilerplate side keeps sub-3-token (shingle-less) docs in the
     // funnel with zero boilerplate, mirroring the Spark side
     "p16_curation_e2e" -> s"""
-      WITH t AS (
-        SELECT doc_id, ${graft.text.TextAnalysis.ToksSql} AS toks,
-               ${graft.text.TextAnalysis.NormSql} AS norm
-        FROM documents),
-      q AS (
-        SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
-               ${graft.text.TextAnalysis.QualityExprSql} AS quality
-        FROM t),
-      sh AS (SELECT doc_id,
-               unnest(${graft.text.TextAnalysis.shinglesSql("toks")}) AS s
-             FROM t),
-      freq AS (SELECT s FROM sh GROUP BY s
-               HAVING count(*) >= ${graft.text.TextAnalysis.BoilerplateDocFreq}),
-      sizes AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id),
-      hits AS (
-        SELECT sh.doc_id, count(*) AS n_frequent
-        FROM sh JOIN freq USING (s) GROUP BY sh.doc_id),
-      b AS (
-        SELECT s.doc_id,
-               round(coalesce(h.n_frequent, 0) * 1.0 / s.n_shingles, 6) AS boiler_frac
-        FROM sizes s LEFT JOIN hits h USING (doc_id)),
-      fp AS (SELECT doc_id, ${graft.text.TextAnalysis.FpSql} AS fp FROM documents),
-      gated AS (
-        SELECT q.doc_id, q.n_tokens, q.quality, fp.fp
-        FROM q LEFT JOIN b USING (doc_id) JOIN fp USING (doc_id)
-        WHERE q.quality >= $CurationMinQuality
-          AND coalesce(b.boiler_frac, 0.0) <= $CurationMaxBoiler),
+      WITH $CurationGateCtes,
       kept AS (
         SELECT doc_id, n_tokens, quality FROM (
           SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
           FROM gated)
         WHERE rn = 1)
-      SELECT ${splitCaseSql("doc_id")} AS split,
-             count(*) AS n_docs,
-             CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
-             round(avg(quality), 6) AS avg_quality
-      FROM kept GROUP BY 1 ORDER BY 1""",
+      $CurationRollupSql""",
+    // p20: the same gate CTEs with d08's contamination restated over the
+    // shared `sh` shingle stream (bench cut's distinct shingles probed by
+    // the train cut), gating the train docs before the identical
+    // dedup+rollup tail. Both sides compare the same round(·,6) fraction.
+    "p20_decontam_funnel" -> s"""
+      WITH $CurationGateCtes,
+      chits AS (
+        SELECT t.doc_id, count(*) AS n_shared
+        FROM sh t JOIN (SELECT DISTINCT s FROM sh
+                        WHERE doc_id % ${graft.dedup.Dedup.ContaminationBenchMod} = 0) cb
+          ON t.s = cb.s
+        WHERE t.doc_id % ${graft.dedup.Dedup.ContaminationBenchMod} <> 0
+        GROUP BY t.doc_id),
+      contam AS (
+        SELECT s.doc_id,
+               round(coalesce(h.n_shared, 0) * 1.0 / s.n_shingles, 6) AS contam_frac
+        FROM sizes s LEFT JOIN chits h USING (doc_id)),
+      kept AS (
+        SELECT doc_id, n_tokens, quality FROM (
+          SELECT g.*, row_number() OVER (PARTITION BY g.fp ORDER BY g.doc_id) AS rn
+          FROM gated g LEFT JOIN contam c USING (doc_id)
+          WHERE g.doc_id % ${graft.dedup.Dedup.ContaminationBenchMod} <> 0
+            AND coalesce(c.contam_frac, 0.0) <= $CurationMaxContam)
+        WHERE rn = 1)
+      $CurationRollupSql""",
     // trailing-24h z-score with the same <2-observations / zero-variance
     // guard; stddev_samp over ≤24 values agrees to well past the 6th
     // decimal, which round(·,6) pins. Both engines densify the hourly

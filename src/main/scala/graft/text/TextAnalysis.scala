@@ -400,11 +400,29 @@ object TextAnalysis {
       .orderBy(col("doc_id"), col("chunk_idx"))
   }
 
-  /** t14 document-frequency threshold: a 3-gram appearing in ≥ this many
-    * documents counts as corpus-frequent ("boilerplate"). At test SF a
-    * fixed absolute cutoff is oracle-checkable; a production run sets it
-    * from corpus size (e.g. df ≥ 1e-6 · N_docs) — same plan either way. */
+  /** t14 document-frequency floor: a 3-gram appearing in ≥
+    * max([[BoilerplateDocFreq]], ceil([[BoilerplateRelDf]] · n_docs))
+    * documents counts as corpus-frequent ("boilerplate"). The RELATIVE
+    * term is the load-bearing one (the C4/CCNet recipes threshold on
+    * document frequency as a fraction of the corpus): an absolute cutoff
+    * saturates as the corpus grows — measured here, df≥3 flags 29% of
+    * shingle occurrences at 500 docs but 99.8% at 5 000 docs, which
+    * made every doc "boilerplate" and passed the p16/p20 funnel zero
+    * rows at sf0.1. The absolute floor only guards the small-corpus end
+    * where ceil(0.5% · n) would count a 2-doc overlap as corpus-wide.
+    * At the 50/500-doc test SFs both terms resolve to 3, so oracle rows
+    * are bit-identical to the fixed-cutoff formulation. */
   val BoilerplateDocFreq = 3
+  val BoilerplateRelDf = 0.005
+
+  /** The df floor for a corpus of `nDocs` documents (Spark side). */
+  def boilerplateFloor(nDocs: Long): Long =
+    math.max(BoilerplateDocFreq.toLong, math.ceil(BoilerplateRelDf * nDocs).toLong)
+
+  /** Same floor as a DuckDB scalar expression (oracle side) — single-
+    * sourced here so t14's oracle and p16/p20's gate CTEs can't drift. */
+  val BoilerFloorSql: String =
+    s"greatest($BoilerplateDocFreq, CAST(ceil($BoilerplateRelDf * (SELECT count(*) FROM documents)) AS BIGINT))"
 
   /** t14: boilerplate detection — per-document fraction of word 3-grams
     * that are corpus-frequent (document frequency ≥
@@ -429,6 +447,9 @@ object TextAnalysis {
     * 1.47 s → 1.06 s). At cluster scale the same role is played by a
     * persisted (doc_id, n, h) intermediate table. */
   def t14Boilerplate(s: SparkSession, d: String): DataFrame = {
+    // bounded scalar (parquet-metadata count) sizing the relative df
+    // floor — the corpus-size read a production run does once per batch
+    val dfFloor = boilerplateFloor(Tables.documents(s, d).count())
     // plain explode: docs with < 3 tokens have no shingles, produce no
     // rows, and are absent from the output — the same contract as the
     // oracle's unnest (p16's composition treats them as zero-boilerplate
@@ -442,7 +463,7 @@ object TextAnalysis {
       .localCheckpoint(eager = true)
     val freq = hashed
       .groupBy(col("h")).agg(count(lit(1)).as("df"))
-      .filter(col("df") >= BoilerplateDocFreq)
+      .filter(col("df") >= dfFloor)
       .select(col("h"), lit(1L).as("hit"))
     hashed
       .join(broadcast(freq), Seq("h"), "left")
@@ -889,7 +910,7 @@ object TextAnalysis {
     "t14_boilerplate" -> s"""
       WITH t AS (SELECT doc_id, $ToksSql AS toks FROM documents),
       sh AS (SELECT doc_id, unnest(${shinglesSql("toks")}) AS s FROM t),
-      freq AS (SELECT s FROM sh GROUP BY s HAVING count(*) >= $BoilerplateDocFreq),
+      freq AS (SELECT s FROM sh GROUP BY s HAVING count(*) >= $BoilerFloorSql),
       sizes AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id),
       hits AS (
         SELECT sh.doc_id, count(*) AS n_frequent

@@ -29,8 +29,9 @@ class RoundSixOpsSpec extends SparkSpec {
     val sh = Tables.documents(spark, sf)
       .select(col("doc_id"),
         explode(Dedup.shingles(TextAnalysis.tokens(col("text")))).as("sg"))
+    val floor = TextAnalysis.boilerplateFloor(Tables.documents(spark, sf).count())
     val freq = sh.groupBy(col("sg")).agg(count(lit(1)).as("df"))
-      .filter(col("df") >= TextAnalysis.BoilerplateDocFreq)
+      .filter(col("df") >= floor)
       .select(col("sg"))
     val want = sh.join(freq, "sg")
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_frequent"))
@@ -121,6 +122,54 @@ class RoundSixOpsSpec extends SparkSpec {
       if (p < "0a") "test" else if (p < "14") "val" else "train"
     }.map { case (s, m) => s -> (m.size.toLong, m.map(_._2).sum) }
     assert(got == want, s"got $got want $want")
+  }
+
+  test("p20: decontam funnel equals p16's gate minus bench docs minus contaminated docs") {
+    import graft.queries.PipelineQueries
+    val got = PipelineQueries.p20DecontamFunnel(spark, sf).collect()
+      .map(r => r.getAs[String]("split") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("sum_tokens"))).toMap
+    assert(got.nonEmpty && got.values.map(_._1).sum > 0)
+    // independent path: the same driver-side funnel as the p16 law, with
+    // the bench cut excluded and the contamination operator's OWN output
+    // applied as the extra gate — proves p20 is exactly p16 ∘ d08
+    val quality = TextAnalysis.t02Quality(spark, sf)
+      .select(col("doc_id"), col("n_tokens"), col("quality"))
+      .as[(Long, Long, Double)].collect()
+    val boiler = TextAnalysis.t14Boilerplate(spark, sf)
+      .select(col("doc_id"), col("boiler_frac"))
+      .as[(Long, Double)].collect().toMap
+    val fps = TextAnalysis.t04Fingerprint(spark, sf)
+      .select(col("doc_id"), col("fp")).as[(Long, String)].collect().toMap
+    val docs = Tables.documents(spark, sf)
+    val isBench = col("doc_id") % Dedup.ContaminationBenchMod === 0
+    val contam = Dedup.contamination(docs.filter(!isBench), docs.filter(isBench))
+      .select(col("doc_id"), col("contam_frac"))
+      .as[(Long, Double)].collect().toMap
+    def md5hex(v: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(v.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val kept = quality
+      .filter { case (id, _, q) =>
+        id % Dedup.ContaminationBenchMod != 0 &&
+          q >= PipelineQueries.CurationMinQuality &&
+          boiler.getOrElse(id, 0.0) <= PipelineQueries.CurationMaxBoiler &&
+          contam.getOrElse(id, 0.0) <= PipelineQueries.CurationMaxContam }
+      .groupBy { case (id, _, _) => fps(id) }
+      .map { case (_, members) => members.minBy(_._1) }
+    val want = kept.groupBy { case (id, _, _) =>
+      val p = md5hex(id.toString).substring(0, 2)
+      if (p < "0a") "test" else if (p < "14") "val" else "train"
+    }.map { case (s, m) => s -> (m.size.toLong, m.map(_._2).sum) }
+    assert(got == want, s"got $got want $want")
+    // the cap must sit INSIDE the observed contamination range — some
+    // non-bench doc exceeds it (the corpus plants full copies at
+    // contam_frac = 1.0) and some doc is under it, so the gate is
+    // neither vacuous nor absolute
+    assert(contam.values.exists(_ > PipelineQueries.CurationMaxContam),
+      "no doc over the contamination cap — gate vacuous")
+    assert(contam.values.exists(_ <= PipelineQueries.CurationMaxContam),
+      "every doc over the contamination cap — gate absolute")
   }
 
   test("d09: each representative is its cluster's quality arg-max with id tie-break") {
