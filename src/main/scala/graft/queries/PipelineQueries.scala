@@ -805,6 +805,59 @@ object PipelineQueries {
       .orderBy(col("col_name"))
   }
 
+  /** g09 Zipf fit depth: the OLS slope is fitted over the K most
+    * frequent types per source. 100 keeps the fit in the head of the
+    * distribution (where Zipf's law is stated) and makes the frame a
+    * constant-size per-group top-k, independent of vocabulary size. */
+  val ZipfTopK = 100
+
+  /** g09: per-source token-distribution profile — the corpus-statistics
+    * panel a curation run reads before choosing mixture weights: total
+    * tokens, vocabulary size, type/token ratio, top-1 token share,
+    * Shannon entropy of the unigram distribution (nats), and the Zipf
+    * slope (OLS of ln(freq) on ln(rank) over the [[ZipfTopK]] head —
+    * natural text sits near −1; templated/synthetic text drifts off it,
+    * which is what makes the panel a drift alarm for incoming sources).
+    *
+    * Scale shape: ONE (source, term) shuffle with map-side partials;
+    * everything downstream runs over the vocabulary-sized count table,
+    * never the corpus. Entropy folds into the same aggregate via
+    * H = ln(n) − (Σ c·ln c)/n, so no second pass and no re-join against
+    * totals; the Zipf head is a per-source top-k (WindowGroupLimit — the
+    * rank exchange carries (source, term, c) triples only) and the slope
+    * is a single `regr_slope` over ≤ [[ZipfTopK]] rows per source.
+    * Ties at the head boundary break on term so both engines fit the
+    * same 100 rows; round(·,6) pins the float results (t15/t16
+    * precedent). */
+  def g09TokenProfile(s: SparkSession, d: String): DataFrame = {
+    import graft.text.TextAnalysis
+    import org.apache.spark.sql.expressions.Window
+    val counts = Tables.documents(s, d)
+      .select(col("source"), explode(TextAnalysis.tokens(col("text"))).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col("source"), col("term")).agg(count(lit(1)).as("c"))
+    val stats = counts.groupBy(col("source")).agg(
+      sum(col("c")).as("n_tokens"),
+      count(lit(1)).as("n_types"),
+      max(col("c")).as("top_c"),
+      sum(col("c").cast("double") * log(col("c").cast("double"))).as("clnc"))
+    val w = Window.partitionBy(col("source")).orderBy(col("c").desc, col("term"))
+    val zipf = counts
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= ZipfTopK)
+      .groupBy(col("source"))
+      .agg(expr("regr_slope(ln(CAST(c AS DOUBLE)), ln(CAST(rank AS DOUBLE)))")
+        .as("slope"))
+    stats.join(zipf, "source")
+      .select(col("source"), col("n_tokens"), col("n_types"),
+        round(col("n_types").cast("double") / col("n_tokens"), 6).as("ttr"),
+        round(col("top_c").cast("double") / col("n_tokens"), 6).as("top1_share"),
+        round(log(col("n_tokens").cast("double")) -
+          col("clnc") / col("n_tokens"), 6).as("entropy"),
+        round(col("slope"), 6).as("zipf_slope"))
+      .orderBy(col("source"))
+  }
+
   /** p16 curation-funnel thresholds: quality floor and boilerplate
     * ceiling chosen to split the synthetic corpus non-trivially
     * (500 docs → ~428 kept at sf0.01: quality drops the short/low-alpha
@@ -934,6 +987,7 @@ object PipelineQueries {
     "g03_drift_monitor"     -> g03DriftMonitor _,
     "g04_profile"           -> (g04Profile(_, _)),
     "g07_profile_approx"    -> g07ProfileApprox _,
+    "g09_token_profile"     -> g09TokenProfile _,
   )
 
   /** Shared p16/p20 oracle front (`t`..`gated`) — the funnel gate CTEs,
@@ -1201,6 +1255,34 @@ object PipelineQueries {
       ORDER BY d.source""",
     // approx contract row: exact n/n_null plus the band boolean — the
     // sketch VALUES differ across engines, the bound is the contract
+    // same tokenizer, same H = ln(n) − Σc·ln(c)/n identity, same
+    // (c desc, term) head ordering; regr_slope exists in both engines
+    "g09_token_profile" -> s"""
+      WITH tok AS (
+        SELECT source, unnest(${graft.text.TextAnalysis.ToksSql}) AS term
+        FROM documents),
+      counts AS (
+        SELECT source, term, count(*) AS c FROM tok
+        WHERE term <> '' GROUP BY source, term),
+      stats AS (
+        SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+               count(*) AS n_types, max(c) AS top_c,
+               sum(c * ln(c)) AS clnc
+        FROM counts GROUP BY source),
+      head AS (
+        SELECT source, c,
+               row_number() OVER (PARTITION BY source ORDER BY c DESC, term) AS rank
+        FROM counts),
+      zipf AS (
+        SELECT source, regr_slope(ln(CAST(c AS DOUBLE)), ln(CAST(rank AS DOUBLE))) AS slope
+        FROM head WHERE rank <= $ZipfTopK GROUP BY source)
+      SELECT s.source, s.n_tokens, s.n_types,
+             round(s.n_types * 1.0 / s.n_tokens, 6) AS ttr,
+             round(s.top_c * 1.0 / s.n_tokens, 6) AS top1_share,
+             round(ln(s.n_tokens) - s.clnc / s.n_tokens, 6) AS entropy,
+             round(z.slope, 6) AS zipf_slope
+      FROM stats s JOIN zipf z USING (source)
+      ORDER BY s.source""",
     "g07_profile_approx" -> """
       WITH s AS (SELECT * FROM events)
       SELECT * FROM (

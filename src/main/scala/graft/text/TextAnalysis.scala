@@ -652,6 +652,51 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** t18 weight-table stub scale: the 3-hex md5 bucket value spans
+    * [0, 4095]; dividing by 2047.5 and shifting centers the pseudo-weights
+    * on [−1, 1). */
+  val ClfWeightScale = 2047.5
+
+  /** t18: model-based quality scoring — the fastText-style hashed linear
+    * classifier every current curation recipe ends with (DCLM's fastText
+    * filter, FineWeb-Edu's classifier-score cut): hash each token into
+    * t16's [[DsirBuckets]]-bucket feature space, mean-pool the per-bucket
+    * weights, squash through a sigmoid, keep docs scoring ≥ 0.5.
+    *
+    * The WEIGHTS are a deterministic stub (md5-derived pseudo-randoms in
+    * [−1, 1), the multimodal-decode precedent: no training lib ships in
+    * this container and a trained vector would not be oracle-checkable).
+    * Everything a trained model would need is real and tested: the
+    * feature hashing, the fixed-width weight table (≤ [[DsirBuckets]]
+    * rows — always broadcastable, however big the corpus), the map-side
+    * scoring join, the mean-pool aggregate, the sigmoid gate. Swapping
+    * real weights in changes one `DataFrame` literal.
+    *
+    * Scale shape: ONE pass over the token stream — bucket projection,
+    * broadcast join against the weight table, one doc_id-keyed aggregate.
+    * Token-less documents have no feature rows and thus no score row, in
+    * both engines. `keep` thresholds the ROUNDED score so the cut is
+    * engine-stable at the boundary. */
+  def t18Classifier(s: SparkSession, d: String): DataFrame = {
+    val weights = s.range(DsirBuckets.toLong)
+      .select(col("id").cast("int").as("b"),
+        (conv(substring(md5(concat(lit("clf"), col("id").cast("int"))), 1, 3),
+          16, 10).cast("double") / ClfWeightScale - 1.0).as("w"))
+    val feat = Tables.documents(s, d)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .filter(col("term") =!= "")
+      .select(col("doc_id"),
+        conv(substring(md5(col("term")), 1, 3), 16, 10).cast("int").as("b"))
+    feat.join(broadcast(weights), "b")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(lit(1.0) / (lit(1.0) +
+          exp(-(sum(col("w")) / count(lit(1))))), 6).as("score"))
+      .select(col("doc_id"), col("n_tokens"), col("score"),
+        (col("score") >= 0.5).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, Q] = Map(
     "t01_token_count" -> t01TokenCount _,
     "t02_quality"     -> t02Quality _,
@@ -670,6 +715,7 @@ object TextAnalysis {
     "t15_unigram_lm"  -> t15UnigramLm _,
     "t16_dsir_weights" -> t16DsirWeights _,
     "t17_gopher_rules" -> t17GopherRules _,
+    "t18_classifier"   -> t18Classifier _,
   )
 
   /** Shared SQL fragments for the DuckDB oracle (public: the dedup
@@ -999,5 +1045,26 @@ object TextAnalysis {
                AND bullet_frac <= 0.9 AND ellipsis_frac <= 0.3
                AND n_stopwords >= $GopherMinStopwords AS keep
       FROM m ORDER BY doc_id""",
+    // same 3-hex md5 bucket arithmetic as t16, same md5('clf'||b) weight
+    // stub, same sigmoid; keep thresholds the rounded score in both
+    // engines so the 0.5 cut cannot flip on float noise
+    "t18_classifier" -> s"""
+      WITH f AS (
+        SELECT doc_id,
+               CAST(CAST('0x' || substr(md5(term), 1, 3) AS INT) AS INT) AS b
+        FROM (SELECT doc_id, unnest($ToksSql) AS term FROM documents)
+        WHERE term <> ''),
+      w AS (
+        SELECT CAST(range AS INT) AS b,
+               CAST(CAST('0x' || substr(md5('clf' || range), 1, 3) AS INT)
+                 AS DOUBLE) / $ClfWeightScale - 1.0 AS w
+        FROM range($DsirBuckets)),
+      s AS (
+        SELECT f.doc_id, count(*) AS n_tokens,
+               round(1.0 / (1.0 + exp(-(sum(w.w) / count(*)))), 6) AS score
+        FROM f JOIN w USING (b) GROUP BY f.doc_id)
+      SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, score,
+             score >= 0.5 AS keep
+      FROM s ORDER BY doc_id""",
   )
 }

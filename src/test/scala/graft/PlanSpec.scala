@@ -399,6 +399,28 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("REPARTITION_BY_NUM"), plan)
   }
 
+  test("g09: the Zipf head prunes as WindowGroupLimit; stats run over the count table") {
+    val plan = executed(graft.queries.PipelineQueries.g09TokenProfile(spark, sf))
+    // rank<=K over (c desc, term) must plan as a per-group top-k — the
+    // rank exchange carries (source, term, c) triples, never documents
+    assert(plan.contains("WindowGroupLimit"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    val exLines = plan.linesIterator.filter(_.contains("Exchange")).toVector
+    assert(exLines.forall(!_.contains("text#")), exLines.mkString("\n"))
+  }
+
+  test("t18: the weight table broadcasts; scoring is one doc-keyed aggregate") {
+    val plan = executed(graft.text.TextAnalysis.t18Classifier(spark, sf))
+    // the weight side is fixed-width (<= DsirBuckets rows) at ANY corpus
+    // size — the scoring join must be a broadcast, and nothing windows
+    // or cartesians the token stream
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    val exLines = plan.linesIterator.filter(_.contains("Exchange")).toVector
+    assert(exLines.forall(!_.contains("text#")), exLines.mkString("\n"))
+  }
+
   test("s06: postings prune to the query vocabulary before any exchange; df/q broadcast") {
     val plan = executed(Similarity.s06Bm25TopK(spark, sf))
     assert(!plan.contains("CartesianProduct"), plan)

@@ -172,6 +172,76 @@ class RoundSixOpsSpec extends SparkSpec {
       "every doc over the contamination cap — gate absolute")
   }
 
+  test("g09: profile matches a plain-Scala rebuild of entropy, head ranks, and slope") {
+    import graft.queries.PipelineQueries
+    val got = PipelineQueries.g09TokenProfile(spark, sf).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_types"),
+          r.getAs[Double]("ttr"), r.getAs[Double]("top1_share"),
+          r.getAs[Double]("entropy"), r.getAs[Double]("zipf_slope"))).toMap
+    assert(got.nonEmpty)
+    // independent path: plain-Scala token counts per source, direct
+    // -Σ p ln p entropy (not the ln(n) − Σ c ln c / n identity the
+    // production pass uses), hand-rolled OLS (not regr_slope)
+    val bySource = Tables.documents(spark, sf)
+      .select(col("source"), TextAnalysis.tokens(col("text")).as("t"))
+      .as[(String, Seq[String])].collect()
+      .groupBy(_._1).map { case (src, rows) =>
+        src -> rows.flatMap(_._2).filter(_.nonEmpty)
+          .groupBy(identity).map { case (t, o) => t -> o.length.toLong }
+      }
+    bySource.foreach { case (src, counts) =>
+      val n = counts.values.sum.toDouble
+      val entropy = -counts.values.map(c => c / n * math.log(c / n)).sum
+      val head = counts.toVector.sortBy { case (t, c) => (-c, t) }
+        .take(PipelineQueries.ZipfTopK)
+        .zipWithIndex.map { case ((_, c), i) =>
+          (math.log(i + 1.0), math.log(c.toDouble)) }
+      val (xm, ym) = (head.map(_._1).sum / head.size, head.map(_._2).sum / head.size)
+      val slope = head.map { case (x, y) => (x - xm) * (y - ym) }.sum /
+        head.map { case (x, _) => (x - xm) * (x - xm) }.sum
+      val (nTok, nTyp, ttr, top1, ent, zs) = got(src)
+      assert(nTok == n.toLong && nTyp == counts.size, s"$src sizes")
+      assert(math.abs(ttr - counts.size / n) < 1e-5, s"$src ttr")
+      assert(math.abs(top1 - counts.values.max / n) < 1e-5, s"$src top1")
+      assert(math.abs(ent - entropy) < 1e-5, s"$src entropy $ent want $entropy")
+      assert(math.abs(zs - slope) < 1e-5, s"$src slope $zs want $slope")
+    }
+  }
+
+  test("t18: scores match a java-MD5 rebuild of the hashed linear model") {
+    val got = TextAnalysis.t18Classifier(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Double]("score"),
+          r.getAs[Boolean]("keep"))).toMap
+    assert(got.nonEmpty)
+    assert(got.values.exists(_._3) && got.values.exists(!_._3),
+      "the 0.5 cut should split the corpus non-trivially")
+    def md5pfx(v: String): Int = Integer.parseInt(
+      java.security.MessageDigest.getInstance("MD5").digest(v.getBytes("UTF-8"))
+        .take(2).map("%02x".format(_)).mkString.substring(0, 3), 16)
+    val w = (0 until TextAnalysis.DsirBuckets)
+      .map(b => b -> (md5pfx(s"clf$b") / TextAnalysis.ClfWeightScale - 1.0)).toMap
+    Tables.documents(spark, sf)
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("t"))
+      .as[(Long, Seq[String])].collect()
+      .foreach { case (id, t) =>
+        val bs = t.filter(_.nonEmpty).map(md5pfx)
+        if (bs.isEmpty) assert(!got.contains(id), s"doc $id should have no row")
+        else {
+          val x = bs.map(w).sum / bs.length
+          val want = 1.0 / (1.0 + math.exp(-x))
+          val (n, score, keep) = got(id)
+          assert(n == bs.length, s"doc $id n_tokens")
+          assert(math.abs(score - want) < 1e-5, s"doc $id score $score want $want")
+          // the keep flag thresholds the ROUNDED score; only assert it
+          // away from the 0.5 boundary where rounding can't flip it
+          if (math.abs(want - 0.5) > 1e-4)
+            assert(keep == (want >= 0.5), s"doc $id keep")
+        }
+      }
+  }
+
   test("d09: each representative is its cluster's quality arg-max with id tie-break") {
     val reps = Dedup.d09CanonicalSelect(spark, sf).collect()
     assert(reps.nonEmpty)
