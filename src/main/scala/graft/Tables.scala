@@ -50,15 +50,28 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
-  /** events.parquet stores `ts` as INT64 TIMESTAMP(NANOS), which Spark 4.x
-    * rejects outright ([PARQUET_TYPE_ILLEGAL]). Read it as a raw long via the
-    * legacy conf, then rebuild a real TimestampType column with integer
-    * division (`div`, not `/` — double arithmetic on ~1.7e18 ns values loses
-    * sub-millisecond precision past the 53-bit mantissa). */
+  /** events.parquet's `ts` encoding has varied across driver-generated
+    * datasets, so resolve it from the file's actual schema:
+    *  - INT64 TIMESTAMP(NANOS): Spark 4.x rejects it outright
+    *    ([PARQUET_TYPE_ILLEGAL]) unless read as a raw long via the legacy
+    *    conf; rebuild a real TimestampType column with integer division
+    *    (`div`, not `/` — double arithmetic on ~1.7e18 ns values loses
+    *    sub-millisecond precision past the 53-bit mantissa).
+    *  - TIMESTAMP(MICROS, isAdjustedToUTC=false): reads as TIMESTAMP_NTZ;
+    *    cast to TimestampType (sessions here run UTC, so the instant is
+    *    bit-identical to the nanos path and to DuckDB's naive read).
+    * Downstream code always sees TimestampType either way. */
   def events(s: SparkSession, d: String): DataFrame =
     cached(s, s"$d/events.parquet#ts") {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      load(s, d, "events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val raw = load(s, d, "events")
+      raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          raw.withColumn("ts", col("ts").cast("timestamp"))
+        case _ => raw
+      }
     }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

@@ -705,6 +705,35 @@ object Dedup {
       .orderBy(col("cluster_id"))
   }
 
+  /** g10: duplication-structure panel — the cluster-SIZE distribution of
+    * d07's dup graph plus the singleton mass, the diagnostic read before
+    * choosing a dedup policy (a corpus of many 2-clusters wants pairwise
+    * keep-one; a few giant clusters want d09's canonical selection and a
+    * look at WHY — template pages, mirrors). Output per cluster_size:
+    * (n_clusters, n_docs); the cluster_size = 1 row is the complement
+    * (docs in no J ≥ 0.6 pair).
+    *
+    * Scale shape: composition over d07 — two keyed aggregates over
+    * (doc_id, cluster_id) pairs, then a distribution over the (much
+    * smaller) cluster-size table; the singleton row is two scalar
+    * counts cross-joined (broadcast, no driver collect). Bodies never
+    * shuffle anywhere downstream of d07's own pair machinery. */
+  def g10ClusterSizes(s: SparkSession, d: String): DataFrame = {
+    val clusters = d07DupClusters(s, d).select(col("doc_id"), col("cluster_id"))
+    val dist = clusters
+      .groupBy(col("cluster_id")).agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+      .select(col("cluster_size"), col("n_clusters"),
+        (col("cluster_size") * col("n_clusters")).as("n_docs"))
+    val singles = Tables.documents(s, d).agg(count(lit(1)).as("n_total"))
+      .crossJoin(clusters.agg(count(lit(1)).as("n_clustered")))
+      .select(lit(1L).as("cluster_size"),
+        (col("n_total") - col("n_clustered")).as("n_clusters"),
+        (col("n_total") - col("n_clustered")).as("n_docs"))
+    dist.unionAll(singles).orderBy(col("cluster_size"))
+  }
+
   /** d10 span geometry: 40-character grams at stride 1 — any verbatim
     * copy of ≥ 40 characters is guaranteed to produce at least one
     * shared gram in both copies. */
@@ -1026,6 +1055,7 @@ object Dedup {
     "d11_line_dedup"        -> d11LineDedup _,
     "d12_incremental_neardup" -> d12IncrementalNearDup _,
     "d13_semdedup"            -> d13SemDedup _,
+    "g10_cluster_sizes"       -> g10ClusterSizes _,
   )
 
   /** Shared d11 line-dedup CTE (`b`/`l`/`k`): `k.rn = 1` marks each
@@ -1102,6 +1132,32 @@ object Dedup {
       SELECT v AS doc_id, min(r) AS cluster_id,
              (v = min(r)) AS is_rep
       FROM reach GROUP BY v ORDER BY doc_id""",
+    // d07's recursive component oracle, rolled up to the size
+    // distribution; the singleton row is the corpus complement
+    "g10_cluster_sizes" -> s"""
+      WITH RECURSIVE $JaccardPairsCte,
+      edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM jpairs
+        UNION ALL
+        SELECT doc_b AS src, doc_a AS dst FROM jpairs),
+      nodes AS (SELECT DISTINCT src AS v FROM edges),
+      reach(v, r) AS (
+        SELECT v, v AS r FROM nodes
+        UNION
+        SELECT e.src AS v, reach.r AS r
+        FROM edges e JOIN reach ON reach.v = e.dst),
+      comp AS (SELECT v, min(r) AS cluster_id FROM reach GROUP BY v),
+      sized AS (SELECT cluster_id, count(*) AS cluster_size
+                FROM comp GROUP BY cluster_id),
+      dist AS (SELECT cluster_size, count(*) AS n_clusters,
+                      cluster_size * count(*) AS n_docs
+               FROM sized GROUP BY cluster_size)
+      SELECT cluster_size, n_clusters, n_docs FROM dist
+      UNION ALL
+      SELECT CAST(1 AS BIGINT) AS cluster_size,
+             (SELECT count(*) FROM documents) - (SELECT count(*) FROM comp) AS n_clusters,
+             (SELECT count(*) FROM documents) - (SELECT count(*) FROM comp) AS n_docs
+      ORDER BY cluster_size""",
     // exact strings on the oracle side vs 64-bit gram hashes on the
     // Spark side — occurrence counts agree because collisions over ~1e6
     // grams are ~5e-8-probable (same argument as d02/d08)

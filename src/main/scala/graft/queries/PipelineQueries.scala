@@ -902,16 +902,25 @@ object PipelineQueries {
   }
 
   /** Shared p16/p20 funnel TAIL: keep-first exact dedup on the content
-    * fingerprint, then the per-split rollup. */
+    * fingerprint, then the per-split rollup. avg_quality sums
+    * micro-scaled INTEGERS (round(q·1e6)) instead of doubles: a double
+    * sum's low bits depend on aggregation order (parallel chunking in
+    * either engine), and the regenerated sf0.01 corpus landed p20's
+    * average exactly on a round-6 boundary — the integer sum is exact
+    * and order-free, so the rounded average cannot flip between runs
+    * or engines. */
   private def curationRollup(gated: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("fp")).orderBy(col("doc_id"))
     gated.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .select(col("n_tokens"), col("quality"), splitCol(col("doc_id")).as("split"))
+      .select(col("n_tokens"),
+        round(col("quality") * 1000000).cast("long").as("q6"),
+        splitCol(col("doc_id")).as("split"))
       .groupBy(col("split"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).as("sum_tokens"),
-        round(avg(col("quality")), 6).as("avg_quality"))
+        round(sum(col("q6")) * lit(1.0) / count(lit(1)) / lit(1000000.0), 6)
+          .as("avg_quality"))
       .orderBy(col("split"))
   }
 
@@ -959,6 +968,94 @@ object PipelineQueries {
         .drop("contam_frac"))
   }
 
+  /** p21 training-sequence length in tokens. 128 keeps the row count
+    * meaningful at the test SFs; a real run sets 2048/4096/8192. */
+  val PackSeqLen = 128L
+
+  /** p21: concat-and-cut sequence packing — the GPT-pretraining batch
+    * layout: within each source, documents concatenate in doc_id order
+    * into one token stream that is cut into fixed-[[PackSeqLen]]
+    * sequences; a document crossing a cut boundary CONTRIBUTES TO BOTH
+    * sequences (contrast t08, which bin-packs whole documents and never
+    * splits one). Output per (source, seq_id): how many documents
+    * contribute and how many token positions are filled — the layout
+    * audit a packing job emits (every sequence but each source's last
+    * must be exactly full).
+    *
+    * Scale shape: the running offset is ONE window cumsum over
+    * (doc_id, n_tokens) pairs — bodies never ride the sort (p17's
+    * argument); the boundary fan-out is a per-row `sequence` explode
+    * bounded by ceil(len/L)+1 rows per doc; the rollup shuffles
+    * (source, seq_id, span) triples only. The window partitions by
+    * source; a source too big for one task splits by HashGate shard
+    * first (p17's quota-split note) — offsets then restart per shard,
+    * which a packer tolerates by construction (sequences don't cross
+    * shard files). */
+  def p21PackSequences(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        size(graft.text.TextAnalysis.tokens(col("text"))).cast("long").as("nt"))
+      .filter(col("nt") > 0L)
+      .withColumn("off", coalesce(sum(col("nt")).over(w), lit(0L)))
+      .select(col("source"), col("off"), (col("off") + col("nt")).as("fin"),
+        explode(sequence(expr(s"off div $PackSeqLen"),
+                         expr(s"(off + nt - 1) div $PackSeqLen"))).as("seq_id"))
+      .groupBy(col("source"), col("seq_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(least(col("fin"), (col("seq_id") + 1L) * PackSeqLen) -
+            greatest(col("off"), col("seq_id") * PackSeqLen)).as("n_tokens"))
+      .orderBy(col("source"), col("seq_id"))
+  }
+
+  /** p22: snapshot patch-and-apply — the incremental-maintenance
+    * round-trip p14's diff exists FOR: derive a patch (upserts = the
+    * new version of every added/changed key, deletes = removed keys)
+    * from the two snapshot versions, apply it to the OLD snapshot, and
+    * audit that the result reconstructs the NEW snapshot exactly. This
+    * is the nightly-sync contract of a mutable dimension mirrored into
+    * the lake: ship the patch (small), not the snapshot (huge), and
+    * prove apply(old, patch) ≡ new. Output is the one-row audit: patch
+    * composition, applied size, and the match/mismatch counts (a
+    * non-zero n_mismatch means the patch algebra is broken).
+    *
+    * Scale shape: every stage is keyed on (k, 16-byte fingerprint) —
+    * p14's argument — so no row bodies ever join; the patch-key
+    * anti-join and the re-diff are the same bucketed-merge shape as the
+    * diff itself, and the patch side (churn, not table size) is the
+    * broadcast candidate at a real SF. */
+  def p22SnapshotApply(s: SparkSession, d: String): DataFrame = {
+    val orders = Tables.orders(s, d)
+    val o = orders.filter(col("o_orderkey") % 10 =!= DiffAddedMod)
+      .select(col("o_orderkey").as("k"), diffFp(col("o_totalprice")).as("fp"))
+    val n = orders.filter(col("o_orderkey") % 10 =!= DiffRemovedMod)
+      .select(col("o_orderkey").as("k"),
+        diffFp(when(col("o_orderkey") % 5 === 0, col("o_totalprice") + 1.0)
+          .otherwise(col("o_totalprice"))).as("fp"))
+    val diff = o.select(col("k"), col("fp").as("fp_old"))
+      .join(n.select(col("k"), col("fp").as("fp_new")), Seq("k"), "full")
+      .select(col("k"),
+        when(col("fp_old").isNull, "added")
+          .when(col("fp_new").isNull, "removed")
+          .when(col("fp_old") =!= col("fp_new"), "changed")
+          .otherwise("unchanged").as("category"))
+    val upserts = diff.filter(col("category").isin("added", "changed")).select(col("k"))
+    val deletes = diff.filter(col("category") === "removed").select(col("k"))
+    val applied = o.join(upserts.unionAll(deletes), Seq("k"), "left_anti")
+      .unionByName(n.join(upserts, Seq("k"), "left_semi"))
+    val cmp = applied.select(col("k"), col("fp").as("fp_a"))
+      .join(n.select(col("k"), col("fp").as("fp_n")), Seq("k"), "full")
+      .select(when(col("fp_a").isNull or col("fp_n").isNull or
+        (col("fp_a") =!= col("fp_n")), 1L).otherwise(0L).as("bad"))
+    upserts.agg(count(lit(1)).as("n_upserts"))
+      .crossJoin(deletes.agg(count(lit(1)).as("n_deletes")))
+      .crossJoin(applied.agg(count(lit(1)).as("n_applied")))
+      .crossJoin(cmp.agg(sum(lit(1L) - col("bad")).as("n_match"),
+        sum(col("bad")).as("n_mismatch")))
+  }
+
   val queries: Map[String, Q] = Map(
     "p01_validate_events"   -> p01ValidateEvents _,
     "p02_clean_dedup"       -> p02CleanDedup _,
@@ -979,6 +1076,8 @@ object PipelineQueries {
     "p18_epoch_mix"         -> p18EpochMix _,
     "p19_dedup_budget"      -> p19DedupBudget _,
     "p20_decontam_funnel"   -> p20DecontamFunnel _,
+    "p21_pack_sequences"    -> p21PackSequences _,
+    "p22_snapshot_apply"    -> p22SnapshotApply _,
     "g01_quality_score"     -> g01QualityScore _,
     "g08_source_overlap"    -> g08SourceOverlap _,
     "g05_histogram"         -> g05Histogram _,
@@ -1022,12 +1121,15 @@ object PipelineQueries {
         WHERE q.quality >= $CurationMinQuality
           AND coalesce(b.boiler_frac, 0.0) <= $CurationMaxBoiler)"""
 
-  /** Shared p16/p20 oracle tail — the per-split rollup over `kept`. */
+  /** Shared p16/p20 oracle tail — the per-split rollup over `kept`.
+    * avg_quality via the same order-free integer-micro sum as
+    * [[curationRollup]]. */
   private val CurationRollupSql: String = s"""
       SELECT ${splitCaseSql("doc_id")} AS split,
              count(*) AS n_docs,
              CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
-             round(avg(quality), 6) AS avg_quality
+             round(sum(CAST(round(quality * 1000000) AS BIGINT)) * 1.0
+                   / count(*) / 1000000.0, 6) AS avg_quality
       FROM kept GROUP BY 1 ORDER BY 1"""
 
   val oracleSql: Map[String, String] = Map(
@@ -1057,6 +1159,46 @@ object PipelineQueries {
       SELECT category, count(*) AS n_rows,
              min(k) AS min_key, max(k) AS max_key
       FROM j GROUP BY category ORDER BY category""",
+    // p14's snapshots + the same patch algebra: apply(old, patch) must
+    // reconstruct new exactly — n_mismatch is 0 by construction on BOTH
+    // engines or the algebra is broken
+    "p22_snapshot_apply" -> s"""
+      WITH o AS (
+        SELECT o_orderkey AS k,
+               md5(concat_ws('|', o_orderstatus, o_orderpriority,
+                 CAST(CAST(round(o_totalprice, 2) AS DECIMAL(18,2)) AS VARCHAR))) AS fp
+        FROM orders WHERE o_orderkey % 10 <> $DiffAddedMod),
+      n AS (
+        SELECT o_orderkey AS k,
+               md5(concat_ws('|', o_orderstatus, o_orderpriority,
+                 CAST(CAST(round(CASE WHEN o_orderkey % 5 = 0
+                                      THEN o_totalprice + 1.0
+                                      ELSE o_totalprice END, 2)
+                      AS DECIMAL(18,2)) AS VARCHAR))) AS fp
+        FROM orders WHERE o_orderkey % 10 <> $DiffRemovedMod),
+      j AS (
+        SELECT coalesce(o.k, n.k) AS k,
+               CASE WHEN o.fp IS NULL THEN 'added'
+                    WHEN n.fp IS NULL THEN 'removed'
+                    WHEN o.fp <> n.fp THEN 'changed'
+                    ELSE 'unchanged' END AS category
+        FROM o FULL JOIN n ON o.k = n.k),
+      up AS (SELECT k FROM j WHERE category IN ('added', 'changed')),
+      del AS (SELECT k FROM j WHERE category = 'removed'),
+      applied AS (
+        SELECT k, fp FROM o
+        WHERE k NOT IN (SELECT k FROM up) AND k NOT IN (SELECT k FROM del)
+        UNION ALL
+        SELECT k, fp FROM n WHERE k IN (SELECT k FROM up)),
+      cmp AS (
+        SELECT CASE WHEN a.fp IS NULL OR n.fp IS NULL OR a.fp <> n.fp
+                    THEN 1 ELSE 0 END AS bad
+        FROM applied a FULL JOIN n ON a.k = n.k)
+      SELECT (SELECT count(*) FROM up) AS n_upserts,
+             (SELECT count(*) FROM del) AS n_deletes,
+             (SELECT count(*) FROM applied) AS n_applied,
+             (SELECT CAST(sum(1 - bad) AS BIGINT) FROM cmp) AS n_match,
+             (SELECT CAST(sum(bad) AS BIGINT) FROM cmp) AS n_mismatch""",
     // CAST the window sum: DuckDB's sum(BIGINT) yields HUGEINT, whose
     // pandas dtype kind differs from Spark's int64 even at equal values
     "p17_token_budget" -> s"""
@@ -1091,6 +1233,27 @@ object PipelineQueries {
       SELECT source, doc_id, n_tokens, cum_tokens
       FROM c WHERE cum_tokens <= $SourceTokenBudget
       ORDER BY source, cum_tokens""",
+    // the same exclusive cumsum + integer-division cut; seq spans fan
+    // out through range(), span arithmetic is BIGINT-only on both sides
+    "p21_pack_sequences" -> s"""
+      WITH t AS (
+        SELECT doc_id, source,
+               CAST(len(${graft.text.TextAnalysis.ToksSql}) AS BIGINT) AS nt
+        FROM documents),
+      c AS (
+        SELECT doc_id, source, nt,
+               CAST(coalesce(sum(nt) OVER (PARTITION BY source ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS ofs
+        FROM t WHERE nt > 0),
+      x AS (
+        SELECT source, ofs, ofs + nt AS fin,
+               unnest(range(ofs // $PackSeqLen, (ofs + nt - 1) // $PackSeqLen + 1)) AS seq_id
+        FROM c)
+      SELECT source, seq_id, count(*) AS n_docs,
+             CAST(sum(least(fin, (seq_id + 1) * $PackSeqLen) -
+                      greatest(ofs, seq_id * $PackSeqLen)) AS BIGINT) AS n_tokens
+      FROM x GROUP BY source, seq_id
+      ORDER BY source, seq_id""",
     // integer division (//) keeps the factor arithmetic exact; the md5
     // gate is HashGate's shared fragment, so copy counts agree per doc
     "p18_epoch_mix" -> s"""

@@ -418,6 +418,54 @@ object RelationalQueries {
     """)
   }
 
+  /** q38: correlated EXISTS / NOT EXISTS via SQL — nations that have a
+    * high-balance customer but no deeply negative one, with their supplier
+    * counts. Catalyst decorrelates both predicates (RewritePredicateSubquery)
+    * into a left-semi and a left-anti hash join on `nationkey` — at scale
+    * neither subquery is ever evaluated per-row, and the tiny customer
+    * aggregates broadcast. (q06/q07 express the same joins with the
+    * DataFrame API; this row pins the SQL-subquery path the reference's
+    * Athena users would actually write.) */
+  def q38ExistsSubquery(s: SparkSession, d: String): DataFrame = {
+    Tables.supplier(s, d).createOrReplaceTempView("ex_supplier")
+    Tables.nation(s, d).createOrReplaceTempView("ex_nation")
+    Tables.customer(s, d).createOrReplaceTempView("ex_customer")
+    s.sql("""
+      SELECT n_name, count(*) AS n_suppliers,
+             round(sum(s_acctbal), 2) AS total_bal
+      FROM ex_supplier s JOIN ex_nation n ON s.s_nationkey = n.n_nationkey
+      WHERE EXISTS (SELECT 1 FROM ex_customer c
+                    WHERE c.c_nationkey = s.s_nationkey AND c.c_acctbal > 9000)
+        AND NOT EXISTS (SELECT 1 FROM ex_customer c
+                        WHERE c.c_nationkey = s.s_nationkey AND c.c_acctbal < -999)
+      GROUP BY n_name
+      ORDER BY n_name
+    """)
+  }
+
+  /** q39: correlated LATERAL derived table via SQL — each mktsegment's top
+    * spender joined laterally to that customer's order stats. The lateral
+    * aggregate decorrelates (DecorrelateInnerQuery) into one grouped
+    * aggregate over orders + a hash join — per-customer re-execution never
+    * happens at scale; the top-spender side is a WindowGroupLimit over the
+    * customer scan. */
+  def q39LateralJoin(s: SparkSession, d: String): DataFrame = {
+    Tables.customer(s, d).createOrReplaceTempView("lat_customer")
+    Tables.orders(s, d).createOrReplaceTempView("lat_orders")
+    s.sql("""
+      SELECT t.c_mktsegment, t.c_custkey, o.n_orders, o.max_price
+      FROM (SELECT c_mktsegment, c_custkey,
+                   row_number() OVER (PARTITION BY c_mktsegment
+                                      ORDER BY c_acctbal DESC, c_custkey) AS rnk
+            FROM lat_customer) t,
+           LATERAL (SELECT count(*) AS n_orders,
+                           round(coalesce(max(o_totalprice), 0.0), 2) AS max_price
+                    FROM lat_orders o WHERE o.o_custkey = t.c_custkey) o
+      WHERE t.rnk <= 3
+      ORDER BY t.c_mktsegment, t.c_custkey
+    """)
+  }
+
   val queries: Map[String, Q] = Map(
     "q01_pricing_summary" -> q01PricingSummary _,
     "q02_filter_agg"      -> q02FilterAgg _,
@@ -445,6 +493,8 @@ object RelationalQueries {
     "q22_percentiles"     -> q22Percentiles _,
     "q23_broadcast_enrich"-> q23BroadcastEnrich _,
     "q24_subquery"        -> q24Subquery _,
+    "q38_exists_subquery" -> q38ExistsSubquery _,
+    "q39_lateral_join"    -> q39LateralJoin _,
   )
 
   /** DuckDB-equivalent SQL (driver runs these over the same parquet tables). */
@@ -669,5 +719,26 @@ object RelationalQueries {
                             WHERE i.o_custkey = o.o_custkey)
       GROUP BY o_custkey
       ORDER BY o_custkey""",
+    "q38_exists_subquery" -> """
+      SELECT n_name, count(*) AS n_suppliers,
+             round(sum(s_acctbal), 2) AS total_bal
+      FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+      WHERE EXISTS (SELECT 1 FROM customer c
+                    WHERE c.c_nationkey = s.s_nationkey AND c.c_acctbal > 9000)
+        AND NOT EXISTS (SELECT 1 FROM customer c
+                        WHERE c.c_nationkey = s.s_nationkey AND c.c_acctbal < -999)
+      GROUP BY n_name
+      ORDER BY n_name""",
+    "q39_lateral_join" -> """
+      SELECT t.c_mktsegment, t.c_custkey, o.n_orders, o.max_price
+      FROM (SELECT c_mktsegment, c_custkey,
+                   row_number() OVER (PARTITION BY c_mktsegment
+                                      ORDER BY c_acctbal DESC, c_custkey) AS rnk
+            FROM customer) t,
+           LATERAL (SELECT count(*) AS n_orders,
+                           round(coalesce(max(o_totalprice), 0.0), 2) AS max_price
+                    FROM orders o WHERE o.o_custkey = t.c_custkey) o
+      WHERE t.rnk <= 3
+      ORDER BY t.c_mktsegment, t.c_custkey""",
   )
 }

@@ -505,6 +505,164 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** s07 candidate-pool depth: MMR re-ranks the exact top-[[MmrCands]]
+    * retrieval, so the diversity trade happens among genuinely relevant
+    * vectors. */
+  val MmrCands = 25
+
+  /** s07: maximal-marginal-relevance diversified retrieval (Carbonell &
+    * Goldstein '98) — greedy re-rank of the exact top-[[MmrCands]]: pick
+    * argmax qcos first, then repeatedly argmax 0.7·qcos − 0.3·max_{s∈S}
+    * cos(c, s) over the unpicked pool. The dedup-adjacent retrieval
+    * recipe: a near-dup of an already-returned result scores its
+    * redundancy penalty and drops down the list (eval-set construction,
+    * RAG context packing).
+    *
+    * MMR is inherently sequential in k, so the loop runs as [[TopK]]
+    * DataFrame rounds (pick-per-query window → penalty-update join),
+    * localCheckpoint'd per round to keep the plan flat — the frames are
+    * per-query candidate lists (Q·[[MmrCands]] rows), so each round is
+    * bounded work independent of corpus size; the expensive part
+    * (retrieval) happened once upstream. Every ranking decision orders
+    * by (round(·,6), vec_id), and scores combine ROUNDED inputs with
+    * identical literals (0.7/0.3) in both engines, so the greedy path —
+    * and therefore the whole output — is engine-stable; the oracle
+    * restates the recursion as a recursive CTE. */
+  def s07MmrTopK(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.VectorFunctions.cosine
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val q = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val wC = Window.partitionBy(col("query_id"))
+      .orderBy(col("qcos").desc, col("vec_id"))
+    val cands = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("qcos", round(cosine(col("qe"), col("embedding")), 6))
+      .withColumn("rn", row_number().over(wC))
+      .filter(col("rn") <= MmrCands)
+      .select(col("query_id"), col("vec_id"), col("qcos"), col("embedding"))
+      .localCheckpoint()
+    // pairwise candidate similarities: bounded Q·MmrCands² rows — the
+    // only all-pairs product is within each query's fixed-size pool
+    val pairs = cands
+      .select(col("query_id"), col("vec_id").as("a"), col("embedding").as("ea"))
+      .join(cands.select(col("query_id"), col("vec_id").as("b"),
+        col("embedding").as("eb")), Seq("query_id"))
+      .filter(col("a") =!= col("b"))
+      .select(col("query_id"), col("a"), col("b"),
+        round(cosine(col("ea"), col("eb")), 6).as("pcos"))
+      .localCheckpoint()
+    val wPick = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("vec_id"))
+    var rem = cands.select(col("query_id"), col("vec_id"), col("qcos"))
+      .withColumn("penalty", lit(0.0))
+    var sel = Vector.empty[DataFrame]
+    for (step <- 1 to TopK) {
+      val scored =
+        if (step == 1) rem.withColumn("score", col("qcos"))
+        else rem.withColumn("score",
+          lit(0.7) * col("qcos") - lit(0.3) * col("penalty"))
+      val pick = scored.withColumn("rn", row_number().over(wPick))
+        .filter(col("rn") === 1)
+        .select(col("query_id"), col("vec_id"), col("score"))
+        .localCheckpoint()
+      sel = sel :+ pick.select(col("query_id"), lit(step).as("rank"),
+        col("vec_id").as("neighbor_id"), round(col("score"), 6).as("score"))
+      if (step < TopK) {
+        rem = rem
+          .join(pick.select(col("query_id"), col("vec_id").as("picked")),
+            Seq("query_id"))
+          .filter(col("vec_id") =!= col("picked"))
+          .join(pairs.select(col("query_id"), col("a").as("vec_id"),
+            col("b").as("picked"), col("pcos")),
+            Seq("query_id", "vec_id", "picked"))
+          .withColumn("penalty",
+            if (step == 1) col("pcos") else greatest(col("penalty"), col("pcos")))
+          .select(col("query_id"), col("vec_id"), col("qcos"), col("penalty"))
+          .localCheckpoint()
+      }
+    }
+    sel.reduce(_ unionByName _).orderBy(col("query_id"), col("rank"))
+  }
+
+  /** s08 refine depth: exact re-rank of the SQ8 short-list (5× TopK —
+    * SQ8's per-dim error is tiny, so a shallow refine recovers the exact
+    * ranking; contrast s04's 500, which pays for 51× compression). */
+  val SqRefine = 50
+
+  /** s08: scalar-quantization (SQ8) ANN — each dimension linear-mapped to
+    * an 8-bit code against per-dimension corpus min/max, approximate
+    * cosine scored on the DEQUANTIZED codes, exact refine of the top
+    * [[SqRefine]]. The simplest compressed-index family (FAISS's
+    * ScalarQuantizer, Lucene/HNSW int8): 4× smaller than float32 with
+    * no codebook training at all — the baseline to justify s04's PQ
+    * (51×, needs training) against.
+    *
+    * Unlike s02-s04 (hash/seed-defined → recall-contract oracles), SQ8
+    * is a pure FUNCTION of the corpus: min/max are exact aggregates and
+    * the encode arithmetic is deterministic, so the full pipeline —
+    * codes, ADC ranking, refine — is restated verbatim in DuckDB and
+    * checked row-for-row (d13's exact-oracle approach). Every ranking
+    * decision orders by (round(·,6), vec_id) so no float ulp can flip
+    * an order between engines.
+    *
+    * Scale shape: the stats pass is ONE 64-key aggregate (posexplode
+    * fans out map-side; partial min/max reduces each partition to #dims
+    * rows before the exchange) broadcast back as two arrays; encode and
+    * ADC are per-row array algebra on the scan (no shuffle); the only
+    * data exchanges are the per-query top-[[SqRefine]] window over
+    * (query_id, vec_id, adc) triples and the id-keyed refine join —
+    * vectors themselves never shuffle. */
+  def s08SqTopK(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val stats = e.select(posexplode(col("embedding")).as(Seq("i", "x")))
+      .groupBy(col("i"))
+      .agg(min(col("x").cast("double")).as("mn"),
+           max(col("x").cast("double")).as("mx"))
+      .agg(sort_array(collect_list(struct(col("i"), col("mn")))).as("amn"),
+           sort_array(collect_list(struct(col("i"), col("mx")))).as("amx"))
+      .select(transform(col("amn"), p => p.getField("mn")).as("mn"),
+              transform(col("amx"), p => p.getField("mx")).as("mx"))
+    // encode: c_i = round((x_i - mn_i) * 255 / span_i); degenerate dims
+    // (span 0) code to 0. Dequantize: x̂_i = mn_i + c_i/255·span_i. The
+    // association order of every operation matches the oracle SQL
+    // text so the doubles agree bitwise.
+    def coded(df: DataFrame): DataFrame = df
+      .withColumn("span", zip_with(col("mx"), col("mn"), (a, b) => a - b))
+      .withColumn("shift", zip_with(transform(col("embedding"), x => x.cast("double")),
+        col("mn"), (x, m) => x - m))
+      .withColumn("codes", zip_with(col("shift"), col("span"),
+        (y, sp) => when(sp === 0d, 0L).otherwise(round(y * 255 / sp).cast("long"))))
+      .withColumn("part", zip_with(col("codes"), col("span"),
+        (c, sp) => c.cast("double") / 255.0 * sp))
+      .withColumn("xhat", zip_with(col("mn"), col("part"), (m, p) => m + p))
+    import graft.functions.VectorFunctions.cosine
+    val q = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"),
+        col("embedding").as("qe"),
+        transform(col("embedding"), x => x.cast("double")).as("qd"))
+    val wAdc = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").desc, col("vec_id"))
+    val cand = coded(e.crossJoin(broadcast(stats)))
+      .join(broadcast(q.select(col("query_id"), col("qd"))),
+        col("vec_id") =!= col("query_id"))
+      .withColumn("adc", round(cosine(col("qd"), col("xhat")), 6))
+      .withColumn("arank", row_number().over(wAdc))
+      .filter(col("arank") <= SqRefine)
+      .select(col("query_id"), col("vec_id"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    // refine joins broadcast the TINY candidate list (Q·SqRefine ids)
+    // into the vector scan — full embeddings never cross an exchange
+    e.join(broadcast(cand), "vec_id")
+      .join(broadcast(q.select(col("query_id"), col("qe"))), "query_id")
+      .withColumn("cos", cosine(col("qe"), col("embedding")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(col("cos"), 6).as("cos"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   val queries: Map[String, Q] = Map(
     "s01_topk_bruteforce" -> s01BruteForceTopK _,
     "s02_topk_lsh"        -> s02LshRecall _,
@@ -512,6 +670,8 @@ object Similarity {
     "s04_topk_pq"         -> s04PqRecall _,
     "s05_cluster_profile" -> s05ClusterProfile _,
     "s06_bm25_topk"       -> s06Bm25TopK _,
+    "s07_mmr_topk"        -> s07MmrTopK _,
+    "s08_sq_topk"         -> s08SqTopK _,
   )
 
   /** The recall-contract oracle: every query id must come back with a full
@@ -590,6 +750,119 @@ object Similarity {
         FROM sc)
       SELECT query_id, rank, doc_id, score
       FROM r WHERE rank <= $TopK
+      ORDER BY query_id, rank""",
+    // s07: the greedy MMR recursion restated as a recursive CTE — the
+    // picked set accumulates as a list, each step's argmax uses the
+    // SAME rounded inputs and literals, QUALIFY picks one row per query
+    "s07_mmr_topk" -> s"""
+      WITH RECURSIVE
+      e AS (SELECT vec_id, embedding FROM embeddings),
+      q AS (SELECT vec_id AS query_id, embedding AS qe FROM e WHERE vec_id < $NumQueries),
+      scored AS (
+        SELECT q.query_id, e.vec_id,
+               round(list_sum(list_transform(range(1, len(q.qe) + 1),
+                 i -> CAST(q.qe[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(q.qe,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                * sqrt(list_sum(list_transform(e.embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS qcos
+        FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+      cands AS (
+        SELECT query_id, vec_id, qcos FROM (
+          SELECT query_id, vec_id, qcos,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY qcos DESC, vec_id) AS rn
+          FROM scored)
+        WHERE rn <= $MmrCands),
+      ce AS (SELECT c.query_id, c.vec_id, e.embedding
+             FROM cands c JOIN e USING (vec_id)),
+      pairs AS (
+        SELECT x.query_id, x.vec_id AS a, y.vec_id AS b,
+               round(list_sum(list_transform(range(1, len(x.embedding) + 1),
+                 i -> CAST(x.embedding[i] AS DOUBLE) * CAST(y.embedding[i] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(x.embedding,
+                    v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
+                * sqrt(list_sum(list_transform(y.embedding,
+                    v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))), 6) AS pcos
+        FROM ce x JOIN ce y
+          ON x.query_id = y.query_id AND x.vec_id <> y.vec_id),
+      sel(query_id, step, pick, score, picked) AS (
+        (SELECT query_id, 1, vec_id, qcos, [vec_id] FROM cands
+         QUALIFY row_number() OVER (PARTITION BY query_id
+                                    ORDER BY qcos DESC, vec_id) = 1)
+        UNION ALL
+        (SELECT s.query_id, s.step + 1, c.vec_id,
+                0.7 * c.qcos - 0.3 * (SELECT max(p.pcos) FROM pairs p
+                  WHERE p.query_id = s.query_id AND p.a = c.vec_id
+                    AND list_contains(s.picked, p.b)),
+                list_append(s.picked, c.vec_id)
+         FROM sel s JOIN cands c ON c.query_id = s.query_id
+           AND NOT list_contains(s.picked, c.vec_id)
+         WHERE s.step < $TopK
+         QUALIFY row_number() OVER (PARTITION BY s.query_id ORDER BY
+           0.7 * c.qcos - 0.3 * (SELECT max(p.pcos) FROM pairs p
+             WHERE p.query_id = s.query_id AND p.a = c.vec_id
+               AND list_contains(s.picked, p.b)) DESC, c.vec_id) = 1))
+      SELECT query_id, step AS rank, pick AS neighbor_id,
+             round(score, 6) AS score
+      FROM sel ORDER BY query_id, rank""",
+    // s08: the WHOLE SQ8 pipeline restated — per-dim min/max, the same
+    // encode/dequantize arithmetic in the same association order, ADC
+    // ranked by (round(·,6) DESC, vec_id), then the s01 exact-cosine
+    // refine of the identical candidate set.
+    "s08_sq_topk" -> s"""
+      WITH e AS (SELECT vec_id, embedding FROM embeddings),
+      st AS (
+        SELECT i, min(CAST(x AS DOUBLE)) AS mn, max(CAST(x AS DOUBLE)) AS mx
+        FROM (SELECT unnest(embedding) AS x,
+                     unnest(range(1, len(embedding) + 1)) AS i
+              FROM e)
+        GROUP BY i),
+      sl AS (SELECT list(mn ORDER BY i) AS mn, list(mx ORDER BY i) AS mx FROM st),
+      enc AS (
+        SELECT vec_id,
+               list_transform(range(1, len(embedding) + 1), i ->
+                 CASE WHEN sl.mx[i] - sl.mn[i] = 0 THEN CAST(0 AS BIGINT)
+                      ELSE CAST(round((CAST(embedding[i] AS DOUBLE) - sl.mn[i]) * 255
+                                      / (sl.mx[i] - sl.mn[i])) AS BIGINT) END) AS c
+        FROM e, sl),
+      deq AS (
+        SELECT vec_id,
+               list_transform(range(1, len(c) + 1), i ->
+                 sl.mn[i] + c[i] / 255.0 * (sl.mx[i] - sl.mn[i])) AS xhat
+        FROM enc, sl),
+      q AS (SELECT vec_id AS query_id, embedding AS qe FROM e WHERE vec_id < $NumQueries),
+      adc AS (
+        SELECT q.query_id, deq.vec_id,
+               round(list_sum(list_transform(range(1, len(q.qe) + 1),
+                       i -> CAST(q.qe[i] AS DOUBLE) * deq.xhat[i]))
+               / (sqrt(list_sum(list_transform(q.qe,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                * sqrt(list_sum(list_transform(deq.xhat, x -> x * x)))), 6) AS a
+        FROM deq CROSS JOIN q WHERE deq.vec_id <> q.query_id),
+      cand AS (
+        SELECT query_id, vec_id FROM (
+          SELECT query_id, vec_id,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY a DESC, vec_id) AS arank
+          FROM adc)
+        WHERE arank <= $SqRefine),
+      scored AS (
+        SELECT c.query_id, c.vec_id,
+               list_sum(list_transform(range(1, len(q.qe) + 1),
+                 i -> CAST(q.qe[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(q.qe,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                * sqrt(list_sum(list_transform(e.embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
+        FROM cand c JOIN e ON c.vec_id = e.vec_id JOIN q ON c.query_id = q.query_id),
+      ranked AS (
+        SELECT query_id, vec_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, vec_id) AS rank, cos
+        FROM scored)
+      SELECT query_id, vec_id AS neighbor_id, round(cos, 6) AS cos, rank
+      FROM ranked WHERE rank <= $TopK
       ORDER BY query_id, rank""",
   )
 }

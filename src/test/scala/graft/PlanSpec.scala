@@ -435,4 +435,70 @@ class PlanSpec extends SparkSpec {
     assert(firstEx >= 0 && filterIdx > firstEx,
       s"vocab filter not below the tf exchange (ex=$firstEx filter=$filterIdx)\n$plan")
   }
+
+  test("q38: EXISTS/NOT EXISTS decorrelate into semi/anti joins") {
+    val df = RelationalQueries.q38ExistsSubquery(spark, sf)
+    // RewritePredicateSubquery is a LOGICAL rewrite — assert it there: the
+    // physical plan may legitimately lose the anti join at runtime (AQE
+    // propagates the empty anti build side at this SF and replaces the
+    // join with its left child — exactly what you want at scale too)
+    val logical = df.queryExecution.optimizedPlan.toString
+    assert(logical.contains("LeftSemi"), logical)
+    assert(logical.contains("LeftAnti"), logical)
+    val plan = executed(df)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("LeftSemi"), plan)
+  }
+
+  test("q39: the lateral aggregate decorrelates — no nested-loop re-execution") {
+    val plan = executed(RelationalQueries.q39LateralJoin(spark, sf))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("p21: the packing window rides (id, count) tuples; text never crosses an exchange") {
+    val plan = executed(PipelineQueries.p21PackSequences(spark, sf))
+    // the boundary fan-out is a map-side generator over already-reduced rows
+    assert(plan.contains("Generate"), plan)
+    val exLines = plan.linesIterator.filter(_.contains("Exchange")).toVector
+    assert(exLines.forall(!_.contains("text#")), exLines.mkString("\n"))
+  }
+
+  test("runtime bloom filter: a selective dim predicate prunes the fact scan at SMJ scale") {
+    // At 100 TB the dim side of a selective join often exceeds the
+    // broadcast threshold; Spark's runtime bloom filter (InjectRuntimeFilter)
+    // then semi-join-prunes the fact scan. Local data is far below every
+    // size threshold, so force the SMJ regime to prove the capability is
+    // live in this build and our plans don't structurally block it.
+    import org.apache.spark.sql.functions._
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+      .map(k => k -> conf.getOption(k)).toMap
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "1")
+      val df = Tables.lineitem(spark, sf)
+        .join(Tables.part(spark, sf).filter(col("p_size") < 10),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand")).agg(count(lit(1)).as("n_items"))
+      val plan = df.queryExecution.optimizedPlan.toString
+      assert(plan.contains("bloom_filter_agg") || plan.contains("might_contain"),
+        plan)
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None)    => conf.unset(k)
+    }
+  }
+
+  test("s08: stats and candidates broadcast; full vectors never cross an exchange") {
+    val plan = executed(Similarity.s08SqTopK(spark, sf))
+    assert(!plan.contains("CartesianProduct"), plan)
+    val exLines = plan.linesIterator.filter(_.contains("Exchange")).toVector
+    assert(exLines.forall(l => !l.contains("embedding#") && !l.contains("xhat#")),
+      exLines.mkString("\n"))
+  }
 }

@@ -1,0 +1,150 @@
+package graft
+
+import graft.dedup.Dedup
+import graft.queries.PipelineQueries
+import graft.similarity.Similarity
+import org.apache.spark.sql.functions._
+
+/** Semantic laws for the later round-6 additions: the duplication-structure
+  * panel (g10), concat-and-cut sequence packing (p21), and SQ8
+  * scalar-quantized ANN (s08). Same discipline as RoundSixOpsSpec: every
+  * law re-derives the expectation through an INDEPENDENT path (the
+  * upstream operators' own outputs, driver-side arithmetic) so a
+  * production-path regression cannot cancel out in the check. */
+class RoundSixBOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("g10: sizes partition the corpus; distribution matches a driver rebuild from d07") {
+    val got = Dedup.g10ClusterSizes(spark, sf).collect()
+      .map(r => r.getAs[Long]("cluster_size") ->
+        (r.getAs[Long]("n_clusters"), r.getAs[Long]("n_docs"))).toMap
+    assert(got.nonEmpty)
+    // conservation: every document lands in exactly one size bucket
+    val total = Tables.documents(spark, sf).count()
+    assert(got.values.map(_._2).sum == total)
+    got.foreach { case (size, (nc, nd)) =>
+      assert(nd == size * nc, s"size $size: n_docs $nd != $size * $nc")
+    }
+    // independent rebuild of the >= 2 buckets from d07's own output
+    val byCluster = Dedup.d07DupClusters(spark, sf).collect()
+      .groupBy(_.getAs[Long]("cluster_id")).map(_._2.length.toLong)
+    val want = byCluster.groupBy(identity).map { case (sz, o) => sz -> o.size.toLong }
+    want.foreach { case (sz, nc) =>
+      assert(got(sz)._1 == nc, s"size $sz: n_clusters ${got(sz)._1} != $nc")
+    }
+    assert(got(1L)._1 == total - byCluster.sum)
+  }
+
+  test("p21: sequences are exactly full except each source's last; spans match a driver rebuild") {
+    val got = PipelineQueries.p21PackSequences(spark, sf).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("seq_id")) ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"))).toMap
+    assert(got.nonEmpty)
+    val L = PipelineQueries.PackSeqLen
+    // driver rebuild: concatenate per source in doc_id order, cut at L
+    val docs = Tables.documents(spark, sf)
+      .select(col("source"), col("doc_id"),
+        size(graft.text.TextAnalysis.tokens(col("text"))).cast("long").as("nt"))
+      .as[(String, Long, Long)].collect()
+      .filter(_._3 > 0).groupBy(_._1)
+    val want = docs.flatMap { case (src, rows) =>
+      var off = 0L
+      val spans = rows.sortBy(_._2).flatMap { case (_, _, nt) =>
+        val fin = off + nt
+        val seqs = (off / L) to ((fin - 1) / L)
+        val out = seqs.map(q =>
+          (src, q) -> (math.min(fin, (q + 1) * L) - math.max(off, q * L)))
+        off = fin
+        out
+      }
+      spans.groupBy(_._1).map { case (k, o) =>
+        k -> (o.length.toLong, o.map(_._2).sum)
+      }
+    }
+    assert(got == want.toMap)
+    // layout audit: within a source every sequence but the last is full
+    got.keys.groupBy(_._1).foreach { case (src, ks) =>
+      val last = ks.map(_._2).max
+      ks.filter(_._2 < last).foreach { k =>
+        assert(got(k)._2 == L, s"$k not full: ${got(k)._2}")
+      }
+    }
+  }
+
+  test("p22: apply(old, patch) reconstructs new exactly; patch sizes match the diff") {
+    val row = PipelineQueries.p22SnapshotApply(spark, sf).collect() match {
+      case Array(r) => r
+      case other => fail(s"expected one audit row, got ${other.length}")
+    }
+    assert(row.getAs[Long]("n_mismatch") == 0L, row.toString)
+    // independent sizes from p14's categorized diff
+    val cats = PipelineQueries.p14SnapshotDiff(spark, sf).collect()
+      .map(r => r.getAs[String]("category") -> r.getAs[Long]("n_rows")).toMap
+    assert(row.getAs[Long]("n_upserts") ==
+      cats.getOrElse("added", 0L) + cats.getOrElse("changed", 0L))
+    assert(row.getAs[Long]("n_deletes") == cats.getOrElse("removed", 0L))
+    val newCount = Tables.orders(spark, sf)
+      .filter(col("o_orderkey") % 10 =!= PipelineQueries.DiffRemovedMod).count()
+    assert(row.getAs[Long]("n_applied") == newCount)
+    assert(row.getAs[Long]("n_match") == newCount)
+  }
+
+  test("s07: the MMR greedy path matches a plain-Scala rebuild from rounded inputs") {
+    val got = Similarity.s07MmrTopK(spark, sf).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank")) ->
+        (r.getAs[Long]("neighbor_id"), r.getAs[Double]("score"))).toMap
+    assert(got.size == Similarity.NumQueries * Similarity.TopK)
+    // independent path: collect embeddings, rebuild candidates + the
+    // greedy recursion in plain Scala with the same rounding
+    val embs = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[Seq[Float]]("embedding").map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.indices.map(i => a(i) * b(i)).sum
+      val na = math.sqrt(a.map(x => x * x).sum)
+      val nb = math.sqrt(b.map(x => x * x).sum)
+      BigDecimal(dot / (na * nb)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    (0L until Similarity.NumQueries).foreach { qid =>
+      val qe = embs(qid)
+      val cands = embs.toSeq.filter(_._1 != qid)
+        .map { case (v, emb) => (v, cos(qe, emb)) }
+        .sortBy { case (v, c) => (-c, v) }.take(Similarity.MmrCands)
+      var picked = Vector.empty[Long]
+      var pool = cands
+      (1 to Similarity.TopK).foreach { step =>
+        val best = pool.map { case (v, qc) =>
+          val score = if (step == 1) qc
+            else 0.7 * qc - 0.3 * picked.map(p => cos(embs(v), embs(p))).max
+          (v, score)
+        }.minBy { case (v, sc) => (-sc, v) }
+        val (wantV, wantS) = best
+        val (gotV, gotS) = got((qid, step))
+        assert(gotV == wantV && math.abs(gotS -
+          BigDecimal(wantS).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9,
+          s"q$qid step $step: got ($gotV, $gotS) want ($wantV, $wantS)")
+        picked :+= wantV
+        pool = pool.filter(_._1 != wantV)
+      }
+    }
+  }
+
+  test("s08: full top-k per query, exact-cosine-sorted, high recall vs brute force") {
+    val got = Similarity.s08SqTopK(spark, sf).collect()
+    val exact = Similarity.s01BruteForceTopK(spark, sf).collect()
+    val byQ = got.groupBy(_.getAs[Long]("query_id"))
+    assert(byQ.keySet == (0L until Similarity.NumQueries).toSet)
+    byQ.values.foreach { rows =>
+      assert(rows.length == Similarity.TopK)
+      val cs = rows.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("cos"))
+      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b }, "cos not descending")
+    }
+    // SQ8's per-dim error is tiny relative to the neighbor gaps here;
+    // the refine-50 pass should recover essentially the exact top-10
+    val g = got.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val x = exact.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = (g intersect x).size.toDouble / x.size
+    assert(recall >= 0.9, s"recall $recall")
+  }
+}
