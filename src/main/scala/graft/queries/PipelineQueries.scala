@@ -1056,6 +1056,32 @@ object PipelineQueries {
         sum(col("bad")).as("n_mismatch")))
   }
 
+  /** p23: skew-salted aggregation as a hard driver row —
+    * [[graft.transform.SaltedAggregate]]'s two-phase (key, salt) split
+    * was spec-only; this row proves the salted plan computes EXACTLY the
+    * plain one-phase aggregate the oracle states. The skew story:
+    * `l_returnflag` has 3 values over the whole fact table — the
+    * pathological hot-key distribution where a plain groupBy sends a
+    * third of 100 TB through one reducer; the salt spreads each key over
+    * 16 reducers and the merge phase touches only 3·16 partial rows.
+    * Sums ride exact integers (quantities are integral; price scales to
+    * cents) so two-phase vs one-phase reassociation cannot drift a
+    * double. */
+  def p23SaltedAgg(s: SparkSession, d: String): DataFrame = {
+    import graft.transform.SaltedAggregate
+    val df = Tables.lineitem(s, d).select(col("l_returnflag"),
+      col("l_quantity").cast("long").as("qn"),
+      round(col("l_extendedprice") * 100).cast("long").as("cents"))
+    SaltedAggregate(df, "l_returnflag", saltBuckets = 16,
+      partials = Seq(count(lit(1)).as("n_rows"),
+        sum(col("qn")).as("sum_qty"), sum(col("cents")).as("c")),
+      merges = Seq(sum(col("n_rows")).as("n_rows"),
+        sum(col("sum_qty")).as("sum_qty"), sum(col("c")).as("c")))
+      .select(col("l_returnflag"), col("n_rows"), col("sum_qty"),
+        round(col("c") * lit(1.0) / lit(100.0), 2).as("revenue"))
+      .orderBy(col("l_returnflag"))
+  }
+
   val queries: Map[String, Q] = Map(
     "p01_validate_events"   -> p01ValidateEvents _,
     "p02_clean_dedup"       -> p02CleanDedup _,
@@ -1078,6 +1104,7 @@ object PipelineQueries {
     "p20_decontam_funnel"   -> p20DecontamFunnel _,
     "p21_pack_sequences"    -> p21PackSequences _,
     "p22_snapshot_apply"    -> p22SnapshotApply _,
+    "p23_salted_agg"        -> p23SaltedAgg _,
     "g01_quality_score"     -> g01QualityScore _,
     "g08_source_overlap"    -> g08SourceOverlap _,
     "g05_histogram"         -> g05Histogram _,
@@ -1199,6 +1226,14 @@ object PipelineQueries {
              (SELECT count(*) FROM applied) AS n_applied,
              (SELECT CAST(sum(1 - bad) AS BIGINT) FROM cmp) AS n_match,
              (SELECT CAST(sum(bad) AS BIGINT) FROM cmp) AS n_mismatch""",
+    // the plain one-phase aggregate the salted two-phase plan must equal;
+    // exact-integer sums make the reassociation drift-free
+    "p23_salted_agg" -> """
+      SELECT l_returnflag, count(*) AS n_rows,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+             round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) * 1.0
+                   / 100.0, 2) AS revenue
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     // CAST the window sum: DuckDB's sum(BIGINT) yields HUGEINT, whose
     // pandas dtype kind differs from Spark's int64 even at equal values
     "p17_token_budget" -> s"""

@@ -466,6 +466,24 @@ object RelationalQueries {
     """)
   }
 
+  /** q40: the distribution-ranking window functions q10/q26 don't cover —
+    * dense_rank, percent_rank, cume_dist — over a deterministic
+    * (price DESC, key) order per priority class. Same scale shape as q10:
+    * one hash exchange on the partition key, per-partition sort, no
+    * global sort until the final (tiny) ORDER BY. The two distribution
+    * functions are exact rationals of rank and partition size, so
+    * round(·,6) agrees bitwise across engines. */
+  def q40WindowDistribution(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        dense_rank().over(w).as("drank"),
+        round(percent_rank().over(w), 6).as("prank"),
+        round(cume_dist().over(w), 6).as("cdist"))
+      .orderBy(col("o_orderkey"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q01_pricing_summary" -> q01PricingSummary _,
     "q02_filter_agg"      -> q02FilterAgg _,
@@ -495,6 +513,7 @@ object RelationalQueries {
     "q24_subquery"        -> q24Subquery _,
     "q38_exists_subquery" -> q38ExistsSubquery _,
     "q39_lateral_join"    -> q39LateralJoin _,
+    "q40_window_distribution" -> q40WindowDistribution _,
   )
 
   /** DuckDB-equivalent SQL (driver runs these over the same parquet tables). */
@@ -740,5 +759,14 @@ object RelationalQueries {
                     FROM orders o WHERE o.o_custkey = t.c_custkey) o
       WHERE t.rnk <= 3
       ORDER BY t.c_mktsegment, t.c_custkey""",
+    "q40_window_distribution" -> """
+      SELECT o_orderkey, o_orderpriority,
+             dense_rank() OVER w AS drank,
+             round(percent_rank() OVER w, 6) AS prank,
+             round(cume_dist() OVER w, 6) AS cdist
+      FROM orders
+      WINDOW w AS (PARTITION BY o_orderpriority
+                   ORDER BY o_totalprice DESC, o_orderkey)
+      ORDER BY o_orderkey""",
   )
 }

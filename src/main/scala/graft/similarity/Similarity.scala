@@ -132,37 +132,50 @@ object Similarity {
     * each query probes its [[NProbe]] closest cells and exact-reranks
     * only those cells' rows. Approximate by construction → rows-only
     * driver check; the spec measures recall against s01. */
-  def s03IvfTopK(s: SparkSession, d: String): DataFrame = {
+  /** Squared-distance-to-centroid structs over centroid literals — the
+    * native dot keeps this one codegen'd pass per row (‖v‖² omitted:
+    * constant per row, so the argmin/ordering is unaffected). Shared by
+    * s03 and s09. */
+  private def centroidDists(centroids: Array[Array[Double]],
+                            vec: org.apache.spark.sql.Column) =
+    centroids.zipWithIndex.map { case (c, i) =>
+      struct(
+        (lit(c.map(x => x * x).sum) -
+          graft.functions.VectorFunctions.dot(vec, lit(c)) * 2).as("d2c"),
+        lit(i).as("cell"))
+    }
+
+  /** Nearest-cell id for corpus assignment. */
+  private def cellOf(centroids: Array[Array[Double]],
+                     vec: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    least(centroidDists(centroids, vec): _*).getField("cell")
+
+  /** Per-query probe list: the [[NProbe]] nearest cells. */
+  private def probeCells(centroids: Array[Array[Double]],
+                         vec: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    slice(array_sort(array(centroidDists(centroids, vec): _*)), 1, NProbe)
+      .getField("cell")
+
+  /** The KMeans coarse quantizer shared by s03/s09: trained on a bounded
+    * driver-side sample (O(sample·k·iters), never the corpus), centroids
+    * returned as plain arrays that enter plans as literals. */
+  private def coarseCentroids(e: DataFrame): Array[Array[Double]] = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
     val trainFrac = math.min(1.0, 4000.0 / math.max(1L, e.count()).toDouble)
     val train = e.sample(withReplacement = false, trainFrac, seed = 42L)
       .select(array_to_vector(col("embedding")).as("features"))
     val model = new KMeans().setK(NumCells).setSeed(42L).setMaxIter(10).fit(train)
-    val centroids = model.clusterCenters.map(_.toArray)
+    model.clusterCenters.map(_.toArray)
+  }
 
-    // squared-distance-to-centroid structs over the centroid literals —
-    // the native dot keeps this one codegen'd pass per row (‖v‖² omitted:
-    // constant per row, so the argmin/ordering is unaffected)
-    def centroidDists(vec: org.apache.spark.sql.Column) =
-      centroids.zipWithIndex.map { case (c, i) =>
-        struct(
-          (lit(c.map(x => x * x).sum) -
-            graft.functions.VectorFunctions.dot(vec, lit(c)) * 2).as("d2c"),
-          lit(i).as("cell"))
-      }
-    // nearest-cell id for corpus assignment
-    def cellOf(vec: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-      least(centroidDists(vec): _*).getField("cell")
-    // per-query probe list: the NProbe nearest cells
-    def probeCells(vec: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-      slice(array_sort(array(centroidDists(vec): _*)), 1, NProbe).getField("cell")
-
-    val assigned = e.withColumn("cell", cellOf(col("embedding")))
+  def s03IvfTopK(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val centroids = coarseCentroids(e)
+    val assigned = e.withColumn("cell", cellOf(centroids, col("embedding")))
     val q = e.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
-        explode(probeCells(col("embedding"))).as("cell"))
+        explode(probeCells(centroids, col("embedding"))).as("cell"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("vec_id"))
     assigned.join(broadcast(q), Seq("cell"))
@@ -612,9 +625,10 @@ object Similarity {
     * data exchanges are the per-query top-[[SqRefine]] window over
     * (query_id, vec_id, adc) triples and the id-keyed refine join —
     * vectors themselves never shuffle. */
-  def s08SqTopK(s: SparkSession, d: String): DataFrame = {
-    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
-    val stats = e.select(posexplode(col("embedding")).as(Seq("i", "x")))
+  /** Per-dimension corpus min/max for SQ8, folded into two aligned
+    * arrays on ONE row (broadcast candidate). Shared by s08/s09. */
+  private def sqStats(e: DataFrame): DataFrame =
+    e.select(posexplode(col("embedding")).as(Seq("i", "x")))
       .groupBy(col("i"))
       .agg(min(col("x").cast("double")).as("mn"),
            max(col("x").cast("double")).as("mx"))
@@ -622,19 +636,25 @@ object Similarity {
            sort_array(collect_list(struct(col("i"), col("mx")))).as("amx"))
       .select(transform(col("amn"), p => p.getField("mn")).as("mn"),
               transform(col("amx"), p => p.getField("mx")).as("mx"))
-    // encode: c_i = round((x_i - mn_i) * 255 / span_i); degenerate dims
-    // (span 0) code to 0. Dequantize: x̂_i = mn_i + c_i/255·span_i. The
-    // association order of every operation matches the oracle SQL
-    // text so the doubles agree bitwise.
-    def coded(df: DataFrame): DataFrame = df
-      .withColumn("span", zip_with(col("mx"), col("mn"), (a, b) => a - b))
-      .withColumn("shift", zip_with(transform(col("embedding"), x => x.cast("double")),
-        col("mn"), (x, m) => x - m))
-      .withColumn("codes", zip_with(col("shift"), col("span"),
-        (y, sp) => when(sp === 0d, 0L).otherwise(round(y * 255 / sp).cast("long"))))
-      .withColumn("part", zip_with(col("codes"), col("span"),
-        (c, sp) => c.cast("double") / 255.0 * sp))
-      .withColumn("xhat", zip_with(col("mn"), col("part"), (m, p) => m + p))
+
+  /** SQ8 encode + dequantize over a frame carrying (embedding, mn, mx):
+    * c_i = round((x_i - mn_i) * 255 / span_i); degenerate dims (span 0)
+    * code to 0; x̂_i = mn_i + c_i/255·span_i. The association order of
+    * every operation matches the oracle SQL text so the doubles agree
+    * bitwise. Shared by s08/s09. */
+  private def sqDequant(df: DataFrame): DataFrame = df
+    .withColumn("span", zip_with(col("mx"), col("mn"), (a, b) => a - b))
+    .withColumn("shift", zip_with(transform(col("embedding"), x => x.cast("double")),
+      col("mn"), (x, m) => x - m))
+    .withColumn("codes", zip_with(col("shift"), col("span"),
+      (y, sp) => when(sp === 0d, 0L).otherwise(round(y * 255 / sp).cast("long"))))
+    .withColumn("part", zip_with(col("codes"), col("span"),
+      (c, sp) => c.cast("double") / 255.0 * sp))
+    .withColumn("xhat", zip_with(col("mn"), col("part"), (m, p) => m + p))
+
+  def s08SqTopK(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val stats = sqStats(e)
     import graft.functions.VectorFunctions.cosine
     val q = e.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("query_id"),
@@ -642,7 +662,7 @@ object Similarity {
         transform(col("embedding"), x => x.cast("double")).as("qd"))
     val wAdc = Window.partitionBy(col("query_id"))
       .orderBy(col("adc").desc, col("vec_id"))
-    val cand = coded(e.crossJoin(broadcast(stats)))
+    val cand = sqDequant(e.crossJoin(broadcast(stats)))
       .join(broadcast(q.select(col("query_id"), col("qd"))),
         col("vec_id") =!= col("query_id"))
       .withColumn("adc", round(cosine(col("qd"), col("xhat")), 6))
@@ -663,6 +683,58 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** s09 recall floor — IVF probe loss dominates (s03's geometry); SQ8
+    * quantization error is recovered by the exact refine, so the floor
+    * matches s03's. The spec measures the recall actually achieved. */
+  val IvfSqRecallFloor = 0.4
+
+  /** s09: IVF + SQ8 composed index — the production FAISS shape
+    * (IndexIVFScalarQuantizer): the coarse quantizer prunes WHICH rows
+    * are scanned (s03's cells, nprobe/nlist of the corpus) and SQ8
+    * shrinks WHAT is scanned (s08's codes, 4× vs float32), composing the
+    * two orthogonal scale levers; ADC-ranked candidates get the exact
+    * refine. At 100 TB: the scan touches nprobe/nlist of a 4×-compressed
+    * code table — ~24× less I/O than brute force here, with the
+    * cell-assignment written once as a bucketed column.
+    *
+    * Seed-defined via the KMeans quantizer → recall-contract row like
+    * s02-s04 (the SQ8 half alone is exactly-oracled by s08). */
+  def s09IvfSqTopK(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.VectorFunctions.cosine
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val centroids = coarseCentroids(e)
+    val coded = sqDequant(e.crossJoin(broadcast(sqStats(e))))
+      .withColumn("cell", cellOf(centroids, col("embedding")))
+      .select(col("vec_id"), col("cell"), col("xhat"))
+    val qBase = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        transform(col("embedding"), x => x.cast("double")).as("qd"))
+    val probes = qBase.select(col("query_id"), col("qd"),
+      explode(probeCells(centroids, col("qe"))).as("cell"))
+    val wAdc = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").desc, col("vec_id"))
+    val cand = coded.join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("adc", round(cosine(col("qd"), col("xhat")), 6))
+      .withColumn("arank", row_number().over(wAdc))
+      .filter(col("arank") <= SqRefine)
+      .select(col("query_id"), col("vec_id"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    e.join(broadcast(cand), "vec_id")
+      .join(broadcast(qBase.select(col("query_id"), col("qe"))), "query_id")
+      .withColumn("cos", cosine(col("qe"), col("embedding")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(col("cos"), 6).as("cos"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** s09 registered form: IVF-SQ8 top-k recall contract. */
+  def s09IvfSqRecall(s: SparkSession, d: String): DataFrame =
+    recallContract(s, d, s09IvfSqTopK(s, d), IvfSqRecallFloor)
+
   val queries: Map[String, Q] = Map(
     "s01_topk_bruteforce" -> s01BruteForceTopK _,
     "s02_topk_lsh"        -> s02LshRecall _,
@@ -672,6 +744,7 @@ object Similarity {
     "s06_bm25_topk"       -> s06Bm25TopK _,
     "s07_mmr_topk"        -> s07MmrTopK _,
     "s08_sq_topk"         -> s08SqTopK _,
+    "s09_topk_ivfsq"      -> s09IvfSqRecall _,
   )
 
   /** The recall-contract oracle: every query id must come back with a full
@@ -687,6 +760,7 @@ object Similarity {
     "s02_topk_lsh" -> contractOracle,
     "s03_topk_ivf" -> contractOracle,
     "s04_topk_pq"  -> contractOracle,
+    "s09_topk_ivfsq" -> contractOracle,
     // summary-contract form: DuckDB states the corpus size; the cluster
     // bound and SSW/SST separation are facts only the engine can compute,
     // asserted as booleans it must deliver TRUE

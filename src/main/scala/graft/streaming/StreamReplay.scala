@@ -625,6 +625,59 @@ object StreamReplay {
       }
     }
 
+  /** st10: stream-static enrichment replay — the core Structured
+    * Streaming join shape st01-st09 leave uncovered: a STATELESS
+    * stream-STATIC broadcast join (P3's enrichment running inside the
+    * streaming query itself, the lookup-table pattern of every real
+    * ingest). The dimension derives deterministically from the corpus
+    * (distinct event_type → category + weight), the staged feed drains
+    * through the real file source in 4 micro-batches, every event
+    * enriches map-side against the broadcast dim and lands in the
+    * parquet sink, and the rollup over the landed table must equal the
+    * batch join the oracle states. The weighted sum rides micro-scaled
+    * integers (the p16/p20 order-free idiom) so summation order cannot
+    * flip the rounded value in either engine.
+    *
+    * Scale: stream-static joins keep NO state store — the dim ships
+    * with the plan per micro-batch (which is also how dim refreshes
+    * propagate on a real cluster) and the stream side never shuffles
+    * before the sink. */
+  def st10EnrichReplay(s: SparkSession, d: String): DataFrame =
+    withReplayTmp(s, "graft-st10-") { tmp =>
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.session.timeZone",
+        s.conf.get("spark.sql.session.timeZone", "UTC"))
+      s2.conf.set("spark.sql.shuffle.partitions", "8")
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("event_type"), col("value"), col("ts"))
+      stageOrderedJson(ev, nFiles = 4, s"$tmp/incoming", prefix = "a",
+        baseModTime = 1000000L)
+      val dim = Tables.events(s2, d).select(col("event_type")).distinct()
+        .select(col("event_type"),
+          upper(substring(col("event_type"), 1, 1)).as("category"),
+          length(col("event_type")).cast("long").as("w"))
+      val source = StreamingPipeline.jsonFileSource(
+        s2, s"$tmp/incoming", ev.schema, maxFilesPerTrigger = 1,
+        options = Map("timestampFormat" -> JsonTsFormat))
+      val q = source.join(broadcast(dim), "event_type")
+        .select(col("category"),
+          round(col("value") * col("w") * 1000000).cast("long").as("scaled"))
+        .writeStream.format("parquet")
+        .option("path", s"$tmp/out")
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(s"$tmp/out")
+        .groupBy(col("category"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("scaled")) * lit(1.0) / lit(1000000.0), 6)
+            .as("weighted_value"))
+        .orderBy(col("category"))
+        .localCheckpoint(eager = true)
+    }
+
   val queries: Map[String, Q] = Map(
     "st01_stream_replay"   -> st01StreamReplay _,
     "st02_state_replay"    -> st02StateReplay _,
@@ -635,9 +688,24 @@ object StreamReplay {
     "st07_session_replay"  -> st07SessionReplay _,
     "st08_join_replay"     -> st08JoinReplay _,
     "st09_metrics_replay"  -> st09MetricsReplay _,
+    "st10_enrich_replay"   -> st10EnrichReplay _,
   )
 
   val oracleSql: Map[String, String] = Map(
+    // st10: the streamed stream-static enrichment restated as the batch
+    // join — same dim derivation, same micro-scaled integer sum
+    "st10_enrich_replay" -> """
+      WITH dim AS (
+        SELECT event_type, upper(substr(event_type, 1, 1)) AS category,
+               CAST(len(event_type) AS BIGINT) AS w
+        FROM (SELECT DISTINCT event_type FROM events)),
+      j AS (
+        SELECT d.category,
+               CAST(round(e.value * d.w * 1000000) AS BIGINT) AS scaled
+        FROM events e JOIN dim d USING (event_type))
+      SELECT category, count(*) AS n_events,
+             round(sum(scaled) * 1.0 / 1000000.0, 6) AS weighted_value
+      FROM j GROUP BY category ORDER BY category""",
     // The journal's per-batch rows= counts must sum to the corpus size;
     // exactly one clean stream termination is journaled.
     "st09_metrics_replay" -> s"""

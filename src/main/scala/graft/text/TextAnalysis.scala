@@ -697,6 +697,42 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** t19 low-entropy gate: a doc whose character distribution carries
+    * less than this many nats is keyboard-mash / repeated-filler, not
+    * prose (English prose sits near 3.0; "aaaa…" is 0). */
+  val MinCharEntropy = 2.0
+
+  /** t19: character-entropy gibberish screen — per-document Shannon
+    * entropy of the CHARACTER distribution over the canonical text, the
+    * compression-proxy quality signal (cheap stand-in for the gzip-ratio
+    * filter in published pipelines: low char entropy ⇔ highly
+    * compressible ⇔ repeated filler; the failure mode token-level rules
+    * like t10's repetition fractions miss when the repetition is
+    * sub-token). Entropy via the same H = ln n − Σ c·ln c / n identity
+    * as g09, folded into ONE aggregate.
+    *
+    * Scale shape: the char explode fans out map-side on the scan (same
+    * volume argument as g09's token stream), partial counts reduce each
+    * partition to ≤ alphabet-size rows per doc before the one
+    * (doc_id, ch) exchange; everything downstream is per-doc arithmetic
+    * over ≤ alphabet-size count rows. Text itself never shuffles. */
+  def t19CharEntropy(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(normText(col("text")), "")).as("ch"))
+      .filter(col("ch") =!= "")
+      .groupBy(col("doc_id"), col("ch"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_chars"),
+        count(lit(1)).as("n_distinct_chars"),
+        round(log(sum(col("c")).cast("double")) -
+          sum(col("c") * log(col("c").cast("double"))) / sum(col("c")), 6)
+          .as("char_entropy"))
+      .select(col("doc_id"), col("n_chars"), col("n_distinct_chars"),
+        col("char_entropy"),
+        (col("char_entropy") < MinCharEntropy).as("low_entropy"))
+      .orderBy(col("doc_id"))
+
   val queries: Map[String, Q] = Map(
     "t01_token_count" -> t01TokenCount _,
     "t02_quality"     -> t02Quality _,
@@ -716,6 +752,7 @@ object TextAnalysis {
     "t16_dsir_weights" -> t16DsirWeights _,
     "t17_gopher_rules" -> t17GopherRules _,
     "t18_classifier"   -> t18Classifier _,
+    "t19_char_entropy" -> t19CharEntropy _,
   )
 
   /** Shared SQL fragments for the DuckDB oracle (public: the dedup
@@ -1066,5 +1103,24 @@ object TextAnalysis {
       SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, score,
              score >= 0.5 AS keep
       FROM s ORDER BY doc_id""",
+    // t19: the same H = ln n − Σ c·ln c / n identity over per-doc char
+    // counts; string_split(s, '') splits to characters in both engines
+    "t19_char_entropy" -> s"""
+      WITH ch AS (
+        SELECT doc_id, unnest(string_split($NormSql, '')) AS ch
+        FROM documents),
+      c AS (
+        SELECT doc_id, ch, count(*) AS c
+        FROM ch WHERE ch <> '' GROUP BY doc_id, ch),
+      e AS (
+        SELECT doc_id,
+               CAST(sum(c) AS BIGINT) AS n_chars,
+               count(*) AS n_distinct_chars,
+               round(ln(CAST(sum(c) AS DOUBLE)) -
+                 sum(c * ln(CAST(c AS DOUBLE))) / sum(c), 6) AS char_entropy
+        FROM c GROUP BY doc_id)
+      SELECT doc_id, n_chars, n_distinct_chars, char_entropy,
+             char_entropy < $MinCharEntropy AS low_entropy
+      FROM e ORDER BY doc_id""",
   )
 }

@@ -464,6 +464,15 @@ class PlanSpec extends SparkSpec {
     assert(exLines.forall(!_.contains("text#")), exLines.mkString("\n"))
   }
 
+  test("p23: the salted aggregate shuffles on (key, salt) first, key-only to merge") {
+    val plan = executed(PipelineQueries.p23SaltedAgg(spark, sf))
+    val exch = plan.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toVector
+    assert(exch.exists(_.contains("__salt")), plan)
+    assert(exch.exists(l => l.contains("l_returnflag") && !l.contains("__salt")),
+      plan)
+  }
+
   test("runtime bloom filter: a selective dim predicate prunes the fact scan at SMJ scale") {
     // At 100 TB the dim side of a selective join often exceeds the
     // broadcast threshold; Spark's runtime bloom filter (InjectRuntimeFilter)

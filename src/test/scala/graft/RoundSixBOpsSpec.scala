@@ -89,6 +89,27 @@ class RoundSixBOpsSpec extends SparkSpec {
     assert(row.getAs[Long]("n_match") == newCount)
   }
 
+  test("t19: char entropy matches a plain-Scala −Σ p·ln p recomputation") {
+    val got = graft.text.TextAnalysis.t19CharEntropy(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_chars"), r.getAs[Long]("n_distinct_chars"),
+          r.getAs[Double]("char_entropy"))).toMap
+    assert(got.nonEmpty)
+    // independent path: plain-Scala char counts and the DIRECT −Σ p ln p
+    // formula (production uses the ln n − Σ c ln c / n identity)
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    docs.foreach { case (id, text) =>
+      val norm = text.trim.toLowerCase.replaceAll("\\s+", " ")
+      val counts = norm.groupBy(identity).map(_._2.length)
+      val n = counts.sum.toDouble
+      val h = -counts.map(c => c / n * math.log(c / n)).sum
+      val (gn, gk, gh) = got(id)
+      assert(gn == n.toLong && gk == counts.size, s"doc $id")
+      assert(math.abs(gh - h) < 1e-5, s"doc $id: got $gh want $h")
+    }
+  }
+
   test("s07: the MMR greedy path matches a plain-Scala rebuild from rounded inputs") {
     val got = Similarity.s07MmrTopK(spark, sf).collect()
       .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank")) ->
@@ -128,6 +149,26 @@ class RoundSixBOpsSpec extends SparkSpec {
         pool = pool.filter(_._1 != wantV)
       }
     }
+  }
+
+  test("s09: the composed IVF-SQ8 index clears its recall floor; IVF dominates the loss") {
+    val exact = Similarity.s01BruteForceTopK(spark, sf).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val ivfsq = Similarity.s09IvfSqTopK(spark, sf).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = (exact & ivfsq).size.toDouble / exact.size
+    assert(recall >= Similarity.IvfSqRecallFloor, f"recall $recall%.2f")
+    // SQ8 alone recovers the exact top-k through its refine (s08's own
+    // spec); any s09 miss must therefore come from cell-probe pruning —
+    // s09's recall may not fall below plain IVF's by more than noise
+    val ivf = Similarity.s03IvfTopK(spark, sf).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val ivfRecall = (exact & ivf).size.toDouble / exact.size
+    assert(recall >= ivfRecall - 0.1, f"ivf+sq $recall%.2f vs ivf $ivfRecall%.2f")
+    // the contract row itself
+    val row = Similarity.s09IvfSqRecall(spark, sf)
+    assert(row.filter(!col("recall_ok") ||
+      col("n_results") =!= Similarity.TopK).isEmpty, row.collect().mkString(" "))
   }
 
   test("s08: full top-k per query, exact-cosine-sorted, high recall vs brute force") {
