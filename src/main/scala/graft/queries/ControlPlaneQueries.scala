@@ -125,9 +125,14 @@ object ControlPlaneQueries {
       }
       val flow = Flow.Parallel("scatter3", branches,
         Flow.Task("gather_rollup", df =>
+          // micro-scaled integer sum (the p16/p20 order-free idiom): a
+          // plain double sum over thousands of rows carries ~1e-6-scale
+          // accumulation error at this magnitude — the round(·,6)
+          // granularity — so summation order could flip the value
           df.groupBy(col("event_type")).agg(
             count(lit(1)).as("n_events"),
-            round(sum(col("value")), 6).as("sum_value"),
+            round(sum(round(col("value") * 1000000).cast("long")) * lit(1.0)
+              / lit(1000000.0), 6).as("sum_value"),
             countDistinct(col("branch")).as("n_branches")),
           Flow.Task("land",
             { df => df.coalesce(1).write.mode("overwrite")
@@ -141,13 +146,72 @@ object ControlPlaneQueries {
         .localCheckpoint(eager = true)
     }
 
+  /** Micro-second-preserving timestamp format for the CSV leg (Spark's
+    * CSV default truncates to millis, same trap as the JSON feeds). */
+  private val CsvTsFormat = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+
+  /** k01: multi-format sink/source round-trip — the events slice written
+    * to CSV (schema-on-read text, full quoting/escaping in play) and ORC
+    * (the other columnar format Spark ships), read back through each
+    * real source, and rolled up per format. Both rollups must equal the
+    * parquet-derived oracle row exactly: a lossy round-trip (timestamp
+    * truncation, double formatting, delimiter escaping) shows up as a
+    * value mismatch in that format's row. Completes §2.1's format
+    * conversion story beyond JSON→Parquet (P4).
+    *
+    * Scale: format choice changes the scan (CSV = no pushdown, no
+    * column pruning; ORC/parquet = both) — which is why the lake lands
+    * columnar and CSV only ever appears at the ingest edge. The value
+    * sum rides micro-scaled integers (the order-free idiom). */
+  def k01FormatRoundtrip(s: SparkSession, d: String): DataFrame =
+    withTmp(s, "graft-k01-") { tmp =>
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("event_type"), col("value"), col("ts"))
+      ev.write.mode("overwrite")
+        .option("header", "true").option("timestampFormat", CsvTsFormat)
+        .csv(s"$tmp/csv")
+      ev.write.mode("overwrite").orc(s"$tmp/orc")
+      val csv = s.read.schema(ev.schema)
+        .option("header", "true").option("timestampFormat", CsvTsFormat)
+        .csv(s"$tmp/csv")
+      val orc = s.read.orc(s"$tmp/orc")
+      def rollup(df: DataFrame, format: String): DataFrame =
+        df.select(lit(format).as("format"), col("event_type"),
+            round(col("value") * 1000000).cast("long").as("scaled"),
+            hour(col("ts")).as("h"))
+          .groupBy(col("format"), col("event_type"))
+          .agg(count(lit(1)).as("n_events"),
+            round(sum(col("scaled")) * lit(1.0) / lit(1000000.0), 6)
+              .as("sum_value"),
+            countDistinct(col("h")).as("n_hours"))
+      rollup(csv, "csv").unionByName(rollup(orc, "orc"))
+        .orderBy(col("format"), col("event_type"))
+        .localCheckpoint(eager = true)
+    }
+
   val queries: Map[String, Q] = Map(
     "x01_pipeline_e2e"    -> x01PipelineE2e _,
     "x02_catalog_sql"     -> x02CatalogSql _,
     "x03_parallel_scatter" -> x03ParallelScatter _,
+    "k01_format_roundtrip" -> k01FormatRoundtrip _,
   )
 
   val oracleSql: Map[String, String] = Map(
+    // k01: the same per-type rollup straight off the parquet corpus,
+    // stated once per format — any round-trip loss breaks that format's
+    // rows against this
+    "k01_format_roundtrip" -> """
+      WITH r AS (
+        SELECT event_type, count(*) AS n_events,
+               round(sum(CAST(round(value * 1000000) AS BIGINT)) * 1.0
+                     / 1000000.0, 6) AS sum_value,
+               count(DISTINCT hour(ts)) AS n_hours
+        FROM events GROUP BY event_type)
+      SELECT format, event_type, n_events, sum_value, n_hours
+      FROM (SELECT 'csv' AS format, * FROM r
+            UNION ALL
+            SELECT 'orc' AS format, * FROM r)
+      ORDER BY format, event_type""",
     // processed = rows passing every rule; quarantined = the complement —
     // NULL rule results count as failures (SchemaValidator semantics)
     "x01_pipeline_e2e" -> s"""
@@ -175,7 +239,8 @@ object ControlPlaneQueries {
     "x03_parallel_scatter" -> s"""
       SELECT event_type,
              count(*) AS n_events,
-             round(sum(value), 6) AS sum_value,
+             round(sum(CAST(round(value * 1000000) AS BIGINT)) * 1.0
+                   / 1000000.0, 6) AS sum_value,
              CAST(count(DISTINCT user_id % 3) AS BIGINT) AS n_branches
       FROM events
       WHERE ts < TIMESTAMP '$E2eFeedEnd'

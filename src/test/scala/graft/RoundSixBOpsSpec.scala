@@ -89,6 +89,26 @@ class RoundSixBOpsSpec extends SparkSpec {
     assert(row.getAs[Long]("n_match") == newCount)
   }
 
+  test("k01: the CSV and ORC round-trips agree with each other and with parquet") {
+    val rows = graft.queries.ControlPlaneQueries.k01FormatRoundtrip(spark, sf).collect()
+    val byFormat = rows.groupBy(_.getAs[String]("format"))
+    assert(byFormat.keySet == Set("csv", "orc"))
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[String]("event_type"), r.getAs[Long]("n_events"),
+        r.getAs[Double]("sum_value"), r.getAs[Long]("n_hours"))
+    assert(byFormat("csv").map(key).toSet == byFormat("orc").map(key).toSet)
+    // and both equal the parquet-derived truth
+    val want = Tables.events(spark, sf)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(round(col("value") * 1000000).cast("long")) * lit(1.0) /
+          lit(1000000.0), 6).as("v"))
+      .collect().map(r => (r.getAs[String]("event_type"),
+        r.getAs[Long]("n"), r.getAs[Double]("v"))).toSet
+    assert(byFormat("csv").map(r => (r.getAs[String]("event_type"),
+      r.getAs[Long]("n_events"), r.getAs[Double]("sum_value"))).toSet == want)
+  }
+
   test("t19: char entropy matches a plain-Scala −Σ p·ln p recomputation") {
     val got = graft.text.TextAnalysis.t19CharEntropy(spark, sf).collect()
       .map(r => r.getAs[Long]("doc_id") ->
