@@ -484,6 +484,29 @@ object RelationalQueries {
       .orderBy(col("o_orderkey"))
   }
 
+  /** q41: recursive CTE (new in Spark 4.x — UnionLoop execution) — every
+    * supplier walks its implicit binary-tree ancestry (parent = key div
+    * 2) to the root and the depth distribution is rolled up. The
+    * iterative-graph shape SQL users previously had to hand-loop on the
+    * driver (d07's propagation) now runs as engine-level recursion: each
+    * step is one distributed plan over the frontier, O(log N) steps for
+    * this tree — the recursion DEPTH, not the corpus, bounds the step
+    * count at any scale. */
+  def q41RecursiveCte(s: SparkSession, d: String): DataFrame = {
+    Tables.supplier(s, d).createOrReplaceTempView("rc_supplier")
+    s.sql("""
+      WITH RECURSIVE chain(k, anc, depth) AS (
+        SELECT s_suppkey, s_suppkey, 0 FROM rc_supplier
+        UNION ALL
+        SELECT k, anc DIV 2, depth + 1 FROM chain WHERE anc > 1
+      )
+      SELECT depth, count(*) AS n_nodes, count(DISTINCT anc) AS n_ancestors
+      FROM chain
+      GROUP BY depth
+      ORDER BY depth
+    """)
+  }
+
   val queries: Map[String, Q] = Map(
     "q01_pricing_summary" -> q01PricingSummary _,
     "q02_filter_agg"      -> q02FilterAgg _,
@@ -514,6 +537,7 @@ object RelationalQueries {
     "q38_exists_subquery" -> q38ExistsSubquery _,
     "q39_lateral_join"    -> q39LateralJoin _,
     "q40_window_distribution" -> q40WindowDistribution _,
+    "q41_recursive_cte"   -> q41RecursiveCte _,
   )
 
   /** DuckDB-equivalent SQL (driver runs these over the same parquet tables). */
@@ -768,5 +792,16 @@ object RelationalQueries {
       WINDOW w AS (PARTITION BY o_orderpriority
                    ORDER BY o_totalprice DESC, o_orderkey)
       ORDER BY o_orderkey""",
+    // same recursion; DuckDB spells integer division //
+    "q41_recursive_cte" -> """
+      WITH RECURSIVE chain(k, anc, depth) AS (
+        SELECT s_suppkey, s_suppkey, 0 FROM supplier
+        UNION ALL
+        SELECT k, anc // 2, depth + 1 FROM chain WHERE anc > 1
+      )
+      SELECT depth, count(*) AS n_nodes, count(DISTINCT anc) AS n_ancestors
+      FROM chain
+      GROUP BY depth
+      ORDER BY depth""",
   )
 }
