@@ -1082,6 +1082,30 @@ object PipelineQueries {
       .orderBy(col("l_returnflag"))
   }
 
+  /** p24: cross-split leakage audit — the integrity check run AFTER
+    * p12's split assignment: the split gates on doc_id, but exact
+    * duplicates share a CONTENT fingerprint, so a duplicated document
+    * can land its copies in different splits — train/test leakage the
+    * split function cannot see. Output: for each span count (how many
+    * distinct splits a fingerprint's copies touch), how many
+    * fingerprints and how many documents — the n_splits ≥ 2 rows ARE
+    * the leakage, which is why real pipelines dedup BEFORE splitting
+    * (p16's stage order).
+    *
+    * Scale shape: one (fp → splits) aggregate over (doc_id, fp, split)
+    * triples — 16-byte keys, bodies never shuffle; the span rollup runs
+    * over the fingerprint table. */
+  def p24SplitLeakage(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(md5(graft.text.TextAnalysis.normText(col("text"))).as("fp"),
+        splitCol(col("doc_id")).as("split"))
+      .groupBy(col("fp"))
+      .agg(countDistinct(col("split")).as("n_splits"),
+        count(lit(1)).as("n_copies"))
+      .groupBy(col("n_splits"))
+      .agg(count(lit(1)).as("n_fps"), sum(col("n_copies")).as("n_docs"))
+      .orderBy(col("n_splits"))
+
   val queries: Map[String, Q] = Map(
     "p01_validate_events"   -> p01ValidateEvents _,
     "p02_clean_dedup"       -> p02CleanDedup _,
@@ -1105,6 +1129,7 @@ object PipelineQueries {
     "p21_pack_sequences"    -> p21PackSequences _,
     "p22_snapshot_apply"    -> p22SnapshotApply _,
     "p23_salted_agg"        -> p23SaltedAgg _,
+    "p24_split_leakage"     -> p24SplitLeakage _,
     "g01_quality_score"     -> g01QualityScore _,
     "g08_source_overlap"    -> g08SourceOverlap _,
     "g05_histogram"         -> g05Histogram _,
@@ -1226,6 +1251,19 @@ object PipelineQueries {
              (SELECT count(*) FROM applied) AS n_applied,
              (SELECT CAST(sum(1 - bad) AS BIGINT) FROM cmp) AS n_match,
              (SELECT CAST(sum(bad) AS BIGINT) FROM cmp) AS n_mismatch""",
+    // same fp (FpSql) + same split gate; the n_splits >= 2 rows are the
+    // cross-split leakage the audit exists to surface
+    "p24_split_leakage" -> s"""
+      WITH f AS (
+        SELECT ${graft.text.TextAnalysis.FpSql} AS fp,
+               ${splitCaseSql("doc_id")} AS split
+        FROM documents),
+      per_fp AS (
+        SELECT fp, count(DISTINCT split) AS n_splits, count(*) AS n_copies
+        FROM f GROUP BY fp)
+      SELECT n_splits, count(*) AS n_fps,
+             CAST(sum(n_copies) AS BIGINT) AS n_docs
+      FROM per_fp GROUP BY n_splits ORDER BY n_splits""",
     // the plain one-phase aggregate the salted two-phase plan must equal;
     // exact-integer sums make the reassociation drift-free
     "p23_salted_agg" -> """

@@ -735,6 +735,36 @@ object Similarity {
   def s09IvfSqRecall(s: SparkSession, d: String): DataFrame =
     recallContract(s, d, s09IvfSqTopK(s, d), IvfSqRecallFloor)
 
+  /** g12: per-label embedding centroid panel — the class-geometry
+    * diagnostic read before trusting labels for SemDeDup-style
+    * partitioning or stratified sampling: per label, the vector count,
+    * the NORM OF THE MEAN vector (≈0 ⇔ the label has no angular
+    * coherence; near the mean norm ⇔ tightly clustered) and the MEAN OF
+    * THE NORMS (the scale baseline that ratio is read against).
+    *
+    * Scale shape: the centroid sums reduce to (label, dim) cells —
+    * #labels·64 rows regardless of corpus size, map-side partials ahead
+    * of the one narrow exchange; the norm side is a per-row codegen'd
+    * dot on the scan feeding a per-label average. Full vectors never
+    * shuffle. */
+  def g12LabelCentroids(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.VectorFunctions.dot
+    val e = Tables.embeddings(s, d).select(col("label"), col("embedding"))
+    val cells = e.select(col("label"), posexplode(col("embedding")).as(Seq("i", "x")))
+      .groupBy(col("label"), col("i"))
+      .agg(sum(col("x").cast("double")).as("sx"))
+    val per = e.groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        round(avg(sqrt(dot(col("embedding"), col("embedding")))), 6)
+          .as("mean_norm"))
+    cells.join(per, "label")
+      .groupBy(col("label"), col("n_vecs"), col("mean_norm"))
+      .agg(round(sqrt(sum((col("sx") / col("n_vecs")) * (col("sx") / col("n_vecs")))), 6)
+        .as("centroid_norm"))
+      .select(col("label"), col("n_vecs"), col("centroid_norm"), col("mean_norm"))
+      .orderBy(col("label"))
+  }
+
   val queries: Map[String, Q] = Map(
     "s01_topk_bruteforce" -> s01BruteForceTopK _,
     "s02_topk_lsh"        -> s02LshRecall _,
@@ -745,6 +775,7 @@ object Similarity {
     "s07_mmr_topk"        -> s07MmrTopK _,
     "s08_sq_topk"         -> s08SqTopK _,
     "s09_topk_ivfsq"      -> s09IvfSqRecall _,
+    "g12_label_centroids" -> g12LabelCentroids _,
   )
 
   /** The recall-contract oracle: every query id must come back with a full
@@ -825,6 +856,28 @@ object Similarity {
       SELECT query_id, rank, doc_id, score
       FROM r WHERE rank <= $TopK
       ORDER BY query_id, rank""",
+    // g12: the same (label, dim) cell sums and norm averages in long
+    // form; division/multiplication association written identically
+    "g12_label_centroids" -> """
+      WITH ex AS (
+        SELECT label, unnest(embedding) AS x,
+               unnest(range(1, len(embedding) + 1)) AS i
+        FROM embeddings),
+      cells AS (
+        SELECT label, i, sum(CAST(x AS DOUBLE)) AS sx
+        FROM ex GROUP BY label, i),
+      per AS (
+        SELECT label, count(*) AS n_vecs,
+               round(avg(sqrt(list_sum(list_transform(embedding,
+                 v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))), 6) AS mean_norm
+        FROM embeddings GROUP BY label)
+      SELECT c.label, p.n_vecs,
+             round(sqrt(sum((c.sx / p.n_vecs) * (c.sx / p.n_vecs))), 6)
+               AS centroid_norm,
+             p.mean_norm
+      FROM cells c JOIN per p USING (label)
+      GROUP BY c.label, p.n_vecs, p.mean_norm
+      ORDER BY c.label""",
     // s07: the greedy MMR recursion restated as a recursive CTE — the
     // picked set accumulates as a list, each step's argmax uses the
     // SAME rounded inputs and literals, QUALIFY picks one row per query

@@ -89,6 +89,50 @@ class RoundSixBOpsSpec extends SparkSpec {
     assert(row.getAs[Long]("n_match") == newCount)
   }
 
+  test("p24: leakage buckets partition the corpus; spans match a driver rebuild") {
+    val got = PipelineQueries.p24SplitLeakage(spark, sf).collect()
+      .map(r => r.getAs[Long]("n_splits") ->
+        (r.getAs[Long]("n_fps"), r.getAs[Long]("n_docs"))).toMap
+    assert(got.nonEmpty)
+    assert(got.values.map(_._2).sum == Tables.documents(spark, sf).count())
+    // independent rebuild from t04's fingerprints and p12's split column
+    val fps = graft.text.TextAnalysis.t04Fingerprint(spark, sf)
+      .select(col("doc_id"), col("fp")).as[(Long, String)].collect().toMap
+    val splits = PipelineQueries.p12TrainSplit(spark, sf)
+      .as[(Long, String)].collect().toMap
+    val byFp = fps.groupBy(_._2).toSeq.map { case (_, docs) =>
+      (docs.keys.map(splits).toSet.size.toLong, docs.size.toLong)
+    }
+    val want = byFp.groupBy(_._1)
+      .map { case (k, o) => k -> (o.size.toLong, o.map(_._2).sum) }
+    assert(got == want)
+  }
+
+  test("g12: centroid norm is bounded by the mean norm (Jensen) and matches a rebuild") {
+    val got = Similarity.g12LabelCentroids(spark, sf).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      assert(r.getAs[Double]("centroid_norm") <= r.getAs[Double]("mean_norm") + 1e-9,
+        r.toString)
+    }
+    // driver rebuild for every label
+    val vecs = Tables.embeddings(spark, sf)
+      .select(col("label"), col("embedding")).collect()
+      .map(r => r.getAs[Int]("label") ->
+        r.getAs[Seq[Float]]("embedding").map(_.toDouble).toArray)
+    val byLabel = vecs.groupBy(_._1)
+    got.foreach { r =>
+      val vs = byLabel(r.getAs[Int]("label")).map(_._2)
+      val n = vs.length
+      assert(r.getAs[Long]("n_vecs") == n.toLong)
+      val mean = vs.transpose.map(_.sum / n)
+      val cn = math.sqrt(mean.map(x => x * x).sum)
+      assert(math.abs(r.getAs[Double]("centroid_norm") - cn) < 1e-5, r.toString)
+      val mn = vs.map(v => math.sqrt(v.map(x => x * x).sum)).sum / n
+      assert(math.abs(r.getAs[Double]("mean_norm") - mn) < 1e-5, r.toString)
+    }
+  }
+
   test("k01: the CSV and ORC round-trips agree with each other and with parquet") {
     val rows = graft.queries.ControlPlaneQueries.k01FormatRoundtrip(spark, sf).collect()
     val byFormat = rows.groupBy(_.getAs[String]("format"))
