@@ -705,6 +705,54 @@ object Dedup {
       .orderBy(col("cluster_id"))
   }
 
+  /** d15 containment geometry: a doc needs at least this many shingles
+    * to be judged (1-2-shingle docs are trivially "contained"
+    * everywhere), and at least this fraction of them must appear in the
+    * host. */
+  val ContainMinShingles = 5L
+  val ContainThreshold = 0.9
+
+  /** d15: containment dedup — ONE-SIDED shingle overlap
+    * |A∩B| / |A| ≥ [[ContainThreshold]] flags document A as contained in
+    * host B. The asymmetric case symmetric Jaccard structurally misses:
+    * a snippet quoted inside a much larger document scores
+    * J = |A|/|B| ≈ 0 however completely A is copied (the jaccard column
+    * is emitted so the d02-invisible pairs are legible). The standard
+    * complement in published dedup recipes (containment / superset
+    * detection) to d02's near-dup pass.
+    *
+    * Scale shape: d02's inverted-index machinery verbatim — shingles
+    * hash in the generator, the only data shuffle keys on the 64-bit
+    * shingle hash, pair candidates come from the index join (bounded by
+    * shared-shingle mass, never all-pairs), and the two threshold
+    * comparisons happen BEFORE rounding with the same expression text
+    * in both engines. */
+  def d15Containment(s: SparkSession, d: String): DataFrame = {
+    val inv = docShingles(s, d)
+      .select(col("doc_id"), explode(col("sh")).as("sg"))
+      .select(col("doc_id"), xxhash64(col("sg")).as("h"))
+      .repartition(col("h"))
+    val sizes = inv.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val common = inv.as("a").join(inv.as("b").hint("merge"),
+        col("a.h") === col("b.h") && col("a.doc_id") =!= col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_id"), col("b.doc_id").as("host_id"))
+      .agg(count(lit(1)).as("c"))
+    common
+      .join(sizes.withColumnRenamed("n", "na"), "doc_id")
+      .join(sizes.select(col("doc_id").as("host_id"), col("n").as("nb")), "host_id")
+      .select(col("doc_id"), col("host_id"),
+        col("na").as("n_shingles"),
+        (col("c") * lit(1.0) / col("na")).as("containment_raw"),
+        (col("c") * lit(1.0) / (col("na") + col("nb") - col("c")))
+          .as("jaccard_raw"))
+      .filter(col("n_shingles") >= ContainMinShingles &&
+        col("containment_raw") >= ContainThreshold)
+      .select(col("doc_id"), col("host_id"), col("n_shingles"),
+        round(col("containment_raw"), 6).as("containment"),
+        round(col("jaccard_raw"), 6).as("jaccard"))
+      .orderBy(col("doc_id"), col("host_id"))
+  }
+
   /** g10: duplication-structure panel — the cluster-SIZE distribution of
     * d07's dup graph plus the singleton mass, the diagnostic read before
     * choosing a dedup policy (a corpus of many 2-clusters wants pairwise
@@ -1055,6 +1103,7 @@ object Dedup {
     "d11_line_dedup"        -> d11LineDedup _,
     "d12_incremental_neardup" -> d12IncrementalNearDup _,
     "d13_semdedup"            -> d13SemDedup _,
+    "d15_containment"         -> d15Containment _,
     "g10_cluster_sizes"       -> g10ClusterSizes _,
   )
 
@@ -1132,6 +1181,29 @@ object Dedup {
       SELECT v AS doc_id, min(r) AS cluster_id,
              (v = min(r)) AS is_rep
       FROM reach GROUP BY v ORDER BY doc_id""",
+    // d15: exact shingle STRINGS vs 64-bit hashes (the d02 collision
+    // argument); thresholds compared before rounding with the same text
+    "d15_containment" -> s"""
+      WITH toks AS (
+        SELECT doc_id, ${graft.text.TextAnalysis.ToksSql} AS t
+        FROM documents),
+      sh AS (
+        SELECT doc_id, unnest(${graft.text.TextAnalysis.shinglesSql("t")}) AS s
+        FROM toks),
+      sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      common AS (
+        SELECT a.doc_id AS doc_id, b.doc_id AS host_id, count(*) AS c
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id
+        GROUP BY 1, 2)
+      SELECT common.doc_id AS doc_id, host_id, sa.n AS n_shingles,
+             round(c * 1.0 / sa.n, 6) AS containment,
+             round(c * 1.0 / (sa.n + sb.n - c), 6) AS jaccard
+      FROM common
+      JOIN sizes sa ON common.doc_id = sa.doc_id
+      JOIN sizes sb ON host_id = sb.doc_id
+      WHERE sa.n >= $ContainMinShingles
+        AND c * 1.0 / sa.n >= $ContainThreshold
+      ORDER BY doc_id, host_id""",
     // d07's recursive component oracle, rolled up to the size
     // distribution; the singleton row is the corpus complement
     "g10_cluster_sizes" -> s"""

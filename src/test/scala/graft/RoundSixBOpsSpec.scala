@@ -89,6 +89,34 @@ class RoundSixBOpsSpec extends SparkSpec {
     assert(row.getAs[Long]("n_match") == newCount)
   }
 
+  test("d15: containment pairs match a plain-Scala set rebuild; asymmetry is visible") {
+    val got = Dedup.d15Containment(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("host_id")) ->
+        (r.getAs[Long]("n_shingles"), r.getAs[Double]("containment"))).toMap
+    assert(got.nonEmpty)
+    // exact shingle STRINGS, plain Scala sets — no hashes, no joins
+    val sets = Tables.documents(spark, sf)
+      .select(col("doc_id"), Dedup.shingles(graft.text.TextAnalysis.tokens(col("text"))).as("sh"))
+      .as[(Long, Seq[String])].collect().map { case (id, sh) => id -> sh.toSet }
+    val want = (for {
+      (a, sa) <- sets if sa.size >= Dedup.ContainMinShingles
+      (b, sb) <- sets if a != b
+      c = (sa intersect sb).size
+      if c * 1.0 / sa.size >= Dedup.ContainThreshold
+    } yield (a, b) -> sa.size.toLong).toMap
+    assert(got.keySet == want.keySet,
+      s"missing=${want.keySet -- got.keySet} extra=${got.keySet -- want.keySet}")
+    got.foreach { case (k, (n, cont)) =>
+      assert(n == want(k), s"$k")
+      assert(cont >= Dedup.ContainThreshold && cont <= 1.0, s"$k: $cont")
+    }
+    // the reason d15 exists: at least one contained doc must NOT be a
+    // symmetric near-dup of its host on this corpus (J < containment)
+    val asym = Dedup.d15Containment(spark, sf)
+      .filter(col("jaccard") < col("containment")).count()
+    assert(asym > 0, "no asymmetric containment pairs — corpus too clean to prove the gap")
+  }
+
   test("p24: leakage buckets partition the corpus; spans match a driver rebuild") {
     val got = PipelineQueries.p24SplitLeakage(spark, sf).collect()
       .map(r => r.getAs[Long]("n_splits") ->
