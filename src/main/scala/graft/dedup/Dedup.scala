@@ -1028,20 +1028,56 @@ object Dedup {
     * leaves alone). Precedence compares ROUNDED centroid-cos (6 dp) so the
     * keep decision is engine-stable (d09's idiom); the cheap rank filter
     * runs before the cosine eval. */
-  def d13SemDedup(s: SparkSession, d: String): DataFrame = {
-    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+  /** The deterministic label-mean codebook shared by d13 and g13:
+    * round(avg, 9) per (label, dim), fetched as a bounded scalar table
+    * (#labels × #dims rows — s04's codebook precedent). */
+  def labelCodebook(s: SparkSession, d: String): Seq[(Int, Array[Double])] = {
     val centRows = Tables.embeddings(s, d)
       .select(col("label"), posexplode(col("embedding")).as(Seq("i", "x")))
       .groupBy(col("label"), col("i"))
       .agg(round(avg(col("x").cast("double")), 9).as("v"))
       .collect()
-    val cents: Seq[(Int, Array[Double])] = centRows
+    centRows
       .groupBy(_.getAs[Int]("label"))
       .map { case (lab, rs) =>
         lab -> rs.sortBy(_.getAs[Int]("i")).map(_.getAs[Double]("v")).toArray
       }
       .toSeq.sortBy(_._1)
-    semDedup(s, e, cents)
+  }
+
+  def d13SemDedup(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    semDedup(s, e, labelCodebook(s, d))
+  }
+
+  /** g13: label-purity audit — every vector is re-assigned to its
+    * nearest LABEL-MEAN centroid (nearest-class-mean classification on
+    * the labels' own geometry) and the label × assignment confusion
+    * matrix is rolled up. The read before trusting labels for
+    * SemDeDup-style partitioning or stratified sampling: a label whose
+    * mass assigns elsewhere has no angular identity of its own (g12's
+    * centroid-norm panel says how coherent each class is; this says
+    * WHERE the incoherent mass actually sits). Deterministic — the
+    * codebook is [[labelCodebook]]'s rounded means, every cosine is
+    * rounded before the argmax — so the full matrix is an exact oracle
+    * row, unlike seed-dependent k-means diagnostics.
+    *
+    * Scale shape: codebook broadcast with the plan (#labels × #dims
+    * literals), assignment is one codegen'd scan pass, the rollup
+    * shuffles (label, assigned) pairs — ≤ #labels² rows after the
+    * map-side partials. Vectors never shuffle. */
+  def g13LabelPurity(s: SparkSession, d: String): DataFrame = {
+    val cents = labelCodebook(s, d)
+    val v = col("embedding")
+    val best = greatest(cents.map { case (lab, c) =>
+      struct(round(VectorFunctions.cosine(v, lit(c)), 6).as("ccos"),
+        lit(lab).as("cluster"))
+    }: _*)
+    Tables.embeddings(s, d)
+      .select(col("label"), best.getField("cluster").as("assigned"))
+      .groupBy(col("label"), col("assigned"))
+      .agg(count(lit(1)).as("n_vecs"))
+      .orderBy(col("label"), col("assigned"))
   }
 
   /** The SemDeDup core behind an explicit codebook: `vectors` must carry
@@ -1105,6 +1141,7 @@ object Dedup {
     "d13_semdedup"            -> d13SemDedup _,
     "d15_containment"         -> d15Containment _,
     "g10_cluster_sizes"       -> g10ClusterSizes _,
+    "g13_label_purity"        -> g13LabelPurity _,
   )
 
   /** Shared d11 line-dedup CTE (`b`/`l`/`k`): `k.rn = 1` marks each
@@ -1370,6 +1407,34 @@ object Dedup {
     // same round(·,6)/round(·,4) doubles as the Spark side, so the ranked
     // screening is engine-stable. coalesce keeps n_dup_above BIGINT
     // (a bare LEFT-JOIN NULL would float-ify the pandas column).
+    // g13: the same codebook + rounded-cos argmax, rolled up as the
+    // label × assignment confusion matrix
+    "g13_label_purity" -> s"""
+      WITH cm AS (
+        SELECT label, i, round(avg(CAST(embedding[i] AS DOUBLE)), 9) AS v
+        FROM (SELECT label, embedding,
+                     unnest(range(1, len(embedding) + 1)) AS i
+              FROM embeddings)
+        GROUP BY label, i),
+      c AS (SELECT label, list(v ORDER BY i) AS cen FROM cm GROUP BY label),
+      ac AS (
+        SELECT e.vec_id, e.label AS true_label, c.label AS cand,
+               round(
+                 list_sum(list_transform(range(1, len(e.embedding) + 1),
+                   i -> CAST(e.embedding[i] AS DOUBLE) * c.cen[i]))
+                 / (sqrt(list_sum(list_transform(e.embedding,
+                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(c.cen, x -> x * x)))),
+                 6) AS ccos
+        FROM embeddings e CROSS JOIN c),
+      a AS (
+        SELECT vec_id, true_label, cand AS assigned
+        FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                     ORDER BY ccos DESC, cand DESC) AS rn FROM ac)
+        WHERE rn = 1)
+      SELECT true_label AS label, assigned, count(*) AS n_vecs
+      FROM a GROUP BY true_label, assigned
+      ORDER BY label, assigned""",
     "d13_semdedup" -> s"""
       WITH cm AS (
         SELECT label, i, round(avg(CAST(embedding[i] AS DOUBLE)), 9) AS v

@@ -89,6 +89,29 @@ class RoundSixBOpsSpec extends SparkSpec {
     assert(row.getAs[Long]("n_match") == newCount)
   }
 
+  test("g13: the confusion matrix partitions the corpus and matches a driver NCM rebuild") {
+    val got = Dedup.g13LabelPurity(spark, sf).collect()
+      .map(r => (r.getAs[Int]("label"), r.getAs[Int]("assigned")) ->
+        r.getAs[Long]("n_vecs")).toMap
+    assert(got.values.sum == Tables.embeddings(spark, sf).count())
+    // plain-Scala nearest-class-mean rebuild with the same rounding
+    val vecs = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("label"), col("embedding")).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("label"),
+        r.getAs[Seq[Float]]("embedding").map(_.toDouble).toArray))
+    val cents = Dedup.labelCodebook(spark, sf)
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def cos(a: Array[Double], b: Array[Double]) = {
+      val dot = a.indices.map(i => a(i) * b(i)).sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val want = vecs.map { case (_, lab, v) =>
+      val assigned = cents.map { case (cl, c) => (r6(cos(v, c)), cl) }.max._2
+      (lab, assigned)
+    }.groupBy(identity).map { case (k, o) => k -> o.length.toLong }
+    assert(got == want)
+  }
+
   test("d15: containment pairs match a plain-Scala set rebuild; asymmetry is visible") {
     val got = Dedup.d15Containment(spark, sf).collect()
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("host_id")) ->
