@@ -52,4 +52,39 @@ object Joins {
       payloadNames.map(n => col(s"__match.$n").as(n))
     matched.filter(col("__side") === 1).select(outCols: _*)
   }
+
+  /** As-of join (forward, inclusive): each left row matches the right
+    * row with the SMALLEST `rightTs >= leftTs` for the same `key` — the
+    * "next event after" attribution join (view → next purchase, error →
+    * next recovery). Same union-merge construction as [[asOf]] with the
+    * timeline walked DESCENDING, so the running `last(ignoreNulls)` at a
+    * left row is the nearest right row at-or-after it. Cost identical to
+    * [[asOf]]: one shuffle on the key, one per-partition sort.
+    *
+    * @param tieBreak orders right rows sharing (key, ts); the SMALLEST
+    *                 wins (mirror of [[asOf]]'s greatest-wins), keeping
+    *                 ties deterministic. */
+  def asOfForward(left: DataFrame, right: DataFrame, key: String,
+                  leftTs: Column, rightTs: Column,
+                  payload: Seq[Column], tieBreak: Column): DataFrame = {
+    val payloadNames = right.select(payload: _*).columns.toSeq
+    val l = left
+      .withColumn("__ts", leftTs)
+      .withColumn("__side", lit(1))
+    val r = right
+      .select(col(key), rightTs.as("__ts"), tieBreak.cast("long").as("__tie"),
+        struct(payload: _*).as("__payload"))
+      .withColumn("__side", lit(0))
+    val stacked = l.unionByName(r, allowMissingColumns = true)
+    // Descending timeline; right rows still sort before left rows at an
+    // equal timestamp → inclusive (>=); __tie DESC makes the smallest
+    // tie the last-seen (winning) right row.
+    val w = Window.partitionBy(col(key))
+      .orderBy(col("__ts").desc, col("__side"), col("__tie").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matched = stacked.withColumn("__match", last(col("__payload"), ignoreNulls = true).over(w))
+    val outCols = left.columns.map(col) ++
+      payloadNames.map(n => col(s"__match.$n").as(n))
+    matched.filter(col("__side") === 1).select(outCols: _*)
+  }
 }

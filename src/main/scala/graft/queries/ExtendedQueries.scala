@@ -32,6 +32,25 @@ object ExtendedQueries {
       .orderBy(col("event_id"))
   }
 
+  /** a03: FORWARD as-of join — each view event matched to the same
+    * user's FIRST purchase at or after it (the attribution direction a01
+    * cannot express: a01 looks back, conversion analysis looks ahead).
+    * Same union-merge cost ([[Joins.asOfForward]]); the time-to-convert
+    * gap rides exact microsecond integers so no float can drift it. */
+  def a03AsOfForward(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+    Joins.asOfForward(views, purchases, "user_id",
+        leftTs = col("ts"), rightTs = col("ts"),
+        payload = Seq(col("event_id").as("purchase_id"), col("ts").as("purchase_ts")),
+        tieBreak = col("event_id"))
+      .select(col("event_id"), col("user_id"), col("purchase_id"),
+        (unix_micros(col("purchase_ts")) - unix_micros(col("ts"))).as("gap_us"))
+      .orderBy(col("event_id"))
+  }
+
   /** a02: interval/range join (§2.3) — every event landing inside the
     * 30-minute incident window opened by each error event, aggregated per
     * window. The naive formulation is a pure theta-join (no equi key)
@@ -308,6 +327,7 @@ object ExtendedQueries {
     "q32_map_funcs"      -> q32MapFuncs _,
     "a01_asof_join"      -> a01AsOfJoin _,
     "a02_range_join"     -> a02RangeJoin _,
+    "a03_asof_forward"   -> a03AsOfForward _,
     "q37_sliding_window" -> q37SlidingWindow _,
     "q30_pivot"          -> q30Pivot _,
     "q25_approx_distinct"-> q25ApproxDistinct _,
@@ -396,6 +416,31 @@ object ExtendedQueries {
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
       SELECT event_id, user_id, purchase_id,
              round(purchase_value, 2) AS purchase_value
+      FROM m WHERE side = 1 ORDER BY event_id""",
+    // a01's union-merge mirrored: descending timeline, right rows still
+    // sort before left at equal ts (inclusive >=), tie DESC → smallest
+    // purchase id wins; the gap is exact integer microseconds
+    "a03_asof_forward" -> """
+      WITH views AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'),
+      purchases AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+      u AS (
+        SELECT user_id, ts, 1 AS side, event_id,
+               NULL::BIGINT AS tie, NULL::BIGINT AS p_id, NULL::TIMESTAMP AS p_ts
+        FROM views
+        UNION ALL
+        SELECT user_id, ts, 0 AS side, NULL, event_id, event_id, ts
+        FROM purchases),
+      m AS (
+        SELECT *,
+               last_value(p_id IGNORE NULLS) OVER w AS purchase_id,
+               last_value(p_ts IGNORE NULLS) OVER w AS purchase_ts
+        FROM u
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts DESC, side, tie DESC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      SELECT event_id, user_id, purchase_id,
+             epoch_us(purchase_ts) - epoch_us(ts) AS gap_us
       FROM m WHERE side = 1 ORDER BY event_id""",
     "a02_range_join" -> """
       SELECT e.event_id AS win_id,

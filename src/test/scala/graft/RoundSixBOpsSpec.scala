@@ -89,6 +89,25 @@ class RoundSixBOpsSpec extends SparkSpec {
     assert(row.getAs[Long]("n_match") == newCount)
   }
 
+  test("a03: forward as-of picks the first at-or-after right row (driver rebuild)") {
+    import graft.queries.ExtendedQueries
+    val got = ExtendedQueries.a03AsOfForward(spark, sf).collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        Option(r.getAs[java.lang.Long]("purchase_id")).map(_.toLong)).toMap
+    assert(got.nonEmpty)
+    val ev = Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .as[(Long, Long, String, Long)].collect()
+    val purchases = ev.filter(_._3 == "purchase").groupBy(_._2)
+    ev.filter(_._3 == "view").foreach { case (id, uid, _, us) =>
+      val want = purchases.getOrElse(uid, Array.empty[(Long, Long, String, Long)])
+        .filter(_._4 >= us)
+        .sortBy(p => (p._4, p._1)).headOption.map(_._1)
+      assert(got(id) == want, s"view $id: got ${got(id)} want $want")
+    }
+  }
+
   test("g13: the confusion matrix partitions the corpus and matches a driver NCM rebuild") {
     val got = Dedup.g13LabelPurity(spark, sf).collect()
       .map(r => (r.getAs[Int]("label"), r.getAs[Int]("assigned")) ->
