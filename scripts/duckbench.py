@@ -3,13 +3,19 @@
 
 Times every oracle SQL from a Verify outDir's oracle_sql.json against the
 same parquet tables Spark reads, min-of-2 like Bench, and prints a JSON
-map. The st*/x* rows run checkpointed streaming / orchestration machinery
-on the Spark side, so the like-for-like cut excludes them (the oracle SQL
-is a batch restatement, not equivalent work).
+map.
+
+The like-for-like "batch cut" is derived from the repo's tagged row list
+(SparkEntry.benchTags, dumped by Verify as bench_tags.json next to
+oracle_sql.json and embedded by Bench in bench_full.json) — NOT from name
+prefixes. Rows tagged "e2e" (st*/x* machinery, k01's real CSV+ORC I/O) and
+"contract" (ANN recall floors, d04's Hamming bound, g07's tolerance band)
+are excluded: their oracle SQL restates the result, it is not equivalent
+work.
 
 Usage: python3 scripts/duckbench.py <sfDir> <oracle_sql.json> [spark_bench_full.json]
 """
-import json, sys, time
+import json, os, sys, time
 import duckdb
 
 sfdir, oracle_path = sys.argv[1], sys.argv[2]
@@ -22,6 +28,26 @@ for t in TABLES:
     con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
 
 oracle = json.load(open(oracle_path))
+
+# Tag resolution order: bench_full.json (arg 3, written by Bench) →
+# bench_tags.json beside the oracle file (written by Verify) → prefix
+# fallback (pre-round-7 artifacts only).
+tags = {}
+if len(sys.argv) > 3:
+    try:
+        tags = json.load(open(sys.argv[3])).get("tags", {})
+    except Exception:
+        pass
+if not tags:
+    side = os.path.join(os.path.dirname(oracle_path), "bench_tags.json")
+    if os.path.exists(side):
+        tags = json.load(open(side))
+if not tags:
+    print("WARN: no bench_tags.json found; falling back to prefix heuristic",
+          file=sys.stderr)
+    tags = {k: ("e2e" if k.startswith(("st", "x")) else "batch")
+            for k in oracle}
+
 times = {}
 for name, sql in sorted(oracle.items()):
     try:
@@ -35,10 +61,11 @@ for name, sql in sorted(oracle.items()):
         print(f"ERR {name}: {e}", file=sys.stderr)
 
 batch = {k: v for k, v in times.items()
-         if v is not None and not (k.startswith("st") or k.startswith("x"))}
+         if v is not None and tags.get(k, "batch") == "batch"}
+excluded = sorted(k for k in times if tags.get(k, "batch") != "batch")
 out = {"sf": sfdir, "total_all": round(sum(v for v in times.values() if v), 3),
        "total_batch_cut": round(sum(batch.values()), 3),
-       "n_batch_cut": len(batch), "queries": times}
+       "n_batch_cut": len(batch), "excluded": excluded, "queries": times}
 print(json.dumps(out, indent=1))
 
 if len(sys.argv) > 3:

@@ -28,6 +28,35 @@ object SparkEntry {
       Dedup.queries ++ Similarity.queries ++ StreamReplay.queries ++
       MultimodalQueries.queries ++ ControlPlaneQueries.queries
 
+  /** Like-for-like bench-cut tags (VERDICT r6 item 2) — the single source
+    * of truth scripts/duckbench.py derives the batch cut from (it used to
+    * guess by name prefix). Every `queries` key is tagged:
+    *
+    *  - "batch":    Spark and the DuckDB oracle do equivalent data work —
+    *                these rows ARE the like-for-like 2× comparison.
+    *  - "e2e":      the Spark side runs checkpointed streaming /
+    *                orchestration / multi-format I/O machinery that the
+    *                oracle merely RESTATES as batch SQL (st* replays, x*
+    *                pipeline runs, k01's real CSV+ORC write-read legs vs a
+    *                parquet-only rollup) — correctness rows, not a
+    *                throughput comparison.
+    *  - "contract": the oracle evaluates a near-zero recall/band/bound
+    *                check while Spark runs the full pipeline (ANN recall
+    *                contracts s02-s05/s09, d04's Hamming bound, g07's
+    *                approx-profile tolerance band) — charging those as
+    *                "equivalent" compares a pipeline to a boolean.
+    *
+    * Keys absent from this map default to "batch". */
+  def benchTags: Map[String, String] = {
+    val e2e = queries.keys.filter(k => k.startsWith("st") || k.startsWith("x"))
+      .map(_ -> "e2e").toMap + ("k01_format_roundtrip" -> "e2e")
+    val contract = Seq("s02_topk_lsh", "s03_topk_ivf", "s04_topk_pq",
+      "s05_cluster_profile", "s09_topk_ivfsq", "d04_simhash",
+      "g07_profile_approx").map(_ -> "contract").toMap
+    val batch = queries.keys.map(_ -> "batch").toMap
+    batch ++ e2e ++ contract
+  }
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =

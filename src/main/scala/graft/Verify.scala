@@ -47,6 +47,11 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Bench-cut tags next to the oracle SQL so duckbench.py derives the
+    // like-for-like cut from the repo's single source of truth.
+    val tags = SparkEntry.benchTags
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/bench_tags.json"), tags)
     spark.stop()
   }
 }

@@ -1066,13 +1066,23 @@ object Dedup {
     * literals), assignment is one codegen'd scan pass, the rollup
     * shuffles (label, assigned) pairs — ≤ #labels² rows after the
     * map-side partials. Vectors never shuffle. */
+  /** Lexicographic argmax over (rounded cos, label) structs. `greatest`
+    * requires ≥2 arguments, so a single-centroid codebook (one label in
+    * the corpus) returns its struct directly instead of throwing an
+    * AnalysisException at plan time. */
+  private def nearestCentroid(cents: Seq[(Int, Array[Double])], v: Column): Column = {
+    require(cents.nonEmpty, "nearestCentroid: empty codebook")
+    val structs = cents.map { case (lab, c) =>
+      struct(round(VectorFunctions.cosine(v, lit(c)), 6).as("ccos"),
+        lit(lab).as("cluster"))
+    }
+    if (structs.size == 1) structs.head else greatest(structs: _*)
+  }
+
   def g13LabelPurity(s: SparkSession, d: String): DataFrame = {
     val cents = labelCodebook(s, d)
     val v = col("embedding")
-    val best = greatest(cents.map { case (lab, c) =>
-      struct(round(VectorFunctions.cosine(v, lit(c)), 6).as("ccos"),
-        lit(lab).as("cluster"))
-    }: _*)
+    val best = nearestCentroid(cents, v)
     Tables.embeddings(s, d)
       .select(col("label"), best.getField("cluster").as("assigned"))
       .groupBy(col("label"), col("assigned"))
@@ -1089,15 +1099,11 @@ object Dedup {
                codebook: Seq[(Int, Array[Double])]): DataFrame = {
     val e = vectors
     val cents = codebook
-    require(cents.nonEmpty, "semDedup: empty codebook")
     val v = col("embedding")
     // argmax over (rounded cos, label) structs — lexicographic greatest =
     // max cos with ties to the larger label, restated in the oracle as
     // row_number() ORDER BY ccos DESC, label DESC (s05's least() mirrored)
-    val best = greatest(cents.map { case (lab, c) =>
-      struct(round(VectorFunctions.cosine(v, lit(c)), 6).as("ccos"),
-        lit(lab).as("cluster"))
-    }: _*)
+    val best = nearestCentroid(cents, v)
     val width = s.conf.get("spark.sql.shuffle.partitions", "200").toInt
     val assigned = e
       .select(col("vec_id"), col("embedding"), best.as("b"))

@@ -27,19 +27,30 @@ object Joins {
     *
     * @param payload right-side columns to carry (pre-aliased); they MUST
     *                not collide with left column names.
-    * @param tieBreak orders right rows sharing (key, ts); the greatest
-    *                wins, making ties deterministic.
+    * @param tieBreak orders right rows sharing (key, ts) by this column's
+    *                natural sort order (any orderable type — no numeric
+    *                cast); the greatest wins, making ties deterministic.
+    * @param within  optional tolerance horizon (the stale-quote cutoff):
+    *                a match older than this is discarded — the left row
+    *                is still emitted with a null payload. Compared as
+    *                `leftTs - matchedTs <= within`, so pass an interval
+    *                literal for timestamp axes (`expr("INTERVAL '30'
+    *                MINUTE")`) or a plain number for numeric axes.
     */
   def asOf(left: DataFrame, right: DataFrame, key: String,
            leftTs: Column, rightTs: Column,
-           payload: Seq[Column], tieBreak: Column): DataFrame = {
+           payload: Seq[Column], tieBreak: Column,
+           within: Option[Column] = None): DataFrame = {
     val payloadNames = right.select(payload: _*).columns.toSeq
     val l = left
       .withColumn("__ts", leftTs)
       .withColumn("__side", lit(1))
     val r = right
-      .select(col(key), rightTs.as("__ts"), tieBreak.cast("long").as("__tie"),
-        struct(payload: _*).as("__payload"))
+      .select(col(key), rightTs.as("__ts"), tieBreak.as("__tie"),
+        // the matched row's own ts rides inside the payload struct so the
+        // horizon check is one filter on the window output — no extra
+        // shuffle, no second pass
+        struct(payload :+ rightTs.as("__rts"): _*).as("__payload"))
       .withColumn("__side", lit(0))
     val stacked = l.unionByName(r, allowMissingColumns = true)
     // Right rows sort before left rows at an equal timestamp → inclusive
@@ -48,8 +59,13 @@ object Joins {
       .orderBy(col("__ts"), col("__side"), col("__tie"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val matched = stacked.withColumn("__match", last(col("__payload"), ignoreNulls = true).over(w))
-    val outCols = left.columns.map(col) ++
-      payloadNames.map(n => col(s"__match.$n").as(n))
+    val keep = within match {
+      case Some(d) => col("__ts") - col("__match.__rts") <= d
+      case None    => lit(true)
+    }
+    val outCols = left.columns.map(col) ++ payloadNames.map { n =>
+      (if (within.isDefined) when(keep, col(s"__match.$n")) else col(s"__match.$n")).as(n)
+    }
     matched.filter(col("__side") === 1).select(outCols: _*)
   }
 
@@ -61,19 +77,24 @@ object Joins {
     * left row is the nearest right row at-or-after it. Cost identical to
     * [[asOf]]: one shuffle on the key, one per-partition sort.
     *
-    * @param tieBreak orders right rows sharing (key, ts); the SMALLEST
-    *                 wins (mirror of [[asOf]]'s greatest-wins), keeping
-    *                 ties deterministic. */
+    * @param tieBreak orders right rows sharing (key, ts) by this column's
+    *                 natural sort order (any orderable type — no numeric
+    *                 cast); the SMALLEST wins (mirror of [[asOf]]'s
+    *                 greatest-wins), keeping ties deterministic.
+    * @param within   optional tolerance horizon, mirrored forward: a match
+    *                 further ahead than this is discarded (null payload).
+    *                 Compared as `matchedTs - leftTs <= within`. */
   def asOfForward(left: DataFrame, right: DataFrame, key: String,
                   leftTs: Column, rightTs: Column,
-                  payload: Seq[Column], tieBreak: Column): DataFrame = {
+                  payload: Seq[Column], tieBreak: Column,
+                  within: Option[Column] = None): DataFrame = {
     val payloadNames = right.select(payload: _*).columns.toSeq
     val l = left
       .withColumn("__ts", leftTs)
       .withColumn("__side", lit(1))
     val r = right
-      .select(col(key), rightTs.as("__ts"), tieBreak.cast("long").as("__tie"),
-        struct(payload: _*).as("__payload"))
+      .select(col(key), rightTs.as("__ts"), tieBreak.as("__tie"),
+        struct(payload :+ rightTs.as("__rts"): _*).as("__payload"))
       .withColumn("__side", lit(0))
     val stacked = l.unionByName(r, allowMissingColumns = true)
     // Descending timeline; right rows still sort before left rows at an
@@ -83,8 +104,13 @@ object Joins {
       .orderBy(col("__ts").desc, col("__side"), col("__tie").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val matched = stacked.withColumn("__match", last(col("__payload"), ignoreNulls = true).over(w))
-    val outCols = left.columns.map(col) ++
-      payloadNames.map(n => col(s"__match.$n").as(n))
+    val keep = within match {
+      case Some(d) => col("__match.__rts") - col("__ts") <= d
+      case None    => lit(true)
+    }
+    val outCols = left.columns.map(col) ++ payloadNames.map { n =>
+      (if (within.isDefined) when(keep, col(s"__match.$n")) else col(s"__match.$n")).as(n)
+    }
     matched.filter(col("__side") === 1).select(outCols: _*)
   }
 }

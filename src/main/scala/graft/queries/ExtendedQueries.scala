@@ -51,6 +51,28 @@ object ExtendedQueries {
       .orderBy(col("event_id"))
   }
 
+  /** a04: as-of join with a TOLERANCE horizon — a01's backward walk with
+    * the production stale-quote cutoff: a matched purchase older than 30
+    * minutes is discarded, the click still emits with a null payload
+    * (the left-join null-emission semantics a real enrich pipeline
+    * needs). One filter on [[Joins.asOf]]'s union-merge output — the
+    * matched row's ts rides inside the payload struct, so the horizon
+    * check adds no shuffle. gap_us rides exact integer microseconds. */
+  def a04AsOfTolerance(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+    Joins.asOf(clicks, purchases, "user_id",
+        leftTs = col("ts"), rightTs = col("ts"),
+        payload = Seq(col("event_id").as("purchase_id"), col("ts").as("purchase_ts")),
+        tieBreak = col("event_id"),
+        within = Some(expr("INTERVAL '30' MINUTE")))
+      .select(col("event_id"), col("user_id"), col("purchase_id"),
+        (unix_micros(col("purchase_ts")) - unix_micros(col("ts"))).as("gap_us"))
+      .orderBy(col("event_id"))
+  }
+
   /** a02: interval/range join (§2.3) — every event landing inside the
     * 30-minute incident window opened by each error event, aggregated per
     * window. The naive formulation is a pure theta-join (no equi key)
@@ -328,6 +350,7 @@ object ExtendedQueries {
     "a01_asof_join"      -> a01AsOfJoin _,
     "a02_range_join"     -> a02RangeJoin _,
     "a03_asof_forward"   -> a03AsOfForward _,
+    "a04_asof_tolerance" -> a04AsOfTolerance _,
     "q37_sliding_window" -> q37SlidingWindow _,
     "q30_pivot"          -> q30Pivot _,
     "q25_approx_distinct"-> q25ApproxDistinct _,
@@ -441,6 +464,33 @@ object ExtendedQueries {
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
       SELECT event_id, user_id, purchase_id,
              epoch_us(purchase_ts) - epoch_us(ts) AS gap_us
+      FROM m WHERE side = 1 ORDER BY event_id""",
+    // a01's union-merge with the matched purchase's own ts carried so the
+    // 30-minute horizon is one CASE on the window output; out-of-horizon
+    // and never-matched clicks both emit null payload
+    "a04_asof_tolerance" -> """
+      WITH clicks AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+      purchases AS (
+        SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'),
+      u AS (
+        SELECT user_id, ts, 1 AS side, event_id,
+               NULL::BIGINT AS tie, NULL::BIGINT AS p_id, NULL::TIMESTAMP AS p_ts
+        FROM clicks
+        UNION ALL
+        SELECT user_id, ts, 0 AS side, NULL, event_id, event_id, ts
+        FROM purchases),
+      m AS (
+        SELECT *,
+               last_value(p_id IGNORE NULLS) OVER w AS m_id,
+               last_value(p_ts IGNORE NULLS) OVER w AS m_ts
+        FROM u
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, side, tie
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      SELECT event_id, user_id,
+             CASE WHEN ts - m_ts <= INTERVAL 30 MINUTE THEN m_id END AS purchase_id,
+             CASE WHEN ts - m_ts <= INTERVAL 30 MINUTE
+                  THEN epoch_us(m_ts) - epoch_us(ts) END AS gap_us
       FROM m WHERE side = 1 ORDER BY event_id""",
     "a02_range_join" -> """
       SELECT e.event_id AS win_id,

@@ -430,9 +430,13 @@ object RelationalQueries {
     Tables.supplier(s, d).createOrReplaceTempView("ex_supplier")
     Tables.nation(s, d).createOrReplaceTempView("ex_nation")
     Tables.customer(s, d).createOrReplaceTempView("ex_customer")
+    // total_bal sums micro-scaled integers (s_acctbal is an exact 2-dp
+    // decimal, so round(x*100) is exact and the sum is order-free) — the
+    // p16/p20/x03 idiom, so no parallel-double-sum order can flip the
+    // rounded digit between engines (ADVICE r6).
     s.sql("""
       SELECT n_name, count(*) AS n_suppliers,
-             round(sum(s_acctbal), 2) AS total_bal
+             round(sum(CAST(round(s_acctbal * 100) AS BIGINT)) / 100.0, 2) AS total_bal
       FROM ex_supplier s JOIN ex_nation n ON s.s_nationkey = n.n_nationkey
       WHERE EXISTS (SELECT 1 FROM ex_customer c
                     WHERE c.c_nationkey = s.s_nationkey AND c.c_acctbal > 9000)
@@ -764,7 +768,7 @@ object RelationalQueries {
       ORDER BY o_custkey""",
     "q38_exists_subquery" -> """
       SELECT n_name, count(*) AS n_suppliers,
-             round(sum(s_acctbal), 2) AS total_bal
+             round(sum(CAST(round(s_acctbal * 100) AS BIGINT)) / 100.0, 2) AS total_bal
       FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
       WHERE EXISTS (SELECT 1 FROM customer c
                     WHERE c.c_nationkey = s.s_nationkey AND c.c_acctbal > 9000)

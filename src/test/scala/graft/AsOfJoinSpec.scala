@@ -50,6 +50,65 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out == ((9L, "b")))
   }
 
+  test("tolerance law: within-horizon matches survive, stale matches null out") {
+    val left = Seq(
+      (1L, "k1", ts("2024-01-01 10:00:00")), // match 20 min old → kept
+      (2L, "k1", ts("2024-01-01 13:00:00")), // match 120 min old → nulled
+      (3L, "k2", ts("2024-01-01 10:00:00"))  // no match at all → null
+    ).toDF("id", "k", "ts")
+    val right = Seq(
+      (100L, "k1", ts("2024-01-01 09:40:00"), 1.0),
+      (101L, "k1", ts("2024-01-01 11:00:00"), 2.0)
+    ).toDF("rid", "k", "ts", "v")
+    def run(within: Option[org.apache.spark.sql.Column]) =
+      Joins.asOf(left, right, "k",
+          leftTs = col("ts"), rightTs = col("ts"),
+          payload = Seq(col("rid").as("match_id")),
+          tieBreak = col("rid"), within = within)
+        .select("id", "match_id")
+        .as[(Long, Option[Long])].collect().sortBy(_._1)
+    val bounded = run(Some(expr("INTERVAL '30' MINUTE")))
+    assert(bounded(0) == ((1L, Some(100L))))
+    assert(bounded(1) == ((2L, None))) // 11:00 match is 2h stale → nulled
+    assert(bounded(2) == ((3L, None)))
+    // law: within = None and within = ∞ agree row-for-row
+    val unbounded = run(None)
+    val wide = run(Some(expr("INTERVAL '9999' DAY")))
+    assert(unbounded.sameElements(wide))
+  }
+
+  test("forward tolerance mirrors: matches further ahead than the horizon null out") {
+    val left = Seq(
+      (1L, "k", ts("2024-01-01 10:00:00")), // next right 10 min ahead → kept
+      (2L, "k", ts("2024-01-01 08:00:00"))  // next right 130 min ahead → nulled
+    ).toDF("id", "k", "ts")
+    val right = Seq((100L, "k", ts("2024-01-01 10:10:00"), 1.0))
+      .toDF("rid", "k", "ts", "v")
+    val out = Joins.asOfForward(left, right, "k",
+        leftTs = col("ts"), rightTs = col("ts"),
+        payload = Seq(col("rid").as("match_id")),
+        tieBreak = col("rid"), within = Some(expr("INTERVAL '30' MINUTE")))
+      .select("id", "match_id")
+      .as[(Long, Option[Long])].collect().sortBy(_._1)
+    assert(out(0) == ((1L, Some(100L))))
+    assert(out(1) == ((2L, None)))
+  }
+
+  test("non-numeric tieBreak orders by natural sort (no silent long cast)") {
+    val left = Seq((1L, "k", ts("2024-01-01 10:00:00"))).toDF("id", "k", "ts")
+    val right = Seq(
+      ("alpha", "k", ts("2024-01-01 09:00:00")),
+      ("zeta",  "k", ts("2024-01-01 09:00:00")),
+      ("mid",   "k", ts("2024-01-01 09:00:00"))
+    ).toDF("rid", "k", "ts")
+    val out = Joins.asOf(left, right, "k",
+        leftTs = col("ts"), rightTs = col("ts"),
+        payload = Seq(col("rid").as("match_id")),
+        tieBreak = col("rid"))
+      .select("match_id").as[String].head()
+    assert(out == "zeta") // greatest string wins — not a null-cast lottery
+  }
+
   test("asOf plans a single shuffle on the key - no nested loop join") {
     val left = Seq((1L, "k", ts("2024-01-01 10:00:00"))).toDF("id", "k", "ts")
     val right = Seq((2L, "k", ts("2024-01-01 09:00:00"), 1.0)).toDF("rid", "k", "ts", "v")
