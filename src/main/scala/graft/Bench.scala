@@ -94,6 +94,10 @@ object Bench {
       // a local-bench parallelism guard, not a scale tunable. Set in the
       // BUILDER so cloned sessions (st-replays) inherit it.
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
+      .config("spark.sql.files.maxPartitionBytes",
+        sys.env.getOrElse("SPARK_GRAFT_MPB", "128m"))
+      .config("spark.sql.files.openCostInBytes",
+        sys.env.getOrElse("SPARK_GRAFT_OCB", "4194304"))
       // AQE otherwise stays at defaults DELIBERATELY — both directions
       // were measured at sf0.1 and rejected:
       //  - coalescePartitions.parallelismFirst=false (size-based

@@ -44,8 +44,13 @@ object JobProbe {
        else Seq("q01_pricing_summary", "q04_left_join", "q34_set_operators",
                 "q36_dynamic_pivot", "q24_subquery")).filter(SparkEntry.queries.contains)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val aqe = sys.env.getOrElse("SPARK_GRAFT_AQE", "true")
+    val mpb = sys.env.getOrElse("SPARK_GRAFT_MPB", "128m")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      .config("spark.sql.adaptive.enabled", aqe)
+      .config("spark.sql.files.maxPartitionBytes", mpb)
+      .config("spark.sql.files.openCostInBytes", sys.env.getOrElse("SPARK_GRAFT_OCB", "4194304"))
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

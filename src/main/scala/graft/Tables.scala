@@ -32,6 +32,12 @@ object Tables {
       if (c == null) {
         c = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
         memo.put(spark, c)
+        // First contact with a session: install the graft optimizer
+        // rules (idempotent). The driver builds plain sessions, so the
+        // library self-registers at the one choke point every query
+        // path crosses — the same rationale as the function
+        // registration in u02.
+        graft.extensions.GraftOptimizations.register(spark)
       }
       c
     }

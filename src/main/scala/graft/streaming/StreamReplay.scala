@@ -678,6 +678,81 @@ object StreamReplay {
         .localCheckpoint(eager = true)
     }
 
+  /** st11 horizon constants. The OUTER join's null emission is watermark-
+    * driven, so unlike st08 the watermark must ADVANCE through the feed:
+    * lateness (3 d) is chosen ≥ join window (1 d) + max inter-source skew
+    * (feed span 7 d / 8 files ≈ 0.9 d/batch) so no match is ever lost to
+    * state eviction, while still leaving the final watermark ≈ feedMax−3 d
+    * deep enough inside the feed that unmatched purchases BEFORE
+    * [[OuterNullCut]] are guaranteed past their emission horizon. The row
+    * keeps null rows only below the cut: between the cut and the exact
+    * emission boundary (a function of feedMax the oracle would otherwise
+    * have to reproduce to the millisecond) emission is engine-internal,
+    * so both engines discard that band and the kept set is exact. */
+  val OuterLateness = "3 days"
+  val OuterNullCut  = "2024-01-03"
+
+  /** st11: stream-stream LEFT-OUTER interval-join replay — the
+    * enrich-with-missing semantics st08's inner form cannot express:
+    * purchases with no click in the trailing [[JoinWindow]] emit once
+    * with null click columns when the watermark passes their horizon
+    * (organic-conversion accounting, the first shape real attribution
+    * pipelines hit). Same staged-feed machinery as st08 with 8
+    * interleaved micro-batches per side; the oracle restates the batch
+    * LEFT JOIN with the same null-cut band.
+    *
+    * Scale: identical state story to st08 — per-key, time-bounded by
+    * (window + lateness); null emission costs nothing extra (eviction
+    * already walks the expiring state). */
+  def st11OuterJoinReplay(s: SparkSession, d: String): DataFrame =
+    withReplayTmp(s, "graft-st11-") { tmp =>
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.session.timeZone",
+        s.conf.get("spark.sql.session.timeZone", "UTC"))
+      s2.conf.set("spark.sql.shuffle.partitions", "8")
+      val ev = Tables.events(s, d)
+        .filter(col("ts") < lit(JoinFeedEnd).cast("timestamp"))
+        .select(col("user_id"), col("event_type"), col("ts"))
+      stageOrderedJson(
+        ev.filter(col("event_type") === "purchase").select(col("user_id"), col("ts")),
+        nFiles = 8, s"$tmp/purchases", prefix = "a", baseModTime = 1000000L)
+      stageOrderedJson(
+        ev.filter(col("event_type") === "click").select(col("user_id"), col("ts")),
+        nFiles = 8, s"$tmp/clicks", prefix = "b", baseModTime = 1000000L)
+      val feedSchema = new StructType()
+        .add("user_id", "long").add("ts", "timestamp")
+      def feed(dir: String, tsName: String) = StreamingPipeline.jsonFileSource(
+        s2, dir, feedSchema, maxFilesPerTrigger = 1,
+        options = Map("timestampFormat" -> JsonTsFormat))
+        .select(col("user_id"), col("ts").as(tsName))
+      val joined = StreamingPipeline.intervalJoin(
+        feed(s"$tmp/purchases", "p_ts"), feed(s"$tmp/clicks", "c_ts"),
+        key = "user_id", leftTs = "p_ts", rightTs = "c_ts",
+        window_ = JoinWindow, lateness = OuterLateness,
+        joinType = "left_outer")
+        .toDF("p_user", "p_ts", "c_user", "c_ts")
+        // matched rows always kept; null rows only below the cut (see
+        // OuterNullCut — the emission-boundary band is discarded in both
+        // engines so the kept set is an exact pure function of the feed)
+        .filter(col("c_user").isNotNull ||
+          col("p_ts") < lit(OuterNullCut).cast("timestamp"))
+      val q = joined.writeStream
+        .format("parquet")
+        .option("path", s"$tmp/out")
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(s"$tmp/out")
+        .groupBy(date_trunc("hour", col("p_ts")).as("hour_bucket"))
+        .agg(count(col("c_ts")).as("n_pairs"),
+          (count(lit(1)) - count(col("c_ts"))).as("n_null"),
+          countDistinct(col("p_user")).as("n_users"))
+        .orderBy(col("hour_bucket"))
+        .localCheckpoint(eager = true)
+    }
+
   val queries: Map[String, Q] = Map(
     "st01_stream_replay"   -> st01StreamReplay _,
     "st02_state_replay"    -> st02StateReplay _,
@@ -689,6 +764,7 @@ object StreamReplay {
     "st08_join_replay"     -> st08JoinReplay _,
     "st09_metrics_replay"  -> st09MetricsReplay _,
     "st10_enrich_replay"   -> st10EnrichReplay _,
+    "st11_outer_join_replay" -> st11OuterJoinReplay _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -715,6 +791,32 @@ object StreamReplay {
         SELECT 'stream_batch', count(*) FROM events
         WHERE ts < TIMESTAMP '$DlqFeedEnd')
       ORDER BY stage""",
+    // st11: the streamed LEFT-OUTER interval join restated as the batch
+    // LEFT JOIN — matched pairs are exact (lateness covers window +
+    // inter-source skew, so no state eviction can lose a match); null
+    // rows are kept only below OuterNullCut, the band both engines
+    // discard so the watermark emission boundary never has to be
+    // reproduced to the millisecond.
+    "st11_outer_join_replay" -> s"""
+      WITH p AS (
+        SELECT user_id, ts AS p_ts FROM events
+        WHERE event_type = 'purchase' AND ts < TIMESTAMP '$JoinFeedEnd'),
+      c AS (
+        SELECT user_id, ts AS c_ts FROM events
+        WHERE event_type = 'click' AND ts < TIMESTAMP '$JoinFeedEnd'),
+      j AS (
+        SELECT p.user_id AS p_user, p.p_ts, c.c_ts
+        FROM p LEFT JOIN c ON p.user_id = c.user_id
+                          AND c.c_ts >= p.p_ts - INTERVAL 1 DAY
+                          AND c.c_ts <= p.p_ts),
+      k AS (
+        SELECT * FROM j
+        WHERE c_ts IS NOT NULL OR p_ts < TIMESTAMP '$OuterNullCut')
+      SELECT CAST(date_trunc('hour', p_ts) AS TIMESTAMP) AS hour_bucket,
+             count(c_ts) AS n_pairs,
+             count(*) - count(c_ts) AS n_null,
+             count(DISTINCT p_user) AS n_users
+      FROM k GROUP BY 1 ORDER BY hour_bucket""",
     // The streamed interval join (no state eviction — watermark spans the
     // feed) must equal the batch theta-join over the bounded corpus.
     "st08_join_replay" -> s"""

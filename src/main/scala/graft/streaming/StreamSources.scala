@@ -66,6 +66,54 @@ final case class RateEventSource(
           (col("value") % 100).cast("double")).as("value"))
 }
 
+/** A network push transport behind the seam: newline-delimited JSON
+  * events over a TCP socket (Spark's built-in `socket` source + a
+  * `from_json` parse). This is the sandbox stand-in for the reference's
+  * Kinesis consumer (SDP.py:161-174, :648-655) with the property file
+  * feeds cannot exercise: the transport itself can deliver records out
+  * of ORDER (and a real broker can drop/redeliver), so correctness must
+  * come from the event-time watermark, not arrival order — StreamingSpec
+  * drives a deliberately reordered feed through it and asserts the
+  * watermark keeps within-bound stragglers and drops too-late rows.
+  *
+  * Parse failures surface under [[StreamSources.CorruptCol]] exactly like
+  * the file transport (a broker payload is bytes; malformed is data, not
+  * an exception), so [[StreamingPipeline.processingStream]] composes
+  * unchanged. The socket source keeps no replayable offsets — a real
+  * deployment swaps in a Kafka/Kinesis connector for exactly-once; this
+  * implementation is the transport-semantics testbed, not the durability
+  * story. */
+final case class SocketJsonSource(
+    host: String,
+    port: Int,
+    schema: StructType,
+    options: Map[String, String] = Map.empty) extends StreamSource {
+  override def read(spark: SparkSession): DataFrame = {
+    val withCorrupt =
+      if (schema.fieldNames.contains(SchemaValidator.CorruptCol)) schema
+      else schema.add(SchemaValidator.CorruptCol, "string")
+    spark.readStream
+      .format("socket")
+      .option("host", host)
+      .option("port", port.toLong)
+      .load()
+      .select(from_json(col("value"), withCorrupt,
+        Map("mode" -> "PERMISSIVE",
+          "columnNameOfCorruptRecord" -> SchemaValidator.CorruptCol) ++ options).as("r"),
+        col("value").as("__raw"))
+      // from_json yields a NULL struct (not a corrupt-record row) for
+      // unparseable payloads — restate those as corrupt rows carrying the
+      // raw line so the quarantine contract matches the file transport
+      .select((0 until withCorrupt.length).map { i =>
+        val f = withCorrupt(i)
+        if (f.name == SchemaValidator.CorruptCol)
+          when(col("r").isNull, col("__raw"))
+            .otherwise(col(s"r.${f.name}")).as(f.name)
+        else col(s"r.${f.name}").as(f.name)
+      }: _*)
+  }
+}
+
 object StreamSources {
   /** The event-feed schema both test transports agree on; downstream
     * code never depends on it (it reads whatever `read` yields), it is

@@ -244,18 +244,27 @@ object StreamingPipeline {
     * left rows match right rows of the same key within
     * [leftTs - window, leftTs]. Both sides carry watermarks so the join
     * state is bounded — Spark evicts right-side state older than the
-    * watermark minus the interval; state is O(window × arrival rate). */
+    * watermark minus the interval; state is O(window × arrival rate).
+    *
+    * `joinType = "left_outer"` is the enrich-with-missing shape
+    * (README:36 real-time analytics over incomplete data): a left row
+    * with no in-window match emits once with null right columns — but
+    * only when the watermark has passed its match horizon (the row can
+    * no longer be matched), so null emission is watermark-DRIVEN, not
+    * best-effort. Until the watermark advances that far the row sits in
+    * state, and a query that stops earlier never emits it. */
   def intervalJoin(left: DataFrame, right: DataFrame, key: String,
                    leftTs: String, rightTs: String,
                    window_ : String = "10 minutes",
-                   lateness: String = "10 minutes"): DataFrame = {
+                   lateness: String = "10 minutes",
+                   joinType: String = "inner"): DataFrame = {
     val l = left.withWatermark(leftTs, lateness)
     val r = right.withWatermark(rightTs, lateness)
     l.join(r,
       l(key) === r(key) &&
         r(rightTs) >= l(leftTs) - expr(s"INTERVAL $window_") &&
         r(rightTs) <= l(leftTs),
-      "inner")
+      joinType)
   }
 
   /** T7: fan-out — one source frame, two independent sink queries

@@ -381,9 +381,35 @@ class PlanSpec extends SparkSpec {
   test("t17: the rule battery is one scan-side projection — no join, no data shuffle") {
     val plan = executed(graft.text.TextAnalysis.t17GopherRules(spark, sf))
     assert(!plan.contains("Join"), plan)
-    // the only exchange is the oracle ORDER BY's range partitioner
+    // the only exchange is the final ORDER BY's — and at this input size
+    // SmallGlobalSort plans it as a single-partition exchange (folded
+    // SinglePartition), so not even the range sampler's shadow execution
+    // of the rule projection survives
     val exLines = plan.linesIterator.filter(_.contains("Exchange")).toVector
-    assert(exLines.forall(_.contains("rangepartitioning")), exLines.mkString("\n"))
+    assert(exLines.forall(l =>
+      l.contains("SinglePartition") || l.contains("rangepartitioning")),
+      exLines.mkString("\n"))
+  }
+
+  test("small global sorts plan as a single-partition exchange — no sampling pass; big sorts keep the range exchange") {
+    import org.apache.spark.sql.functions._
+    // small input → SmallGlobalSort rewrites: one SinglePartition
+    // exchange, no rangepartitioning (the sampler's double execution of
+    // the child pipeline is gone)
+    val small = executed(Tables.documents(spark, sf)
+      .select(col("doc_id"), length(col("text")).as("n"))
+      .orderBy(col("n"), col("doc_id")))
+    assert(small.contains("SinglePartition"), small)
+    assert(!small.contains("rangepartitioning"), small)
+    // past the threshold the parallel range sort is the only plan that
+    // scales — a frame estimated at 80 MB (10M × 8-byte rows) must keep
+    // rangepartitioning
+    val big = executed(spark.range(0, 10000000L).toDF("id").orderBy(col("id").desc))
+    assert(big.contains("rangepartitioning"), big)
+    // and a Sort+Limit root still becomes TakeOrderedAndProject
+    val topk = executed(Tables.orders(spark, sf)
+      .orderBy(col("o_totalprice").desc).limit(5))
+    assert(topk.contains("TakeOrderedAndProject"), topk)
   }
 
   test("d13: the pair join keys on (cluster, salt) with pinned width — never all-pairs") {

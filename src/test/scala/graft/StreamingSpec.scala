@@ -108,6 +108,93 @@ class StreamingSpec extends SparkSpec {
     assert(quarantined.filter(col("value") < 0).count() > 0)
   }
 
+  test("socket transport: reordered delivery corrected by the watermark, too-late rows drop") {
+    import graft.streaming.{SocketJsonSource, StreamSource, StreamSources}
+    // a push transport can deliver out of order (the property the file
+    // feeds can't exercise — a real Kinesis consumer must survive it);
+    // correctness must come from the event-time watermark
+    val server = new java.net.ServerSocket(0, 2,
+      java.net.InetAddress.getByName("127.0.0.1"))
+    @volatile var out: java.io.PrintWriter = null
+    val accept = new Thread(() => {
+      val sock = server.accept()
+      out = new java.io.PrintWriter(
+        new java.io.OutputStreamWriter(sock.getOutputStream,
+          java.nio.charset.StandardCharsets.UTF_8), true)
+    })
+    accept.setDaemon(true)
+    accept.start()
+    val src: StreamSource = SocketJsonSource("127.0.0.1", server.getLocalPort,
+      StreamSources.EventSchema,
+      options = Map("timestampFormat" -> "yyyy-MM-dd HH:mm:ss"))
+    val agg = src.read(spark)
+      .filter(col(StreamSources.CorruptCol).isNull)
+      .withWatermark("ts", "20 minutes")
+      .groupBy(window(col("ts"), "15 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("ws"), col("n"))
+    val q = agg.writeStream.format("memory").queryName("sock_win")
+      .outputMode("append")
+      .trigger(Trigger.ProcessingTime("200 milliseconds"))
+      .start()
+    try {
+      val deadline = System.currentTimeMillis() + 30000
+      while (out == null && System.currentTimeMillis() < deadline) Thread.sleep(100)
+      assert(out != null, "socket source never connected")
+      def line(id: Int, t: String) =
+        s"""{"id": $id, "ts": "2024-01-01 $t", "value": 1.0}"""
+      // chunk 1: 10:16 arrives BEFORE 10:03 (reorder inside the 20-min
+      // bound — must be kept); a malformed line rides along (must not
+      // kill the query); 10:46 advances the watermark to 10:26, closing
+      // the [10:00, 10:15) window
+      Seq(line(1, "10:01:00"), line(2, "10:16:00"), "THIS IS NOT JSON",
+        line(3, "10:03:00"), line(4, "10:31:00"), line(5, "10:46:00"))
+        .foreach(out.println)
+      def rows(): Map[Timestamp, Long] =
+        spark.table("sock_win").as[(Timestamp, Long)].collect().toMap
+      while (!rows().contains(ts("2024-01-01 10:00:00")) &&
+             System.currentTimeMillis() < deadline) Thread.sleep(200)
+      // the watermark (10:26) is now committed: the reordered 10:03 made
+      // it into the closed window
+      assert(rows()(ts("2024-01-01 10:00:00")) == 2L)
+      // chunk 2: 09:00 is an hour past the watermark → dropped; 11:30
+      // closes every remaining sub-10:45 window
+      Seq(line(6, "09:00:00"), line(7, "11:30:00")).foreach(out.println)
+      q.processAllAvailable()
+      val finalRows = rows()
+      assert(finalRows(ts("2024-01-01 10:15:00")) == 1L)
+      assert(finalRows(ts("2024-01-01 10:30:00")) == 1L)
+      assert(finalRows(ts("2024-01-01 10:45:00")) == 1L)
+      // the too-late 09:00 row emitted NO window and inflated none
+      assert(!finalRows.contains(ts("2024-01-01 09:00:00")))
+      assert(finalRows.values.sum == 5L)
+    } finally {
+      q.stop()
+      server.close()
+    }
+  }
+
+  test("st11 outer-join replay: null rows emitted only past the watermark horizon") {
+    val res = graft.streaming.StreamReplay.st11OuterJoinReplay(spark, sf)
+    val nNull = res.agg(sum(col("n_null"))).as[Long].head()
+    val nPairs = res.agg(sum(col("n_pairs"))).as[Long].head()
+    // both legs must be non-vacuous: real matches AND real null emissions
+    assert(nPairs > 0, "no matched pairs — the inner leg is vacuous")
+    assert(nNull > 0, "no null rows — watermark-driven emission never fired")
+    // matched pairs must equal the batch inner interval join (no state
+    // eviction may lose a match under the chosen lateness)
+    val ev = Tables.events(spark, sf)
+      .filter(col("ts") < lit(graft.streaming.StreamReplay.JoinFeedEnd).cast("timestamp"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+    val batchPairs = p.join(c, col("p_user") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 1 DAY") &&
+        col("c_ts") <= col("p_ts")).count()
+    assert(nPairs == batchPairs)
+  }
+
   test("st01 batch replay through the streaming sink equals batch derivation") {
     val streamed = graft.streaming.StreamReplay.st01StreamReplay(spark, sf)
       .collect().toSeq.map(_.toString)
