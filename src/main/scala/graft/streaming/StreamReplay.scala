@@ -681,7 +681,7 @@ object StreamReplay {
   /** st11 horizon constants. The OUTER join's null emission is watermark-
     * driven, so unlike st08 the watermark must ADVANCE through the feed:
     * lateness (3 d) is chosen ≥ join window (1 d) + max inter-source skew
-    * (feed span 7 d / 8 files ≈ 0.9 d/batch) so no match is ever lost to
+    * (feed span 7 d / 4 files ≈ 1.75 d/batch) so no match is ever lost to
     * state eviction, while still leaving the final watermark ≈ feedMax−3 d
     * deep enough inside the feed that unmatched purchases BEFORE
     * [[OuterNullCut]] are guaranteed past their emission horizon. The row
@@ -697,7 +697,7 @@ object StreamReplay {
     * purchases with no click in the trailing [[JoinWindow]] emit once
     * with null click columns when the watermark passes their horizon
     * (organic-conversion accounting, the first shape real attribution
-    * pipelines hit). Same staged-feed machinery as st08 with 8
+    * pipelines hit). Same staged-feed machinery as st08 with 4
     * interleaved micro-batches per side; the oracle restates the batch
     * LEFT JOIN with the same null-cut band.
     *
@@ -713,12 +713,15 @@ object StreamReplay {
       val ev = Tables.events(s, d)
         .filter(col("ts") < lit(JoinFeedEnd).cast("timestamp"))
         .select(col("user_id"), col("event_type"), col("ts"))
+      // 4 files/side: max inter-source skew = feed span 7 d / 4 ≈ 1.75 d,
+      // and lateness (3 d) ≥ window (1 d) + skew still holds with margin —
+      // 8 micro-batches instead of 16 halves the replay's epoch overhead
       stageOrderedJson(
         ev.filter(col("event_type") === "purchase").select(col("user_id"), col("ts")),
-        nFiles = 8, s"$tmp/purchases", prefix = "a", baseModTime = 1000000L)
+        nFiles = 4, s"$tmp/purchases", prefix = "a", baseModTime = 1000000L)
       stageOrderedJson(
         ev.filter(col("event_type") === "click").select(col("user_id"), col("ts")),
-        nFiles = 8, s"$tmp/clicks", prefix = "b", baseModTime = 1000000L)
+        nFiles = 4, s"$tmp/clicks", prefix = "b", baseModTime = 1000000L)
       val feedSchema = new StructType()
         .add("user_id", "long").add("ts", "timestamp")
       def feed(dir: String, tsName: String) = StreamingPipeline.jsonFileSource(
