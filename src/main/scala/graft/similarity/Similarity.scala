@@ -553,16 +553,21 @@ object Similarity {
     * redundancy penalty and drops down the list (eval-set construction,
     * RAG context packing).
     *
-    * MMR is inherently sequential in k, so the loop runs as [[TopK]]
-    * DataFrame rounds (pick-per-query window → penalty-update join),
-    * localCheckpoint'd per round to keep the plan flat — the frames are
-    * per-query candidate lists (Q·[[MmrCands]] rows), so each round is
-    * bounded work independent of corpus size; the expensive part
-    * (retrieval) happened once upstream. Every ranking decision orders
-    * by (round(·,6), vec_id), and scores combine ROUNDED inputs with
-    * identical literals (0.7/0.3) in both engines, so the greedy path —
-    * and therefore the whole output — is engine-stable; the oracle
-    * restates the recursion as a recursive CTE. */
+    * MMR is inherently sequential in k, but the per-query pool is a
+    * FIXED-SIZE frame (Q·[[MmrCands]] rows), so the whole greedy runs as
+    * one higher-order `aggregate` fold over each query's collected pool
+    * — state = (remaining candidates with running penalty, selected so
+    * far), one pick + penalty update per fold step. One distributed pass
+    * (scan → broadcast retrieve → top-[[MmrCands]] window → per-query
+    * fold) replaces the former [[TopK]] localCheckpoint'd DataFrame
+    * rounds that cost ~80 scheduler jobs for bounded work; the expensive
+    * part (retrieval) still happens exactly once and stays partitioned.
+    * Every ranking decision orders by (round(·,6), vec_id) — the pool is
+    * array_sort'ed by vec_id and the fold's argmax is strictly-greater,
+    * so ties keep the smallest vec_id — and scores combine ROUNDED
+    * inputs with identical literals (0.7/0.3) in both engines, so the
+    * greedy path — and therefore the whole output — is engine-stable;
+    * the oracle restates the recursion as a recursive CTE. */
   def s07MmrTopK(s: SparkSession, d: String): DataFrame = {
     import graft.functions.VectorFunctions.cosine
     val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
@@ -575,48 +580,66 @@ object Similarity {
       .withColumn("rn", row_number().over(wC))
       .filter(col("rn") <= MmrCands)
       .select(col("query_id"), col("vec_id"), col("qcos"), col("embedding"))
-      .localCheckpoint()
-    // pairwise candidate similarities: bounded Q·MmrCands² rows — the
-    // only all-pairs product is within each query's fixed-size pool
-    val pairs = cands
-      .select(col("query_id"), col("vec_id").as("a"), col("embedding").as("ea"))
-      .join(cands.select(col("query_id"), col("vec_id").as("b"),
-        col("embedding").as("eb")), Seq("query_id"))
-      .filter(col("a") =!= col("b"))
-      .select(col("query_id"), col("a"), col("b"),
-        round(cosine(col("ea"), col("eb")), 6).as("pcos"))
-      .localCheckpoint()
-    val wPick = Window.partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col("vec_id"))
-    var rem = cands.select(col("query_id"), col("vec_id"), col("qcos"))
-      .withColumn("penalty", lit(0.0))
-    var sel = Vector.empty[DataFrame]
-    for (step <- 1 to TopK) {
-      val scored =
-        if (step == 1) rem.withColumn("score", col("qcos"))
-        else rem.withColumn("score",
-          lit(0.7) * col("qcos") - lit(0.3) * col("penalty"))
-      val pick = scored.withColumn("rn", row_number().over(wPick))
-        .filter(col("rn") === 1)
-        .select(col("query_id"), col("vec_id"), col("score"))
-        .localCheckpoint()
-      sel = sel :+ pick.select(col("query_id"), lit(step).as("rank"),
-        col("vec_id").as("neighbor_id"), round(col("score"), 6).as("score"))
-      if (step < TopK) {
-        rem = rem
-          .join(pick.select(col("query_id"), col("vec_id").as("picked")),
-            Seq("query_id"))
-          .filter(col("vec_id") =!= col("picked"))
-          .join(pairs.select(col("query_id"), col("a").as("vec_id"),
-            col("b").as("picked"), col("pcos")),
-            Seq("query_id", "vec_id", "picked"))
-          .withColumn("penalty",
-            if (step == 1) col("pcos") else greatest(col("penalty"), col("pcos")))
-          .select(col("query_id"), col("vec_id"), col("qcos"), col("penalty"))
-          .localCheckpoint()
-      }
-    }
-    sel.reduce(_ unionByName _).orderBy(col("query_id"), col("rank"))
+    // One pool row per query, candidates sorted by vec_id for a
+    // deterministic fold order (collect_list order is not guaranteed).
+    val pool = cands.groupBy(col("query_id"))
+      .agg(array_sort(collect_list(struct(
+        col("vec_id"), col("qcos"), col("embedding")))).as("pool"))
+    val initRem = transform(col("pool"), c => struct(
+      c.getField("vec_id").as("vec_id"),
+      c.getField("qcos").as("qcos"),
+      c.getField("embedding").as("embedding"),
+      // cosine's lower bound, NOT 0.0: the running greatest() must
+      // preserve an all-negative max-sim penalty (greatest(0, pcos)
+      // would clamp it and flip later argmaxes)
+      lit(-1.0).as("penalty")))
+    // Empty selection with the right element type: transform over an
+    // empty slice types the array without a cast-from-DDL string.
+    val initSel = transform(slice(col("pool"), 1, 0), c => struct(
+      lit(1).as("rank"), c.getField("vec_id").as("neighbor_id"),
+      lit(0.0).as("score")))
+    val mmr = aggregate(
+      sequence(lit(1), lit(TopK)),
+      struct(initRem.as("rem"), initSel.as("sel")),
+      (st, _) => {
+        val rem = st.getField("rem")
+        val sel = st.getField("sel")
+        // score each remaining candidate: step 1 is pure relevance,
+        // later steps trade relevance against the running max-sim
+        // penalty to the already-selected set
+        val scored = transform(rem, c => struct(
+          c.getField("vec_id").as("vec_id"),
+          c.getField("qcos").as("qcos"),
+          c.getField("embedding").as("embedding"),
+          c.getField("penalty").as("penalty"),
+          when(size(sel) === 0, c.getField("qcos"))
+            .otherwise(lit(0.7) * c.getField("qcos") -
+              lit(0.3) * c.getField("penalty")).as("score")))
+        // strict-greater argmax over a vec_id-sorted array = score DESC,
+        // vec_id ASC — the oracle's row_number() ordering exactly
+        val best = aggregate(scored, element_at(scored, 1),
+          (b, c) => when(c.getField("score") > b.getField("score"), c)
+            .otherwise(b))
+        val newSel = concat(sel, array(struct(
+          (size(sel) + 1).as("rank"),
+          best.getField("vec_id").as("neighbor_id"),
+          round(best.getField("score"), 6).as("score"))))
+        val newRem = transform(
+          filter(scored, c => c.getField("vec_id") =!= best.getField("vec_id")),
+          c => struct(
+            c.getField("vec_id").as("vec_id"),
+            c.getField("qcos").as("qcos"),
+            c.getField("embedding").as("embedding"),
+            greatest(c.getField("penalty"),
+              round(cosine(c.getField("embedding"),
+                best.getField("embedding")), 6)).as("penalty")))
+        when(size(rem) === 0, st)
+          .otherwise(struct(newRem.as("rem"), newSel.as("sel")))
+      }).getField("sel")
+    pool.select(col("query_id"), explode(mmr).as("r"))
+      .select(col("query_id"), col("r.rank").as("rank"),
+        col("r.neighbor_id").as("neighbor_id"), col("r.score").as("score"))
+      .orderBy(col("query_id"), col("rank"))
   }
 
   /** s08 refine depth: exact re-rank of the SQ8 short-list (5× TopK —
