@@ -113,4 +113,57 @@ object Joins {
     }
     matched.filter(col("__side") === 1).select(outCols: _*)
   }
+
+  /** As-of join (nearest, inclusive): each left row matches the right row
+    * minimizing `|rightTs - leftTs|` for the same `key` — the symmetric
+    * "closest event in time" enrich (sensor alignment, log correlation),
+    * which neither directed walk can express alone. Built as BOTH walks
+    * over ONE stacked union: the same key-shuffle feeds an ascending and
+    * a descending running `last(ignoreNulls)` window (two in-partition
+    * sorts, still one exchange), and a per-row CASE picks the closer
+    * side. Cost is one shuffle + two sorts — at 100 TB it behaves like a
+    * sort-merge join with a second sort pass, with no per-key blowup.
+    *
+    * Tie rules: equal distance prefers the BACKWARD match; same-(key,ts)
+    * right rows resolve by `tieBreak` natural order ([[asOf]]'s greatest
+    * wins on the backward side, [[asOfForward]]'s smallest on the
+    * forward side).
+    *
+    * @param within optional symmetric horizon: a side whose gap exceeds
+    *               it is ineligible; if both are, the left row emits a
+    *               null payload. */
+  def asOfNearest(left: DataFrame, right: DataFrame, key: String,
+                  leftTs: Column, rightTs: Column,
+                  payload: Seq[Column], tieBreak: Column,
+                  within: Option[Column] = None): DataFrame = {
+    val payloadNames = right.select(payload: _*).columns.toSeq
+    val l = left
+      .withColumn("__ts", leftTs)
+      .withColumn("__side", lit(1))
+    val r = right
+      .select(col(key), rightTs.as("__ts"), tieBreak.as("__tie"),
+        struct(payload :+ rightTs.as("__rts"): _*).as("__payload"))
+      .withColumn("__side", lit(0))
+    val stacked = l.unionByName(r, allowMissingColumns = true)
+    val wb = Window.partitionBy(col(key))
+      .orderBy(col("__ts"), col("__side"), col("__tie"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = Window.partitionBy(col(key))
+      .orderBy(col("__ts").desc, col("__side"), col("__tie").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matched = stacked
+      .withColumn("__mb", last(col("__payload"), ignoreNulls = true).over(wb))
+      .withColumn("__mf", last(col("__payload"), ignoreNulls = true).over(wf))
+    val gb = col("__ts") - col("__mb.__rts")
+    val gf = col("__mf.__rts") - col("__ts")
+    val bOk = col("__mb").isNotNull &&
+      within.map(d => gb <= d).getOrElse(lit(true))
+    val fOk = col("__mf").isNotNull &&
+      within.map(d => gf <= d).getOrElse(lit(true))
+    val useB = bOk && (!fOk || gb <= gf)
+    val outCols = left.columns.map(col) ++ payloadNames.map { n =>
+      when(useB, col(s"__mb.$n")).when(fOk, col(s"__mf.$n")).as(n)
+    }
+    matched.filter(col("__side") === 1).select(outCols: _*)
+  }
 }

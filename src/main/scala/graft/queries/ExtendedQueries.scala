@@ -73,6 +73,29 @@ object ExtendedQueries {
       .orderBy(col("event_id"))
   }
 
+  /** a05: NEAREST as-of join ([[Joins.asOfNearest]]) — each error event
+    * matched to the click (same user) closest in time in EITHER
+    * direction, within a symmetric 45-minute horizon; equal distance
+    * prefers the earlier (backward) click. The symmetric "closest event"
+    * alignment neither a01's backward nor a03's forward walk expresses —
+    * log correlation's native join. Both directed walks share ONE
+    * key-shuffle (two in-partition sorts); gap_us is signed exact
+    * microseconds (negative = click before error). */
+  def a05AsOfNearest(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+    Joins.asOfNearest(errors, clicks, "user_id",
+        leftTs = col("ts"), rightTs = col("ts"),
+        payload = Seq(col("event_id").as("click_id"), col("ts").as("click_ts")),
+        tieBreak = col("event_id"),
+        within = Some(expr("INTERVAL '45' MINUTE")))
+      .select(col("event_id"), col("user_id"), col("click_id"),
+        (unix_micros(col("click_ts")) - unix_micros(col("ts"))).as("gap_us"))
+      .orderBy(col("event_id"))
+  }
+
   /** a02: interval/range join (§2.3) — every event landing inside the
     * 30-minute incident window opened by each error event, aggregated per
     * window. The naive formulation is a pure theta-join (no equi key)
@@ -351,6 +374,7 @@ object ExtendedQueries {
     "a02_range_join"     -> a02RangeJoin _,
     "a03_asof_forward"   -> a03AsOfForward _,
     "a04_asof_tolerance" -> a04AsOfTolerance _,
+    "a05_asof_nearest"   -> a05AsOfNearest _,
     "q37_sliding_window" -> q37SlidingWindow _,
     "q30_pivot"          -> q30Pivot _,
     "q25_approx_distinct"-> q25ApproxDistinct _,
@@ -492,6 +516,44 @@ object ExtendedQueries {
              CASE WHEN ts - m_ts <= INTERVAL 30 MINUTE
                   THEN epoch_us(m_ts) - epoch_us(ts) END AS gap_us
       FROM m WHERE side = 1 ORDER BY event_id""",
+    // a05: both directed walks as two windows over ONE stacked union,
+    // then the same closer-side CASE the Spark operator applies; equal
+    // distance prefers backward, both-out-of-horizon emits null
+    "a05_asof_nearest" -> """
+      WITH errors AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'),
+      clicks AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+      u AS (
+        SELECT user_id, ts, 1 AS side, event_id,
+               NULL::BIGINT AS tie, NULL::BIGINT AS p_id, NULL::TIMESTAMP AS p_ts
+        FROM errors
+        UNION ALL
+        SELECT user_id, ts, 0 AS side, NULL, event_id, event_id, ts
+        FROM clicks),
+      m AS (
+        SELECT *,
+               last_value(p_id IGNORE NULLS) OVER wb AS b_id,
+               last_value(p_ts IGNORE NULLS) OVER wb AS b_ts,
+               last_value(p_id IGNORE NULLS) OVER wf AS f_id,
+               last_value(p_ts IGNORE NULLS) OVER wf AS f_ts
+        FROM u
+        WINDOW wb AS (PARTITION BY user_id ORDER BY ts, side, tie
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               wf AS (PARTITION BY user_id ORDER BY ts DESC, side, tie DESC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      c AS (
+        SELECT event_id, user_id, ts, b_id, b_ts, f_id, f_ts,
+               (b_ts IS NOT NULL AND ts - b_ts <= INTERVAL 45 MINUTE) AS b_ok,
+               (f_ts IS NOT NULL AND f_ts - ts <= INTERVAL 45 MINUTE) AS f_ok
+        FROM m WHERE side = 1)
+      SELECT event_id, user_id,
+             CASE WHEN b_ok AND (NOT f_ok OR ts - b_ts <= f_ts - ts) THEN b_id
+                  WHEN f_ok THEN f_id END AS click_id,
+             CASE WHEN b_ok AND (NOT f_ok OR ts - b_ts <= f_ts - ts)
+                    THEN epoch_us(b_ts) - epoch_us(ts)
+                  WHEN f_ok THEN epoch_us(f_ts) - epoch_us(ts) END AS gap_us
+      FROM c ORDER BY event_id""",
     "a02_range_join" -> """
       SELECT e.event_id AS win_id,
              count(*) AS n_in_window,

@@ -1106,6 +1106,37 @@ object PipelineQueries {
       .agg(count(lit(1)).as("n_fps"), sum(col("n_copies")).as("n_docs"))
       .orderBy(col("n_splits"))
 
+  /** p25: consistent keyed pseudonymization — the privacy-side release
+    * step of a curation pipeline: every natural identity (here
+    * source:doc_id, standing in for a user/session id) maps to a stable
+    * opaque pseudonym via a peppered SHA-256, so downstream joins keep
+    * working (same id → same pseudonym, always) while the natural key
+    * never leaves the pipeline. The audit row proves the two properties
+    * that make pseudonymization safe to ship: injectivity per source
+    * (distinct pseudonyms == distinct ids — no silent collision merged
+    * two users) and determinism (pid_first anchors actual hash VALUES
+    * against the oracle's independent sha256, not just counts).
+    *
+    * Scale shape: the mapping is a pure per-row projection (codegen'd
+    * sha2 on the scan, no shuffle); only the audit aggregates — one
+    * grouped agg whose two count-distincts expand map-side. At 100 TB
+    * the pepper comes from a secret store, not a literal; everything
+    * else is unchanged. */
+  def p25Pseudonymize(s: SparkSession, d: String): DataFrame = {
+    val p = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        concat(col("source"), lit(":"), col("doc_id").cast("string")).as("uid"))
+      .withColumn("pid",
+        substring(sha2(concat(lit("graft-pepper-v1|"), col("uid")), 256), 1, 16))
+    p.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("uid")).as("n_uids"),
+        countDistinct(col("pid")).as("n_pids"),
+        min_by(col("pid"), col("doc_id")).as("pid_first"))
+      .withColumn("injective_ok", col("n_uids") === col("n_pids"))
+      .orderBy(col("source"))
+  }
+
   val queries: Map[String, Q] = Map(
     "p01_validate_events"   -> p01ValidateEvents _,
     "p02_clean_dedup"       -> p02CleanDedup _,
@@ -1130,6 +1161,7 @@ object PipelineQueries {
     "p22_snapshot_apply"    -> p22SnapshotApply _,
     "p23_salted_agg"        -> p23SaltedAgg _,
     "p24_split_leakage"     -> p24SplitLeakage _,
+    "p25_pseudonymize"      -> p25Pseudonymize _,
     "g01_quality_score"     -> g01QualityScore _,
     "g08_source_overlap"    -> g08SourceOverlap _,
     "g05_histogram"         -> g05Histogram _,
@@ -1264,6 +1296,21 @@ object PipelineQueries {
       SELECT n_splits, count(*) AS n_fps,
              CAST(sum(n_copies) AS BIGINT) AS n_docs
       FROM per_fp GROUP BY n_splits ORDER BY n_splits""",
+    // p25: the same peppered sha256 re-derived independently; pid_first
+    // anchors hash VALUES, not just counts
+    "p25_pseudonymize" -> """
+      WITH p AS (
+        SELECT doc_id, source,
+               source || ':' || CAST(doc_id AS VARCHAR) AS uid,
+               substr(sha256('graft-pepper-v1|' || source || ':' ||
+                 CAST(doc_id AS VARCHAR)), 1, 16) AS pid
+        FROM documents)
+      SELECT source, count(*) AS n_docs,
+             count(DISTINCT uid) AS n_uids,
+             count(DISTINCT pid) AS n_pids,
+             arg_min(pid, doc_id) AS pid_first,
+             (count(DISTINCT uid) = count(DISTINCT pid)) AS injective_ok
+      FROM p GROUP BY source ORDER BY source""",
     // the plain one-phase aggregate the salted two-phase plan must equal;
     // exact-integer sums make the reassociation drift-free
     "p23_salted_agg" -> """

@@ -46,6 +46,35 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** s10: metadata-FILTERED retrieval — s01's exact top-k restricted to
+    * candidates sharing the query's own label (attribute-matched search:
+    * "nearest within my class"). The production vector-store shape where
+    * a structured predicate composes with the similarity search; here the
+    * predicate rides in the JOIN CONDITION, so non-matching candidates
+    * are discarded at the broadcast-probe before any cosine is computed
+    * — filter-then-score, never score-then-filter. At 100 TB the same
+    * predicate composes with the index rows instead (IVF cells partition
+    * by label just as well as by centroid); the exact filtered scan is
+    * both the correctness baseline and the recall denominator for a
+    * filtered-ANN variant. */
+  def s10FilteredTopK(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"), col("label"))
+    val q = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("label").as("qlabel"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    e.join(broadcast(q),
+        col("vec_id") =!= col("query_id") && col("label") === col("qlabel"))
+      .withColumn("cos", cosine(col("qe"), col("embedding")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("label"), round(col("cos"), 6).as("cos"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** LSH geometry: [[NumTables]] independent tables of [[NumPlanes]]
     * hyperplanes each. Seeded-deterministic plane coefficients (seed 42)
     * are generated on the driver and enter the plan as literals — a few KB,
@@ -820,6 +849,7 @@ object Similarity {
     "s07_mmr_topk"        -> s07MmrTopK _,
     "s08_sq_topk"         -> s08SqTopK _,
     "s09_topk_ivfsq"      -> s09IvfSqRecall _,
+    "s10_filtered_topk"   -> s10FilteredTopK _,
     "g12_label_centroids" -> g12LabelCentroids _,
   )
 
@@ -862,6 +892,29 @@ object Similarity {
                                   ORDER BY cos DESC, vec_id) AS rank, cos
         FROM scored)
       SELECT query_id, vec_id AS neighbor_id, round(cos, 6) AS cos, rank
+      FROM ranked WHERE rank <= $TopK
+      ORDER BY query_id, rank""",
+    // s10: s01 with the label-equality predicate in the join — the
+    // filter applies before any cosine on both engines
+    "s10_filtered_topk" -> s"""
+      WITH e AS (SELECT vec_id, embedding, label FROM embeddings),
+      q AS (SELECT vec_id AS query_id, embedding AS qe, label AS qlabel
+            FROM e WHERE vec_id < $NumQueries),
+      scored AS (
+        SELECT q.query_id, e.vec_id, e.label,
+               list_sum(list_transform(range(1, len(q.qe) + 1),
+                 i -> CAST(q.qe[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(q.qe,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                * sqrt(list_sum(list_transform(e.embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
+        FROM e JOIN q ON e.vec_id <> q.query_id AND e.label = q.qlabel),
+      ranked AS (
+        SELECT query_id, vec_id, label,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, vec_id) AS rank, cos
+        FROM scored)
+      SELECT query_id, vec_id AS neighbor_id, label, round(cos, 6) AS cos, rank
       FROM ranked WHERE rank <= $TopK
       ORDER BY query_id, rank""",
     // s06: the BM25 arithmetic restated with the SAME literals and the

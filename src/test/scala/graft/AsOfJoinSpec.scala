@@ -109,6 +109,89 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out == "zeta") // greatest string wins — not a null-cast lottery
   }
 
+  test("asOfNearest picks the closer side; equal distance prefers backward") {
+    val left = Seq(
+      (1L, "k1", ts("2024-01-01 10:00:00")), // back 30 min, fwd 10 min → fwd
+      (2L, "k1", ts("2024-01-01 09:45:00")), // back 15 min, fwd 25 min → back
+      (3L, "k1", ts("2024-01-01 10:40:00")), // equidistant 30 min → backward
+      (4L, "k2", ts("2024-01-01 10:00:00")), // only a forward match exists
+      (5L, "k3", ts("2024-01-01 10:00:00"))  // no right rows at all → null
+    ).toDF("id", "k", "ts")
+    val right = Seq(
+      (100L, "k1", ts("2024-01-01 09:30:00")),
+      (101L, "k1", ts("2024-01-01 10:10:00")),
+      (102L, "k1", ts("2024-01-01 11:10:00")),
+      (103L, "k2", ts("2024-01-01 10:20:00"))
+    ).toDF("rid", "k", "ts")
+    val out = Joins.asOfNearest(left, right, "k",
+        leftTs = col("ts"), rightTs = col("ts"),
+        payload = Seq(col("rid").as("match_id")),
+        tieBreak = col("rid"))
+      .select("id", "match_id")
+      .as[(Long, Option[Long])].collect().sortBy(_._1)
+    assert(out(0) == ((1L, Some(101L))))
+    assert(out(1) == ((2L, Some(100L))))
+    assert(out(2) == ((3L, Some(101L)))) // 10:10 and 11:10 equidistant? no: 30 min back vs 30 min fwd → backward 101
+    assert(out(3) == ((4L, Some(103L))))
+    assert(out(4) == ((5L, None)))
+  }
+
+  test("asOfNearest horizon: both-side gaps beyond `within` null out") {
+    val left = Seq(
+      (1L, "k", ts("2024-01-01 10:00:00")), // back 90 min, fwd 50 min → both out
+      (2L, "k", ts("2024-01-01 09:00:00"))  // back 30 min → kept
+    ).toDF("id", "k", "ts")
+    val right = Seq(
+      (100L, "k", ts("2024-01-01 08:30:00")),
+      (101L, "k", ts("2024-01-01 10:50:00"))
+    ).toDF("rid", "k", "ts")
+    val out = Joins.asOfNearest(left, right, "k",
+        leftTs = col("ts"), rightTs = col("ts"),
+        payload = Seq(col("rid").as("match_id")),
+        tieBreak = col("rid"),
+        within = Some(expr("INTERVAL '45' MINUTE")))
+      .select("id", "match_id")
+      .as[(Long, Option[Long])].collect().sortBy(_._1)
+    assert(out(0) == ((1L, None)))
+    assert(out(1) == ((2L, Some(100L))))
+  }
+
+  test("asOfNearest agrees with the argmin-|gap| definition on events data") {
+    val dir = "/root/testdata/sf0.001"
+    val ev = Tables.events(spark, dir)
+    val l = ev.filter(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val r = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("rid"), col("user_id"), col("ts").as("rts"))
+    val got = Joins.asOfNearest(l, r, "user_id",
+        leftTs = col("ts"), rightTs = col("rts"),
+        payload = Seq(col("rid").as("match_id")),
+        tieBreak = col("rid"))
+      .select("event_id", "match_id")
+      .as[(Long, Option[Long])].collect().toMap
+    // brute-force oracle: min |gap| in exact microseconds, ties → the
+    // backward side, then larger rid backward / smaller rid forward
+    def us(t: Timestamp): Long =
+      t.toInstant.getEpochSecond * 1000000L + t.toInstant.getNano / 1000L
+    val rights = r.as[(Long, Long, Timestamp)].collect()
+      .groupBy(_._2).view.mapValues(_.toSeq).toMap
+    l.as[(Long, Long, Timestamp)].collect().foreach { case (id, u, t) =>
+      val cands = rights.getOrElse(u, Seq.empty)
+      val expect =
+        if (cands.isEmpty) None
+        else {
+          val withGap = cands.map { case (rid, _, rt) =>
+            (math.abs(us(rt) - us(t)), us(rt) <= us(t), rid) }
+          val minGap = withGap.map(_._1).min
+          val atMin = withGap.filter(_._1 == minGap)
+          val backward = atMin.filter(_._2)
+          Some(if (backward.nonEmpty) backward.map(_._3).max
+               else atMin.map(_._3).min)
+        }
+      assert(got.get(id).flatten == expect, s"left row $id")
+    }
+  }
+
   test("asOf plans a single shuffle on the key - no nested loop join") {
     val left = Seq((1L, "k", ts("2024-01-01 10:00:00"))).toDF("id", "k", "ts")
     val right = Seq((2L, "k", ts("2024-01-01 09:00:00"), 1.0)).toDF("rid", "k", "ts", "v")

@@ -210,6 +210,18 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"), plan)
   }
 
+  test("a05: nearest as-of runs both walks off ONE key shuffle (two Windows, one data Exchange)") {
+    val plan = executed(graft.queries.ExtendedQueries.a05AsOfNearest(spark, sf))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    // exchanges: one hash partitioning on the key for both window walks +
+    // the final global-sort range exchange — a second key shuffle would
+    // mean the walks stopped sharing the partitioning
+    val exchanges = plan.linesIterator.count(_.trim.startsWith("Exchange"))
+    assert(exchanges <= 2, plan)
+    assert("Window".r.findAllIn(plan).length >= 2, plan)
+  }
+
   test("g04: profiler is one scan; multi-distinct plans as a single Expand pipeline") {
     val plan = executed(PipelineQueries.g04Profile(spark, sf))
     assert(plan.linesIterator.count(_.contains("Scan parquet")) == 1, plan)
