@@ -189,11 +189,58 @@ object ControlPlaneQueries {
         .localCheckpoint(eager = true)
     }
 
+  /** k02: the bucketed co-located join e2e as a driver row (upgrades the
+    * ExtensionsSpec-only proof): orders and lineitem are written as
+    * 8-bucket tables on the join key ([[Sinks.writeBucketed]]), then
+    * joined WITH BROADCAST DISABLED — the bucketed layout must carry the
+    * co-location, and the row makes that claim oracle-visible: the
+    * executed join plan's Exchange count rides out as a column the
+    * oracle pins to zero. This is THE 100 TB fact-to-fact join shape
+    * (pay the shuffle once at write time, never again per query); the
+    * revenue rollup itself is oracle-exact via cent-scaled integer sums.
+    *
+    * e2e-tagged: the Spark side writes and re-reads two real bucketed
+    * tables; the oracle is a parquet-only join. */
+  def k02BucketedJoin(s: SparkSession, d: String): DataFrame =
+    withTmp(s, "graft-k02-") { tmp =>
+      s.sql("DROP TABLE IF EXISTS k02_orders")
+      s.sql("DROP TABLE IF EXISTS k02_lineitem")
+      val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_orderpriority"))
+      val l = Tables.lineitem(s, d).select(col("l_orderkey").as("o_orderkey"),
+        col("l_extendedprice"), col("l_discount"))
+      Sinks.writeBucketed(o, "k02_orders", "o_orderkey", 8, path = Some(s"$tmp/o"))
+      Sinks.writeBucketed(l, "k02_lineitem", "o_orderkey", 8, path = Some(s"$tmp/l"))
+      val prev = s.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760b")
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val joined = s.table("k02_orders").join(s.table("k02_lineitem"), "o_orderkey")
+        // co-location evidence from the plan that will actually run: any
+        // Exchange before the join means the bucketing didn't carry
+        val nExch = joined.queryExecution.executedPlan.toString
+          .linesIterator.count(_.contains("Exchange"))
+        joined
+          .select(col("o_orderpriority"),
+            round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100)
+              .cast("long").as("cents"))
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n_items"),
+            round(sum(col("cents")) * lit(1.0) / lit(100.0), 2).as("revenue"))
+          .withColumn("join_zero_exchange", lit(nExch == 0))
+          .orderBy(col("o_orderpriority"))
+          .localCheckpoint(eager = true)
+      } finally {
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        s.sql("DROP TABLE IF EXISTS k02_orders")
+        s.sql("DROP TABLE IF EXISTS k02_lineitem")
+      }
+    }
+
   val queries: Map[String, Q] = Map(
     "x01_pipeline_e2e"    -> x01PipelineE2e _,
     "x02_catalog_sql"     -> x02CatalogSql _,
     "x03_parallel_scatter" -> x03ParallelScatter _,
     "k01_format_roundtrip" -> k01FormatRoundtrip _,
+    "k02_bucketed_join"   -> k02BucketedJoin _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -212,6 +259,18 @@ object ControlPlaneQueries {
             UNION ALL
             SELECT 'orc' AS format, * FROM r)
       ORDER BY format, event_type""",
+    // k02: the same join+rollup straight off parquet; the co-location
+    // claim is pinned as a hard TRUE — a shuffle in the bucketed join
+    // flips the column and fails the hash compare
+    "k02_bucketed_join" -> """
+      SELECT o.o_orderpriority,
+             count(*) AS n_items,
+             round(sum(CAST(round(l.l_extendedprice * (1.0 - l.l_discount) * 100)
+                            AS BIGINT)) * 1.0 / 100.0, 2) AS revenue,
+             TRUE AS join_zero_exchange
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      GROUP BY o.o_orderpriority
+      ORDER BY o.o_orderpriority""",
     // processed = rows passing every rule; quarantined = the complement —
     // NULL rule results count as failures (SchemaValidator semantics)
     "x01_pipeline_e2e" -> s"""
