@@ -733,6 +733,41 @@ object TextAnalysis {
         (col("char_entropy") < MinCharEntropy).as("low_entropy"))
       .orderBy(col("doc_id"))
 
+  /** t20: Flesch reading-ease proxy — the classic readability signal
+    * (words-per-sentence + syllables-per-word), the complexity
+    * counterpart of t02's surface-quality score: templated SEO sludge
+    * reads "too easy", machine-generated run-ons read "too hard", and
+    * curation recipes band on it. Syllables are approximated as vowel
+    * GROUPS per token (min 1 — CJK tokens count 1, the standard latin
+    * approximation degrades gracefully); sentences as terminal-punct
+    * runs (min 1 — this corpus has none, so the whole doc is one
+    * sentence and the words/sentence term measures doc length, which is
+    * exactly what Flesch does to unpunctuated text).
+    *
+    * Scale shape: pure per-row projection — the tokenizer materializes
+    * once, the syllable sum is a higher-order fold over the token array,
+    * no shuffle but the output sort. Both engines compute the identical
+    * literal formula on exact integer counts, so round(·,4) agrees
+    * bitwise. */
+  def t20Readability(s: SparkSession, d: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val sylls = aggregate(
+      transform(toks, w =>
+        greatest(lit(1L), regexp_count(w, lit("[aeiouy]+")).cast("long"))),
+      lit(0L), (a, x) => a + x)
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        size(toks).cast("long").as("n_words"),
+        sylls.as("n_sylls"),
+        greatest(lit(1L), regexp_count(col("text"), lit("[.!?]")).cast("long"))
+          .as("n_sents"))
+      .withColumn("flesch",
+        round(lit(206.835)
+          - lit(1.015) * (col("n_words") * lit(1.0) / col("n_sents"))
+          - lit(84.6) * (col("n_sylls") * lit(1.0) / col("n_words")), 4))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, Q] = Map(
     "t01_token_count" -> t01TokenCount _,
     "t02_quality"     -> t02Quality _,
@@ -753,6 +788,7 @@ object TextAnalysis {
     "t17_gopher_rules" -> t17GopherRules _,
     "t18_classifier"   -> t18Classifier _,
     "t19_char_entropy" -> t19CharEntropy _,
+    "t20_readability" -> t20Readability _,
   )
 
   /** Shared SQL fragments for the DuckDB oracle (public: the dedup
@@ -1122,5 +1158,21 @@ object TextAnalysis {
       SELECT doc_id, n_chars, n_distinct_chars, char_entropy,
              char_entropy < $MinCharEntropy AS low_entropy
       FROM e ORDER BY doc_id""",
+    // t20: the identical literal formula over the same integer counts;
+    // vowel GROUPS per token via regexp_extract_all, min 1
+    "t20_readability" -> s"""
+      WITH t AS (
+        SELECT doc_id, lang,
+               CAST(len($ToksSql) AS BIGINT) AS n_words,
+               CAST(list_sum(list_transform($ToksSql,
+                 w -> greatest(1, len(regexp_extract_all(w, '[aeiouy]+')))))
+                 AS BIGINT) AS n_sylls,
+               CAST(greatest(1, len(regexp_extract_all(text, '[.!?]')))
+                 AS BIGINT) AS n_sents
+        FROM documents)
+      SELECT doc_id, lang, n_words, n_sylls, n_sents,
+             round(206.835 - 1.015 * (n_words * 1.0 / n_sents)
+                   - 84.6 * (n_sylls * 1.0 / n_words), 4) AS flesch
+      FROM t ORDER BY doc_id""",
   )
 }

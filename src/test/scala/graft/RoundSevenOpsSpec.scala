@@ -1,0 +1,115 @@
+package graft
+
+import graft.queries.{ControlPlaneQueries, PipelineQueries}
+import graft.similarity.Similarity
+import graft.text.TextAnalysis
+import org.apache.spark.sql.functions._
+
+/** Semantic laws for the round-7 additions (s10 filtered retrieval, p25
+  * pseudonymization, t20 readability, k02 bucketed join). Same discipline
+  * as the round-6 specs: every law re-derives the expectation through an
+  * INDEPENDENT path (driver-side arithmetic, upstream operators' own
+  * outputs) so a production-path regression cannot cancel out. */
+class RoundSevenOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("s10: every result shares the query's label, and ranking is s01 restricted") {
+    val got = Similarity.s10FilteredTopK(spark, sf).collect()
+    assert(got.nonEmpty)
+    val labels = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("label"))
+      .as[(Long, Int)].collect().toMap
+    // label-match law: the filter held for every emitted row
+    got.foreach { r =>
+      val q = r.getAs[Long]("query_id"); val n = r.getAs[Long]("neighbor_id")
+      assert(labels(n) == labels(q), s"query $q neighbor $n crossed labels")
+    }
+    // restriction law: s10's ranking == s01's unfiltered ranking with
+    // cross-label rows deleted and ranks recompacted
+    val unfiltered = Similarity.s01BruteForceTopK(spark, sf)
+    // s01 only emits top-10; rebuild the full filtered ranking from raw
+    // cosines instead, reusing the spark-side cosine for bit-parity
+    import graft.functions.VectorFunctions.cosine
+    val e = Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"), col("label"))
+    val q = e.filter(col("vec_id") < Similarity.NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("label").as("qlabel"))
+    val full = e.join(broadcast(q), col("vec_id") =!= col("query_id") && col("label") === col("qlabel"))
+      .select(col("query_id"), col("vec_id"), round(cosine(col("qe"), col("embedding")), 6).as("cos"))
+      .as[(Long, Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(t => (-t._3, t._2)).take(Similarity.TopK)).toMap
+    got.groupBy(_.getAs[Long]("query_id")).foreach { case (qid, rows) =>
+      val expect = full(qid).map(_._2).toSeq
+      val actual = rows.sortBy(_.getAs[Int]("rank")).map(_.getAs[Long]("neighbor_id")).toSeq
+      assert(actual == expect, s"query $qid ranking")
+    }
+    assert(unfiltered.count() > 0)
+  }
+
+  test("p25: pseudonyms are injective, deterministic, and match java MD-free sha256") {
+    val rows = PipelineQueries.p25Pseudonymize(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("injective_ok"), r.toString)
+      assert(r.getAs[Long]("n_uids") == r.getAs[Long]("n_docs"))
+    }
+    // independent rebuild of pid_first via java.security sha256
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source")).as[(Long, String)].collect()
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    def pid(src: String, id: Long): String =
+      md.digest(s"graft-pepper-v1|$src:$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(16)
+    val firstByDoc = docs.groupBy(_._2).map { case (src, ds) =>
+      val minDoc = ds.minBy(_._1)._1
+      src -> pid(src, minDoc)
+    }
+    rows.foreach { r =>
+      val src = r.getAs[String]("source")
+      assert(r.getAs[String]("pid_first") == firstByDoc(src), s"source $src")
+    }
+  }
+
+  test("t20: flesch matches a plain-Scala recomputation per document") {
+    val got = TextAnalysis.t20Readability(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_words"), r.getAs[Long]("n_sylls"),
+         r.getAs[Long]("n_sents"), r.getAs[Double]("flesch"))).toMap
+    assert(got.nonEmpty)
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    val vowel = "[aeiouy]+".r
+    val sentRe = "[.!?]".r
+    docs.foreach { case (id, text) =>
+      val norm = text.trim.toLowerCase.replaceAll("\\s+", " ")
+      val words = norm.split(" ", -1).toSeq // split keeps empties like Spark's
+      val nWords = words.size.toLong
+      val nSylls = words.map(w => math.max(1L, vowel.findAllIn(w).size.toLong)).sum
+      val nSents = math.max(1L, sentRe.findAllIn(text).size.toLong)
+      val flesch = BigDecimal(
+        206.835 - 1.015 * (nWords.toDouble / nSents) - 84.6 * (nSylls.toDouble / nWords)
+      ).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val (gw, gs, gn, gf) = got(id)
+      assert(gw == nWords && gs == nSylls && gn == nSents, s"doc $id counts")
+      assert(math.abs(gf - flesch) < 1e-9, s"doc $id flesch $gf vs $flesch")
+    }
+  }
+
+  test("k02: bucketed join rollup equals the direct parquet join, zero exchange") {
+    val got = ControlPlaneQueries.k02BucketedJoin(spark, sf).collect()
+    assert(got.nonEmpty)
+    got.foreach(r => assert(r.getAs[Boolean]("join_zero_exchange"), r.toString))
+    val direct = Tables.orders(spark, sf)
+      .join(Tables.lineitem(spark, sf), col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_orderpriority"),
+        round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100)
+          .cast("long").as("cents"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"),
+        round(sum(col("cents")) * lit(1.0) / lit(100.0), 2).as("revenue"))
+      .collect().map(r => r.getString(0) -> (r.getAs[Long]("n_items"), r.getAs[Double]("revenue"))).toMap
+    got.foreach { r =>
+      val (n, rev) = direct(r.getAs[String]("o_orderpriority"))
+      assert(r.getAs[Long]("n_items") == n && r.getAs[Double]("revenue") == rev, r.toString)
+    }
+  }
+}
