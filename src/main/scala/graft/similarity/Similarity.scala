@@ -75,6 +75,47 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** s11 graph degree and salt width. */
+  val KnnK = 3
+  val KnnSalt = 4
+
+  /** s11: exact k-NN GRAPH within label blocks — every vector's top-
+    * [[KnnK]] nearest same-label neighbors (not just a query set's): the
+    * substrate graph-based curation builds on (SemDeDup screening, d07-
+    * style graph dedup over similarity edges, HNSW bottom-layer
+    * construction). Label blocking bounds the pair space at Σ n_label²
+    * instead of N² — the d13 argument — and at open-world scale the
+    * label column swaps for s05's k-means cell with no other change.
+    *
+    * Scale shape (d13's lane geometry): the y-side replicates
+    * [[KnnSalt]]× map-side so the self-join keys on (label, salt) —
+    * #labels × salt lanes instead of #labels hot partitions, pinned
+    * with REPARTITION_BY_NUM so AQE's size-based coalescing cannot
+    * collapse the byte-tiny/CPU-dense cosine lanes. Embeddings are
+    * dropped BEFORE the per-vector top-k window, so the second exchange
+    * carries (ids, cos) only — vectors cross exactly one partitioning.
+    * Ranking orders by (round(·,6) DESC, nb_id) — engine-stable. */
+  def s11KnnGraph(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"), col("label"))
+    val width = s.conf.get("spark.sql.shuffle.partitions", "200").toInt
+    val xs = e.withColumn("sx", pmod(col("vec_id"), lit(KnnSalt)).cast("int"))
+      .repartition(width, col("label"), col("sx"))
+    val ys = e.select(col("vec_id").as("nb_id"),
+        col("embedding").as("nb_em"), col("label"))
+      .withColumn("sx", explode(lit((0 until KnnSalt).toArray)))
+      .repartition(width, col("label"), col("sx"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos").desc, col("nb_id"))
+    xs.join(ys, Seq("label", "sx"))
+      .filter(col("vec_id") =!= col("nb_id"))
+      .withColumn("cos", round(cosine(col("embedding"), col("nb_em")), 6))
+      .select(col("vec_id"), col("label"), col("nb_id"), col("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= KnnK)
+      .orderBy(col("vec_id"), col("rank"))
+  }
+
   /** LSH geometry: [[NumTables]] independent tables of [[NumPlanes]]
     * hyperplanes each. Seeded-deterministic plane coefficients (seed 42)
     * are generated on the driver and enter the plan as literals — a few KB,
@@ -850,6 +891,7 @@ object Similarity {
     "s08_sq_topk"         -> s08SqTopK _,
     "s09_topk_ivfsq"      -> s09IvfSqRecall _,
     "s10_filtered_topk"   -> s10FilteredTopK _,
+    "s11_knn_graph"       -> s11KnnGraph _,
     "g12_label_centroids" -> g12LabelCentroids _,
   )
 
@@ -917,6 +959,26 @@ object Similarity {
       SELECT query_id, vec_id AS neighbor_id, label, round(cos, 6) AS cos, rank
       FROM ranked WHERE rank <= $TopK
       ORDER BY query_id, rank""",
+    // s11: the label-blocked self-join + per-vector top-k restated; the
+    // same rounded-cos ranking keys every decision
+    "s11_knn_graph" -> s"""
+      WITH e AS (SELECT vec_id, embedding, label FROM embeddings),
+      p AS (
+        SELECT a.vec_id, a.label, b.vec_id AS nb_id,
+               round(list_sum(list_transform(range(1, len(a.embedding) + 1),
+                 i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(a.embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                * sqrt(list_sum(list_transform(b.embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS cos
+        FROM e a JOIN e b ON a.label = b.label AND a.vec_id <> b.vec_id),
+      r AS (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY cos DESC, nb_id) AS rank
+        FROM p)
+      SELECT vec_id, label, nb_id, cos, rank
+      FROM r WHERE rank <= $KnnK
+      ORDER BY vec_id, rank""",
     // s06: the BM25 arithmetic restated with the SAME literals and the
     // SAME association order (left-assoc * /) — two-term queries make the
     // contribution sum order-independent, so round(·,6) agrees bitwise.

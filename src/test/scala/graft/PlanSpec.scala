@@ -222,6 +222,20 @@ class PlanSpec extends SparkSpec {
     assert("Window".r.findAllIn(plan).length >= 2, plan)
   }
 
+  test("s11: knn graph joins on (label, salt) pinned lanes; vectors cross one exchange") {
+    val plan = executed(graft.similarity.Similarity.s11KnnGraph(spark, sf))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoop"), plan)
+    assert(plan.contains("Generate"), plan)
+    assert(plan.contains("REPARTITION_BY_NUM"), plan)
+    // embeddings are projected away before the per-vector top-k window:
+    // the vec_id exchange feeding the window must not carry vectors
+    assert(plan.contains("Window"), plan)
+    plan.linesIterator
+      .filter(l => l.contains("Exchange hashpartitioning(vec_id"))
+      .foreach(l => assert(!l.contains("embedding") && !l.contains("nb_em"), l))
+  }
+
   test("g04: profiler is one scan; multi-distinct plans as a single Expand pipeline") {
     val plan = executed(PipelineQueries.g04Profile(spark, sf))
     assert(plan.linesIterator.count(_.contains("Scan parquet")) == 1, plan)

@@ -94,6 +94,38 @@ class RoundSevenOpsSpec extends SparkSpec {
     }
   }
 
+  test("s11: knn graph matches a plain-Scala label-blocked rebuild") {
+    val got = Similarity.s11KnnGraph(spark, sf).collect()
+      .groupBy(_.getAs[Long]("vec_id"))
+      .view.mapValues(_.sortBy(_.getAs[Int]("rank"))
+        .map(r => (r.getAs[Long]("nb_id"), r.getAs[Double]("cos"))).toSeq).toMap
+    assert(got.nonEmpty)
+    val vecs = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"), col("label"))
+      .as[(Long, Seq[Float], Int)].collect()
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < math.min(a.size, b.size)) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val byLabel = vecs.groupBy(_._3)
+    vecs.foreach { case (id, emb, lab) =>
+      val expect = byLabel(lab).filter(_._1 != id)
+        .map { case (nid, ne, _) =>
+          (nid, BigDecimal(cos(emb, ne)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) }
+        .sortBy(t => (-t._2, t._1)).take(Similarity.KnnK).toSeq
+      assert(got.getOrElse(id, Seq.empty) == expect, s"vec $id")
+    }
+    // degree law: every vector with >= KnnK same-label peers has exactly KnnK edges
+    vecs.foreach { case (id, _, lab) =>
+      val peers = byLabel(lab).length - 1
+      assert(got.getOrElse(id, Seq.empty).size == math.min(peers, Similarity.KnnK))
+    }
+  }
+
   test("k02: bucketed join rollup equals the direct parquet join, zero exchange") {
     val got = ControlPlaneQueries.k02BucketedJoin(spark, sf).collect()
     assert(got.nonEmpty)
