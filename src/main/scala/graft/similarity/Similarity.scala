@@ -95,7 +95,8 @@ object Similarity {
     * dropped BEFORE the per-vector top-k window, so the second exchange
     * carries (ids, cos) only — vectors cross exactly one partitioning.
     * Ranking orders by (round(·,6) DESC, nb_id) — engine-stable. */
-  def s11KnnGraph(s: SparkSession, d: String): DataFrame = {
+  /** The s11 graph without the output sort, reused by g11's rollup. */
+  private def knnGraphEdges(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding"), col("label"))
     val width = s.conf.get("spark.sql.shuffle.partitions", "200").toInt
@@ -113,8 +114,31 @@ object Similarity {
       .select(col("vec_id"), col("label"), col("nb_id"), col("cos"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= KnnK)
-      .orderBy(col("vec_id"), col("rank"))
   }
+
+  def s11KnnGraph(s: SparkSession, d: String): DataFrame =
+    knnGraphEdges(s, d).orderBy(col("vec_id"), col("rank"))
+
+  /** g11: intra-class tightness panel — per label, the distribution of
+    * each vector's NEAREST same-label neighbor cosine (s11's rank-1
+    * edges rolled up): the edge-level companion to g12's centroid-norm
+    * coherence. A tight class (high min/mean c1) is where SemDeDup-style
+    * screening bites; a loose one (mean c1 near the ambient cos) has no
+    * redundancy to harvest — the read before spending a dedup pass per
+    * class. The mean sums micro-scaled integers (round(c1·1e6), exact
+    * and order-free) before one division, so both engines agree bitwise.
+    * Cost: the s11 graph minus its output sort, plus a #labels-row
+    * aggregate. */
+  def g11ClassTightness(s: SparkSession, d: String): DataFrame =
+    knnGraphEdges(s, d)
+      .filter(col("rank") === 1)
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        min(col("cos")).as("min_c1"),
+        max(col("cos")).as("max_c1"),
+        round(sum(round(col("cos") * 1000000).cast("long")) * lit(1.0) /
+          (lit(1000000.0) * count(lit(1))), 6).as("mean_c1"))
+      .orderBy(col("label"))
 
   /** LSH geometry: [[NumTables]] independent tables of [[NumPlanes]]
     * hyperplanes each. Seeded-deterministic plane coefficients (seed 42)
@@ -892,6 +916,7 @@ object Similarity {
     "s09_topk_ivfsq"      -> s09IvfSqRecall _,
     "s10_filtered_topk"   -> s10FilteredTopK _,
     "s11_knn_graph"       -> s11KnnGraph _,
+    "g11_class_tightness" -> g11ClassTightness _,
     "g12_label_centroids" -> g12LabelCentroids _,
   )
 
@@ -979,6 +1004,29 @@ object Similarity {
       SELECT vec_id, label, nb_id, cos, rank
       FROM r WHERE rank <= $KnnK
       ORDER BY vec_id, rank""",
+    // g11: s11's rank-1 edges rolled up per label; the mean sums
+    // micro-scaled integers so both engines agree bitwise
+    "g11_class_tightness" -> s"""
+      WITH e AS (SELECT vec_id, embedding, label FROM embeddings),
+      p AS (
+        SELECT a.vec_id, a.label, b.vec_id AS nb_id,
+               round(list_sum(list_transform(range(1, len(a.embedding) + 1),
+                 i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(a.embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                * sqrt(list_sum(list_transform(b.embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS cos
+        FROM e a JOIN e b ON a.label = b.label AND a.vec_id <> b.vec_id),
+      r AS (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY cos DESC, nb_id) AS rank
+        FROM p)
+      SELECT label, count(*) AS n_vecs,
+             min(cos) AS min_c1, max(cos) AS max_c1,
+             round(sum(CAST(round(cos * 1000000) AS BIGINT)) * 1.0 /
+                   (1000000.0 * count(*)), 6) AS mean_c1
+      FROM r WHERE rank = 1
+      GROUP BY label ORDER BY label""",
     // s06: the BM25 arithmetic restated with the SAME literals and the
     // SAME association order (left-assoc * /) — two-term queries make the
     // contribution sum order-independent, so round(·,6) agrees bitwise.

@@ -126,6 +126,29 @@ class RoundSevenOpsSpec extends SparkSpec {
     }
   }
 
+  test("g11: tightness panel is s11's rank-1 edges rolled up, conserving vectors") {
+    val panel = Similarity.g11ClassTightness(spark, sf).collect()
+      .map(r => r.getAs[Int]("label") ->
+        (r.getAs[Long]("n_vecs"), r.getAs[Double]("min_c1"),
+         r.getAs[Double]("max_c1"), r.getAs[Double]("mean_c1"))).toMap
+    assert(panel.nonEmpty)
+    val rank1 = Similarity.s11KnnGraph(spark, sf)
+      .filter(col("rank") === 1).collect()
+      .map(r => (r.getAs[Int]("label"), r.getAs[Double]("cos")))
+    // conservation: every vector with at least one same-label peer has a
+    // rank-1 edge, and the panel counts exactly those
+    assert(panel.values.map(_._1).sum == rank1.length)
+    rank1.groupBy(_._1).foreach { case (lab, rows) =>
+      val cs = rows.map(_._2)
+      val (n, mn, mx, mean) = panel(lab)
+      assert(n == cs.length && mn == cs.min && mx == cs.max)
+      val expectMean = BigDecimal(
+        cs.map(c => math.round(c * 1000000)).sum.toDouble / (1000000.0 * cs.length)
+      ).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(mean - expectMean) < 1e-12, s"label $lab mean")
+    }
+  }
+
   test("k02: bucketed join rollup equals the direct parquet join, zero exchange") {
     val got = ControlPlaneQueries.k02BucketedJoin(spark, sf).collect()
     assert(got.nonEmpty)
