@@ -667,6 +667,55 @@ object Dedup {
     contamination(docs.filter(!isBench), docs.filter(isBench))
   }
 
+  /** d14 semantic-contamination threshold — d05's near-dup cosine cut,
+    * applied at 4 dp exactly like d05 so the two operators agree on what
+    * "near" means. */
+  val SemContamTau = 0.4
+
+  /** d14: SEMANTIC decontamination — d08's benchmark-hygiene pass in
+    * embedding space: flag every training vector whose cosine to ANY
+    * benchmark vector clears [[SemContamTau]] (the paraphrase leak
+    * n-gram overlap structurally misses — a reworded eval question
+    * shares no 3-grams but sits next to the original in embedding
+    * space). Same bench-role convention as d08 (id ≡ 0 mod
+    * [[ContaminationBenchMod]] plays the held-out suite).
+    *
+    * Scale shape mirrors d08 exactly: the BENCH side is small by nature
+    * (eval suites are MBs against a 100 TB corpus), so it rides in the
+    * plan as ONE broadcast row holding the collected (id, vector) array,
+    * and the corpus side is a single scan pass — a higher-order fold
+    * scores each training vector against the array, so the corpus is
+    * never shuffled, never re-read, and no all-pairs frame ever
+    * materializes (the pair space exists only inside the fold). At a
+    * bench too large for one row, the same probe becomes a broadcast
+    * join + per-vector aggregate; the corpus-side story is unchanged. */
+  def d14SemanticDecontam(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val isBench = pmod(col("vec_id"), lit(ContaminationBenchMod)) === 0
+    val benchArr = e.filter(isBench)
+      .agg(sort_array(collect_list(struct(
+        col("vec_id").as("b_id"), col("embedding").as("b_em")))).as("bench"))
+    val scored = aggregate(
+      col("bench"),
+      struct(lit(0L).as("hits"), lit(-1.0).as("best")),
+      (acc, b) => {
+        val c = round(VectorFunctions.cosine(col("embedding"),
+          b.getField("b_em")), 6)
+        struct(
+          (acc.getField("hits") +
+            when(round(c, 4) >= SemContamTau, 1L).otherwise(0L)).as("hits"),
+          greatest(acc.getField("best"), c).as("best"))
+      })
+    e.filter(!isBench)
+      .crossJoin(broadcast(benchArr))
+      .select(col("vec_id"), scored.as("r"))
+      .select(col("vec_id"),
+        col("r.hits").as("n_bench_hits"),
+        col("r.best").as("best_cos"),
+        (col("r.hits") > 0).as("contaminated"))
+      .orderBy(col("vec_id"))
+  }
+
   /** d09: canonical representative selection — the keep-decision step a
     * dedup pipeline runs AFTER clustering (d07): among each dup-cluster's
     * members, keep the highest-QUALITY document (t02's composite score),
@@ -1145,6 +1194,7 @@ object Dedup {
     "d11_line_dedup"        -> d11LineDedup _,
     "d12_incremental_neardup" -> d12IncrementalNearDup _,
     "d13_semdedup"            -> d13SemDedup _,
+    "d14_semantic_decontam"   -> d14SemanticDecontam _,
     "d15_containment"         -> d15Containment _,
     "g10_cluster_sizes"       -> g10ClusterSizes _,
     "g13_label_purity"        -> g13LabelPurity _,
@@ -1226,6 +1276,31 @@ object Dedup {
       FROM reach GROUP BY v ORDER BY doc_id""",
     // d15: exact shingle STRINGS vs 64-bit hashes (the d02 collision
     // argument); thresholds compared before rounding with the same text
+    // d14: the same per-train-vector probe over the bench set, restated
+    // as a cross join + rollup; hit decision and best-cos use the exact
+    // Spark rounding (4 dp threshold, 6 dp value)
+    "d14_semantic_decontam" -> s"""
+      WITH e AS (SELECT vec_id, embedding FROM embeddings),
+      b AS (SELECT vec_id AS b_id, embedding AS b_em
+            FROM e WHERE vec_id % $ContaminationBenchMod = 0),
+      t AS (SELECT vec_id, embedding
+            FROM e WHERE vec_id % $ContaminationBenchMod <> 0),
+      p AS (
+        SELECT t.vec_id,
+               round(list_sum(list_transform(range(1, len(t.embedding) + 1),
+                 i -> CAST(t.embedding[i] AS DOUBLE) * CAST(b.b_em[i] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(t.embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                * sqrt(list_sum(list_transform(b.b_em,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS cos
+        FROM t CROSS JOIN b)
+      SELECT vec_id,
+             count(*) FILTER (WHERE round(cos, 4) >= $SemContamTau)
+               AS n_bench_hits,
+             max(cos) AS best_cos,
+             count(*) FILTER (WHERE round(cos, 4) >= $SemContamTau) > 0
+               AS contaminated
+      FROM p GROUP BY vec_id ORDER BY vec_id""",
     "d15_containment" -> s"""
       WITH toks AS (
         SELECT doc_id, ${graft.text.TextAnalysis.ToksSql} AS t

@@ -768,6 +768,50 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** t21: bigram-LM scoring — the next LM order up from t15's unigram:
+    * per-doc mean/min log p(w2|w1) under the corpus's own add-one-
+    * smoothed bigram MLE, p = (c(w1 w2)+1)/(c(w1)+V). The closest
+    * self-contained analogue of the KenLM-perplexity filter published
+    * pipelines gate on (an external LM is just a pre-built version of
+    * the same count tables): word-salad with plausible unigrams but
+    * impossible transitions — the failure t15 cannot see — scores low
+    * here.
+    *
+    * Scale shape: bigram construction is per-row array algebra on the
+    * scan (no positional self-join); the count tables are one (w1, bg)
+    * shuffle + one term shuffle; V is a scalar broadcast. The scoring
+    * join keys on the bigram string — broadcastable at test SF, an
+    * AQE-salvageable shuffle join at corpus scale (t15's argument, one
+    * order higher); published recipes train the LM on a fixed slice
+    * precisely so this side stays broadcastable. */
+  def t21BigramLm(s: SparkSession, d: String): DataFrame = {
+    val toksArr = filter(tokens(col("text")), w => w =!= "")
+    val docs = Tables.documents(s, d).select(col("doc_id"), toksArr.as("tk"))
+    val big = docs
+      .filter(size(col("tk")) >= 2)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(col("tk")) - 1),
+        i => struct(
+          element_at(col("tk"), i).as("w1"),
+          concat_ws(" ", element_at(col("tk"), i),
+            element_at(col("tk"), i + 1)).as("bg")))).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.bg").as("bg"))
+    val uni = docs.select(explode(col("tk")).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("cu"))
+    val vocab = uni.agg(count(lit(1)).as("v"))
+    val lm = big.groupBy(col("w1"), col("bg")).agg(count(lit(1)).as("cbg"))
+      .join(uni.select(col("term").as("w1"), col("cu")), "w1")
+      .crossJoin(broadcast(vocab))
+      .select(col("bg"),
+        log((col("cbg") + 1) * lit(1.0) / (col("cu") + col("v"))).as("logp"))
+    big.join(lm, "bg")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(col("logp")), 6).as("avg_logp"),
+        round(min(col("logp")), 6).as("min_logp"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, Q] = Map(
     "t01_token_count" -> t01TokenCount _,
     "t02_quality"     -> t02Quality _,
@@ -789,6 +833,7 @@ object TextAnalysis {
     "t18_classifier"   -> t18Classifier _,
     "t19_char_entropy" -> t19CharEntropy _,
     "t20_readability" -> t20Readability _,
+    "t21_bigram_lm"   -> t21BigramLm _,
   )
 
   /** Shared SQL fragments for the DuckDB oracle (public: the dedup
@@ -1174,5 +1219,29 @@ object TextAnalysis {
              round(206.835 - 1.015 * (n_words * 1.0 / n_sents)
                    - 84.6 * (n_sylls * 1.0 / n_words), 4) AS flesch
       FROM t ORDER BY doc_id""",
+    // t21: the same add-one bigram MLE re-derived — identical count
+    // tables, identical (cbg+1)/(cu+V) arithmetic, ln + round(6)
+    "t21_bigram_lm" -> s"""
+      WITH t AS (
+        SELECT doc_id, list_filter($ToksSql, w -> w <> '') AS tk
+        FROM documents),
+      bgidx AS (
+        SELECT doc_id, tk, unnest(range(1, len(tk))) AS i
+        FROM t WHERE len(tk) >= 2),
+      bg AS (
+        SELECT doc_id, tk[i] AS w1, tk[i] || ' ' || tk[i + 1] AS bg
+        FROM bgidx),
+      tok AS (SELECT unnest(tk) AS term FROM t),
+      uni AS (SELECT term, count(*) AS cu FROM tok GROUP BY term),
+      voc AS (SELECT count(*) AS v FROM uni),
+      bgc AS (SELECT w1, bg, count(*) AS cbg FROM bg GROUP BY w1, bg),
+      lm AS (
+        SELECT bg, ln((cbg + 1) * 1.0 / (cu + v)) AS logp
+        FROM bgc JOIN uni ON bgc.w1 = uni.term, voc)
+      SELECT doc_id, count(*) AS n_bigrams,
+             round(avg(logp), 6) AS avg_logp,
+             round(min(logp), 6) AS min_logp
+      FROM bg JOIN lm USING (bg)
+      GROUP BY doc_id ORDER BY doc_id""",
   )
 }

@@ -1,5 +1,6 @@
 package graft
 
+import graft.dedup.Dedup
 import graft.queries.{ControlPlaneQueries, PipelineQueries}
 import graft.similarity.Similarity
 import graft.text.TextAnalysis
@@ -146,6 +147,70 @@ class RoundSevenOpsSpec extends SparkSpec {
         cs.map(c => math.round(c * 1000000)).sum.toDouble / (1000000.0 * cs.length)
       ).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
       assert(math.abs(mean - expectMean) < 1e-12, s"label $lab mean")
+    }
+  }
+
+  test("d14: semantic decontamination matches a brute-force bench probe") {
+    val got = Dedup.d14SemanticDecontam(spark, sf).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Long]("n_bench_hits"), r.getAs[Double]("best_cos"),
+         r.getAs[Boolean]("contaminated"))).toMap
+    assert(got.nonEmpty)
+    val vecs = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])].collect()
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < math.min(a.size, b.size)) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def rnd(x: Double, s: Int): Double =
+      BigDecimal(x).setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val bench = vecs.filter(_._1 % Dedup.ContaminationBenchMod == 0)
+    val train = vecs.filterNot(_._1 % Dedup.ContaminationBenchMod == 0)
+    assert(bench.nonEmpty && got.size == train.length)
+    train.foreach { case (id, emb) =>
+      val cs = bench.map { case (_, be) => rnd(cos(emb, be), 6) }
+      val hits = cs.count(c => rnd(c, 4) >= Dedup.SemContamTau).toLong
+      val (gh, gb, gc) = got(id)
+      assert(gh == hits && gc == (hits > 0), s"vec $id hits")
+      assert(math.abs(gb - cs.max) < 1e-9, s"vec $id best")
+    }
+    // the row is non-vacuous on this corpus: some vector is contaminated
+    assert(got.values.exists(_._3), "expected at least one semantic leak")
+  }
+
+  test("t21: bigram LM scores match a plain-Scala rebuild of the count tables") {
+    val got = TextAnalysis.t21BigramLm(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_bigrams"), r.getAs[Double]("avg_logp"),
+         r.getAs[Double]("min_logp"))).toMap
+    assert(got.nonEmpty)
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+      .map { case (id, tx) =>
+        id -> tx.trim.toLowerCase.replaceAll("\\s+", " ")
+          .split(" ", -1).toSeq.filter(_.nonEmpty) }
+    val uni = docs.flatMap(_._2).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val v = uni.size.toLong
+    val bgAll = docs.flatMap { case (_, tk) => tk.sliding(2).filter(_.size == 2) }
+      .map(p => (p(0), p(0) + " " + p(1)))
+    val bgc = bgAll.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    docs.foreach { case (id, tk) =>
+      if (tk.size >= 2) {
+        val lps = tk.sliding(2).filter(_.size == 2).map { p =>
+          val bg = p(0) + " " + p(1)
+          math.log((bgc(bg) + 1).toDouble / (uni(p(0)) + v))
+        }.toSeq
+        val (n, avg, mn) = got(id)
+        assert(n == lps.size, s"doc $id n")
+        def rnd6(x: Double) =
+          BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        assert(math.abs(avg - rnd6(lps.sum / lps.size)) < 2e-6, s"doc $id avg")
+        assert(math.abs(mn - rnd6(lps.min)) < 1e-9, s"doc $id min")
+      } else assert(!got.contains(id))
     }
   }
 
