@@ -140,4 +140,57 @@ class PropertySpec extends SparkSpec {
       assert(back == distinct.toSet)
     }
   }
+
+  /** Random instance generator for the as-of family: small key space and
+    * timestamp range force collisions, equal timestamps, and empty-side
+    * keys — the edge geometry hand-written cases under-sample. */
+  private val asOfInstances = for {
+    nl <- Gen.chooseNum(0, 12)
+    nr <- Gen.chooseNum(0, 12)
+    left <- Gen.listOfN(nl, Gen.zip(Gen.chooseNum(0, 3), Gen.chooseNum(0L, 20L)))
+    right <- Gen.listOfN(nr, Gen.zip(Gen.chooseNum(0, 3), Gen.chooseNum(0L, 20L)))
+  } yield (left.zipWithIndex.map { case ((k, t), i) => (i.toLong, s"k$k", t) },
+           right.zipWithIndex.map { case ((k, t), i) => (1000L + i, s"k$k", t) })
+
+  test("as-of family: backward/forward/nearest each match their brute-force definition") {
+    import graft.operators.Joins
+    samples(asOfInstances, 12).foreach { case (ls, rs) =>
+      val left = ls.toDF("id", "k", "ts")
+      val right = rs.toDF("rid", "k", "ts")
+      def runOp(f: => org.apache.spark.sql.DataFrame): Map[Long, Option[Long]] =
+        f.select("id", "m").as[(Long, Option[Long])].collect().toMap
+      val back = runOp(Joins.asOf(left, right, "k", col("ts"), col("ts"),
+        Seq(col("rid").as("m")), col("rid")))
+      val fwd = runOp(Joins.asOfForward(left, right, "k", col("ts"), col("ts"),
+        Seq(col("rid").as("m")), col("rid")))
+      val near = runOp(Joins.asOfNearest(left, right, "k", col("ts"), col("ts"),
+        Seq(col("rid").as("m")), col("rid")))
+      val byKey = rs.groupBy(_._2)
+      ls.foreach { case (id, k, t) =>
+        val cands = byKey.getOrElse(k, Nil)
+        val b = cands.filter(_._3 <= t) match {
+          case Nil => None
+          case cs => val mt = cs.map(_._3).max
+            Some(cs.filter(_._3 == mt).map(_._1).max) // greatest tie wins
+        }
+        val f = cands.filter(_._3 >= t) match {
+          case Nil => None
+          case cs => val mt = cs.map(_._3).min
+            Some(cs.filter(_._3 == mt).map(_._1).min) // smallest tie wins
+        }
+        val n = (b, f) match {
+          case (None, None) => None
+          case (Some(x), None) => Some(x)
+          case (None, Some(y)) => Some(y)
+          case (Some(x), Some(y)) =>
+            val bg = t - cands.filter(_._1 == x).head._3
+            val fg = cands.filter(_._1 == y).head._3 - t
+            if (bg <= fg) Some(x) else Some(y) // equal distance prefers backward
+        }
+        assert(back(id) == b, s"backward id=$id ls=$ls rs=$rs")
+        assert(fwd(id) == f, s"forward id=$id ls=$ls rs=$rs")
+        assert(near(id) == n, s"nearest id=$id ls=$ls rs=$rs")
+      }
+    }
+  }
 }
