@@ -189,6 +189,41 @@ object ControlPlaneQueries {
         .localCheckpoint(eager = true)
     }
 
+  /** k03: the JSON round-trip leg — the reference's NATIVE interchange
+    * format (its whole pipeline is JSON→Parquet, SDP.py ingestion): the
+    * events slice written as JSON lines through the real json writer
+    * (timestamps micro-preserving, same format string as k01's CSV leg)
+    * and read back schema-first, then the same rollup k01 states — any
+    * serialization loss (ts precision, double text round-trip, string
+    * escaping in props) breaks the hash against the parquet corpus.
+    * Completes the format matrix: parquet (every row), CSV + ORC (k01),
+    * JSON here. e2e-tagged like k01 (real write+read I/O vs a
+    * parquet-only oracle). */
+  def k03JsonRoundtrip(s: SparkSession, d: String): DataFrame =
+    withTmp(s, "graft-k03-") { tmp =>
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("event_type"), col("value"),
+          col("ts"), col("props"))
+      ev.write.mode("overwrite")
+        .option("timestampFormat", CsvTsFormat)
+        .json(s"$tmp/json")
+      val back = s.read.schema(ev.schema)
+        .option("timestampFormat", CsvTsFormat)
+        .json(s"$tmp/json")
+      back
+        .select(col("event_type"),
+          round(col("value") * 1000000).cast("long").as("scaled"),
+          hour(col("ts")).as("h"),
+          length(col("props")).as("plen"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("scaled")) * lit(1.0) / lit(1000000.0), 6).as("sum_value"),
+          countDistinct(col("h")).as("n_hours"),
+          sum(col("plen")).as("props_bytes"))
+        .orderBy(col("event_type"))
+        .localCheckpoint(eager = true)
+    }
+
   /** k02: the bucketed co-located join e2e as a driver row (upgrades the
     * ExtensionsSpec-only proof): orders and lineitem are written as
     * 8-bucket tables on the join key ([[Sinks.writeBucketed]]), then
@@ -241,6 +276,7 @@ object ControlPlaneQueries {
     "x03_parallel_scatter" -> x03ParallelScatter _,
     "k01_format_roundtrip" -> k01FormatRoundtrip _,
     "k02_bucketed_join"   -> k02BucketedJoin _,
+    "k03_json_roundtrip"  -> k03JsonRoundtrip _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -259,6 +295,15 @@ object ControlPlaneQueries {
             UNION ALL
             SELECT 'orc' AS format, * FROM r)
       ORDER BY format, event_type""",
+    // k03: the same rollup straight off parquet — any JSON
+    // serialization loss breaks a column
+    "k03_json_roundtrip" -> """
+      SELECT event_type, count(*) AS n_events,
+             round(sum(CAST(round(value * 1000000) AS BIGINT)) * 1.0
+                   / 1000000.0, 6) AS sum_value,
+             count(DISTINCT hour(ts)) AS n_hours,
+             CAST(sum(length(props)) AS BIGINT) AS props_bytes
+      FROM events GROUP BY event_type ORDER BY event_type""",
     // k02: the same join+rollup straight off parquet; the co-location
     // claim is pinned as a hard TRUE — a shuffle in the bucketed join
     // flips the column and fails the hash compare
