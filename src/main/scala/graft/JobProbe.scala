@@ -14,9 +14,10 @@ object JobProbe {
   private def runToNoop(df: org.apache.spark.sql.DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
 
+  private final case class J(id: Int, var desc: String = "", var t0: Long = 0,
+                             var t1: Long = 0, var stages: Int = 0, var tasks: Int = 0)
+
   private final class JobLog extends SparkListener {
-    final case class J(id: Int, var desc: String = "", var t0: Long = 0,
-                       var t1: Long = 0, var stages: Int = 0, var tasks: Int = 0)
     val jobs = new java.util.concurrent.ConcurrentHashMap[Int, J]
     override def onJobStart(e: SparkListenerJobStart): Unit = {
       val j = J(e.jobId, Option(e.properties)
