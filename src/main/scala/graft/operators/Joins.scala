@@ -66,7 +66,7 @@ object Joins {
     val outCols = left.columns.map(col) ++ payloadNames.map { n =>
       (if (within.isDefined) when(keep, col(s"__match.$n")) else col(s"__match.$n")).as(n)
     }
-    matched.filter(col("__side") === 1).select(outCols: _*)
+    matched.filter(col("__side") === 1).select(outCols.toIndexedSeq: _*)
   }
 
   /** As-of join (forward, inclusive): each left row matches the right
@@ -111,7 +111,7 @@ object Joins {
     val outCols = left.columns.map(col) ++ payloadNames.map { n =>
       (if (within.isDefined) when(keep, col(s"__match.$n")) else col(s"__match.$n")).as(n)
     }
-    matched.filter(col("__side") === 1).select(outCols: _*)
+    matched.filter(col("__side") === 1).select(outCols.toIndexedSeq: _*)
   }
 
   /** As-of join (nearest, inclusive): each left row matches the right row
@@ -164,6 +164,6 @@ object Joins {
     val outCols = left.columns.map(col) ++ payloadNames.map { n =>
       when(useB, col(s"__mb.$n")).when(fOk, col(s"__mf.$n")).as(n)
     }
-    matched.filter(col("__side") === 1).select(outCols: _*)
+    matched.filter(col("__side") === 1).select(outCols.toIndexedSeq: _*)
   }
 }

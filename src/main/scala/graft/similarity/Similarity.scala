@@ -242,12 +242,12 @@ object Similarity {
   /** Nearest-cell id for corpus assignment. */
   private def cellOf(centroids: Array[Array[Double]],
                      vec: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    least(centroidDists(centroids, vec): _*).getField("cell")
+    least(centroidDists(centroids, vec).toIndexedSeq: _*).getField("cell")
 
   /** Per-query probe list: the [[NProbe]] nearest cells. */
   private def probeCells(centroids: Array[Array[Double]],
                          vec: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    slice(array_sort(array(centroidDists(centroids, vec): _*)), 1, NProbe)
+    slice(array_sort(array(centroidDists(centroids, vec).toIndexedSeq: _*)), 1, NProbe)
       .getField("cell")
 
   /** The KMeans coarse quantizer shared by s03/s09: trained on a bounded
@@ -351,7 +351,7 @@ object Similarity {
       }
     val v = col("embedding")
     val assigned = e.select(
-      least(cDists(v): _*).as("best"),
+      least(cDists(v).toIndexedSeq: _*).as("best"),
       dot(v, v).as("vn2"),
       dot(v, lit(mu)).as("vmu"))
     assigned
@@ -521,7 +521,7 @@ object Similarity {
       least(codebooks(m).zipWithIndex.map { case (c, j) =>
         struct((lit(c.map(x => x * x).sum) - dot(sub, lit(c)) * 2).as("d2c"),
           lit(j).as("code"))
-      }: _*).getField("code")
+      }.toIndexedSeq: _*).getField("code")
     }
     val coded = normalized(e)
       .select(col("vec_id"),

@@ -213,7 +213,7 @@ final class StateLog(spark: SparkSession, path: String) {
       .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
       .map(_.getPath)
     if (inputs.length <= 1) return
-    val snapshot = spark.read.parquet(inputs.map(_.toString): _*)
+    val snapshot = spark.read.parquet(inputs.map(_.toString).toIndexedSeq: _*)
     val tmp = s"$path.compact.tmp"
     snapshot.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp)
     fs.listStatus(new Path(tmp))
