@@ -1137,6 +1137,96 @@ object PipelineQueries {
       .orderBy(col("source"))
   }
 
+  /** p26 Z-order geometry: 11 bits per dimension (user_id tops out at
+    * ~1.5k, the hour range at ~720 — both fit), regions from the top
+    * [[ZRegionBits]] interleaved bits. */
+  val ZBits = 11
+  val ZRegionBits = 6
+
+  /** p26: Z-order clustering layout — the multi-dimensional data-skipping
+    * organization (Delta `OPTIMIZE ZORDER BY` / Iceberg sort-order
+    * analog) for tables queried on MORE THAN ONE dimension. A 1-D sort
+    * serves exactly one predicate column; interleaving the bits of
+    * (user_id, event-hour) into one Z-value makes rows that are close in
+    * EITHER dimension land in the same region, so per-file min/max
+    * footers prune for both query shapes at once.
+    *
+    * The region id is the top [[ZRegionBits]] bits of the Z-value —
+    * a quadtree cell, NOT a rank: every row computes its region on the
+    * scan with zero shuffles (a global ntile/range-sort would serialize
+    * the corpus through one sort; the bit-prefix region is the shape
+    * that scales, and it is what a lakehouse writer actually files rows
+    * under). Output: each region's bounding box in both dimensions plus
+    * its row count — the min/max metadata a skipping reader consults;
+    * the spec drives the actual pruning law (a predicate on either
+    * single dimension eliminates most regions; a 1-D layout can only
+    * prune its own sort column).
+    *
+    * Scale shape: one codegen'd projection (bit ops on two normalized
+    * ints) + one ≤ 2^[[ZRegionBits]]-row rollup; the dimension minima
+    * are a 1-row broadcast (g05's bounds-broadcast precedent). */
+  def p26ZorderLayout(s: SparkSession, d: String): DataFrame = {
+    val grid = 1 << ZBits
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"),
+        floor(unix_timestamp(col("ts")) / 3600).cast("long").as("hx0"))
+    val bounds = ev.agg(
+      min(col("user_id")).as("u0"), max(col("user_id")).as("u1"),
+      min(col("hx0")).as("h0"), max(col("hx0")).as("h1"))
+    val zval = (0 until ZBits).map { i =>
+      shiftleft(shiftright(col("ux"), i).bitwiseAND(lit(1L)), 2 * i) +
+        shiftleft(shiftright(col("hx"), i).bitwiseAND(lit(1L)), 2 * i + 1)
+    }.reduce(_ + _)
+    ev.crossJoin(broadcast(bounds))
+      // min-max normalization onto the fixed [0, 2^ZBits) grid (what a
+      // lakehouse writer derives from column stats) via exact integer
+      // division, so both dimensions fill the full bit range at any SF
+      .withColumn("ux",
+        expr(s"((user_id - u0) * $grid) div (u1 - u0 + 1)"))
+      .withColumn("hx",
+        expr(s"((hx0 - h0) * $grid) div (h1 - h0 + 1)"))
+      .withColumn("region", shiftright(zval, 2 * ZBits - ZRegionBits))
+      .groupBy(col("region"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("ux")).as("u_min"), max(col("ux")).as("u_max"),
+        min(col("hx")).as("h_min"), max(col("hx")).as("h_max"))
+      .withColumn("box_area",
+        (col("u_max") - col("u_min") + 1) * (col("h_max") - col("h_min") + 1))
+      .orderBy(col("region"))
+  }
+
+  /** p27: partial-aggregate merge — incremental materialized-view
+    * maintenance for algebraic aggregates: yesterday's summary table
+    * plus today's delta summary re-aggregate to the summary of the full
+    * corpus (count/sum merge by +, min/max by min/max), WITHOUT
+    * rescanning history. This is Spark's own partial/final two-phase
+    * law lifted to the table level — the pattern every 100 TB rollup
+    * pipeline runs, because rebuilding a corpus-wide summary per
+    * ingest batch is O(history) while the merge is O(|summary|+|delta|).
+    *
+    * The row computes the merged summary from two disjoint partials
+    * (event_id mod 10 < 8 standing in for the already-materialized
+    * history, the rest for the new batch); the ORACLE computes the
+    * one-pass rebuild over all events — their equality IS the
+    * maintenance contract (p22's apply ≡ rebuild, for aggregates).
+    * Sums ride micro-scaled integers so merge reassociation is exact. */
+  def p27MergeSummaries(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("event_type"), to_date(col("ts")).as("day"),
+        round(col("value") * 100).cast("long").as("cents"))
+    def summarize(df: DataFrame): DataFrame =
+      df.groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"),
+          min(col("cents")).as("min_cents"), max(col("cents")).as("max_cents"))
+    val history = summarize(ev.filter(pmod(col("event_id"), lit(10)) < 8))
+    val delta = summarize(ev.filter(pmod(col("event_id"), lit(10)) >= 8))
+    history.unionByName(delta)
+      .groupBy(col("event_type"), col("day"))
+      .agg(sum(col("n")).as("n"), sum(col("sum_cents")).as("sum_cents"),
+        min(col("min_cents")).as("min_cents"), max(col("max_cents")).as("max_cents"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
   val queries: Map[String, Q] = Map(
     "p01_validate_events"   -> p01ValidateEvents _,
     "p02_clean_dedup"       -> p02CleanDedup _,
@@ -1162,6 +1252,8 @@ object PipelineQueries {
     "p23_salted_agg"        -> p23SaltedAgg _,
     "p24_split_leakage"     -> p24SplitLeakage _,
     "p25_pseudonymize"      -> p25Pseudonymize _,
+    "p26_zorder_layout"     -> p26ZorderLayout _,
+    "p27_merge_summaries"   -> p27MergeSummaries _,
     "g01_quality_score"     -> g01QualityScore _,
     "g08_source_overlap"    -> g08SourceOverlap _,
     "g05_histogram"         -> g05Histogram _,
@@ -1311,6 +1403,47 @@ object PipelineQueries {
              arg_min(pid, doc_id) AS pid_first,
              (count(DISTINCT uid) = count(DISTINCT pid)) AS injective_ok
       FROM p GROUP BY source ORDER BY source""",
+    // p26: the same 11-bit interleave + top-bits region restated; the
+    // dimension minima come from scalar subqueries (bounds-broadcast)
+    "p26_zorder_layout" -> s"""
+      WITH ev AS (
+        SELECT event_id, user_id,
+               CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hx0
+        FROM events),
+      b AS (SELECT min(user_id) AS u0, max(user_id) AS u1,
+                   min(hx0) AS h0, max(hx0) AS h1 FROM ev),
+      n AS (
+        SELECT ((user_id - u0) * ${1 << ZBits}) // (u1 - u0 + 1) AS ux,
+               ((hx0 - h0) * ${1 << ZBits}) // (h1 - h0 + 1) AS hx
+        FROM ev, b),
+      z AS (
+        SELECT ux, hx,
+               CAST(list_sum(list_transform(range(0, $ZBits), i ->
+                 ((ux >> i) & 1) * (1::BIGINT << (2 * i)) +
+                 ((hx >> i) & 1) * (1::BIGINT << (2 * i + 1))))
+                 AS BIGINT) AS zval
+        FROM n)
+      SELECT zval >> ${2 * ZBits - ZRegionBits} AS region,
+             count(*) AS n_rows,
+             min(ux) AS u_min, max(ux) AS u_max,
+             min(hx) AS h_min, max(hx) AS h_max,
+             (max(ux) - min(ux) + 1) * (max(hx) - min(hx) + 1) AS box_area
+      FROM z
+      GROUP BY region
+      ORDER BY region""",
+    // p27: the ORACLE is the one-pass rebuild over all events — equality
+    // with Spark's history+delta partial merge IS the incremental-
+    // maintenance contract
+    "p27_merge_summaries" -> """
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             count(*) AS n,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS sum_cents,
+             min(CAST(round(value * 100) AS BIGINT)) AS min_cents,
+             max(CAST(round(value * 100) AS BIGINT)) AS max_cents
+      FROM events
+      GROUP BY event_type, day
+      ORDER BY event_type, day""",
     // the plain one-phase aggregate the salted two-phase plan must equal;
     // exact-integer sums make the reassociation drift-free
     "p23_salted_agg" -> """

@@ -304,6 +304,70 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** s12: FILTERED ANN — s03's IVF cells composed with s10's metadata
+    * predicate, the composition s10's scaladoc promises ("at 100 TB the
+    * same predicate composes with the index rows instead"). The corpus is
+    * assigned to coarse cells exactly as s03; each query probes its
+    * [[NProbe]] nearest cells AND carries its own label, and both the
+    * cell-equality and the label-equality ride in the broadcast-join
+    * CONDITION — a candidate is discarded before any cosine unless it
+    * sits in a probed cell and matches the filter (filter-then-score
+    * inside the index scan, the FAISS `IDSelector`/vector-store
+    * pre-filter shape). Scan volume is the s03 probe set; the label
+    * predicate only shrinks it further.
+    *
+    * Failure mode this measures: filtered ANN recall degrades when the
+    * filter is selective relative to the probe set (class mates outside
+    * probed cells are unreachable) — exactly why the contract is judged
+    * against [[s10FilteredTopK]], the exact filtered baseline and recall
+    * denominator. */
+  def s12FilteredIvfTopK(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"), col("label"))
+    val centroids = coarseCentroids(s, d)
+    val assigned = e.withColumn("cell", cellOf(centroids, col("embedding")))
+    val q = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("label").as("qlabel"),
+        explode(probeCells(centroids, col("embedding"))).as("qcell"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    assigned.join(broadcast(q),
+        col("cell") === col("qcell") && col("label") === col("qlabel") &&
+          col("vec_id") =!= col("query_id"))
+      .withColumn("cos", cosine(col("qe"), col("embedding")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("label"), round(col("cos"), 6).as("cos"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** s12 recall floor vs the EXACT FILTERED baseline (s10). Probing 8 of
+    * 24 cells reaches ~1/3 of each class uniformly at random on this
+    * near-orthogonal corpus, but true near neighbors concentrate in the
+    * query's own probed cells, so measured recall sits well above 1/3
+    * (s12 spec measures it; sf0.01 worst query ≥ 0.5 observed). Floor
+    * set with margin — a trip means the cell composition broke. */
+  val FilteredIvfRecallFloor = 0.3
+
+  /** s12 registered form: per query, the exact-filtered result size
+    * (an oracle-computable fact: min(k, class mates)) and whether
+    * recall against s10's exact filtered ranking clears the floor. */
+  def s12FilteredIvfRecall(s: SparkSession, d: String): DataFrame = {
+    val a = s12FilteredIvfTopK(s, d).select(col("query_id"), col("neighbor_id"))
+    val exact = s10FilteredTopK(s, d).select(col("query_id"), col("neighbor_id"))
+    exact
+      .join(a.withColumn("hit", lit(1)), Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_exact"),
+        (sum(coalesce(col("hit"), lit(0))).cast("double") / count(lit(1)))
+          .as("recall"))
+      .select(col("query_id"), col("n_exact"),
+        (col("recall") >= FilteredIvfRecallFloor).as("recall_ok"))
+      .orderBy(col("query_id"))
+  }
+
   /** s05 geometry: 16 corpus-organization clusters; separation contract
     * slack calibrated against the measured SSW/SST ≈ 0.89 on this corpus
     * (near-orthogonal vectors — clustering helps, but no toy-tight
@@ -916,6 +980,7 @@ object Similarity {
     "s09_topk_ivfsq"      -> s09IvfSqRecall _,
     "s10_filtered_topk"   -> s10FilteredTopK _,
     "s11_knn_graph"       -> s11KnnGraph _,
+    "s12_filtered_ivf"    -> s12FilteredIvfRecall _,
     "g11_class_tightness" -> g11ClassTightness _,
     "g12_label_centroids" -> g12LabelCentroids _,
   )
@@ -934,6 +999,17 @@ object Similarity {
     "s03_topk_ivf" -> contractOracle,
     "s04_topk_pq"  -> contractOracle,
     "s09_topk_ivfsq" -> contractOracle,
+    // s12: the exact-filtered result size per query IS oracle-computable
+    // (min(k, same-label mates)); recall_ok is the engine-side contract
+    "s12_filtered_ivf" -> s"""
+      WITH q AS (SELECT vec_id AS query_id, label FROM embeddings
+                 WHERE vec_id < $NumQueries)
+      SELECT q.query_id,
+             LEAST(CAST($TopK AS BIGINT), count(*)) AS n_exact,
+             TRUE AS recall_ok
+      FROM embeddings e JOIN q ON e.label = q.label AND e.vec_id <> q.query_id
+      GROUP BY q.query_id
+      ORDER BY q.query_id""",
     // summary-contract form: DuckDB states the corpus size; the cluster
     // bound and SSW/SST separation are facts only the engine can compute,
     // asserted as booleans it must deliver TRUE

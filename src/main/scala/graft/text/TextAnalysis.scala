@@ -812,6 +812,64 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** t22 PII patterns — shared literal text between engines (Java regex
+    * and DuckDB's RE2 agree on this subset: char classes, bounded
+    * repetition, escaped metacharacters; no lookaround, no backrefs). */
+  val PiiEmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[a-z]{2,}"
+  val PiiPhoneRe = "\\+1-555-[0-9]{4}"
+  val PiiIpRe = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+
+  /** t22: PII detection + masking — the real-pattern version of t09's
+    * digit-run mechanics (t09's scaladoc: "real deployments swap in
+    * email/phone/ssn patterns" — this row does). The corpus text carries
+    * no contact strings, so the row first derives a release view from
+    * the events table — contact lines synthesized deterministically from
+    * (user_id, event_id, props) with IDENTICAL expressions in both
+    * engines (the d14/st* derive-your-feed precedent) — then runs the
+    * actual operator: detect emails/phones/IPv4s, mask each class with a
+    * typed token, and prove the masked CONTENT (not just counts) via an
+    * order-free sum of per-line md5-prefix integers.
+    *
+    * Scale shape: pure per-row projection on the scan (regexes are
+    * codegen'd string ops, no UDF), one event_type-keyed aggregate;
+    * nothing but the 5-row rollup crosses the exchange. Masking order is
+    * fixed (email → phone → ip) and the three patterns are mutually
+    * non-overlapping on this grammar, so the composition is confluent. */
+  def t22PiiScan(s: SparkSession, d: String): DataFrame = {
+    val line = concat(
+      lit("uid="), col("user_id").cast("string"),
+      lit(" mail=u"), col("user_id").cast("string"),
+      lit("@ex"), pmod(col("user_id"), lit(7)).cast("string"), lit(".example"),
+      lit(" phone=+1-555-"),
+      lpad(pmod(col("event_id"), lit(10000)).cast("string"), 4, "0"),
+      lit(" ip=10."), pmod(col("user_id"), lit(256)).cast("string"),
+      lit("."), pmod(col("event_id"), lit(256)).cast("string"), lit(".7"),
+      lit(" props="), col("props"))
+    val masked =
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(col("line"), PiiEmailRe, "<email>"),
+          PiiPhoneRe, "<phone>"),
+        PiiIpRe, "<ip>")
+    Tables.events(s, d)
+      .select(col("event_id"), col("event_type"), line.as("line"))
+      .select(col("event_type"),
+        size(regexp_extract_all(col("line"), lit(PiiEmailRe), lit(0))).as("ne"),
+        size(regexp_extract_all(col("line"), lit(PiiPhoneRe), lit(0))).as("np"),
+        size(regexp_extract_all(col("line"), lit(PiiIpRe), lit(0))).as("ni"),
+        masked.as("masked"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("ne")).cast("long").as("n_emails"),
+        sum(col("np")).cast("long").as("n_phones"),
+        sum(col("ni")).cast("long").as("n_ips"),
+        countDistinct(col("masked")).as("n_masked_distinct"),
+        sum(conv(substring(md5(col("masked")), 1, 8), 16, 10).cast("long"))
+          .as("mask_sum"),
+        sum(length(col("masked"))).cast("long").as("masked_len"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, Q] = Map(
     "t01_token_count" -> t01TokenCount _,
     "t02_quality"     -> t02Quality _,
@@ -834,6 +892,7 @@ object TextAnalysis {
     "t19_char_entropy" -> t19CharEntropy _,
     "t20_readability" -> t20Readability _,
     "t21_bigram_lm"   -> t21BigramLm _,
+    "t22_pii_scan"    -> t22PiiScan _,
   )
 
   /** Shared SQL fragments for the DuckDB oracle (public: the dedup
@@ -1243,5 +1302,40 @@ object TextAnalysis {
              round(min(logp), 6) AS min_logp
       FROM bg JOIN lm USING (bg)
       GROUP BY doc_id ORDER BY doc_id""",
+    // t22: the derived release view, the three detectors, and the
+    // email→phone→ip mask composition restated verbatim; masked CONTENT
+    // is pinned by the order-free md5-prefix integer sum
+    "t22_pii_scan" -> s"""
+      WITH rel AS (
+        SELECT event_type,
+               'uid=' || user_id || ' mail=u' || user_id || '@ex' ||
+               (user_id % 7) || '.example phone=+1-555-' ||
+               lpad(CAST(event_id % 10000 AS VARCHAR), 4, '0') ||
+               ' ip=10.' || (user_id % 256) || '.' || (event_id % 256) ||
+               '.7 props=' || props AS line
+        FROM events),
+      m AS (
+        SELECT event_type,
+               len(regexp_extract_all(line, '$PiiEmailRe')) AS ne,
+               len(regexp_extract_all(line, '$PiiPhoneRe')) AS np,
+               len(regexp_extract_all(line, '$PiiIpRe')) AS ni,
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(line, '$PiiEmailRe', '<email>', 'g'),
+                   '$PiiPhoneRe', '<phone>', 'g'),
+                 '$PiiIpRe', '<ip>', 'g') AS masked
+        FROM rel)
+      SELECT event_type,
+             count(*) AS n_events,
+             CAST(sum(ne) AS BIGINT) AS n_emails,
+             CAST(sum(np) AS BIGINT) AS n_phones,
+             CAST(sum(ni) AS BIGINT) AS n_ips,
+             count(DISTINCT masked) AS n_masked_distinct,
+             CAST(sum(('0x' || substr(md5(masked), 1, 8))::BIGINT) AS BIGINT)
+               AS mask_sum,
+             CAST(sum(length(masked)) AS BIGINT) AS masked_len
+      FROM m
+      GROUP BY event_type
+      ORDER BY event_type""",
   )
 }

@@ -46,6 +46,43 @@ class RoundSevenOpsSpec extends SparkSpec {
     assert(unfiltered.count() > 0)
   }
 
+  test("s12: filtered-IVF respects the filter, and recall vs the exact filtered baseline clears the floor") {
+    val approx = Similarity.s12FilteredIvfTopK(spark, sf).collect()
+    assert(approx.nonEmpty)
+    val labels = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("label"))
+      .as[(Long, Int)].collect().toMap
+    // the predicate held inside the index scan: no emitted row crosses labels
+    approx.foreach { r =>
+      val q = r.getAs[Long]("query_id"); val n = r.getAs[Long]("neighbor_id")
+      assert(labels(n) == labels(q), s"query $q neighbor $n crossed labels")
+    }
+    // per-query ranking is cos-descending with compact ranks from 1
+    approx.groupBy(_.getAs[Long]("query_id")).foreach { case (qid, rows) =>
+      val sorted = rows.sortBy(_.getAs[Int]("rank"))
+      assert(sorted.map(_.getAs[Int]("rank")).toSeq == (1 to rows.length),
+        s"query $qid ranks not compact")
+      val cs = sorted.map(_.getAs[Double]("cos")).toSeq
+      assert(cs == cs.sorted.reverse, s"query $qid cos not descending")
+    }
+    // measured recall vs s10 (the exact filtered baseline) clears the
+    // floor on the WORST query — the contract row's own claim, re-derived
+    val exact = Similarity.s10FilteredTopK(spark, sf)
+      .select(col("query_id"), col("neighbor_id"))
+      .as[(Long, Long)].collect().toSet
+    val a = approx.map(r =>
+      (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val worst = exact.groupBy(_._1).values.map { es =>
+      (es & a).size.toDouble / es.size
+    }.min
+    info(f"s12 worst-query recall vs s10: $worst%.2f")
+    assert(worst >= Similarity.FilteredIvfRecallFloor, f"worst recall $worst%.2f")
+    // and the registered contract row delivers all-green booleans
+    Similarity.s12FilteredIvfRecall(spark, sf).collect().foreach { r =>
+      assert(r.getAs[Boolean]("recall_ok"), r.toString)
+    }
+  }
+
   test("p25: pseudonyms are injective, deterministic, and match java MD-free sha256") {
     val rows = PipelineQueries.p25Pseudonymize(spark, sf).collect()
     assert(rows.nonEmpty)
@@ -231,5 +268,122 @@ class RoundSevenOpsSpec extends SparkSpec {
       val (n, rev) = direct(r.getAs[String]("o_orderpriority"))
       assert(r.getAs[Long]("n_items") == n && r.getAs[Double]("revenue") == rev, r.toString)
     }
+  }
+
+  test("t22: masking removes every match, and counts/fingerprints match a java.util.regex rebuild") {
+    val got = TextAnalysis.t22PiiScan(spark, sf).collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    assert(got.nonEmpty)
+    val ev = Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("props"))
+      .as[(Long, Long, String, String)].collect()
+    val eRe = TextAnalysis.PiiEmailRe.r
+    val pRe = TextAnalysis.PiiPhoneRe.r
+    val iRe = TextAnalysis.PiiIpRe.r
+    val md = java.security.MessageDigest.getInstance("MD5")
+    case class Acc(var n: Long = 0, var ne: Long = 0, var np: Long = 0,
+                   var ni: Long = 0, var maskSum: Long = 0, var len: Long = 0,
+                   val distinct: scala.collection.mutable.Set[String] =
+                     scala.collection.mutable.Set())
+    val accs = scala.collection.mutable.Map[String, Acc]()
+    ev.foreach { case (eid, uid, et, props) =>
+      val line = s"uid=$uid mail=u$uid@ex${uid % 7}.example phone=+1-555-" +
+        f"${eid % 10000}%04d ip=10.${uid % 256}.${eid % 256}.7 props=$props"
+      val masked = iRe.replaceAllIn(
+        pRe.replaceAllIn(
+          eRe.replaceAllIn(line, "<email>"), "<phone>"), "<ip>")
+      // the masked text must carry no residual matches of ANY detector
+      assert(eRe.findFirstIn(masked).isEmpty && pRe.findFirstIn(masked).isEmpty
+        && iRe.findFirstIn(masked).isEmpty, s"residual PII in: $masked")
+      val a = accs.getOrElseUpdate(et, Acc())
+      a.n += 1
+      a.ne += eRe.findAllIn(line).size
+      a.np += pRe.findAllIn(line).size
+      a.ni += iRe.findAllIn(line).size
+      val hex = md.digest(masked.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      a.maskSum += java.lang.Long.parseLong(hex, 16)
+      a.len += masked.length
+      a.distinct += masked
+    }
+    assert(got.keySet == accs.keySet)
+    accs.foreach { case (et, a) =>
+      val r = got(et)
+      assert(r.getAs[Long]("n_events") == a.n, s"$et n")
+      assert(r.getAs[Long]("n_emails") == a.ne, s"$et emails")
+      assert(r.getAs[Long]("n_phones") == a.np, s"$et phones")
+      assert(r.getAs[Long]("n_ips") == a.ni, s"$et ips")
+      assert(r.getAs[Long]("n_masked_distinct") == a.distinct.size, s"$et distinct")
+      assert(r.getAs[Long]("mask_sum") == a.maskSum, s"$et mask_sum")
+      assert(r.getAs[Long]("masked_len") == a.len, s"$et len")
+    }
+  }
+
+  test("p26: regions are quadtree cells, conservation holds, and both dims prune (a 1-D sort cannot)") {
+    val regions = PipelineQueries.p26ZorderLayout(spark, sf).collect()
+    assert(regions.nonEmpty)
+    val total = Tables.events(spark, sf).count()
+    assert(regions.map(_.getAs[Long]("n_rows")).sum == total, "conservation")
+    val grid = 1 << PipelineQueries.ZBits
+    val cellBits = PipelineQueries.ZRegionBits / 2   // 3 bits per dim
+    val cell = grid >> cellBits                      // 256-wide cells
+    // quadtree law: every region's bounding box sits inside the cell its
+    // id encodes — region bits are the interleaved top-3 bits of each dim
+    regions.foreach { r =>
+      val reg = r.getAs[Long]("region")
+      // zval bit 2i carries ux bit i, 2i+1 carries hx bit i; the region
+      // keeps zval bits 16..21 → (u8,h8,u9,h9,u10,h10)
+      var ucell = 0L; var hcell = 0L
+      (0 until cellBits).foreach { i =>
+        ucell |= ((reg >> (2 * i)) & 1L) << i
+        hcell |= ((reg >> (2 * i + 1)) & 1L) << i
+      }
+      assert(r.getAs[Long]("u_min") >= ucell * cell &&
+        r.getAs[Long]("u_max") < (ucell + 1) * cell, s"region $reg u box")
+      assert(r.getAs[Long]("h_min") >= hcell * cell &&
+        r.getAs[Long]("h_max") < (hcell + 1) * cell, s"region $reg h box")
+    }
+    // pruning law: a one-cell predicate on EITHER dimension eliminates
+    // (by bounding-box intersection) at least half the regions
+    val uHit = regions.count(r => r.getAs[Long]("u_min") < cell)
+    val hHit = regions.count(r => r.getAs[Long]("h_min") < cell)
+    assert(uHit <= regions.length / 2, s"u-predicate pruned nothing: $uHit")
+    assert(hHit <= regions.length / 2, s"h-predicate pruned nothing: $hHit")
+    // the 1-D contrast: bucket the same rows by an hx-only sort into as
+    // many buckets; every bucket's u-span covers ~the full u range, so a
+    // u-predicate prunes NOTHING in an hx-sorted layout
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"),
+        floor(unix_timestamp(col("ts")) / 3600).cast("long").as("hx0"))
+      .as[(Long, Long)].collect()
+    val u0 = ev.map(_._1).min; val u1 = ev.map(_._1).max
+    val h0 = ev.map(_._2).min; val h1 = ev.map(_._2).max
+    def norm(x: Long, lo: Long, hi: Long) = (x - lo) * grid / (hi - lo + 1)
+    val sorted = ev.map { case (u, h) =>
+      (norm(u, u0, u1), norm(h, h0, h1)) }.sortBy(t => (t._2, t._1))
+    val bSize = math.max(1, sorted.length / regions.length)
+    val oneD = sorted.grouped(bSize).toArray
+    val oneDUHit = oneD.count(b => b.map(_._1).min < cell)
+    assert(oneDUHit >= oneD.length * 9 / 10,
+      s"hx-sorted layout unexpectedly pruned u: $oneDUHit of ${oneD.length}")
+  }
+
+  test("p27: history+delta partial merge equals a plain-Scala one-pass rebuild") {
+    val got = PipelineQueries.p27MergeSummaries(spark, sf).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[java.sql.Date]("day").toString) ->
+        (r.getAs[Long]("n"), r.getAs[Long]("sum_cents"),
+         r.getAs[Long]("min_cents"), r.getAs[Long]("max_cents"))).toMap
+    assert(got.nonEmpty)
+    val ev = Tables.events(spark, sf)
+      .select(col("event_type"), to_date(col("ts")).cast("string"),
+        round(col("value") * 100).cast("long"))
+      .as[(String, String, Long)].collect()
+    val rebuild = ev.groupBy(t => (t._1, t._2)).map { case (k, rows) =>
+      val cs = rows.map(_._3)
+      k -> (cs.length.toLong, cs.sum, cs.min, cs.max)
+    }
+    assert(got == rebuild, "merge != rebuild")
+    // the partials really were disjoint and covering
+    assert(got.values.map(_._1).sum == ev.length.toLong)
   }
 }
