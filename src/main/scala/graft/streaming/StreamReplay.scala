@@ -756,6 +756,73 @@ object StreamReplay {
         .localCheckpoint(eager = true)
     }
 
+  /** st12: incremental-summary replay — p27's partial-aggregate merge
+    * driven through the REAL streaming machinery: the events feed drains
+    * in FOUR micro-batches (4 staged files × `maxFilesPerTrigger = 1`),
+    * and `foreachBatch` maintains a VERSIONED summary table — per epoch
+    * it summarizes just the batch, merges with the previous version
+    * (counts/sums by +, min/max by min/max), and writes the next version
+    * under a batchId-keyed dir (idempotent on retry: a replayed epoch
+    * overwrites its own version, never compounds). This is the streaming
+    * materialized-view maintenance loop every ingest pipeline runs —
+    * per-epoch cost is O(|summary| + |batch|), never O(history) — with
+    * the chain genuinely four merges deep, state carried in the TABLE
+    * rather than the state store.
+    *
+    * The final version must equal the one-pass rebuild over the whole
+    * corpus (the p27 contract, now across real epochs). Sums ride
+    * micro-scaled integers so the four-way reassociation is exact. */
+  def st12SummaryReplay(s: SparkSession, d: String): DataFrame =
+    withReplayTmp(s, "graft-st12-") { tmp =>
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.session.timeZone",
+        s.conf.get("spark.sql.session.timeZone", "UTC"))
+      s2.conf.set("spark.sql.shuffle.partitions", "8")
+      val ev = Tables.events(s, d)
+        .select(col("event_type"), col("ts"), col("value"))
+      stageOrderedJson(ev, nFiles = 4, s"$tmp/incoming", prefix = "a",
+        baseModTime = 1000000L)
+      val feedSchema = new StructType()
+        .add("event_type", "string").add("ts", "timestamp")
+        .add("value", "double")
+      val source = StreamingPipeline.jsonFileSource(
+        s2, s"$tmp/incoming", feedSchema, maxFilesPerTrigger = 1,
+        options = Map("timestampFormat" -> JsonTsFormat))
+      def summarize(df: DataFrame): DataFrame =
+        df.select(col("event_type"), to_date(col("ts")).as("day"),
+            round(col("value") * 100).cast("long").as("cents"))
+          .groupBy(col("event_type"), col("day"))
+          .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"),
+            min(col("cents")).as("min_cents"), max(col("cents")).as("max_cents"))
+      @volatile var lastVersion: Option[String] = None
+      val q = source.writeStream
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          val partial = summarize(batch)
+          val merged = lastVersion match {
+            case Some(prev) =>
+              s2.read.parquet(prev).unionByName(partial)
+                .groupBy(col("event_type"), col("day"))
+                .agg(sum(col("n")).as("n"),
+                  sum(col("sum_cents")).as("sum_cents"),
+                  min(col("min_cents")).as("min_cents"),
+                  max(col("max_cents")).as("max_cents"))
+            case None => partial
+          }
+          val out = s"$tmp/summary/v$batchId"
+          merged.write.mode("overwrite").parquet(out)
+          lastVersion = Some(out)
+          ()
+        }
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(lastVersion.getOrElse(
+          throw new IllegalStateException("st12: no micro-batch ran")))
+        .orderBy(col("event_type"), col("day"))
+        .localCheckpoint(eager = true)
+    }
+
   val queries: Map[String, Q] = Map(
     "st01_stream_replay"   -> st01StreamReplay _,
     "st02_state_replay"    -> st02StateReplay _,
@@ -768,9 +835,22 @@ object StreamReplay {
     "st09_metrics_replay"  -> st09MetricsReplay _,
     "st10_enrich_replay"   -> st10EnrichReplay _,
     "st11_outer_join_replay" -> st11OuterJoinReplay _,
+    "st12_summary_replay"  -> st12SummaryReplay _,
   )
 
   val oracleSql: Map[String, String] = Map(
+    // st12: the four-epoch incremental merge must equal the one-pass
+    // rebuild over the corpus (p27's contract, across real micro-batches)
+    "st12_summary_replay" -> """
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             count(*) AS n,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS sum_cents,
+             min(CAST(round(value * 100) AS BIGINT)) AS min_cents,
+             max(CAST(round(value * 100) AS BIGINT)) AS max_cents
+      FROM events
+      GROUP BY event_type, day
+      ORDER BY event_type, day""",
     // st10: the streamed stream-static enrichment restated as the batch
     // join — same dim derivation, same micro-scaled integer sum
     "st10_enrich_replay" -> """

@@ -870,6 +870,48 @@ object TextAnalysis {
       .orderBy(col("event_type"))
   }
 
+  /** g14 sketch geometry: eps fixes the CMS width (2/eps counters per
+    * row) and the overcount bound (≤ eps·N w.p. ≥ confidence); the seed
+    * makes the hash family — and so every estimate — deterministic. */
+  val CmsEps = 1e-4
+  val CmsConfidence = 0.99
+  val CmsSeed = 42
+  val HeavyK = 15
+
+  /** g14: heavy hitters via count-min sketch — the fixed-memory
+    * frequency-profile pass a 100 TB pipeline runs where an exact
+    * (term → count) table would itself be corpus-scale: the CMS is a
+    * few-KB array regardless of vocabulary (width 2/eps × depth
+    * ln(1/(1−conf))), merges associatively across partitions (Spark's
+    * `stat.countMinSketch` aggregates it distributed, merge-by-+ per
+    * executor), and guarantees est ≥ true always and est ≤ true + eps·N
+    * with probability ≥ confidence.
+    *
+    * The row pins both guarantees on the exact top-[[HeavyK]] terms:
+    * true counts are oracle-computable (DuckDB ranks the same tokens),
+    * and the booleans assert the sketch's contract. Driver materializes
+    * only the sketch (bounded by construction) and [[HeavyK]] ranked
+    * rows — the d13-codebook/bounded-collect precedent; token explode,
+    * counting, and the sketch aggregation are all distributed. */
+  def g14HeavyHitters(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(explode(filter(tokens(col("text")), w => w =!= "")).as("term"))
+    val totalTokens = toks.count()
+    val sketch = toks.stat.countMinSketch("term", CmsEps, CmsConfidence, CmsSeed)
+    val slack = math.ceil(CmsEps * totalTokens).toLong
+    val top = toks.groupBy(col("term")).agg(count(lit(1)).as("true_n"))
+      .orderBy(col("true_n").desc, col("term")).limit(HeavyK)
+      .collect()
+    val rows = top.map { r =>
+      val term = r.getString(0); val tn = r.getLong(1)
+      val est = sketch.estimateCount(term)
+      (term, tn, est >= tn, est <= tn + slack)
+    }.toSeq
+    s.createDataFrame(rows)
+      .toDF("term", "true_n", "overcount_ok", "bound_ok")
+      .orderBy(col("true_n").desc, col("term"))
+  }
+
   val queries: Map[String, Q] = Map(
     "t01_token_count" -> t01TokenCount _,
     "t02_quality"     -> t02Quality _,
@@ -893,6 +935,7 @@ object TextAnalysis {
     "t20_readability" -> t20Readability _,
     "t21_bigram_lm"   -> t21BigramLm _,
     "t22_pii_scan"    -> t22PiiScan _,
+    "g14_heavy_hitters" -> g14HeavyHitters _,
   )
 
   /** Shared SQL fragments for the DuckDB oracle (public: the dedup
@@ -1337,5 +1380,15 @@ object TextAnalysis {
       FROM m
       GROUP BY event_type
       ORDER BY event_type""",
+    // g14: the exact top-k ranking is oracle-computable from the same
+    // token stream; the sketch's two guarantees ride as booleans the
+    // engine must deliver TRUE
+    "g14_heavy_hitters" -> s"""
+      WITH tok AS (
+        SELECT unnest(list_filter($ToksSql, w -> w <> '')) AS term
+        FROM documents),
+      c AS (SELECT term, count(*) AS true_n FROM tok GROUP BY term)
+      SELECT term, true_n, TRUE AS overcount_ok, TRUE AS bound_ok
+      FROM c ORDER BY true_n DESC, term LIMIT $HeavyK""",
   )
 }

@@ -368,6 +368,52 @@ class RoundSevenOpsSpec extends SparkSpec {
       s"hx-sorted layout unexpectedly pruned u: $oneDUHit of ${oneD.length}")
   }
 
+  test("st12: four-epoch streaming summary maintenance lands exactly p27's merged summary") {
+    val streamed = graft.streaming.StreamReplay.st12SummaryReplay(spark, sf)
+      .collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[java.sql.Date]("day").toString) ->
+        (r.getAs[Long]("n"), r.getAs[Long]("sum_cents"),
+         r.getAs[Long]("min_cents"), r.getAs[Long]("max_cents"))).toMap
+    assert(streamed.nonEmpty)
+    // independent path: the BATCH two-partial merge (p27), itself pinned
+    // to the one-pass rebuild by its own spec/oracle
+    val batch = PipelineQueries.p27MergeSummaries(spark, sf).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[java.sql.Date]("day").toString) ->
+        (r.getAs[Long]("n"), r.getAs[Long]("sum_cents"),
+         r.getAs[Long]("min_cents"), r.getAs[Long]("max_cents"))).toMap
+    assert(streamed == batch, "streamed incremental summary != batch merge")
+  }
+
+  test("g14: CMS estimates dominate true counts for EVERY term, and the top set is exact") {
+    val got = TextAnalysis.g14HeavyHitters(spark, sf).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      assert(r.getAs[Boolean]("overcount_ok"), r.toString)
+      assert(r.getAs[Boolean]("bound_ok"), r.toString)
+    }
+    // plain-Scala token counting over the same normalization
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    val counts = docs.flatMap(_._2.toLowerCase.trim
+        .replaceAll("\\s+", " ").split(" ").filter(_.nonEmpty))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val expectTop = counts.toSeq.sortBy { case (t, n) => (-n, t) }
+      .take(TextAnalysis.HeavyK)
+    val actualTop = got.map(r =>
+      (r.getAs[String]("term"), r.getAs[Long]("true_n"))).toSeq
+    assert(actualTop == expectTop, "exact top-k ranking mismatch")
+    // the sketch's overcount law must hold on the FULL vocabulary, not
+    // just the reported head — rebuild the sketch and sweep every term
+    val toks = Tables.documents(spark, sf)
+      .select(explode(split(lower(trim(regexp_replace(col("text"), "\\s+", " "))), " ")).as("term"))
+      .filter(col("term") =!= "")
+    val sk = toks.stat.countMinSketch("term",
+      TextAnalysis.CmsEps, TextAnalysis.CmsConfidence, TextAnalysis.CmsSeed)
+    counts.foreach { case (t, n) =>
+      assert(sk.estimateCount(t) >= n, s"undercount on $t")
+    }
+  }
+
   test("p27: history+delta partial merge equals a plain-Scala one-pass rebuild") {
     val got = PipelineQueries.p27MergeSummaries(spark, sf).collect()
       .map(r => (r.getAs[String]("event_type"), r.getAs[java.sql.Date]("day").toString) ->
