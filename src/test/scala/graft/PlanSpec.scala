@@ -555,6 +555,36 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("p26: bounds broadcast back; region rollup is the only hash exchange") {
+    val plan = executed(PipelineQueries.p26ZorderLayout(spark, sf))
+    // the 1-row bounds frame re-enters as a broadcast, never a shuffle
+    assert(plan.contains("BroadcastExchange"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the Z-value/region projection is scan-side; the only hash
+    // partitioning is the ≤ 2^6-row region aggregate
+    assert(plan.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1, plan)
+  }
+
+  test("t22: PII scan is a single scan with no join; masking is scan-side projection") {
+    val plan = executed(graft.text.TextAnalysis.t22PiiScan(spark, sf))
+    assert(plan.linesIterator.count(_.contains("Scan parquet")) == 1, plan)
+    assert(!plan.contains("Join"), plan)
+    assert(plan.contains("HashAggregate"), plan)
+  }
+
+  test("p27: summary merge is two partial scans + aggregates — no join anywhere") {
+    val plan = executed(PipelineQueries.p27MergeSummaries(spark, sf))
+    assert(!plan.contains("Join"), plan)
+    assert(plan.linesIterator.count(_.contains("Scan parquet")) == 2, plan)
+  }
+
+  test("s12: filtered IVF probes via broadcast hash join — no BNLJ, no cartesian") {
+    val plan = executed(Similarity.s12FilteredIvfTopK(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("s08: stats and candidates broadcast; full vectors never cross an exchange") {
     val plan = executed(Similarity.s08SqTopK(spark, sf))
     assert(!plan.contains("CartesianProduct"), plan)
