@@ -823,6 +823,65 @@ object StreamReplay {
         .localCheckpoint(eager = true)
     }
 
+  /** st13: streaming AS-OF replay — a01's backward as-of with a04's
+    * tolerance horizon (latest click at or before each purchase, within
+    * [[JoinWindow]]) composed from streaming primitives. Append-mode
+    * streaming cannot rank (no window/argmax over an unbounded stream),
+    * so the composition a real pipeline runs is: (1) the CANDIDATE set
+    * streams through the real [[StreamingPipeline.intervalJoin]] across
+    * interleaved epochs (st08's machinery — state carries across
+    * batches, a click from epoch 1 matches a purchase from epoch 3), and
+    * (2) the per-purchase argmax(c_ts) runs as the downstream batch
+    * compaction over the landed candidate table — one keyed max, the
+    * same shape as the lakehouse "compact the sink" job. The composition
+    * must equal the batch as-of operator; gaps ride exact micro
+    * integers so the rollup is engine-stable. */
+  def st13AsofReplay(s: SparkSession, d: String): DataFrame =
+    withReplayTmp(s, "graft-st13-") { tmp =>
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.session.timeZone",
+        s.conf.get("spark.sql.session.timeZone", "UTC"))
+      s2.conf.set("spark.sql.shuffle.partitions", "8")
+      val ev = Tables.events(s, d)
+        .filter(col("ts") < lit(JoinFeedEnd).cast("timestamp"))
+        .select(col("user_id"), col("event_type"), col("ts"))
+      stageOrderedJson(
+        ev.filter(col("event_type") === "purchase").select(col("user_id"), col("ts")),
+        nFiles = 2, s"$tmp/purchases", prefix = "a", baseModTime = 1000000L)
+      stageOrderedJson(
+        ev.filter(col("event_type") === "click").select(col("user_id"), col("ts")),
+        nFiles = 2, s"$tmp/clicks", prefix = "b", baseModTime = 1000000L)
+      val feedSchema = new StructType()
+        .add("user_id", "long").add("ts", "timestamp")
+      def feed(dir: String, tsName: String) = StreamingPipeline.jsonFileSource(
+        s2, dir, feedSchema, maxFilesPerTrigger = 1,
+        options = Map("timestampFormat" -> JsonTsFormat))
+        .select(col("user_id"), col("ts").as(tsName))
+      val joined = StreamingPipeline.intervalJoin(
+        feed(s"$tmp/purchases", "p_ts"), feed(s"$tmp/clicks", "c_ts"),
+        key = "user_id", leftTs = "p_ts", rightTs = "c_ts",
+        window_ = JoinWindow, lateness = "40 days")
+        .toDF("p_user", "p_ts", "c_user", "c_ts")
+      val q = joined.writeStream
+        .format("parquet")
+        .option("path", s"$tmp/out")
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(s"$tmp/out")
+        // the as-of reduction: latest candidate click per purchase
+        .groupBy(col("p_user"), col("p_ts"))
+        .agg(max(col("c_ts")).as("c_ts"))
+        .groupBy(date_trunc("hour", col("p_ts")).as("hour_bucket"))
+        .agg(count(lit(1)).as("n_matched"),
+          sum(unix_micros(col("p_ts")) - unix_micros(col("c_ts"))).as("gap_us"),
+          countDistinct(col("p_user")).as("n_users"))
+        .orderBy(col("hour_bucket"))
+        .localCheckpoint(eager = true)
+    }
+
   val queries: Map[String, Q] = Map(
     "st01_stream_replay"   -> st01StreamReplay _,
     "st02_state_replay"    -> st02StateReplay _,
@@ -836,6 +895,7 @@ object StreamReplay {
     "st10_enrich_replay"   -> st10EnrichReplay _,
     "st11_outer_join_replay" -> st11OuterJoinReplay _,
     "st12_summary_replay"  -> st12SummaryReplay _,
+    "st13_asof_replay"     -> st13AsofReplay _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -900,6 +960,27 @@ object StreamReplay {
              count(*) - count(c_ts) AS n_null,
              count(DISTINCT p_user) AS n_users
       FROM k GROUP BY 1 ORDER BY hour_bucket""",
+    // st13: the streamed candidates + batch argmax compaction must equal
+    // the batch as-of (latest click within the window per purchase);
+    // gap sums are exact microsecond integers
+    "st13_asof_replay" -> s"""
+      WITH p AS (
+        SELECT user_id, ts AS p_ts FROM events
+        WHERE event_type = 'purchase' AND ts < TIMESTAMP '$JoinFeedEnd'),
+      c AS (
+        SELECT user_id, ts AS c_ts FROM events
+        WHERE event_type = 'click' AND ts < TIMESTAMP '$JoinFeedEnd'),
+      m AS (
+        SELECT p.user_id, p.p_ts, max(c.c_ts) AS c_ts
+        FROM p JOIN c ON p.user_id = c.user_id
+                     AND c.c_ts >= p.p_ts - INTERVAL 1 DAY
+                     AND c.c_ts <= p.p_ts
+        GROUP BY p.user_id, p.p_ts)
+      SELECT CAST(date_trunc('hour', p_ts) AS TIMESTAMP) AS hour_bucket,
+             count(*) AS n_matched,
+             CAST(sum(epoch_us(p_ts) - epoch_us(c_ts)) AS BIGINT) AS gap_us,
+             count(DISTINCT user_id) AS n_users
+      FROM m GROUP BY 1 ORDER BY hour_bucket""",
     // The streamed interval join (no state eviction — watermark spans the
     // feed) must equal the batch theta-join over the bounded corpus.
     "st08_join_replay" -> s"""

@@ -414,6 +414,40 @@ class RoundSevenOpsSpec extends SparkSpec {
     }
   }
 
+  test("st13: streamed candidates + argmax compaction equal the batch as-of operator") {
+    val streamed = graft.streaming.StreamReplay.st13AsofReplay(spark, sf).collect()
+      .map(r => r.getAs[java.sql.Timestamp]("hour_bucket").toString ->
+        (r.getAs[Long]("n_matched"), r.getAs[Long]("gap_us"),
+         r.getAs[Long]("n_users"))).toMap
+    assert(streamed.nonEmpty)
+    // independent path: graft.operators.Joins.asOf with the same
+    // tolerance horizon, filtered to matched purchases, same rollup
+    val ev = Tables.events(spark, sf)
+      .filter(col("ts") < lit(graft.streaming.StreamReplay.JoinFeedEnd).cast("timestamp"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("p_ts"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("c_ts"))
+    val asof = graft.operators.Joins.asOf(
+      p, c, key = "user_id",
+      leftTs = col("p_ts"), rightTs = col("c_ts"),
+      payload = Seq(col("c_ts")), tieBreak = col("c_ts"),
+      within = Some(expr("INTERVAL '1' DAY")))
+    val batch = asof.filter(col("c_ts").isNotNull)
+      // the stream emits one candidate row per (purchase, click) pair, so
+      // duplicate (user, p_ts) purchases collapse in its groupBy — mirror
+      .dropDuplicates("user_id", "p_ts")
+      .groupBy(date_trunc("hour", col("p_ts")).as("hour_bucket"))
+      .agg(count(lit(1)).as("n_matched"),
+        sum(unix_micros(col("p_ts")) - unix_micros(col("c_ts"))).as("gap_us"),
+        countDistinct(col("user_id")).as("n_users"))
+      .collect()
+      .map(r => r.getAs[java.sql.Timestamp]("hour_bucket").toString ->
+        (r.getAs[Long]("n_matched"), r.getAs[Long]("gap_us"),
+         r.getAs[Long]("n_users"))).toMap
+    assert(streamed == batch, "streamed as-of != batch as-of operator")
+  }
+
   test("p27: history+delta partial merge equals a plain-Scala one-pass rebuild") {
     val got = PipelineQueries.p27MergeSummaries(spark, sf).collect()
       .map(r => (r.getAs[String]("event_type"), r.getAs[java.sql.Date]("day").toString) ->
