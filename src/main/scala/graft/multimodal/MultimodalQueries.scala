@@ -106,10 +106,39 @@ object MultimodalQueries {
       .orderBy(col("keep_id"))
   }
 
+  /** m04 shard budget: small enough that every modality spans multiple
+    * shards at the test SFs (payloads average ~250 B). */
+  val ShardBytes = 4096L
+
+  /** m04: byte-budget shard packing — the media-lake counterpart of t08's
+    * token packing: within each modality, payloads pack greedily in
+    * media_id order into fixed-byte shards (training-loader shards, tar
+    * archives, object-store multiparts are all this shape); an item's
+    * shard is the budget-quotient of the bytes packed BEFORE it. The
+    * window rides (kind, media_id, n_bytes) tuples ONLY — payloads are
+    * reduced to `length(data)` on the scan and never shuffle (m01's
+    * account-without-touching-bytes argument, applied to layout). Output
+    * is the shard manifest: items and bytes per (kind, shard). */
+  def m04ShardPack(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("kind")).orderBy(col("media_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    fromDocuments(s, d).toDF()
+      .select(col("media_id"), col("meta.kind").as("kind"),
+        length(col("data")).cast("long").as("n_bytes"))
+      .withColumn("prior", coalesce(sum(col("n_bytes")).over(w), lit(0L)))
+      // ShardBytes is a power of two, so the double division is exact
+      .withColumn("shard", floor(col("prior") / ShardBytes.toDouble).cast("long"))
+      .groupBy(col("kind"), col("shard"))
+      .agg(count(lit(1)).as("n_items"), sum(col("n_bytes")).as("sum_bytes"))
+      .orderBy(col("kind"), col("shard"))
+  }
+
   val queries: Map[String, Q] = Map(
     "m01_media_meta"   -> m01MediaMeta _,
     "m02_frame_sample" -> m02FrameSample _,
     "m03_media_dedup"  -> m03MediaDedup _,
+    "m04_shard_pack"   -> m04ShardPack _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -148,5 +177,27 @@ object MultimodalQueries {
           WHERE doc_id % $ReingestMod = 0)
         GROUP BY 1)
       WHERE n_copies > 1 ORDER BY keep_id""",
+    // m04: the same greedy exclusive-cumsum cut restated; octet_length of
+    // the encoded text is the byte-exact payload size
+    "m04_shard_pack" -> s"""
+      WITH m AS (
+        SELECT doc_id AS media_id,
+               CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+                    WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        FROM documents),
+      c AS (
+        SELECT kind, media_id, n_bytes,
+               CAST(coalesce(sum(n_bytes) OVER (PARTITION BY kind
+                 ORDER BY media_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS BIGINT) AS prior
+        FROM m)
+      SELECT kind, CAST(floor(prior / $ShardBytes.0) AS BIGINT) AS shard,
+             count(*) AS n_items,
+             CAST(sum(n_bytes) AS BIGINT) AS sum_bytes
+      FROM c
+      GROUP BY kind, shard
+      ORDER BY kind, shard""",
   )
 }

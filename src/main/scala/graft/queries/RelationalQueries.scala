@@ -511,6 +511,35 @@ object RelationalQueries {
     """)
   }
 
+  /** q42: ANSI ordered-set aggregates — the SQL:2008 inverse-distribution
+    * functions (`percentile_cont` / `percentile_disc` WITHIN GROUP),
+    * completing §2.4 G6 beyond q22's approximate form with EXACT
+    * percentiles. The hash-exact oracle is safe because the ordering
+    * column is integer cents and the percentiles are quarters: the
+    * interpolation a + (b−a)·f with f ∈ {0.25, 0.5, 0.75} over integers
+    * ≤ 2^52 is exact IEEE arithmetic (b−a integer; ·f a power-of-two
+    * scale), so both engines produce bit-identical doubles — no q22-style
+    * tolerance band needed. `percentile_disc` picks an element, exact by
+    * construction. At scale this plans as a sort-based aggregate per
+    * group — one keyed exchange, no window. */
+  def q42OrderedSetAgg(s: SparkSession, d: String): DataFrame = {
+    Tables.events(s, d).createOrReplaceTempView("os_events")
+    s.sql("""
+      SELECT event_type, count(*) AS n,
+             percentile_cont(0.25) WITHIN GROUP
+               (ORDER BY CAST(round(value * 100) AS BIGINT)) AS p25,
+             percentile_cont(0.5)  WITHIN GROUP
+               (ORDER BY CAST(round(value * 100) AS BIGINT)) AS p50,
+             percentile_cont(0.75) WITHIN GROUP
+               (ORDER BY CAST(round(value * 100) AS BIGINT)) AS p75,
+             CAST(percentile_disc(0.5) WITHIN GROUP
+               (ORDER BY CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS p50_disc
+      FROM os_events
+      GROUP BY event_type
+      ORDER BY event_type
+    """)
+  }
+
   val queries: Map[String, Q] = Map(
     "q01_pricing_summary" -> q01PricingSummary _,
     "q02_filter_agg"      -> q02FilterAgg _,
@@ -542,10 +571,26 @@ object RelationalQueries {
     "q39_lateral_join"    -> q39LateralJoin _,
     "q40_window_distribution" -> q40WindowDistribution _,
     "q41_recursive_cte"   -> q41RecursiveCte _,
+    "q42_ordered_set_agg" -> q42OrderedSetAgg _,
   )
 
   /** DuckDB-equivalent SQL (driver runs these over the same parquet tables). */
   val oracleSql: Map[String, String] = Map(
+    // q42: identical ordered-set aggregates; integer cents + quarter
+    // fractions make the interpolation bit-exact on both engines
+    "q42_ordered_set_agg" -> """
+      SELECT event_type, count(*) AS n,
+             percentile_cont(0.25) WITHIN GROUP
+               (ORDER BY CAST(round(value * 100) AS BIGINT)) AS p25,
+             percentile_cont(0.5)  WITHIN GROUP
+               (ORDER BY CAST(round(value * 100) AS BIGINT)) AS p50,
+             percentile_cont(0.75) WITHIN GROUP
+               (ORDER BY CAST(round(value * 100) AS BIGINT)) AS p75,
+             CAST(percentile_disc(0.5) WITHIN GROUP
+               (ORDER BY CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS p50_disc
+      FROM events
+      GROUP BY event_type
+      ORDER BY event_type""",
     "q01_pricing_summary" -> """
       SELECT l_returnflag, l_linestatus,
              sum(l_quantity) AS sum_qty,

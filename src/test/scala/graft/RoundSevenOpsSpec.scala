@@ -448,6 +448,60 @@ class RoundSevenOpsSpec extends SparkSpec {
     assert(streamed == batch, "streamed as-of != batch as-of operator")
   }
 
+  test("q42: ordered-set aggregates match a plain-Scala inverse-distribution rebuild") {
+    val got = queries.RelationalQueries.q42OrderedSetAgg(spark, sf).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("n"), r.getAs[Double]("p25"), r.getAs[Double]("p50"),
+         r.getAs[Double]("p75"), r.getAs[Long]("p50_disc"))).toMap
+    assert(got.nonEmpty)
+    val ev = Tables.events(spark, sf)
+      .select(col("event_type"), round(col("value") * 100).cast("long"))
+      .as[(String, Long)].collect()
+    def cont(sorted: Array[Long], p: Double): Double = {
+      val i = (sorted.length - 1) * p
+      val lo = math.floor(i).toInt; val hi = math.ceil(i).toInt
+      sorted(lo) + (sorted(hi) - sorted(lo)) * (i - lo)
+    }
+    def disc(sorted: Array[Long], p: Double): Long =
+      sorted(math.max(0, math.ceil(sorted.length * p).toInt - 1))
+    ev.groupBy(_._1).foreach { case (et, rows) =>
+      val sorted = rows.map(_._2).sorted
+      val (n, p25, p50, p75, p50d) = got(et)
+      assert(n == sorted.length, s"$et n")
+      assert(p25 == cont(sorted, 0.25), s"$et p25")
+      assert(p50 == cont(sorted, 0.5), s"$et p50")
+      assert(p75 == cont(sorted, 0.75), s"$et p75")
+      assert(p50d == disc(sorted, 0.5), s"$et p50_disc")
+    }
+  }
+
+  test("m04: shard manifest matches a plain-Scala greedy byte-packing rebuild") {
+    val got = graft.multimodal.MultimodalQueries.m04ShardPack(spark, sf).collect()
+      .map(r => (r.getAs[String]("kind"), r.getAs[Long]("shard")) ->
+        (r.getAs[Long]("n_items"), r.getAs[Long]("sum_bytes"))).toMap
+    assert(got.nonEmpty)
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    val byKind = docs.map { case (id, text) =>
+      val kind = (id % 3) match { case 0 => "image"; case 1 => "audio"; case _ => "video" }
+      (kind, id, text.getBytes("UTF-8").length.toLong)
+    }.groupBy(_._1)
+    val rebuild = byKind.toSeq.flatMap { case (kind, items) =>
+      var prior = 0L
+      items.sortBy(_._2).toSeq.map { case (_, _, b) =>
+        val shard = prior / graft.multimodal.MultimodalQueries.ShardBytes
+        prior += b
+        ((kind, shard), b)
+      }
+    }.groupBy(_._1).map { case (k, bs) =>
+      k -> ((bs.size.toLong, bs.map(_._2).sum))
+    }
+    assert(got == rebuild, "manifest != greedy rebuild")
+    // conservation: every byte lands in exactly one shard
+    assert(got.values.map(_._2).sum ==
+      docs.map(_._2.getBytes("UTF-8").length.toLong).sum)
+  }
+
   test("p27: history+delta partial merge equals a plain-Scala one-pass rebuild") {
     val got = PipelineQueries.p27MergeSummaries(spark, sf).collect()
       .map(r => (r.getAs[String]("event_type"), r.getAs[java.sql.Date]("day").toString) ->
