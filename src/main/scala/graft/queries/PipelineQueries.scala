@@ -1227,6 +1227,52 @@ object PipelineQueries {
       .orderBy(col("event_type"), col("day"))
   }
 
+  /** The g15 equi-depth SQL, shared verbatim with the oracle (only the
+    * table name differs): 7 exact `percentile_disc` cut points → 8
+    * equal-count bins; the bin of a row is 1 + (number of edges strictly
+    * below it), so ties land with their edge and both engines agree
+    * bit-for-bit on integer cents. */
+  private def g15Sql(table: String): String = s"""
+      WITH c AS (SELECT CAST(round(value * 100) AS BIGINT) AS cents FROM $table),
+      e AS (SELECT
+        percentile_disc(0.125) WITHIN GROUP (ORDER BY cents) AS e1,
+        percentile_disc(0.25)  WITHIN GROUP (ORDER BY cents) AS e2,
+        percentile_disc(0.375) WITHIN GROUP (ORDER BY cents) AS e3,
+        percentile_disc(0.5)   WITHIN GROUP (ORDER BY cents) AS e4,
+        percentile_disc(0.625) WITHIN GROUP (ORDER BY cents) AS e5,
+        percentile_disc(0.75)  WITHIN GROUP (ORDER BY cents) AS e6,
+        percentile_disc(0.875) WITHIN GROUP (ORDER BY cents) AS e7
+        FROM c)
+      SELECT bin, count(*) AS n_rows, min(cents) AS lo, max(cents) AS hi
+      FROM (SELECT cents,
+              1 + (CASE WHEN cents > e1 THEN 1 ELSE 0 END)
+                + (CASE WHEN cents > e2 THEN 1 ELSE 0 END)
+                + (CASE WHEN cents > e3 THEN 1 ELSE 0 END)
+                + (CASE WHEN cents > e4 THEN 1 ELSE 0 END)
+                + (CASE WHEN cents > e5 THEN 1 ELSE 0 END)
+                + (CASE WHEN cents > e6 THEN 1 ELSE 0 END)
+                + (CASE WHEN cents > e7 THEN 1 ELSE 0 END) AS bin
+            FROM c, e)
+      GROUP BY bin ORDER BY bin"""
+
+  /** g15: equi-DEPTH histogram — the ANALYZE-TABLE statistics shape (CBO
+    * height-balanced histograms, Hive/ORC bloom-stats, Postgres
+    * `pg_stats.histogram_bounds`): 8 bins holding ~equal row counts,
+    * edges at exact `percentile_disc` eighths — the complement of g05's
+    * equi-WIDTH bins, and the form selectivity estimation actually
+    * wants (equal mass per bin ⇒ constant estimation error; equi-width
+    * bins degenerate under skew, cf. the 8th bin's 5× range here).
+    *
+    * Scale shape: the edge row is ONE sort-based aggregate broadcast
+    * back (g05's bounds-broadcast precedent, 7 scalars); the binning is
+    * a scan-side CASE ladder with one ≤8-row rollup. Exact quantiles
+    * at 100 TB would swap for `approx_percentile` sketch edges — the
+    * g04 exact/approx knob argument — with the same downstream shape. */
+  def g15EquidepthHist(s: SparkSession, d: String): DataFrame = {
+    Tables.events(s, d).createOrReplaceTempView("ed_events")
+    s.sql(g15Sql("ed_events"))
+  }
+
   val queries: Map[String, Q] = Map(
     "p01_validate_events"   -> p01ValidateEvents _,
     "p02_clean_dedup"       -> p02CleanDedup _,
@@ -1254,6 +1300,7 @@ object PipelineQueries {
     "p25_pseudonymize"      -> p25Pseudonymize _,
     "p26_zorder_layout"     -> p26ZorderLayout _,
     "p27_merge_summaries"   -> p27MergeSummaries _,
+    "g15_equidepth_hist"    -> g15EquidepthHist _,
     "g01_quality_score"     -> g01QualityScore _,
     "g08_source_overlap"    -> g08SourceOverlap _,
     "g05_histogram"         -> g05Histogram _,
@@ -1431,6 +1478,9 @@ object PipelineQueries {
       FROM z
       GROUP BY region
       ORDER BY region""",
+    // g15: the IDENTICAL SQL text over the oracle's events view — the
+    // edges, tie rule, and rollup are single-sourced from g15Sql
+    "g15_equidepth_hist" -> g15Sql("events"),
     // p27: the ORACLE is the one-pass rebuild over all events — equality
     // with Spark's history+delta partial merge IS the incremental-
     // maintenance contract

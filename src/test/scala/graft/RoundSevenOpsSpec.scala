@@ -502,6 +502,39 @@ class RoundSevenOpsSpec extends SparkSpec {
       docs.map(_._2.getBytes("UTF-8").length.toLong).sum)
   }
 
+  test("g15: equi-depth bins conserve rows, balance depth, tile the range, and match a rebuild") {
+    val bins = PipelineQueries.g15EquidepthHist(spark, sf).collect()
+      .sortBy(_.getAs[Int]("bin"))
+    assert(bins.length == 8, s"expected 8 bins, got ${bins.length}")
+    val cents = Tables.events(spark, sf)
+      .select(round(col("value") * 100).cast("long")).as[Long].collect()
+    // conservation
+    assert(bins.map(_.getAs[Long]("n_rows")).sum == cents.length.toLong)
+    // depth balance: every bin within 20% of the ideal eighth
+    val ideal = cents.length / 8.0
+    bins.foreach { b =>
+      val n = b.getAs[Long]("n_rows")
+      assert(n > ideal * 0.8 && n < ideal * 1.2, s"bin ${b.getAs[Int]("bin")} depth $n")
+    }
+    // ranges tile without overlap
+    bins.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Long]("hi") < b.getAs[Long]("lo"),
+        s"bins ${a.getAs[Int]("bin")}/${b.getAs[Int]("bin")} overlap")
+    }
+    // plain-Scala rebuild: percentile_disc edges + the same tie rule
+    val sorted = cents.sorted
+    def edge(p: Double): Long =
+      sorted(math.max(0, math.ceil(sorted.length * p).toInt - 1))
+    val edges = Seq(0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875).map(edge)
+    val rebuild = cents.groupBy(c => 1 + edges.count(c > _))
+      .view.mapValues(v => (v.length.toLong, v.min, v.max)).toMap
+    bins.foreach { b =>
+      val (n, lo, hi) = rebuild(b.getAs[Int]("bin"))
+      assert(b.getAs[Long]("n_rows") == n && b.getAs[Long]("lo") == lo &&
+        b.getAs[Long]("hi") == hi, s"bin ${b.getAs[Int]("bin")} mismatch")
+    }
+  }
+
   test("p27: history+delta partial merge equals a plain-Scala one-pass rebuild") {
     val got = PipelineQueries.p27MergeSummaries(spark, sf).collect()
       .map(r => (r.getAs[String]("event_type"), r.getAs[java.sql.Date]("day").toString) ->
