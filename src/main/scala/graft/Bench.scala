@@ -114,6 +114,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Env BEFORE the warm-up: the warm-up itself drives 32 threads, so
+    // env_start's 1-min loadavg partly reflects our own warm-up by the
+    // time the timed loop begins — this sample is the uncontaminated
+    // "was the box busy before we did anything" signal.
+    val envPre = (loadAvg, cpuPsiAvg10, procCount, System.currentTimeMillis())
     // Warm-up: pay executor spin-up + whole-stage-codegen compilation +
     // JIT outside the timed runs by executing every query once at the
     // smallest SF (Janino compilation of the generated code is 2-5 s for
@@ -179,7 +184,7 @@ object Bench {
       .map { case (k, v) => s""""$k":"$v"""" }.mkString("{", ",", "}")
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_full.json"),
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$fullJson,"provenance":$provJson,"env_start":${envJson(envStart)},"env_end":${envJson(envEnd)},"tags":$tagsJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$fullJson,"provenance":$provJson,"env_pre_warmup":${envJson(envPre)},"env_start":${envJson(envStart)},"env_end":${envJson(envEnd)},"tags":$tagsJson,"sf":"$sfDir"}"""
     ) catch { case _: Throwable => () }
     // Compact contention stamp on the one-line JSON the driver captures:
     // load1 at start/end + PSI so a >1.5× anomaly is self-explaining from
