@@ -1273,6 +1273,40 @@ object PipelineQueries {
     s.sql(g15Sql("ed_events"))
   }
 
+  /** p28: retention-tier sweep — the reference's data-lifecycle policy as
+    * an engine-level audit. The reference encodes retention in
+    * infrastructure: raw bucket transitions at 30 d → IA and 90 d →
+    * Glacier (SDP.py:73-94), the DLQ holds 14 d (SDP.py:125), the main
+    * stream 7 d and the analytics stream 1 d (SDP.py:166, :173). This row
+    * classifies each DAY-partition by age against the corpus watermark
+    * (max ts — deterministic, no wall clock) into the narrowest retention
+    * window that still covers it, and reports what each policy tier holds
+    * — the "what would a lifecycle tick touch" read run before any
+    * expiry/migration job.
+    *
+    * Scale shape: rows reduce to (day, count) FIRST (P5's partition
+    * derivation), so the sweep is an aggregate over day-partitions — at a
+    * real lake this is a metadata-only pass over partition values and
+    * footer counts, never a per-row scan per policy tick; the watermark
+    * is a 1-row broadcast. */
+  def p28RetentionSweep(s: SparkSession, d: String): DataFrame = {
+    val days = Tables.events(s, d)
+      .select(to_date(col("ts")).as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("n_rows"))
+    val wm = days.agg(max(col("day")).as("wm"))
+    days.crossJoin(broadcast(wm))
+      .withColumn("age_days", datediff(col("wm"), col("day")))
+      .withColumn("tier",
+        when(col("age_days") < 1, "analytics_stream_1d")
+          .when(col("age_days") < 7, "stream_7d")
+          .when(col("age_days") < 14, "dlq_14d")
+          .otherwise("raw_standard_30d"))
+      .groupBy(col("tier"))
+      .agg(count(lit(1)).as("n_days"), sum(col("n_rows")).as("n_rows"),
+        min(col("day")).as("oldest_day"), max(col("day")).as("newest_day"))
+      .orderBy(col("tier"))
+  }
+
   val queries: Map[String, Q] = Map(
     "p01_validate_events"   -> p01ValidateEvents _,
     "p02_clean_dedup"       -> p02CleanDedup _,
@@ -1301,6 +1335,7 @@ object PipelineQueries {
     "p26_zorder_layout"     -> p26ZorderLayout _,
     "p27_merge_summaries"   -> p27MergeSummaries _,
     "g15_equidepth_hist"    -> g15EquidepthHist _,
+    "p28_retention_sweep"   -> p28RetentionSweep _,
     "g01_quality_score"     -> g01QualityScore _,
     "g08_source_overlap"    -> g08SourceOverlap _,
     "g05_histogram"         -> g05Histogram _,
@@ -1481,6 +1516,26 @@ object PipelineQueries {
     // g15: the IDENTICAL SQL text over the oracle's events view — the
     // edges, tie rule, and rollup are single-sourced from g15Sql
     "g15_equidepth_hist" -> g15Sql("events"),
+    // p28: same day-partition reduction, watermark, and tier ladder;
+    // DuckDB's datediff takes (part, start, end)
+    "p28_retention_sweep" -> """
+      WITH days AS (
+        SELECT CAST(ts AS DATE) AS day, count(*) AS n_rows
+        FROM events GROUP BY 1),
+      w AS (SELECT max(day) AS wm FROM days),
+      t AS (
+        SELECT day, n_rows, datediff('day', day, wm) AS age_days
+        FROM days, w)
+      SELECT CASE WHEN age_days < 1 THEN 'analytics_stream_1d'
+                  WHEN age_days < 7 THEN 'stream_7d'
+                  WHEN age_days < 14 THEN 'dlq_14d'
+                  ELSE 'raw_standard_30d' END AS tier,
+             count(*) AS n_days,
+             CAST(sum(n_rows) AS BIGINT) AS n_rows,
+             min(day) AS oldest_day, max(day) AS newest_day
+      FROM t
+      GROUP BY tier
+      ORDER BY tier""",
     // p27: the ORACLE is the one-pass rebuild over all events — equality
     // with Spark's history+delta partial merge IS the incremental-
     // maintenance contract

@@ -535,6 +535,36 @@ class RoundSevenOpsSpec extends SparkSpec {
     }
   }
 
+  test("p28: retention tiers partition the day range and match a plain-Scala sweep") {
+    val got = PipelineQueries.p28RetentionSweep(spark, sf).collect()
+      .map(r => r.getAs[String]("tier") ->
+        (r.getAs[Long]("n_days"), r.getAs[Long]("n_rows"),
+         r.getAs[java.sql.Date]("oldest_day").toString,
+         r.getAs[java.sql.Date]("newest_day").toString)).toMap
+    assert(got.nonEmpty)
+    val days = Tables.events(spark, sf)
+      .select(to_date(col("ts")).cast("string")).as[String].collect()
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val wm = java.time.LocalDate.parse(days.keys.max)
+    def tier(day: String): String = {
+      val age = java.time.temporal.ChronoUnit.DAYS
+        .between(java.time.LocalDate.parse(day), wm)
+      if (age < 1) "analytics_stream_1d"
+      else if (age < 7) "stream_7d"
+      else if (age < 14) "dlq_14d"
+      else "raw_standard_30d"
+    }
+    val rebuild = days.toSeq.groupBy(kv => tier(kv._1)).map { case (t, ds) =>
+      t -> ((ds.size.toLong, ds.map(_._2).sum, ds.map(_._1).min, ds.map(_._1).max))
+    }
+    assert(got == rebuild, "sweep != rebuild")
+    // conservation + the tiers genuinely split the corpus (the feed spans
+    // ~30 days, so all four windows are non-empty at every SF)
+    assert(got.values.map(_._2).sum == days.values.sum)
+    assert(got.keySet == Set("analytics_stream_1d", "stream_7d", "dlq_14d",
+      "raw_standard_30d"))
+  }
+
   test("p27: history+delta partial merge equals a plain-Scala one-pass rebuild") {
     val got = PipelineQueries.p27MergeSummaries(spark, sf).collect()
       .map(r => (r.getAs[String]("event_type"), r.getAs[java.sql.Date]("day").toString) ->
