@@ -912,6 +912,70 @@ object TextAnalysis {
       .orderBy(col("true_n").desc, col("term"))
   }
 
+  /** g16 drift geometry: 10 equal-width score bins over [0,1]; 0.5-per-bin
+    * Laplace smoothing keeps ln finite on empty cells; PSI > 0.2 is the
+    * standard "significant shift" threshold in production monitoring. */
+  val PsiBins = 10
+  val PsiDriftMax = 0.2
+
+  /** g16: per-source quality-drift panel via PSI (population stability
+    * index — the standard production-ML input-drift metric): for each
+    * source, compare its t02 quality-score distribution against the whole
+    * corpus over [[PsiBins]] fixed-width bins,
+    * PSI = Σ_b (p_src − p_corpus)·ln(p_src / p_corpus), smoothed. This is
+    * the monitoring read run on every incoming crawl batch — a drifted
+    * source (PSI > [[PsiDriftMax]]) gets its mixture weight re-examined
+    * before it silently shifts the training distribution.
+    *
+    * Scale shape: scores reduce to (source, bin) counts on the scan (the
+    * t02 projection + one keyed aggregate); everything downstream runs
+    * over the #sources×[[PsiBins]] dense grid (explode over a literal
+    * sequence — missing cells must still contribute their smoothed mass),
+    * with corpus bin masses joined from a [[PsiBins]]-row broadcast. The
+    * ln-sum rounds to 6 dp over exactly [[PsiBins]] terms (the t15/t21
+    * log-arithmetic precedent). */
+  def g16QualityPsi(s: SparkSession, d: String): DataFrame = {
+    // the t02 composite, same expression tree (bitwise-equal scores)
+    val base = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), normText(col("text")).as("norm"))
+      .select(col("doc_id"), col("source"), col("norm"),
+        split(col("norm"), " ").as("toks"))
+    val toks = col("toks")
+    val nTok = size(toks).cast("double")
+    val nStop = size(filter(toks, t => t.isin(Stopwords: _*))).cast("double")
+    val alpha = when(length(col("norm")) === 0, 0.0).otherwise(
+      length(regexp_replace(col("norm"), "[^a-z ]", "")).cast("double") /
+        length(col("norm")).cast("double"))
+    val quality = round(
+      least(lit(1.0), nTok / 200.0) * 0.4 + (nStop / nTok) * 0.3 + alpha * 0.3, 6)
+    val binned = base
+      .select(col("source"),
+        least(floor(quality * PsiBins), lit(PsiBins - 1)).cast("int").as("bin"))
+    val counts = binned.groupBy(col("source"), col("bin"))
+      .agg(count(lit(1)).as("n"))
+    // dense (source × bin) grid: absent cells still carry smoothed mass
+    val grid = counts.select(col("source")).distinct()
+      .select(col("source"),
+        explode(sequence(lit(0), lit(PsiBins - 1))).as("bin"))
+    val dense = grid.join(counts, Seq("source", "bin"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+    val srcTot = dense.groupBy(col("source")).agg(sum(col("n")).as("n_src"))
+    val corpBin = dense.groupBy(col("bin")).agg(sum(col("n")).as("n_bin"))
+    val corpTot = dense.agg(sum(col("n")).as("n_all"))
+    val ps = (col("n") + 0.5) / (col("n_src") + 0.5 * PsiBins)
+    val pc = (col("n_bin") + 0.5) / (col("n_all") + 0.5 * PsiBins)
+    dense
+      .join(srcTot, "source")
+      .join(broadcast(corpBin), "bin")
+      .crossJoin(broadcast(corpTot))
+      .select(col("source"), col("n_src"), ((ps - pc) * log(ps / pc)).as("c"))
+      .groupBy(col("source"), col("n_src"))
+      .agg(round(sum(col("c")), 6).as("psi"))
+      .select(col("source"), col("n_src").as("n_docs"), col("psi"),
+        (col("psi") > PsiDriftMax).as("drifted"))
+      .orderBy(col("source"))
+  }
+
   val queries: Map[String, Q] = Map(
     "t01_token_count" -> t01TokenCount _,
     "t02_quality"     -> t02Quality _,
@@ -936,6 +1000,7 @@ object TextAnalysis {
     "t21_bigram_lm"   -> t21BigramLm _,
     "t22_pii_scan"    -> t22PiiScan _,
     "g14_heavy_hitters" -> g14HeavyHitters _,
+    "g16_quality_psi" -> g16QualityPsi _,
   )
 
   /** Shared SQL fragments for the DuckDB oracle (public: the dedup
@@ -1380,6 +1445,40 @@ object TextAnalysis {
       FROM m
       GROUP BY event_type
       ORDER BY event_type""",
+    // g16: the same t02 scores, bin ladder, dense grid, smoothing, and
+    // PSI algebra — identical expression shape so the 6-dp rounds agree
+    "g16_quality_psi" -> s"""
+      WITH t AS (
+        SELECT doc_id, source, $ToksSql AS toks, $NormSql AS norm
+        FROM documents),
+      q AS (SELECT source, $QualityExprSql AS quality FROM t),
+      b AS (SELECT source,
+                   CAST(least(floor(quality * $PsiBins), ${PsiBins - 1}) AS INT)
+                     AS bin FROM q),
+      counts AS (SELECT source, bin, count(*) AS n FROM b GROUP BY source, bin),
+      grid AS (
+        SELECT s.source, g.bin
+        FROM (SELECT DISTINCT source FROM counts) s,
+             (SELECT unnest(range(0, $PsiBins)) AS bin) g),
+      dense AS (
+        SELECT grid.source, grid.bin, coalesce(counts.n, 0) AS n
+        FROM grid LEFT JOIN counts USING (source, bin)),
+      st AS (SELECT source, sum(n) AS n_src FROM dense GROUP BY source),
+      cb AS (SELECT bin, sum(n) AS n_bin FROM dense GROUP BY bin),
+      ct AS (SELECT sum(n) AS n_all FROM dense),
+      contrib AS (
+        SELECT dense.source, st.n_src,
+               ((dense.n + 0.5) / (st.n_src + ${0.5 * PsiBins})
+                 - (cb.n_bin + 0.5) / (ct.n_all + ${0.5 * PsiBins}))
+               * ln(((dense.n + 0.5) / (st.n_src + ${0.5 * PsiBins}))
+                    / ((cb.n_bin + 0.5) / (ct.n_all + ${0.5 * PsiBins}))) AS c
+        FROM dense JOIN st USING (source) JOIN cb USING (bin), ct)
+      SELECT source, CAST(n_src AS BIGINT) AS n_docs,
+             round(sum(c), 6) AS psi,
+             round(sum(c), 6) > $PsiDriftMax AS drifted
+      FROM contrib
+      GROUP BY source, n_src
+      ORDER BY source""",
     // g14: the exact top-k ranking is oracle-computable from the same
     // token stream; the sketch's two guarantees ride as booleans the
     // engine must deliver TRUE

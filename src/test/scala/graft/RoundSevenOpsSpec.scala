@@ -565,6 +565,40 @@ class RoundSevenOpsSpec extends SparkSpec {
       "raw_standard_30d"))
   }
 
+  test("g16: PSI panel matches a plain-Scala rebuild from t02's own scores") {
+    val got = TextAnalysis.g16QualityPsi(spark, sf).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Double]("psi"),
+         r.getAs[Boolean]("drifted"))).toMap
+    assert(got.nonEmpty)
+    // scores from the verified t02 row (an independent production path)
+    val scored = TextAnalysis.t02Quality(spark, sf)
+      .select(col("doc_id"), col("quality")).as[(Long, Double)].collect().toMap
+    val srcOf = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source")).as[(Long, String)].collect().toMap
+    val k = TextAnalysis.PsiBins
+    def bin(q: Double): Int = math.min(math.floor(q * k).toInt, k - 1)
+    val cells = scored.toSeq.groupBy { case (id, q) => (srcOf(id), bin(q)) }
+      .view.mapValues(_.size.toLong).toMap
+    val sources = srcOf.values.toSet
+    val nAll = scored.size.toDouble
+    val binTot = (0 until k).map(b =>
+      b -> sources.toSeq.map(s => cells.getOrElse((s, b), 0L)).sum).toMap
+    sources.foreach { src =>
+      val nSrc = srcOf.values.count(_ == src).toDouble
+      val psi = (0 until k).map { b =>
+        val ps = (cells.getOrElse((src, b), 0L) + 0.5) / (nSrc + 0.5 * k)
+        val pc = (binTot(b) + 0.5) / (nAll + 0.5 * k)
+        (ps - pc) * math.log(ps / pc)
+      }.sum
+      val (n, gotPsi, drifted) = got(src)
+      assert(n == nSrc.toLong, s"$src n")
+      assert(math.abs(gotPsi - psi) < 2e-6, s"$src psi $gotPsi vs $psi")
+      assert(drifted == (gotPsi > TextAnalysis.PsiDriftMax), s"$src drifted")
+    }
+    assert(got.values.map(_._1).sum == scored.size.toLong)
+  }
+
   test("p27: history+delta partial merge equals a plain-Scala one-pass rebuild") {
     val got = PipelineQueries.p27MergeSummaries(spark, sf).collect()
       .map(r => (r.getAs[String]("event_type"), r.getAs[java.sql.Date]("day").toString) ->
