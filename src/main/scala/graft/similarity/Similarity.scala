@@ -368,6 +368,61 @@ object Similarity {
       .orderBy(col("query_id"))
   }
 
+  /** s13 vote geometry: 3-neighbor majority over an 80/20 labeled/holdout
+    * split; salt lanes keep the exact pair join wide (s11's argument). */
+  val KnnVoteK = 3
+  val KnnVoteSalt = 8
+
+  /** s13: k-NN classification — pseudo-labeling by majority vote of the
+    * [[KnnVoteK]] nearest LABELED neighbors, the instance-based
+    * counterpart of g13's nearest-class-mean audit (weak supervision /
+    * auto-labeling: predict labels for the unlabeled 20 % from the
+    * labeled 80 %, then read the confusion matrix against the held-out
+    * truth before trusting the labeler). Unlike s11, the holdout side
+    * cannot label-block (its label is exactly what's unknown), so the
+    * exact pass is the all-pairs holdout×labeled join — kept wide and
+    * BNLJ-free by keying on [[KnnVoteSalt]] salt lanes (the labeled side
+    * replicates map-side; embeddings drop before the ranking window so
+    * vectors cross exactly one partitioning). At 100 TB the labeled side
+    * sits in s03's IVF cells instead (s12's composition) and the vote
+    * runs over probed candidates — same downstream shape, recall knob
+    * exposed.
+    *
+    * Every decision is engine-stable: ranking by (round(cos,6) DESC,
+    * nb_id), vote argmax by (count DESC, label ASC). */
+  def s13KnnClassify(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"), col("label"))
+    val width = s.conf.get("spark.sql.shuffle.partitions", "200").toInt
+    val hold = e.filter(pmod(col("vec_id"), lit(5)) === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("label").as("true_label"))
+      .withColumn("sx", pmod(col("qid"), lit(KnnVoteSalt)).cast("int"))
+      .repartition(width, col("sx"))
+    val lab = e.filter(pmod(col("vec_id"), lit(5)) =!= 0)
+      .select(col("vec_id").as("nb_id"), col("embedding").as("nb_em"),
+        col("label").as("nb_label"))
+      .withColumn("sx", explode(lit((0 until KnnVoteSalt).toArray)))
+      .repartition(width, col("sx"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("nb_id"))
+    val votes = hold.join(lab, Seq("sx"))
+      .withColumn("cos", round(cosine(col("qe"), col("nb_em")), 6))
+      .select(col("qid"), col("true_label"), col("nb_id"),
+        col("nb_label"), col("cos"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= KnnVoteK)
+      .groupBy(col("qid"), col("true_label"), col("nb_label"))
+      .agg(count(lit(1)).as("c"))
+    votes
+      .groupBy(col("qid"), col("true_label"))
+      .agg(max(struct(col("c"), (-col("nb_label")).as("nl"))).as("best"))
+      .select(col("true_label"), (-col("best.nl")).as("pred_label"))
+      .groupBy(col("true_label"), col("pred_label"))
+      .agg(count(lit(1)).as("n_vecs"))
+      .orderBy(col("true_label"), col("pred_label"))
+  }
+
   /** s05 geometry: 16 corpus-organization clusters; separation contract
     * slack calibrated against the measured SSW/SST ≈ 0.89 on this corpus
     * (near-orthogonal vectors — clustering helps, but no toy-tight
@@ -981,6 +1036,7 @@ object Similarity {
     "s10_filtered_topk"   -> s10FilteredTopK _,
     "s11_knn_graph"       -> s11KnnGraph _,
     "s12_filtered_ivf"    -> s12FilteredIvfRecall _,
+    "s13_knn_classify"    -> s13KnnClassify _,
     "g11_class_tightness" -> g11ClassTightness _,
     "g12_label_centroids" -> g12LabelCentroids _,
   )
@@ -1060,6 +1116,42 @@ object Similarity {
       SELECT query_id, vec_id AS neighbor_id, label, round(cos, 6) AS cos, rank
       FROM ranked WHERE rank <= $TopK
       ORDER BY query_id, rank""",
+    // s13: the all-pairs holdout×labeled vote restated; rounded-cos
+    // ranking and (count DESC, label ASC) argmax key every decision in
+    // both engines
+    "s13_knn_classify" -> s"""
+      WITH h AS (
+        SELECT vec_id AS qid, embedding AS qe, label AS true_label
+        FROM embeddings WHERE vec_id % 5 = 0),
+      l AS (
+        SELECT vec_id AS nb_id, embedding AS nb_em, label AS nb_label
+        FROM embeddings WHERE vec_id % 5 <> 0),
+      p AS (
+        SELECT h.qid, h.true_label, l.nb_id, l.nb_label,
+               round(list_sum(list_transform(range(1, len(h.qe) + 1),
+                 i -> CAST(h.qe[i] AS DOUBLE) * CAST(l.nb_em[i] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(h.qe,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                * sqrt(list_sum(list_transform(l.nb_em,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS cos
+        FROM h CROSS JOIN l),
+      r AS (
+        SELECT *, row_number() OVER (PARTITION BY qid
+                                     ORDER BY cos DESC, nb_id) AS rn
+        FROM p),
+      v AS (
+        SELECT qid, true_label, nb_label, count(*) AS c
+        FROM r WHERE rn <= $KnnVoteK
+        GROUP BY qid, true_label, nb_label),
+      pr AS (
+        SELECT qid, true_label, nb_label AS pred_label,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY c DESC, nb_label) AS vr
+        FROM v)
+      SELECT true_label, pred_label, count(*) AS n_vecs
+      FROM pr WHERE vr = 1
+      GROUP BY true_label, pred_label
+      ORDER BY true_label, pred_label""",
     // s11: the label-blocked self-join + per-vector top-k restated; the
     // same rounded-cos ranking keys every decision
     "s11_knn_graph" -> s"""

@@ -585,6 +585,18 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("s13: the vote join rides salt lanes — no BNLJ/cartesian; no vectors in the window exchange") {
+    val plan = executed(Similarity.s13KnnClassify(spark, sf))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the ranking window's exchange carries (ids, labels, cos) only
+    val winEx = plan.linesIterator
+      .filter(l => l.contains("Exchange hashpartitioning(qid")).toVector
+    assert(winEx.nonEmpty, plan)
+    assert(winEx.forall(l => !l.contains("qe#") && !l.contains("nb_em#")),
+      winEx.mkString("\n"))
+  }
+
   test("s08: stats and candidates broadcast; full vectors never cross an exchange") {
     val plan = executed(Similarity.s08SqTopK(spark, sf))
     assert(!plan.contains("CartesianProduct"), plan)

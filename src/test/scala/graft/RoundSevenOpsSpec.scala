@@ -599,6 +599,39 @@ class RoundSevenOpsSpec extends SparkSpec {
     assert(got.values.map(_._1).sum == scored.size.toLong)
   }
 
+  test("s13: kNN-vote confusion matrix matches a plain-Scala brute-force rebuild") {
+    val got = Similarity.s13KnnClassify(spark, sf).collect()
+      .map(r => (r.getAs[Int]("true_label"), r.getAs[Int]("pred_label")) ->
+        r.getAs[Long]("n_vecs")).toMap
+    assert(got.nonEmpty)
+    val vecs = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"), col("label"))
+      .as[(Long, Seq[Float], Int)].collect()
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) {
+        d += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      BigDecimal(d / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val hold = vecs.filter(_._1 % 5 == 0)
+    val lab = vecs.filter(_._1 % 5 != 0)
+    val rebuild = hold.map { case (qid, qe, trueLab) =>
+      val top = lab.map { case (nb, e, l) => (nb, l, cos(qe, e)) }
+        .sortBy(t => (-t._3, t._1)).take(Similarity.KnnVoteK)
+      val pred = top.groupBy(_._2).view.mapValues(_.size).toSeq
+        .sortBy { case (l, c) => (-c, l) }.head._1
+      (trueLab, pred)
+    }.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    assert(got == rebuild, "confusion matrix != brute-force vote rebuild")
+    assert(got.values.sum == hold.length.toLong)
+  }
+
   test("p27: history+delta partial merge equals a plain-Scala one-pass rebuild") {
     val got = PipelineQueries.p27MergeSummaries(spark, sf).collect()
       .map(r => (r.getAs[String]("event_type"), r.getAs[java.sql.Date]("day").toString) ->
