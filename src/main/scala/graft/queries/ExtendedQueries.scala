@@ -96,6 +96,32 @@ object ExtendedQueries {
       .orderBy(col("event_id"))
   }
 
+  /** a06: as-of vs a NATIVE independent implementation — the strongest
+    * oracle form the as-of family can carry: a01/a03/a04/a05's oracles
+    * RESTATE the union-merge as window SQL (same algorithm, different
+    * engine), while a06's oracle is DuckDB's built-in `ASOF LEFT JOIN` —
+    * a separately-engineered binary-search implementation sharing zero
+    * algorithmic structure with [[Joins.asOf]]. Agreement here rules out
+    * a family-wide misreading of as-of semantics that a restatement
+    * oracle could mirror. Left-outer accounting (every purchase emitted,
+    * matched or not) and exact microsecond gap sums per hour keep the
+    * compare order-free. */
+  def a06AsOfNative(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("p_ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+    Joins.asOf(purchases, clicks, "user_id",
+        leftTs = col("p_ts"), rightTs = col("ts"),
+        payload = Seq(col("ts").as("c_ts")), tieBreak = col("ts"))
+      .groupBy(date_trunc("hour", col("p_ts")).as("hour_bucket"))
+      .agg(count(lit(1)).as("n_purchases"),
+        count(col("c_ts")).as("n_matched"),
+        sum(unix_micros(col("p_ts")) - unix_micros(col("c_ts"))).as("gap_us"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("hour_bucket"))
+  }
+
   /** a02: interval/range join (§2.3) — every event landing inside the
     * 30-minute incident window opened by each error event, aggregated per
     * window. The naive formulation is a pure theta-join (no equi key)
@@ -375,6 +401,7 @@ object ExtendedQueries {
     "a03_asof_forward"   -> a03AsOfForward _,
     "a04_asof_tolerance" -> a04AsOfTolerance _,
     "a05_asof_nearest"   -> a05AsOfNearest _,
+    "a06_asof_native"    -> a06AsOfNative _,
     "q37_sliding_window" -> q37SlidingWindow _,
     "q30_pivot"          -> q30Pivot _,
     "q25_approx_distinct"-> q25ApproxDistinct _,
@@ -442,6 +469,23 @@ object ExtendedQueries {
       ORDER BY event_id, mk""",
     // Mirrors the union-merge construction so tie semantics are identical
     // by construction (right rows sort before left at equal ts).
+    // a06: DuckDB's NATIVE ASOF LEFT JOIN — an independent binary-search
+    // implementation, not a restatement of our union-merge
+    "a06_asof_native" -> """
+      WITH p AS (
+        SELECT user_id, ts AS p_ts FROM events WHERE event_type = 'purchase'),
+      c AS (
+        SELECT user_id, ts AS c_ts FROM events WHERE event_type = 'click'),
+      j AS (
+        SELECT p.user_id, p.p_ts, c.c_ts
+        FROM p ASOF LEFT JOIN c
+          ON p.user_id = c.user_id AND c.c_ts <= p.p_ts)
+      SELECT CAST(date_trunc('hour', p_ts) AS TIMESTAMP) AS hour_bucket,
+             count(*) AS n_purchases,
+             count(c_ts) AS n_matched,
+             CAST(sum(epoch_us(p_ts) - epoch_us(c_ts)) AS BIGINT) AS gap_us,
+             count(DISTINCT user_id) AS n_users
+      FROM j GROUP BY 1 ORDER BY hour_bucket""",
     "a01_asof_join" -> """
       WITH clicks AS (
         SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),

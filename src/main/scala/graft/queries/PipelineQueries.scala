@@ -1307,6 +1307,42 @@ object PipelineQueries {
       .orderBy(col("tier"))
   }
 
+  /** p29 erasure gate: ~12.5 % of user identities ([[graft.functions
+    * .HashGate]] at '20'/256ths — the lowest repo-standard rate that
+    * still erases ≥1 user at sf0.001's 15-user population, keeping the
+    * row non-vacuous at every SF) — deterministic, so the erased set is
+    * bit-identical in both engines. */
+  val ForgetGateHex = "20"
+
+  /** p29: right-to-be-forgotten sweep — the GDPR/CCPA erasure pass a
+    * data-subject request triggers: given a set of identities, delete
+    * EVERY row they own across the table and prove it. The deletion is
+    * the deletion-vector shape every lakehouse uses (an anti-join of the
+    * fact table against the broadcast-able erased-id set — at scale this
+    * is a merge-on-read delete vector, not a rewrite), and the row is
+    * the audit a DPO actually signs: per event_type, rows before /
+    * removed / after with conservation built in, plus a residue count
+    * over the POST-delete table that must be zero. The complement of
+    * p25's pseudonymization (mask vs erase). */
+  def p29ForgetSweep(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val erased = ev.select(col("user_id")).distinct()
+      .filter(graft.functions.HashGate(col("user_id"), ForgetGateHex))
+    val after = ev.join(broadcast(erased), Seq("user_id"), "left_anti")
+    val residue = after
+      .filter(graft.functions.HashGate(col("user_id"), ForgetGateHex))
+      .agg(count(lit(1)).as("residue")) // 0 iff the delete was complete
+    val before = ev.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_before"))
+    after.groupBy(col("event_type")).agg(count(lit(1)).as("n_after"))
+      .join(before, "event_type")
+      .crossJoin(broadcast(residue))
+      .select(col("event_type"), col("n_before"),
+        (col("n_before") - col("n_after")).as("n_removed"),
+        col("n_after"), col("residue"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, Q] = Map(
     "p01_validate_events"   -> p01ValidateEvents _,
     "p02_clean_dedup"       -> p02CleanDedup _,
@@ -1336,6 +1372,7 @@ object PipelineQueries {
     "p27_merge_summaries"   -> p27MergeSummaries _,
     "g15_equidepth_hist"    -> g15EquidepthHist _,
     "p28_retention_sweep"   -> p28RetentionSweep _,
+    "p29_forget_sweep"      -> p29ForgetSweep _,
     "g01_quality_score"     -> g01QualityScore _,
     "g08_source_overlap"    -> g08SourceOverlap _,
     "g05_histogram"         -> g05Histogram _,
@@ -1516,6 +1553,26 @@ object PipelineQueries {
     // g15: the IDENTICAL SQL text over the oracle's events view — the
     // edges, tie rule, and rollup are single-sourced from g15Sql
     "g15_equidepth_hist" -> g15Sql("events"),
+    // p29: the same md5-gated erased set and anti-join accounting; the
+    // residue scalar re-applies the gate to the post-delete table
+    "p29_forget_sweep" -> s"""
+      WITH erased AS (
+        SELECT DISTINCT user_id FROM events
+        WHERE ${graft.functions.HashGate.sql("user_id", ForgetGateHex)}),
+      after AS (
+        SELECT * FROM events
+        WHERE user_id NOT IN (SELECT user_id FROM erased)),
+      res AS (
+        SELECT count(*) AS residue FROM after
+        WHERE ${graft.functions.HashGate.sql("user_id", ForgetGateHex)}),
+      b AS (SELECT event_type, count(*) AS n_before FROM events GROUP BY 1),
+      a AS (SELECT event_type, count(*) AS n_after FROM after GROUP BY 1)
+      SELECT b.event_type, b.n_before,
+             b.n_before - coalesce(a.n_after, 0) AS n_removed,
+             coalesce(a.n_after, 0) AS n_after,
+             res.residue
+      FROM b LEFT JOIN a USING (event_type), res
+      ORDER BY event_type""",
     // p28: same day-partition reduction, watermark, and tier ladder;
     // DuckDB's datediff takes (part, start, end)
     "p28_retention_sweep" -> """

@@ -632,6 +632,68 @@ class RoundSevenOpsSpec extends SparkSpec {
     assert(got.values.sum == hold.length.toLong)
   }
 
+  test("a06: the hourly as-of rollup matches a plain-Scala latest-click scan") {
+    val got = queries.ExtendedQueries.a06AsOfNative(spark, sf).collect()
+      .map(r => r.getAs[java.sql.Timestamp]("hour_bucket").toString ->
+        (r.getAs[Long]("n_purchases"), r.getAs[Long]("n_matched"),
+         // sum over an all-unmatched hour is SQL NULL in both engines;
+         // normalize to 0 to compare with the scan's empty-sum
+         Option(r.get(r.fieldIndex("gap_us"))).fold(0L)(_.asInstanceOf[Long]),
+         r.getAs[Long]("n_users"))).toMap
+    assert(got.nonEmpty)
+    val ev = Tables.events(spark, sf)
+      .select(col("event_type"), col("user_id"), col("ts"))
+      .as[(String, Long, java.sql.Timestamp)].collect()
+    // java.sql.Timestamp micro handling: rebuild micros explicitly
+    def micros(t: java.sql.Timestamp): Long =
+      t.getTime / 1000 * 1000000L + t.getNanos / 1000
+    val clicks = ev.filter(_._1 == "click")
+      .groupBy(_._2).view.mapValues(_.map(e => micros(e._3)).sorted).toMap
+    val purchases = ev.filter(_._1 == "purchase")
+    val rebuilt = purchases.map { case (_, uid, pts) =>
+      val pUs = micros(pts)
+      val m = clicks.getOrElse(uid, Array.empty[Long]).filter(_ <= pUs)
+        .maxOption
+      (pUs / 3600000000L, uid, m.map(pUs - _))
+    }.groupBy(_._1).map { case (hr, rows) =>
+      hr -> ((rows.size.toLong, rows.count(_._3.isDefined).toLong,
+        rows.flatMap(_._3).sum, rows.map(_._2).distinct.size.toLong))
+    }
+    val gotByHour = got.map { case (ts, v) =>
+      val t = java.sql.Timestamp.valueOf(ts)
+      micros(t) / 3600000000L -> v
+    }
+    assert(gotByHour == rebuilt, "hourly as-of rollup != plain-Scala scan")
+  }
+
+  test("p29: erasure is complete (zero residue), conservative, and hits exactly the gated users") {
+    val got = PipelineQueries.p29ForgetSweep(spark, sf).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      assert(r.getAs[Long]("residue") == 0L, "residual rows for erased users")
+      assert(r.getAs[Long]("n_before") ==
+        r.getAs[Long]("n_removed") + r.getAs[Long]("n_after"), r.toString)
+    }
+    // independent gate rebuild: removed mass == rows owned by gated users
+    val ev = Tables.events(spark, sf)
+      .select(col("event_type"), col("user_id")).as[(String, Long)].collect()
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def gated(uid: Long): Boolean = {
+      val hex = md.digest(uid.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(2)
+      hex < PipelineQueries.ForgetGateHex
+    }
+    val removedByType = ev.filter(e => gated(e._2))
+      .groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    got.foreach { r =>
+      val et = r.getAs[String]("event_type")
+      assert(r.getAs[Long]("n_removed") == removedByType.getOrElse(et, 0L),
+        s"$et removed mass")
+    }
+    // the gate actually bites at every SF (non-vacuous erasure)
+    assert(got.map(_.getAs[Long]("n_removed")).sum > 0)
+  }
+
   test("p27: history+delta partial merge equals a plain-Scala one-pass rebuild") {
     val got = PipelineQueries.p27MergeSummaries(spark, sf).collect()
       .map(r => (r.getAs[String]("event_type"), r.getAs[java.sql.Date]("day").toString) ->
