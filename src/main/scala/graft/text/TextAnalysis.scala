@@ -907,8 +907,18 @@ object TextAnalysis {
       val est = sketch.estimateCount(term)
       (term, tn, est >= tn, est <= tn + slack)
     }.toSeq
-    s.createDataFrame(rows)
-      .toDF("term", "true_n", "overcount_ok", "bound_ok")
+    // an empty corpus yields zero ranked rows, and createDataFrame cannot
+    // infer a schema from an empty tuple Seq (the g13 single-centroid
+    // guard precedent) — build against an explicit schema instead of
+    // throwing at plan time
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.types.{BooleanType, LongType, StringType, StructField, StructType}
+    val schema = StructType(Seq(
+      StructField("term", StringType), StructField("true_n", LongType),
+      StructField("overcount_ok", BooleanType), StructField("bound_ok", BooleanType)))
+    s.createDataFrame(
+        rows.map(t => org.apache.spark.sql.Row(t._1, t._2, t._3, t._4)).asJava,
+        schema)
       .orderBy(col("true_n").desc, col("term"))
   }
 
