@@ -1210,20 +1210,28 @@ object PipelineQueries {
     * one-pass rebuild over all events — their equality IS the
     * maintenance contract (p22's apply ≡ rebuild, for aggregates).
     * Sums ride micro-scaled integers so merge reassociation is exact. */
+  /** One partial summary over (event_type, day, cents) rows — the
+    * algebraic-aggregate shape p27 and st12 both maintain. */
+  def summarizeCents(df: DataFrame): DataFrame =
+    df.groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"),
+        min(col("cents")).as("min_cents"), max(col("cents")).as("max_cents"))
+
+  /** Merge two partial summaries (counts/sums by +, min/max by min/max)
+    * — the table-level form of Spark's own partial/final aggregation. */
+  def mergeSummaries(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b)
+      .groupBy(col("event_type"), col("day"))
+      .agg(sum(col("n")).as("n"), sum(col("sum_cents")).as("sum_cents"),
+        min(col("min_cents")).as("min_cents"), max(col("max_cents")).as("max_cents"))
+
   def p27MergeSummaries(s: SparkSession, d: String): DataFrame = {
     val ev = Tables.events(s, d)
       .select(col("event_id"), col("event_type"), to_date(col("ts")).as("day"),
         round(col("value") * 100).cast("long").as("cents"))
-    def summarize(df: DataFrame): DataFrame =
-      df.groupBy(col("event_type"), col("day"))
-        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"),
-          min(col("cents")).as("min_cents"), max(col("cents")).as("max_cents"))
-    val history = summarize(ev.filter(pmod(col("event_id"), lit(10)) < 8))
-    val delta = summarize(ev.filter(pmod(col("event_id"), lit(10)) >= 8))
-    history.unionByName(delta)
-      .groupBy(col("event_type"), col("day"))
-      .agg(sum(col("n")).as("n"), sum(col("sum_cents")).as("sum_cents"),
-        min(col("min_cents")).as("min_cents"), max(col("max_cents")).as("max_cents"))
+    val history = summarizeCents(ev.filter(pmod(col("event_id"), lit(10)) < 8))
+    val delta = summarizeCents(ev.filter(pmod(col("event_id"), lit(10)) >= 8))
+    mergeSummaries(history, delta)
       .orderBy(col("event_type"), col("day"))
   }
 
@@ -1300,7 +1308,12 @@ object PipelineQueries {
         when(col("age_days") < 1, "analytics_stream_1d")
           .when(col("age_days") < 7, "stream_7d")
           .when(col("age_days") < 14, "dlq_14d")
-          .otherwise("raw_standard_30d"))
+          .when(col("age_days") < 30, "raw_standard_30d")
+          // the full SDP.py:87-94 ladder: 30 d+ transitions to IA and
+          // 90 d+ to Glacier (unpopulated on the 30-day test feeds, but
+          // the sweep must name them for any corpus it actually audits)
+          .when(col("age_days") < 90, "infrequent_access_90d")
+          .otherwise("glacier"))
       .groupBy(col("tier"))
       .agg(count(lit(1)).as("n_days"), sum(col("n_rows")).as("n_rows"),
         min(col("day")).as("oldest_day"), max(col("day")).as("newest_day"))
@@ -1334,14 +1347,34 @@ object PipelineQueries {
       .agg(count(lit(1)).as("residue")) // 0 iff the delete was complete
     val before = ev.groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_before"))
-    after.groupBy(col("event_type")).agg(count(lit(1)).as("n_after"))
-      .join(before, "event_type")
+    // LEFT join from `before`: an event_type whose rows ALL belonged to
+    // erased users must still appear in the audit (n_after = 0) — the
+    // full-erasure case is exactly what the audit exists to prove
+    before
+      .join(after.groupBy(col("event_type")).agg(count(lit(1)).as("n_after")),
+        Seq("event_type"), "left")
+      .withColumn("n_after", coalesce(col("n_after"), lit(0L)))
       .crossJoin(broadcast(residue))
       .select(col("event_type"), col("n_before"),
         (col("n_before") - col("n_after")).as("n_removed"),
         col("n_after"), col("residue"))
       .orderBy(col("event_type"))
   }
+
+  /** The p27/st12 one-pass rebuild oracle — single-sourced because both
+    * rows assert the SAME incremental-maintenance contract (p27 over two
+    * batch partials, st12 over four streaming epochs); two copies could
+    * silently drift into asserting different contracts. */
+  val MergeSummariesOracleSql: String = """
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             count(*) AS n,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS sum_cents,
+             min(CAST(round(value * 100) AS BIGINT)) AS min_cents,
+             max(CAST(round(value * 100) AS BIGINT)) AS max_cents
+      FROM events
+      GROUP BY event_type, day
+      ORDER BY event_type, day"""
 
   val queries: Map[String, Q] = Map(
     "p01_validate_events"   -> p01ValidateEvents _,
@@ -1586,7 +1619,9 @@ object PipelineQueries {
       SELECT CASE WHEN age_days < 1 THEN 'analytics_stream_1d'
                   WHEN age_days < 7 THEN 'stream_7d'
                   WHEN age_days < 14 THEN 'dlq_14d'
-                  ELSE 'raw_standard_30d' END AS tier,
+                  WHEN age_days < 30 THEN 'raw_standard_30d'
+                  WHEN age_days < 90 THEN 'infrequent_access_90d'
+                  ELSE 'glacier' END AS tier,
              count(*) AS n_days,
              CAST(sum(n_rows) AS BIGINT) AS n_rows,
              min(day) AS oldest_day, max(day) AS newest_day
@@ -1595,17 +1630,9 @@ object PipelineQueries {
       ORDER BY tier""",
     // p27: the ORACLE is the one-pass rebuild over all events — equality
     // with Spark's history+delta partial merge IS the incremental-
-    // maintenance contract
-    "p27_merge_summaries" -> """
-      SELECT event_type, CAST(ts AS DATE) AS day,
-             count(*) AS n,
-             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
-               AS sum_cents,
-             min(CAST(round(value * 100) AS BIGINT)) AS min_cents,
-             max(CAST(round(value * 100) AS BIGINT)) AS max_cents
-      FROM events
-      GROUP BY event_type, day
-      ORDER BY event_type, day""",
+    // maintenance contract (st12 asserts the SAME contract across real
+    // micro-batches, so both rows reference this single-sourced text)
+    "p27_merge_summaries" -> MergeSummariesOracleSql,
     // the plain one-phase aggregate the salted two-phase plan must equal;
     // exact-integer sums make the reassociation drift-free
     "p23_salted_agg" -> """

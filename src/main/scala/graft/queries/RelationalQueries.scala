@@ -522,9 +522,10 @@ object RelationalQueries {
     * tolerance band needed. `percentile_disc` picks an element, exact by
     * construction. At scale this plans as a sort-based aggregate per
     * group — one keyed exchange, no window. */
-  def q42OrderedSetAgg(s: SparkSession, d: String): DataFrame = {
-    Tables.events(s, d).createOrReplaceTempView("os_events")
-    s.sql("""
+  /** The q42 SQL, shared verbatim with the oracle (only the table name
+    * differs — the g15Sql single-sourcing pattern): the bit-exactness
+    * argument requires both engines to evaluate the identical text. */
+  private def q42Sql(table: String): String = s"""
       SELECT event_type, count(*) AS n,
              percentile_cont(0.25) WITHIN GROUP
                (ORDER BY CAST(round(value * 100) AS BIGINT)) AS p25,
@@ -534,10 +535,13 @@ object RelationalQueries {
                (ORDER BY CAST(round(value * 100) AS BIGINT)) AS p75,
              CAST(percentile_disc(0.5) WITHIN GROUP
                (ORDER BY CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS p50_disc
-      FROM os_events
+      FROM $table
       GROUP BY event_type
-      ORDER BY event_type
-    """)
+      ORDER BY event_type"""
+
+  def q42OrderedSetAgg(s: SparkSession, d: String): DataFrame = {
+    Tables.events(s, d).createOrReplaceTempView("os_events")
+    s.sql(q42Sql("os_events"))
   }
 
   val queries: Map[String, Q] = Map(
@@ -576,21 +580,9 @@ object RelationalQueries {
 
   /** DuckDB-equivalent SQL (driver runs these over the same parquet tables). */
   val oracleSql: Map[String, String] = Map(
-    // q42: identical ordered-set aggregates; integer cents + quarter
-    // fractions make the interpolation bit-exact on both engines
-    "q42_ordered_set_agg" -> """
-      SELECT event_type, count(*) AS n,
-             percentile_cont(0.25) WITHIN GROUP
-               (ORDER BY CAST(round(value * 100) AS BIGINT)) AS p25,
-             percentile_cont(0.5)  WITHIN GROUP
-               (ORDER BY CAST(round(value * 100) AS BIGINT)) AS p50,
-             percentile_cont(0.75) WITHIN GROUP
-               (ORDER BY CAST(round(value * 100) AS BIGINT)) AS p75,
-             CAST(percentile_disc(0.5) WITHIN GROUP
-               (ORDER BY CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS p50_disc
-      FROM events
-      GROUP BY event_type
-      ORDER BY event_type""",
+    // q42: the IDENTICAL SQL text (single-sourced via q42Sql); integer
+    // cents + quarter fractions make the interpolation bit-exact
+    "q42_ordered_set_agg" -> q42Sql("events"),
     "q01_pricing_summary" -> """
       SELECT l_returnflag, l_linestatus,
              sum(l_quantity) AS sum_qty,

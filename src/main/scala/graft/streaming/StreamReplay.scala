@@ -788,37 +788,43 @@ object StreamReplay {
       val source = StreamingPipeline.jsonFileSource(
         s2, s"$tmp/incoming", feedSchema, maxFilesPerTrigger = 1,
         options = Map("timestampFormat" -> JsonTsFormat))
+      // the p27 summary/merge shapes, single-sourced (the two rows assert
+      // the same maintenance contract)
       def summarize(df: DataFrame): DataFrame =
-        df.select(col("event_type"), to_date(col("ts")).as("day"),
-            round(col("value") * 100).cast("long").as("cents"))
-          .groupBy(col("event_type"), col("day"))
-          .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"),
-            min(col("cents")).as("min_cents"), max(col("cents")).as("max_cents"))
-      @volatile var lastVersion: Option[String] = None
+        graft.queries.PipelineQueries.summarizeCents(
+          df.select(col("event_type"), to_date(col("ts")).as("day"),
+            round(col("value") * 100).cast("long").as("cents")))
+      // The previous version is addressed by BATCH ID, not driver memory:
+      // epoch b always merges v(b-1) + batch b and overwrites v(b), so a
+      // retried or restart-replayed epoch reproduces exactly the same
+      // version it wrote the first time (a mutable last-written pointer
+      // would double-merge on a same-process retry and orphan history on
+      // a restart-from-checkpoint).
+      def versionPath(b: Long) = s"$tmp/summary/v$b"
+      def exists(p: String): Boolean = {
+        val hp = new org.apache.hadoop.fs.Path(p)
+        hp.getFileSystem(s.sparkContext.hadoopConfiguration).exists(hp)
+      }
+      @volatile var maxBatch = -1L
       val q = source.writeStream
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
           val partial = summarize(batch)
-          val merged = lastVersion match {
-            case Some(prev) =>
-              s2.read.parquet(prev).unionByName(partial)
-                .groupBy(col("event_type"), col("day"))
-                .agg(sum(col("n")).as("n"),
-                  sum(col("sum_cents")).as("sum_cents"),
-                  min(col("min_cents")).as("min_cents"),
-                  max(col("max_cents")).as("max_cents"))
-            case None => partial
-          }
-          val out = s"$tmp/summary/v$batchId"
-          merged.write.mode("overwrite").parquet(out)
-          lastVersion = Some(out)
+          val prev = versionPath(batchId - 1)
+          val merged =
+            if (batchId > 0 && exists(prev))
+              graft.queries.PipelineQueries.mergeSummaries(
+                s2.read.parquet(prev), partial)
+            else partial
+          merged.write.mode("overwrite").parquet(versionPath(batchId))
+          maxBatch = math.max(maxBatch, batchId)
           ()
         }
         .option("checkpointLocation", s"$tmp/ckpt")
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-      s.read.parquet(lastVersion.getOrElse(
-          throw new IllegalStateException("st12: no micro-batch ran")))
+      if (maxBatch < 0) throw new IllegalStateException("st12: no micro-batch ran")
+      s.read.parquet(versionPath(maxBatch))
         .orderBy(col("event_type"), col("day"))
         .localCheckpoint(eager = true)
     }
@@ -900,17 +906,11 @@ object StreamReplay {
 
   val oracleSql: Map[String, String] = Map(
     // st12: the four-epoch incremental merge must equal the one-pass
-    // rebuild over the corpus (p27's contract, across real micro-batches)
-    "st12_summary_replay" -> """
-      SELECT event_type, CAST(ts AS DATE) AS day,
-             count(*) AS n,
-             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
-               AS sum_cents,
-             min(CAST(round(value * 100) AS BIGINT)) AS min_cents,
-             max(CAST(round(value * 100) AS BIGINT)) AS max_cents
-      FROM events
-      GROUP BY event_type, day
-      ORDER BY event_type, day""",
+    // rebuild over the corpus — p27's contract across real micro-batches,
+    // single-sourced from PipelineQueries so the two rows can never
+    // silently assert different contracts
+    "st12_summary_replay" ->
+      graft.queries.PipelineQueries.MergeSummariesOracleSql,
     // st10: the streamed stream-static enrichment restated as the batch
     // join — same dim derivation, same micro-scaled integer sum
     "st10_enrich_replay" -> """

@@ -896,9 +896,11 @@ object TextAnalysis {
   def g14HeavyHitters(s: SparkSession, d: String): DataFrame = {
     val toks = Tables.documents(s, d)
       .select(explode(filter(tokens(col("text")), w => w =!= "")).as("term"))
-    val totalTokens = toks.count()
     val sketch = toks.stat.countMinSketch("term", CmsEps, CmsConfidence, CmsSeed)
-    val slack = math.ceil(CmsEps * totalTokens).toLong
+    // N for the eps·N bound comes from the sketch itself — a separate
+    // count() would re-tokenize the whole corpus for a number the sketch
+    // pass already accumulated
+    val slack = math.ceil(CmsEps * sketch.totalCount()).toLong
     val top = toks.groupBy(col("term")).agg(count(lit(1)).as("true_n"))
       .orderBy(col("true_n").desc, col("term")).limit(HeavyK)
       .collect()

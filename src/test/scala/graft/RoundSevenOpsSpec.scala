@@ -552,7 +552,9 @@ class RoundSevenOpsSpec extends SparkSpec {
       if (age < 1) "analytics_stream_1d"
       else if (age < 7) "stream_7d"
       else if (age < 14) "dlq_14d"
-      else "raw_standard_30d"
+      else if (age < 30) "raw_standard_30d"
+      else if (age < 90) "infrequent_access_90d"
+      else "glacier"
     }
     val rebuild = days.toSeq.groupBy(kv => tier(kv._1)).map { case (t, ds) =>
       t -> ((ds.size.toLong, ds.map(_._2).sum, ds.map(_._1).min, ds.map(_._1).max))
