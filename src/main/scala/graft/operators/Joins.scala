@@ -132,6 +132,79 @@ object Joins {
     * @param within optional symmetric horizon: a side whose gap exceeds
     *               it is ineligible; if both are, the left row emits a
     *               null payload. */
+  /** Bracketing as-of: each left row matched to BOTH its backward
+    * ([[asOf]]) and forward ([[asOfForward]]) right row in one pass —
+    * the primitive under gap-fill interpolation, and generally useful
+    * wherever "the reading before AND after" is the question (sensor
+    * resampling, price interpolation, SLA gap audits). Same single
+    * key-shuffle + two in-partition sorts as [[asOfNearest]]; the two
+    * directed walks share one stacked union.
+    *
+    * Emits left columns ++ `prev_<out>`, `prev_ts`, `next_<out>`,
+    * `next_ts` (null where that side has no match). The time axis must
+    * be NUMERIC (pass `unix_micros(ts)` for timestamps) so downstream
+    * interpolation arithmetic is exact; `value` must be numeric.
+    *
+    * Tie rules match the directed walks: same-(key,ts) right rows
+    * resolve by `tieBreak` (greatest wins backward, smallest forward);
+    * a right row exactly AT the left ts matches in both directions
+    * (prev_ts = next_ts), which downstream blends must treat as "use
+    * either side verbatim", never divide by the zero gap. */
+  def asOfBracket(left: DataFrame, right: DataFrame, key: String,
+                  leftTs: Column, rightTs: Column,
+                  value: Column, tieBreak: Column,
+                  out: String): DataFrame = {
+    val l = left
+      .withColumn("__ts", leftTs)
+      .withColumn("__side", lit(1))
+    val r = right
+      .select(col(key), rightTs.as("__ts"), tieBreak.as("__tie"),
+        struct(value.as("v"), rightTs.as("__rts")).as("__payload"))
+      .withColumn("__side", lit(0))
+    val stacked = l.unionByName(r, allowMissingColumns = true)
+    val wb = Window.partitionBy(col(key))
+      .orderBy(col("__ts"), col("__side"), col("__tie"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = Window.partitionBy(col(key))
+      .orderBy(col("__ts").desc, col("__side"), col("__tie").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matched = stacked
+      .withColumn("__mb", last(col("__payload"), ignoreNulls = true).over(wb))
+      .withColumn("__mf", last(col("__payload"), ignoreNulls = true).over(wf))
+    val outCols = left.columns.map(col) ++ Seq(
+      col("__mb.v").as(s"prev_$out"), col("__mb.__rts").as("prev_ts"),
+      col("__mf.v").as(s"next_$out"), col("__mf.__rts").as("next_ts"))
+    matched.filter(col("__side") === 1).select(outCols.toIndexedSeq: _*)
+  }
+
+  /** Linear-interpolation as-of (gap fill): each left row gets the
+    * right-side `value` linearly interpolated between its bracketing
+    * right rows — `vb + (vf - vb) · (ts - tsb) / (tsf - tsb)` — the
+    * time-series resampling join (fill a sensor reading at an arbitrary
+    * instant from its neighbors). Edge semantics: only one side matched
+    * → that side's value verbatim (constant extrapolation at series
+    * edges); an exact-ts match → that row's value (no division by the
+    * zero gap); no match either side → null. Cost identical to
+    * [[asOfBracket]], which does all the heavy lifting.
+    */
+  def asOfInterpolate(left: DataFrame, right: DataFrame, key: String,
+                      leftTs: Column, rightTs: Column,
+                      value: Column, tieBreak: Column,
+                      out: String): DataFrame = {
+    val b = asOfBracket(left, right, key, leftTs, rightTs, value, tieBreak, out)
+    val pv = col(s"prev_$out"); val nv = col(s"next_$out")
+    val interp = when(pv.isNotNull && nv.isNotNull,
+        when(col("next_ts") === col("prev_ts"), pv)
+          .otherwise(pv + (nv - pv) *
+            ((col("__lts") - col("prev_ts")).cast("double") /
+             (col("next_ts") - col("prev_ts")).cast("double"))))
+      .when(pv.isNotNull, pv)
+      .otherwise(nv)
+    b.withColumn("__lts", leftTs)
+      .withColumn(out, interp)
+      .drop("__lts", s"prev_$out", "prev_ts", s"next_$out", "next_ts")
+  }
+
   def asOfNearest(left: DataFrame, right: DataFrame, key: String,
                   leftTs: Column, rightTs: Column,
                   payload: Seq[Column], tieBreak: Column,

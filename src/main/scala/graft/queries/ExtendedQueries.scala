@@ -96,6 +96,42 @@ object ExtendedQueries {
       .orderBy(col("event_id"))
   }
 
+  /** a07: INTERPOLATION as-of ([[Joins.asOfBracket]]) — each error event
+    * bracketed by the same user's purchases on both sides, with the
+    * purchase value linearly interpolated at the error's instant: the
+    * time-series gap-fill join (resample a sensor/price series at
+    * arbitrary instants), which no directed walk alone expresses. The
+    * bracket is a01's backward walk and a03's forward walk sharing ONE
+    * key-shuffle (two in-partition sorts — [[Joins.asOfNearest]]'s
+    * shape). The row emits the blend as EXACT integers — value in cents,
+    * the interpolation as a (numerator, denominator) pair in cents·µs —
+    * so the oracle compare is order-free and float-free; the double
+    * blend itself ([[Joins.asOfInterpolate]]) is spec-checked against a
+    * plain-Scala rebuild in AsOfJoinSpec. Edge semantics in the pair
+    * encoding: one-sided bracket → (cents, 1) constant extrapolation;
+    * exact-ts hit → (cents, 1); no match → (null, null). */
+  def a07AsOfInterpolate(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), unix_micros(col("ts")).as("p_us"),
+        round(col("value") * 100).cast("long").as("cents"), col("event_id"))
+    val pv = col("prev_cents"); val nv = col("next_cents")
+    val both = pv.isNotNull && nv.isNotNull && col("next_ts") =!= col("prev_ts")
+    Joins.asOfBracket(errors, purchases, "user_id",
+        leftTs = col("ts_us"), rightTs = col("p_us"),
+        value = col("cents"), tieBreak = col("event_id"), out = "cents")
+      .select(col("event_id"), col("user_id"),
+        pv, col("prev_ts").as("prev_us"), nv, col("next_ts").as("next_us"),
+        when(both, pv * (col("next_ts") - col("ts_us")) +
+                   nv * (col("ts_us") - col("prev_ts")))
+          .when(pv.isNotNull, pv).otherwise(nv).as("interp_num"),
+        when(both, col("next_ts") - col("prev_ts"))
+          .otherwise(when(pv.isNotNull || nv.isNotNull, lit(1L))).as("interp_den"))
+      .orderBy(col("event_id"))
+  }
+
   /** a06: as-of vs a NATIVE independent implementation — the strongest
     * oracle form the as-of family can carry: a01/a03/a04/a05's oracles
     * RESTATE the union-merge as window SQL (same algorithm, different
@@ -402,6 +438,7 @@ object ExtendedQueries {
     "a04_asof_tolerance" -> a04AsOfTolerance _,
     "a05_asof_nearest"   -> a05AsOfNearest _,
     "a06_asof_native"    -> a06AsOfNative _,
+    "a07_asof_interpolate" -> a07AsOfInterpolate _,
     "q37_sliding_window" -> q37SlidingWindow _,
     "q30_pivot"          -> q30Pivot _,
     "q25_approx_distinct"-> q25ApproxDistinct _,
@@ -559,6 +596,47 @@ object ExtendedQueries {
              CASE WHEN ts - m_ts <= INTERVAL 30 MINUTE THEN m_id END AS purchase_id,
              CASE WHEN ts - m_ts <= INTERVAL 30 MINUTE
                   THEN epoch_us(m_ts) - epoch_us(ts) END AS gap_us
+      FROM m WHERE side = 1 ORDER BY event_id""",
+    // a07: both directed walks (the bracket) as two windows over ONE
+    // stacked union with the purchase cents carried; the blend restated
+    // as the same exact-integer (numerator, denominator) pair
+    "a07_asof_interpolate" -> """
+      WITH errors AS (
+        SELECT event_id, user_id, epoch_us(ts) AS ts_us
+        FROM events WHERE event_type = 'error'),
+      purchases AS (
+        SELECT event_id, user_id, epoch_us(ts) AS p_us,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events WHERE event_type = 'purchase'),
+      u AS (
+        SELECT user_id, ts_us, 1 AS side, event_id,
+               NULL::BIGINT AS tie, NULL::BIGINT AS p_cents, NULL::BIGINT AS p_ts
+        FROM errors
+        UNION ALL
+        SELECT user_id, p_us, 0, NULL, event_id, cents, p_us
+        FROM purchases),
+      m AS (
+        SELECT *,
+               last_value(p_cents IGNORE NULLS) OVER wb AS prev_cents,
+               last_value(p_ts IGNORE NULLS) OVER wb AS prev_us,
+               last_value(p_cents IGNORE NULLS) OVER wf AS next_cents,
+               last_value(p_ts IGNORE NULLS) OVER wf AS next_us
+        FROM u
+        WINDOW wb AS (PARTITION BY user_id ORDER BY ts_us, side, tie
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               wf AS (PARTITION BY user_id ORDER BY ts_us DESC, side, tie DESC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      SELECT event_id, user_id, prev_cents, prev_us, next_cents, next_us,
+             CASE WHEN prev_cents IS NOT NULL AND next_cents IS NOT NULL
+                       AND next_us <> prev_us
+                    THEN prev_cents * (next_us - ts_us) + next_cents * (ts_us - prev_us)
+                  WHEN prev_cents IS NOT NULL THEN prev_cents
+                  ELSE next_cents END AS interp_num,
+             CASE WHEN prev_cents IS NOT NULL AND next_cents IS NOT NULL
+                       AND next_us <> prev_us
+                    THEN next_us - prev_us
+                  WHEN prev_cents IS NOT NULL OR next_cents IS NOT NULL
+                    THEN CAST(1 AS BIGINT) END AS interp_den
       FROM m WHERE side = 1 ORDER BY event_id""",
     // a05: both directed walks as two windows over ONE stacked union,
     // then the same closer-side CASE the Spark operator applies; equal

@@ -192,6 +192,78 @@ class AsOfJoinSpec extends SparkSpec {
     }
   }
 
+  test("asOfBracket emits both directed matches; asOfInterpolate blends them") {
+    // numeric time axis (micros-style), as the scaladoc requires
+    val left = Seq(
+      (1L, "k1", 100L), // interior: brackets (50, v=10) and (150, v=30) → 20
+      (2L, "k1", 150L), // exact hit on the 150 row → its value verbatim
+      (3L, "k1", 10L),  // before all right rows → forward-only extrapolation
+      (4L, "k1", 500L), // after all right rows → backward-only extrapolation
+      (5L, "k2", 100L)  // key with no right rows → null
+    ).toDF("id", "k", "t")
+    val right = Seq(
+      (900L, "k1", 50L, 10.0),
+      (901L, "k1", 150L, 30.0),
+      (902L, "k1", 300L, 60.0)
+    ).toDF("rid", "k", "t", "v")
+    val br = Joins.asOfBracket(left, right, "k",
+        leftTs = col("t"), rightTs = col("t"),
+        value = col("v"), tieBreak = col("rid"), out = "v")
+      .select("id", "prev_v", "prev_ts", "next_v", "next_ts")
+      .as[(Long, Option[Double], Option[Long], Option[Double], Option[Long])]
+      .collect().sortBy(_._1)
+    assert(br(0) == ((1L, Some(10.0), Some(50L), Some(30.0), Some(150L))))
+    assert(br(1) == ((2L, Some(30.0), Some(150L), Some(30.0), Some(150L)))) // inclusive both ways
+    assert(br(2) == ((3L, None, None, Some(10.0), Some(50L))))
+    assert(br(3) == ((4L, Some(60.0), Some(300L), None, None)))
+    assert(br(4) == ((5L, None, None, None, None)))
+    val interp = Joins.asOfInterpolate(left, right, "k",
+        leftTs = col("t"), rightTs = col("t"),
+        value = col("v"), tieBreak = col("rid"), out = "v")
+      .select("id", "v").as[(Long, Option[Double])].collect().sortBy(_._1)
+    assert(interp(0) == ((1L, Some(20.0)))) // midpoint of 10 and 30
+    assert(interp(1) == ((2L, Some(30.0)))) // exact hit, no zero-gap division
+    assert(interp(2) == ((3L, Some(10.0)))) // constant extrapolation fwd
+    assert(interp(3) == ((4L, Some(60.0)))) // constant extrapolation back
+    assert(interp(4) == ((5L, None)))
+  }
+
+  test("asOfInterpolate agrees with a plain-Scala rebuild on events data") {
+    val dir = "/root/testdata/sf0.001"
+    val ev = Tables.events(spark, dir)
+    val l = ev.filter(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("t"))
+    val r = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("rid"), col("user_id"),
+        unix_micros(col("ts")).as("rt"), col("value"))
+    val got = Joins.asOfInterpolate(l, r, "user_id",
+        leftTs = col("t"), rightTs = col("rt"),
+        value = col("value"), tieBreak = col("rid"), out = "v")
+      .select("event_id", "v").as[(Long, Option[Double])].collect().toMap
+    val rights = r.as[(Long, Long, Long, Double)].collect()
+      .groupBy(_._2).view.mapValues(_.toSeq).toMap
+    l.as[(Long, Long, Long)].collect().foreach { case (id, u, t) =>
+      val cands = rights.getOrElse(u, Seq.empty)
+      // backward: greatest rt <= t, ties → greatest rid; forward: least
+      // rt >= t, ties → least rid — the operator's documented tie rules
+      val back = cands.filter(_._3 <= t)
+        .sortBy(c => (c._3, c._1)).lastOption
+      val fwd = cands.filter(_._3 >= t)
+        .sortBy(c => (c._3, c._1)).headOption
+      val expect = (back, fwd) match {
+        case (Some(b), Some(f)) if f._3 != b._3 =>
+          Some(b._4 + (f._4 - b._4) * ((t - b._3).toDouble / (f._3 - b._3).toDouble))
+        case (Some(b), _) => Some(b._4)
+        case (_, Some(f)) => Some(f._4)
+        case _            => None
+      }
+      val g = got.get(id).flatten
+      assert((g.isEmpty && expect.isEmpty) ||
+        (g.nonEmpty && expect.nonEmpty && math.abs(g.get - expect.get) < 1e-9),
+        s"left row $id: got $g expect $expect")
+    }
+  }
+
   test("asOf plans a single shuffle on the key - no nested loop join") {
     val left = Seq((1L, "k", ts("2024-01-01 10:00:00"))).toDF("id", "k", "ts")
     val right = Seq((2L, "k", ts("2024-01-01 09:00:00"), 1.0)).toDF("rid", "k", "ts", "v")
