@@ -858,6 +858,44 @@ object PipelineQueries {
       .orderBy(col("source"))
   }
 
+  /** g17: ordered conversion funnel (cohort analysis) — per user, the
+    * FIRST view, the first click AT-OR-AFTER that view, and the first
+    * purchase at-or-after that click (strict stage ordering: a click
+    * before any view does not advance the funnel), rolled up by
+    * first-view cohort day. ONE shuffle: the stage walk runs as array
+    * folds (`filter` + `array_min`) over per-type sorted timestamp
+    * lists collected in a single per-user groupBy — memory bounded by
+    * one user's own event count (the q35 sessionize envelope; a
+    * pathological single-user firehose would salt the collect the p23
+    * way). The oracle restates the walk as three stage-wise
+    * join-aggregates — a structurally DIFFERENT formulation, so
+    * agreement checks the fold logic, not its restatement. Gap sums
+    * ride exact integer microseconds. */
+  def g17EventFunnel(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val perUser = ev
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .groupBy(col("user_id"))
+      .agg(
+        min(when(col("event_type") === "view", col("ts"))).as("v_ts"),
+        sort_array(collect_list(
+          when(col("event_type") === "click", unix_micros(col("ts"))))).as("clicks"),
+        sort_array(collect_list(
+          when(col("event_type") === "purchase", unix_micros(col("ts"))))).as("purchases"))
+      .filter(col("v_ts").isNotNull)
+      .withColumn("v_us", unix_micros(col("v_ts")))
+      .withColumn("c_us", array_min(filter(col("clicks"), _ >= col("v_us"))))
+      .withColumn("p_us", array_min(filter(col("purchases"), _ >= col("c_us"))))
+    perUser
+      .groupBy(to_date(col("v_ts")).as("cohort_day"))
+      .agg(count(lit(1)).as("n_viewed"),
+        count(col("c_us")).as("n_clicked"),
+        count(col("p_us")).as("n_purchased"),
+        coalesce(sum(col("c_us") - col("v_us")), lit(0L)).as("click_gap_us"),
+        coalesce(sum(col("p_us") - col("c_us")), lit(0L)).as("purchase_gap_us"))
+      .orderBy(col("cohort_day"))
+  }
+
   /** p16 curation-funnel thresholds: quality floor and boilerplate
     * ceiling chosen to split the synthetic corpus non-trivially
     * (500 docs → ~428 kept at sf0.01: quality drops the short/low-alpha
@@ -1415,6 +1453,7 @@ object PipelineQueries {
     "g04_profile"           -> (g04Profile(_, _)),
     "g07_profile_approx"    -> g07ProfileApprox _,
     "g09_token_profile"     -> g09TokenProfile _,
+    "g17_event_funnel"      -> g17EventFunnel _,
   )
 
   /** Shared p16/p20 oracle front (`t`..`gated`) — the funnel gate CTEs,
@@ -1858,6 +1897,30 @@ object PipelineQueries {
       FROM documents d JOIN r USING (source)
       GROUP BY d.source
       ORDER BY d.source""",
+    // g17: the funnel walk restated as stage-wise join-aggregates — a
+    // structurally different formulation from the Spark array folds
+    "g17_event_funnel" -> """
+      WITH v AS (
+        SELECT user_id, min(ts) AS v_ts
+        FROM events WHERE event_type = 'view' GROUP BY 1),
+      c AS (
+        SELECT e.user_id, min(e.ts) AS c_ts
+        FROM events e JOIN v USING (user_id)
+        WHERE e.event_type = 'click' AND e.ts >= v.v_ts GROUP BY 1),
+      p AS (
+        SELECT e.user_id, min(e.ts) AS p_ts
+        FROM events e JOIN c USING (user_id)
+        WHERE e.event_type = 'purchase' AND e.ts >= c.c_ts GROUP BY 1)
+      SELECT CAST(v.v_ts AS DATE) AS cohort_day,
+             count(*) AS n_viewed,
+             count(c.c_ts) AS n_clicked,
+             count(p.p_ts) AS n_purchased,
+             CAST(COALESCE(sum(epoch_us(c.c_ts) - epoch_us(v.v_ts)), 0) AS BIGINT)
+               AS click_gap_us,
+             CAST(COALESCE(sum(epoch_us(p.p_ts) - epoch_us(c.c_ts)), 0) AS BIGINT)
+               AS purchase_gap_us
+      FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+      GROUP BY 1 ORDER BY cohort_day""",
     // approx contract row: exact n/n_null plus the band boolean — the
     // sketch VALUES differ across engines, the bound is the contract
     // same tokenizer, same H = ln(n) − Σc·ln(c)/n identity, same

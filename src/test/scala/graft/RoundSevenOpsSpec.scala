@@ -696,6 +696,41 @@ class RoundSevenOpsSpec extends SparkSpec {
     assert(got.map(_.getAs[Long]("n_removed")).sum > 0)
   }
 
+  test("g17: cohort funnel matches a plain-Scala ordered-stage rebuild") {
+    val got = PipelineQueries.g17EventFunnel(spark, sf).collect()
+      .map(r => r.getAs[java.sql.Date]("cohort_day").toString ->
+        (r.getAs[Long]("n_viewed"), r.getAs[Long]("n_clicked"),
+         r.getAs[Long]("n_purchased"), r.getAs[Long]("click_gap_us"),
+         r.getAs[Long]("purchase_gap_us"))).toMap
+    assert(got.nonEmpty)
+    def us(t: java.sql.Timestamp): Long =
+      t.toInstant.getEpochSecond * 1000000L + t.toInstant.getNano / 1000L
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), col("ts"))
+      .as[(Long, String, java.sql.Timestamp)].collect()
+    val rebuild = ev.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+      val byType = rows.groupBy(_._2).view.mapValues(_.map(e => us(e._3)).toSeq.sorted).toMap
+      byType.get("view").map(_.head).map { v =>
+        val c = byType.getOrElse("click", Seq.empty).find(_ >= v)
+        val p = c.flatMap(cu => byType.getOrElse("purchase", Seq.empty).find(_ >= cu))
+        val day = java.time.Instant.ofEpochSecond(v / 1000000L)
+          .atZone(java.time.ZoneOffset.UTC).toLocalDate.toString
+        (day, v, c, p)
+      }
+    }.groupBy(_._1).map { case (day, us) =>
+      day -> ((us.length.toLong,
+        us.count(_._3.nonEmpty).toLong,
+        us.count(_._4.nonEmpty).toLong,
+        us.flatMap(u => u._3.map(_ - u._2)).sum,
+        us.flatMap(u => u._4.flatMap(p => u._3.map(p - _))).sum))
+    }
+    assert(got == rebuild, "funnel != ordered-stage rebuild")
+    // funnel monotonicity: each stage can only lose users
+    got.values.foreach { case (v, c, p, _, _) =>
+      assert(v >= c && c >= p, "stage counts must be monotone")
+    }
+  }
+
   test("p27: history+delta partial merge equals a plain-Scala one-pass rebuild") {
     val got = PipelineQueries.p27MergeSummaries(spark, sf).collect()
       .map(r => (r.getAs[String]("event_type"), r.getAs[java.sql.Date]("day").toString) ->
