@@ -143,6 +143,17 @@ object Dedup {
     // One repartition exchange: the signature build reads it once and the
     // two verify joins reuse it instead of recomputing the shingle sets.
     val ds = docShingles(s, d).repartition(col("doc_id"))
+    jaccardVerify(minhashCandidates(ds), ds)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** The d03 MinHash-LSH candidate generator over a (doc_id, sh) shingle
+    * frame — shared by d03 and d16 so the banding geometry (and its
+    * [[NumHashes]] miss-probability argument) can never drift between
+    * the rows that rely on it for exactness. Returns distinct
+    * (doc_a, doc_b) with doc_a < doc_b. */
+  private def minhashCandidates(ds: DataFrame): DataFrame = {
     val exploded = ds.select(col("doc_id"), explode(col("sh")).as("sg"))
       .withColumn("h", xxhash64(col("sg")))
     val mins = (0 until NumHashes).map(i => min(xxhash64(col("h"), lit(i))).as(s"m$i"))
@@ -154,11 +165,19 @@ object Dedup {
     val buckets = sig
       .select(col("doc_id"), explode(array(bands: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
-    val candidates = buckets.as("a").join(buckets.as("b"),
+    buckets.as("a").join(buckets.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
+  }
+
+  /** Exact-Jaccard verification of a candidate pair list against the
+    * shingle frame the candidates came from (shared d03/d16): joins the
+    * cached sets back by id — shingle arrays travel only for candidate
+    * rows, never per-band — and keeps pairs at J ≥ 0.6 with the raw
+    * `jaccard` column attached. */
+  private def jaccardVerify(candidates: DataFrame, ds: DataFrame): DataFrame =
     candidates
       .join(ds.select(col("doc_id").as("doc_a"), col("sh").as("sha")), "doc_a")
       .join(ds.select(col("doc_id").as("doc_b"), col("sh").as("shb")), "doc_b")
@@ -166,9 +185,6 @@ object Dedup {
         size(array_intersect(col("sha"), col("shb"))).cast("double") /
         size(array_union(col("sha"), col("shb"))).cast("double"))
       .filter(col("jaccard") >= 0.6)
-      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
-      .orderBy(col("doc_a"), col("doc_b"))
-  }
 
   /** d04: SimHash near-dup. 64-bit signature from per-token hash bit votes
     * (term frequency weighted — duplicates vote repeatedly); candidates from
@@ -802,6 +818,45 @@ object Dedup {
       .orderBy(col("doc_id"), col("host_id"))
   }
 
+  /** d16 edit budget — ABSOLUTE, not relative: a fuzzy dup is "this doc
+    * with at most a few character edits" (typo fixes, a changed number),
+    * and that budget does not grow with document length the way a ratio
+    * threshold does. 6 keeps the corpus's planted 4-edit pairs and drops
+    * the 8+-edit rewrites at every SF. */
+  val MaxEditBudget = 6
+
+  /** d16: edit-distance fuzzy dedup — the d03 LSH candidates refined
+    * with an exact Levenshtein budget: keep pairs with shingle-Jaccard
+    * ≥ 0.6 AND normalized-text edit distance ≤ [[MaxEditBudget]]. The
+    * two filters are genuinely different similarities: Jaccard is
+    * bag-of-shingles, so a REORDERED document (paragraphs swapped)
+    * stays J-high while its edit distance explodes — the lev filter
+    * kills exactly those (the corpus's J=0.97/lev=12 pair), while a
+    * handful of in-place edits passes both. Scale shape: candidates
+    * come from the bounded inverted index (never all-pairs); the text
+    * join touches only candidate rows (a broadcast-size list, bodies
+    * never shuffle); and the Levenshtein runs BOUNDED — Spark's
+    * threshold variant costs O(budget·len) per pair, not O(len²), and
+    * the J ≥ 0.6 gate has already capped the pair count. The composed
+    * output is exact (LSH misses at J ≥ 0.6 are p ≈ 6e-7 — see
+    * [[NumHashes]]), so the oracle restates it as the exact-Jaccard
+    * pair list + a plain `levenshtein()` filter. */
+  def d16EditRefine(s: SparkSession, d: String): DataFrame = {
+    val ds = docShingles(s, d).repartition(col("doc_id"))
+    val pairs = jaccardVerify(minhashCandidates(ds), ds)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    val norm = Tables.documents(s, d)
+      .select(col("doc_id"), normText(col("text")).as("norm"))
+    pairs
+      .join(norm.select(col("doc_id").as("doc_a"), col("norm").as("na")), "doc_a")
+      .join(norm.select(col("doc_id").as("doc_b"), col("norm").as("nb")), "doc_b")
+      .withColumn("lev", levenshtein(col("na"), col("nb"), MaxEditBudget))
+      .filter(col("lev") >= 0) // threshold variant returns -1 past the budget
+      .select(col("doc_a"), col("doc_b"),
+        round(col("jaccard"), 6).as("jaccard"), col("lev"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** g10: duplication-structure panel — the cluster-SIZE distribution of
     * d07's dup graph plus the singleton mass, the diagnostic read before
     * choosing a dedup policy (a corpus of many 2-clusters wants pairwise
@@ -1196,6 +1251,7 @@ object Dedup {
     "d13_semdedup"            -> d13SemDedup _,
     "d14_semantic_decontam"   -> d14SemanticDecontam _,
     "d15_containment"         -> d15Containment _,
+    "d16_edit_refine"         -> d16EditRefine _,
     "g10_cluster_sizes"       -> g10ClusterSizes _,
     "g13_label_purity"        -> g13LabelPurity _,
   )
@@ -1322,6 +1378,21 @@ object Dedup {
       WHERE sa.n >= $ContainMinShingles
         AND c * 1.0 / sa.n >= $ContainThreshold
       ORDER BY doc_id, host_id""",
+    // d16: the exact J >= 0.6 pair list (the LSH-exactness argument at
+    // [[NumHashes]]) refined with DuckDB's own unbounded levenshtein —
+    // same values as Spark's bounded threshold variant inside the budget
+    "d16_edit_refine" -> s"""
+      WITH $JaccardPairsCte,
+      nrm AS (
+        SELECT doc_id, ${graft.text.TextAnalysis.NormSql} AS norm
+        FROM documents)
+      SELECT j.doc_a, j.doc_b, j.jaccard,
+             CAST(levenshtein(ta.norm, tb.norm) AS INT) AS lev
+      FROM jpairs j
+      JOIN nrm ta ON j.doc_a = ta.doc_id
+      JOIN nrm tb ON j.doc_b = tb.doc_id
+      WHERE levenshtein(ta.norm, tb.norm) <= $MaxEditBudget
+      ORDER BY doc_a, doc_b""",
     // d07's recursive component oracle, rolled up to the size
     // distribution; the singleton row is the corpus complement
     "g10_cluster_sizes" -> s"""

@@ -139,6 +139,38 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(viaStars == viaProp && viaStars.nonEmpty)
   }
 
+  test("d16: edit refine keeps exactly the within-budget d03 pairs, lev values exact") {
+    import org.apache.spark.sql.functions.col
+    val sf = "/root/testdata/sf0.001"
+    val got = Dedup.d16EditRefine(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Int]("lev")).toMap
+    // plain-Scala Levenshtein over the d03 pair list (norm = the t12 rule)
+    def norm(t: String) = t.trim.toLowerCase.replaceAll("\\s+", " ")
+    def lev(a: String, b: String): Int = {
+      val dp = Array.tabulate(b.length + 1)(identity)
+      for (i <- 1 to a.length) {
+        var prev = dp(0); dp(0) = i
+        for (j <- 1 to b.length) {
+          val t = dp(j)
+          dp(j) = math.min(math.min(dp(j) + 1, dp(j - 1) + 1),
+            prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+          prev = t
+        }
+      }
+      dp(b.length)
+    }
+    val texts = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect().toMap
+    val d03Pairs = Dedup.d03MinHashLsh(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val expect = d03Pairs
+      .map(p => p -> lev(norm(texts(p._1)), norm(texts(p._2))))
+      .filter(_._2 <= Dedup.MaxEditBudget).toMap
+    assert(got == expect, s"got ${got.size} expect ${expect.size}")
+    assert(expect.size < d03Pairs.length, "budget must actually drop a pair")
+    assert(got.nonEmpty)
+  }
+
   test("contamination: verbatim copy is fully contaminated, disjoint vocab is clean") {
     import org.apache.spark.sql.functions.col
     val bench = Seq((100L, "alpha beta gamma delta epsilon zeta"))
