@@ -464,6 +464,74 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** d17 bloom sizing: estimated-items is a deliberate OVER-estimate (the
+    * catalog rowcount a real ingest would pass), numBits = 2²⁰ keeps the
+    * driver-held sketch at 128 KiB regardless of history size — the whole
+    * point: the gate's memory is constant while the history it summarizes
+    * grows unbounded. */
+  val BloomEstItems: Long = 100000L
+  val BloomNumBits: Long = 1L << 20
+
+  /** Bloom-prefiltered incremental dedup — [[incrementalExactDedup]]'s
+    * semantics with the production-scale gate in front: a Bloom filter
+    * built over the history fingerprints (Spark's own codegen'd
+    * `BloomFilterAggregate`, the expression its runtime row-level
+    * filtering injects — no UDF) screens the arriving batch MAP-SIDE, so
+    * rows the filter rejects are provably new (Bloom filters have no
+    * false negatives) and skip the anti-join entirely; only probable
+    * hits — true dups plus the ~fpp false-positive sliver — pay the
+    * shuffle against history. At 100 TB of accumulated fingerprints
+    * that is the difference between shuffling the whole batch and
+    * shuffling its duplicate fraction. The sketch itself is a bounded
+    * driver scalar ([[BloomNumBits]]/8 bytes), the one collect shape
+    * this library allows. Result is EXACTLY [[incrementalExactDedup]]'s
+    * (the spec asserts the law): the bloom changes the plan, never the
+    * answer. */
+  def bloomDedup(newDocs: DataFrame, historyFp: DataFrame,
+                 textCol: String = "text",
+                 idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.types.BinaryType
+    import org.apache.spark.sql.expressions.Window
+    val fp = newDocs.withColumn("fp", md5(normText(col(textCol))))
+    val firstPerFp = fp
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy(col("fp")).orderBy(col(idCol))))
+      .filter(col("_rn") === 1).drop("_rn")
+    val bloom = historyFp.select(GraftColumnBridge.column(
+        new BloomFilterAggregate(
+          GraftColumnBridge.expression(xxhash64(col("fp"))),
+          Literal(BloomEstItems), Literal(BloomNumBits))
+          .toAggregateExpression()).as("bf"))
+      .head.getAs[Array[Byte]](0)
+    if (bloom == null) firstPerFp // empty history: every first-in-batch row is new
+    else {
+      val maybe = GraftColumnBridge.column(new BloomFilterMightContain(
+        Literal.create(bloom, BinaryType),
+        GraftColumnBridge.expression(xxhash64(col("fp")))))
+      val gated = firstPerFp.withColumn("_maybe", maybe)
+      val definitelyNew = gated.filter(!col("_maybe")).drop("_maybe")
+      val confirmedNew = gated.filter(col("_maybe")).drop("_maybe")
+        .join(historyFp.select(col("fp")), Seq("fp"), "left_anti")
+      definitelyNew.unionByName(confirmedNew)
+    }
+  }
+
+  /** d17 registered form: d06's even/odd corpus split run through
+    * [[bloomDedup]] — same survivors as d06 by construction (and by the
+    * shared oracle), arrived at through the constant-memory gate. */
+  def d17BloomDedup(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val history = docs.filter(col("doc_id") % 2 === 0)
+      .select(md5(normText(col("text"))).as("fp"))
+    val batch = docs.filter(col("doc_id") % 2 === 1)
+    bloomDedup(batch, history)
+      .select(col("doc_id"), col("fp"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Iteration cap for [[dupClusters]] — min-label propagation converges
     * in O(component diameter) rounds, and near-dup clusters are small by
     * construction (a dup "cluster" is one document and its edits), so the
@@ -1252,6 +1320,7 @@ object Dedup {
     "d14_semantic_decontam"   -> d14SemanticDecontam _,
     "d15_containment"         -> d15Containment _,
     "d16_edit_refine"         -> d16EditRefine _,
+    "d17_bloom_dedup"         -> d17BloomDedup _,
     "g10_cluster_sizes"       -> g10ClusterSizes _,
     "g13_label_purity"        -> g13LabelPurity _,
   )
@@ -1500,6 +1569,22 @@ object Dedup {
         FROM comp c JOIN q USING (doc_id))
       WHERE rn = 1 ORDER BY cluster_id""",
     "d06_incremental_dedup" -> s"""
+      WITH fp AS (
+        SELECT doc_id, ${graft.text.TextAnalysis.FpSql} AS fp
+        FROM documents),
+      hist AS (SELECT fp FROM fp WHERE doc_id % 2 = 0),
+      batch AS (SELECT doc_id, fp FROM fp WHERE doc_id % 2 = 1),
+      first_per_fp AS (
+        SELECT doc_id, fp FROM (
+          SELECT doc_id, fp,
+                 row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+          FROM batch) WHERE rn = 1)
+      SELECT doc_id, fp FROM first_per_fp
+      WHERE fp NOT IN (SELECT fp FROM hist)
+      ORDER BY doc_id""",
+    // d17: same survivors as d06 — the bloom gate changes the plan,
+    // never the answer, so the oracle is the plain incremental form
+    "d17_bloom_dedup" -> s"""
       WITH fp AS (
         SELECT doc_id, ${graft.text.TextAnalysis.FpSql} AS fp
         FROM documents),

@@ -171,6 +171,28 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("d17: bloomDedup equals incrementalExactDedup (the gate never changes the answer)") {
+    import org.apache.spark.sql.functions.{col, md5}
+    import graft.text.TextAnalysis.normText
+    val sf = "/root/testdata/sf0.001"
+    val docs = Tables.documents(spark, sf)
+    val history = docs.filter(col("doc_id") % 2 === 0)
+      .select(md5(normText(col("text"))).as("fp"))
+    val batch = docs.filter(col("doc_id") % 2 === 1)
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "fp").as[(Long, String)].collect().toSet
+    val viaBloom = asSet(Dedup.bloomDedup(batch, history))
+    val viaPlain = asSet(Dedup.incrementalExactDedup(batch, history))
+    assert(viaBloom == viaPlain && viaBloom.nonEmpty)
+    // no false negatives: nothing surviving may carry a history fingerprint
+    val histFps = history.as[String].collect().toSet
+    assert(viaBloom.forall(r => !histFps.contains(r._2)))
+    // empty history: every first-in-batch row passes, no probe leg at all
+    val none = history.filter(col("fp") === "impossible")
+    assert(asSet(Dedup.bloomDedup(batch, none)) ==
+      asSet(Dedup.incrementalExactDedup(batch, none)))
+  }
+
   test("contamination: verbatim copy is fully contaminated, disjoint vocab is clean") {
     import org.apache.spark.sql.functions.col
     val bench = Seq((100L, "alpha beta gamma delta epsilon zeta"))
