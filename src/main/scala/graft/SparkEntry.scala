@@ -26,7 +26,8 @@ object SparkEntry {
     RelationalQueries.queries ++ ExtendedQueries.queries ++
       PipelineQueries.queries ++ TextAnalysis.queries ++
       Dedup.queries ++ Similarity.queries ++ StreamReplay.queries ++
-      MultimodalQueries.queries ++ ControlPlaneQueries.queries
+      MultimodalQueries.queries ++ ControlPlaneQueries.queries ++
+      graft.quality.Expectations.queries
 
   /** Like-for-like bench-cut tags (VERDICT r6 item 2) — the single source
     * of truth scripts/duckbench.py derives the batch cut from (it used to
@@ -66,5 +67,6 @@ object SparkEntry {
     RelationalQueries.oracleSql ++ ExtendedQueries.oracleSql ++
       PipelineQueries.oracleSql ++ TextAnalysis.oracleSql ++
       Dedup.oracleSql ++ Similarity.oracleSql ++ StreamReplay.oracleSql ++
-      MultimodalQueries.oracleSql ++ ControlPlaneQueries.oracleSql
+      MultimodalQueries.oracleSql ++ ControlPlaneQueries.oracleSql ++
+      graft.quality.Expectations.oracleSql
 }

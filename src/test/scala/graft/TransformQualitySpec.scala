@@ -137,4 +137,37 @@ class TransformQualitySpec extends SparkSpec {
       Check("small", col("v") < 1.5) -> 1.0)).as("s")).head().getDouble(0)
     assert(math.abs(w - (1.0 * 0.75 + 0.5 * 0.25)) < 1e-12)
   }
+
+  test("expectations: per-check violation counts, null skipping, one-scan suite") {
+    import graft.quality.Expectations
+    import graft.quality.Expectations._
+    val df = Seq(
+      (Some(1L), Some("O"), Some(10.0), "1-URGENT"),
+      (Some(2L), Some("O"), Some(500.0), "9-BOGUS"),   // range + format violations
+      (Some(2L), Some("X"), None, "2-HIGH"),           // dup key + bad status, null price SKIPPED by range
+      (None, None, Some(-5.0), "3-MEDIUM")             // null key counted ONLY by not_null; null status skipped
+    ).toDF("id", "status", "price", "prio")
+    val out = Expectations.check(df, Seq(
+        NotNull("id"),
+        Unique(Seq("id")),
+        InRange("price", 0.0, 100.0),
+        OneOf("status", Seq("O", "F")),
+        Matches("prio", "^[1-5]-")))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    assert(out("not_null(id)") == ((1L, 4L, false)))
+    // 4 rows, 3 distinct ids (1, 2, null-tuple) -> 1 surplus copy
+    assert(out("unique(id)") == ((1L, 4L, false)))
+    assert(out("in_range(price,0.0,100.0)") == ((2L, 4L, false))) // 500 and -5; null skipped
+    assert(out("one_of(status)") == ((1L, 4L, false)))            // X; null skipped
+    assert(out("matches(prio)") == ((1L, 4L, false)))             // 9-BOGUS
+    // a clean suite passes
+    val clean = Expectations.check(df, Seq(Matches("prio", "^[0-9]")))
+      .collect().head
+    assert(clean.getLong(1) == 0L && clean.getBoolean(3))
+    // the whole suite is ONE aggregation pass: a single scan of the input
+    val plan = Expectations.check(df, Seq(NotNull("id"), InRange("price", 0, 1),
+      Matches("prio", "x"))).queryExecution.executedPlan.toString
+    assert(!plan.contains("Union"), plan) // unpivot is explode, not re-scan
+  }
 }
