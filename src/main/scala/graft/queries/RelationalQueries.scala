@@ -544,7 +544,37 @@ object RelationalQueries {
     s.sql(q42Sql("os_events"))
   }
 
+  /** The q43 SQL, shared verbatim with the oracle (the q42Sql pattern).
+    * Bivariate statistics panel — corr / covariance / stddev / linear
+    * regression per group, the §2.4 completion beyond q22/q42's
+    * univariate quantiles. Identical text does NOT make the doubles
+    * bit-identical here (each engine merges co-moments in its own
+    * order), so every statistic is rounded at digits the measured
+    * magnitudes make drift-proof: abs rounding granularity sits ≥ 3
+    * orders above the ~1e-12-relative co-moment summation error at
+    * these group sizes (corr ~1e-3 @6dp, covar ~1e3 @4dp, slope ~16
+    * @4dp, intercept ~5e4 @4dp). One partial-aggregated pass per
+    * group — the co-moment buffers merge map-side like any sum. */
+  private def q43Sql(table: String): String = s"""
+      SELECT l_returnflag, count(*) AS n,
+             round(corr(l_extendedprice, l_quantity), 6) AS corr_price_qty,
+             round(covar_pop(l_extendedprice, l_quantity), 4) AS covar_pop_pq,
+             round(covar_samp(l_extendedprice, l_quantity), 4) AS covar_samp_pq,
+             round(stddev_samp(l_quantity), 6) AS sd_qty,
+             round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+             round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+             round(regr_r2(l_extendedprice, l_quantity), 6) AS r2
+      FROM $table
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag"""
+
+  def q43StatsPanel(s: SparkSession, d: String): DataFrame = {
+    Tables.lineitem(s, d).createOrReplaceTempView("sp_lineitem")
+    s.sql(q43Sql("sp_lineitem"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q43_stats_panel"     -> q43StatsPanel _,
     "q01_pricing_summary" -> q01PricingSummary _,
     "q02_filter_agg"      -> q02FilterAgg _,
     "q03_join_revenue"    -> q03JoinRevenue _,
@@ -583,6 +613,9 @@ object RelationalQueries {
     // q42: the IDENTICAL SQL text (single-sourced via q42Sql); integer
     // cents + quarter fractions make the interpolation bit-exact
     "q42_ordered_set_agg" -> q42Sql("events"),
+    // q43: the IDENTICAL SQL text; rounding digits chosen against the
+    // measured co-moment magnitudes (see q43Sql scaladoc)
+    "q43_stats_panel" -> q43Sql("lineitem"),
     "q01_pricing_summary" -> """
       SELECT l_returnflag, l_linestatus,
              sum(l_quantity) AS sum_qty,
