@@ -23,10 +23,15 @@ object Expectations {
   /** One declared constraint; `id` is the stable row key the report
     * emits, `violations` the aggregate counting rows that break it.
     * Null handling: range/domain/format checks skip nulls — declare an
-    * explicit [[NotNull]] when absence itself is a violation. */
+    * explicit [[NotNull]] when absence itself is a violation.
+    * `mergeable` marks counters that combine across data slices by
+    * plain addition (the property incremental/streaming maintenance
+    * needs); uniqueness does not — distinctness is a property of the
+    * whole, not a sum of parts. */
   sealed trait Expectation {
     def id: String
     private[quality] def violations: Column
+    def mergeable: Boolean = true
   }
 
   final case class NotNull(column: String) extends Expectation {
@@ -41,6 +46,7 @@ object Expectations {
     val id = s"unique(${columns.mkString(",")})"
     private[quality] def violations =
       count(lit(1)) - countDistinct(struct(columns.map(col): _*))
+    override val mergeable = false
   }
 
   final case class InRange(column: String, lo: Double, hi: Double)
@@ -66,26 +72,47 @@ object Expectations {
         !col(column).rlike(regex), 1L).otherwise(0L))
   }
 
-  /** Run a suite: one aggregation pass, one output row per expectation —
-    * (expectation, violations, n_rows, passed), sorted by id. */
-  def check(df: DataFrame, checks: Seq[Expectation]): DataFrame = {
+  /** The single-aggregation counter pass: one row, `_v0.._vN` violation
+    * counters plus `n_rows`. The intermediate form [[mergeCounters]]
+    * maintains incrementally and [[report]] renders. */
+  def counters(df: DataFrame, checks: Seq[Expectation]): DataFrame = {
     require(checks.nonEmpty, "empty expectation suite")
     val ids = checks.map(_.id)
     require(ids.distinct.size == ids.size, s"duplicate expectation ids: $ids")
     val aggs = checks.zipWithIndex.map { case (e, i) =>
       e.violations.as(s"_v$i")
     } :+ count(lit(1)).as("n_rows")
-    val one = df.agg(aggs.head, aggs.tail: _*)
+    df.agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Merge two counter rows by addition — valid ONLY for suites of
+    * mergeable expectations (enforced by the callers that maintain
+    * counters incrementally; see [[Expectation.mergeable]]). */
+  def mergeCounters(a: DataFrame, b: DataFrame): DataFrame = {
+    val cols = a.columns
+    require(cols.sameElements(b.columns), "counter shapes differ")
+    val sums = cols.map(c => sum(col(c)).as(c))
+    a.unionByName(b).agg(sums.head, sums.tail: _*)
+  }
+
+  /** Render a counter row as the per-expectation report —
+    * (expectation, violations, n_rows, passed), sorted by id. */
+  def report(countersDf: DataFrame, checks: Seq[Expectation]): DataFrame = {
     val entries = checks.zipWithIndex.map { case (e, i) =>
       struct(lit(e.id).as("expectation"), col(s"_v$i").as("violations"))
     }
-    one.select(col("n_rows"), explode(array(entries: _*)).as("e"))
+    countersDf.select(col("n_rows"), explode(array(entries: _*)).as("e"))
       .select(col("e.expectation").as("expectation"),
         col("e.violations").as("violations"),
         col("n_rows"),
         (col("e.violations") === 0).as("passed"))
       .orderBy(col("expectation"))
   }
+
+  /** Run a suite: one aggregation pass, one output row per expectation —
+    * (expectation, violations, n_rows, passed), sorted by id. */
+  def check(df: DataFrame, checks: Seq[Expectation]): DataFrame =
+    report(counters(df, checks), checks)
 
   /** g18 registered suite over `orders` — a deliberate pass/fail mix so
     * the report is non-vacuous at every SF: the key constraints hold,
@@ -102,6 +129,18 @@ object Expectations {
 
   def g18Expectations(s: SparkSession, d: String): DataFrame =
     check(Tables.orders(s, d), g18Suite)
+
+  /** st14's streaming suite over `events` — MERGEABLE checks only (the
+    * counters are maintained incrementally across micro-batches by
+    * addition; a Unique check needs the st06 dedup-state machinery
+    * instead). Pass/fail mix: the key is never null and props is always
+    * a JSON object, while the 300-cap and the four-type domain are
+    * genuinely violated (error rows, value tail). */
+  def st14Suite: Seq[Expectation] = Seq(
+    NotNull("user_id"),
+    InRange("value", 0.0, 300.0),
+    OneOf("event_type", Seq("click", "view", "purchase", "signup")),
+    Matches("props", "^\\{"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g18_expectations" -> (g18Expectations(_, _)))

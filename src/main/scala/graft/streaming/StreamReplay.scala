@@ -888,6 +888,66 @@ object StreamReplay {
         .localCheckpoint(eager = true)
     }
 
+  /** st14: streaming data-quality gate replay — the g18 expectation
+    * counters ([[graft.quality.Expectations]]) maintained INCREMENTALLY
+    * across real micro-batches: the events feed drains in four epochs,
+    * `foreachBatch` computes the batch's one-row counter frame and
+    * merges it with the previous batchId-keyed version (st12's
+    * idempotent versioned-table loop — a retried epoch overwrites its
+    * own version, never double-counts), and the final version renders
+    * as the per-expectation report. Only MERGEABLE checks ride this
+    * path (plain-addition counters; `Unique` needs st06's dedup-state
+    * machinery instead — enforced with a loud require). The report
+    * must equal the one-pass batch suite over the whole corpus: the
+    * quality gate a production ingest runs ON the stream, not after
+    * it. Per-epoch cost is O(|batch|) + a 1-row merge. */
+  def st14QualityReplay(s: SparkSession, d: String): DataFrame =
+    withReplayTmp(s, "graft-st14-") { tmp =>
+      import graft.quality.Expectations
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.session.timeZone",
+        s.conf.get("spark.sql.session.timeZone", "UTC"))
+      s2.conf.set("spark.sql.shuffle.partitions", "8")
+      val checks = Expectations.st14Suite
+      require(checks.forall(_.mergeable),
+        "st14 maintains counters by addition - every check must be mergeable")
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), col("value"), col("props"))
+      stageOrderedJson(ev, nFiles = 4, s"$tmp/incoming", prefix = "a",
+        baseModTime = 1000000L)
+      val feedSchema = new StructType()
+        .add("user_id", "long").add("event_type", "string")
+        .add("value", "double").add("props", "string")
+      val source = StreamingPipeline.jsonFileSource(
+        s2, s"$tmp/incoming", feedSchema, maxFilesPerTrigger = 1,
+        options = Map("timestampFormat" -> JsonTsFormat))
+      def versionPath(b: Long) = s"$tmp/counters/v$b"
+      def exists(p: String): Boolean = {
+        val hp = new org.apache.hadoop.fs.Path(p)
+        hp.getFileSystem(s.sparkContext.hadoopConfiguration).exists(hp)
+      }
+      @volatile var maxBatch = -1L
+      val q = source.writeStream
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          val partial = Expectations.counters(batch, checks)
+          val prev = versionPath(batchId - 1)
+          val merged =
+            if (batchId > 0 && exists(prev))
+              Expectations.mergeCounters(s2.read.parquet(prev), partial)
+            else partial
+          merged.write.mode("overwrite").parquet(versionPath(batchId))
+          maxBatch = math.max(maxBatch, batchId)
+          ()
+        }
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      if (maxBatch < 0) throw new IllegalStateException("st14: no micro-batch ran")
+      Expectations.report(s.read.parquet(versionPath(maxBatch)), checks)
+        .localCheckpoint(eager = true)
+    }
+
   val queries: Map[String, Q] = Map(
     "st01_stream_replay"   -> st01StreamReplay _,
     "st02_state_replay"    -> st02StateReplay _,
@@ -902,6 +962,7 @@ object StreamReplay {
     "st11_outer_join_replay" -> st11OuterJoinReplay _,
     "st12_summary_replay"  -> st12SummaryReplay _,
     "st13_asof_replay"     -> st13AsofReplay _,
+    "st14_quality_replay"  -> st14QualityReplay _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -911,6 +972,26 @@ object StreamReplay {
     // silently assert different contracts
     "st12_summary_replay" ->
       graft.queries.PipelineQueries.MergeSummariesOracleSql,
+    // st14: the four-epoch incremental counter merge must equal the
+    // one-pass batch suite over the corpus (g18's oracle shape with
+    // st14Suite's literal ids and predicates)
+    "st14_quality_replay" -> """
+      WITH agg AS (
+        SELECT count(*) AS n_rows,
+          count(*) FILTER (WHERE user_id IS NULL) AS v0,
+          count(*) FILTER (WHERE value < 0.0 OR value > 300.0) AS v1,
+          count(*) FILTER (WHERE event_type IS NOT NULL
+            AND event_type NOT IN ('click','view','purchase','signup')) AS v2,
+          count(*) FILTER (WHERE props IS NOT NULL
+            AND NOT regexp_matches(props, '^\{')) AS v3
+        FROM events)
+      SELECT expectation, violations, n_rows, violations = 0 AS passed
+      FROM (
+        SELECT 'not_null(user_id)' AS expectation, CAST(v0 AS BIGINT) AS violations, n_rows FROM agg
+        UNION ALL SELECT 'in_range(value,0.0,300.0)', CAST(v1 AS BIGINT), n_rows FROM agg
+        UNION ALL SELECT 'one_of(event_type)', CAST(v2 AS BIGINT), n_rows FROM agg
+        UNION ALL SELECT 'matches(props)', CAST(v3 AS BIGINT), n_rows FROM agg)
+      ORDER BY expectation""",
     // st10: the streamed stream-static enrichment restated as the batch
     // join — same dim derivation, same micro-scaled integer sum
     "st10_enrich_replay" -> """

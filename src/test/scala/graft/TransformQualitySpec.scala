@@ -169,5 +169,16 @@ class TransformQualitySpec extends SparkSpec {
     val plan = Expectations.check(df, Seq(NotNull("id"), InRange("price", 0, 1),
       Matches("prio", "x"))).queryExecution.executedPlan.toString
     assert(!plan.contains("Union"), plan) // unpivot is explode, not re-scan
+    // merge law (the st14 contract): counters over the whole equal the
+    // merged per-slice counters, for any split, for mergeable checks
+    val mergeable = Seq(NotNull("id"), InRange("price", 0.0, 100.0),
+      OneOf("status", Seq("O", "F")), Matches("prio", "^[1-5]-"))
+    assert(mergeable.forall(_.mergeable) && !Unique(Seq("id")).mergeable)
+    val whole = Expectations.counters(df, mergeable).collect().head.toSeq
+    val merged = Expectations.mergeCounters(
+      Expectations.counters(df.limit(2), mergeable),
+      Expectations.counters(df.exceptAll(df.limit(2)), mergeable))
+      .collect().head.toSeq
+    assert(whole == merged, s"whole=$whole merged=$merged")
   }
 }
