@@ -31,6 +31,19 @@ object Flow {
     * for branches with genuinely different logic. */
   final case class Parallel(name: String, branches: Seq[DataFrame => DataFrame],
                             next: Node) extends Node
+  /** Step Functions Map state — DYNAMIC parallelism: derive a bounded
+    * item list from the current frame AT RUNTIME (a driver-side scalar
+    * read, e.g. the distinct partition keys), run `perItem` once per
+    * item, union the results. Differs from [[Parallel]] exactly the way
+    * the reference's Map differs from its Parallel: the fan-out is
+    * data-driven, not declared in the machine. When items are partition
+    * keys, each branch's filter partition-prunes its scan, so the union
+    * reads the table once across branches. `maxItems` is a loud guard
+    * against unbounded fan-out (a Map over a million keys is a groupBy
+    * wearing the wrong API). */
+  final case class MapState(name: String, items: DataFrame => Seq[String],
+                            perItem: (DataFrame, String) => DataFrame,
+                            next: Node, maxItems: Int = 64) extends Node
   /** Terminal success; `score` extracts the reported quality. */
   final case class Succeed(score: DataFrame => Double = _ => 1.0) extends Node
   /** Terminal failure (SDP.py:414-417). */
@@ -76,6 +89,17 @@ final class PipelineRunner(stateLog: StateLog, config: PipelineConfig = Pipeline
         }
       case Flow.Parallel(name, branches, next) =>
         withRetry(id, name)(branches.map(_(df)).reduce(_ unionByName _)) match {
+          case Right(out) => exec(id, next, out, deadline)
+          case Left(err)  => PipelineOutcome.Failed(s"$name: $err")
+        }
+      case Flow.MapState(name, items, perItem, next, maxItems) =>
+        withRetry(id, name) {
+          val list = items(df)
+          require(list.nonEmpty, s"$name: empty item list")
+          require(list.size <= maxItems,
+            s"$name: ${list.size} items exceed maxItems=$maxItems")
+          list.map(perItem(df, _)).reduce(_ unionByName _)
+        } match {
           case Right(out) => exec(id, next, out, deadline)
           case Left(err)  => PipelineOutcome.Failed(s"$name: $err")
         }

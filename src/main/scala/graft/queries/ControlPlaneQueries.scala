@@ -146,6 +146,44 @@ object ControlPlaneQueries {
         .localCheckpoint(eager = true)
     }
 
+  /** x04: Step Functions MAP state ([[graft.orchestrate.Flow.MapState]])
+    * — DYNAMIC per-key fan-out, the reference construct x03's fixed
+    * Parallel cannot express: the item list (the distinct event types)
+    * is derived from the data AT RUNTIME (one bounded driver scalar
+    * read), a per-item rollup runs per key, and the gathered union must
+    * equal the plain groupBy restatement — the Map ≡ groupBy law that
+    * makes the oracle exact. Sums ride the micro-scaled integer idiom
+    * so the per-item/global reassociation cannot drift. At scale the
+    * per-item filter is the partition key, so each branch
+    * partition-prunes its scan. */
+  def x04MapState(s: SparkSession, d: String): DataFrame =
+    withTmp(s, "graft-x04-") { tmp =>
+      import graft.orchestrate.{Flow, PipelineRunner}
+      val ev = Tables.events(s, d)
+        .filter(col("ts") < lit(E2eFeedEnd).cast("timestamp"))
+      val stateLog = new StateLog(s, s"$tmp/state")
+      val flow = Flow.MapState("map_event_types",
+        items = df => df.select(col("event_type")).distinct()
+          .collect().map(_.getString(0)).sorted.toSeq,
+        perItem = (df, t) => df.filter(col("event_type") === t)
+          .agg(count(lit(1)).as("n_events"),
+            round(sum(round(col("value") * 1000000).cast("long")) * lit(1.0)
+              / lit(1000000.0), 6).as("sum_value"),
+            countDistinct(col("user_id")).as("n_users"))
+          .withColumn("event_type", lit(t)),
+        next = Flow.Task("land",
+          { df => df.coalesce(1).write.mode("overwrite")
+                    .parquet(s"$tmp/out"); df },
+          Flow.Succeed()))
+      val outcome = new PipelineRunner(stateLog).run("x04", flow, ev)
+      require(outcome.isSuccess, s"x04 map flow failed: $outcome")
+      s.read.parquet(s"$tmp/out")
+        .select(col("event_type"), col("n_events"),
+          col("sum_value"), col("n_users"))
+        .orderBy(col("event_type"))
+        .localCheckpoint(eager = true)
+    }
+
   /** Micro-second-preserving timestamp format for the CSV leg (Spark's
     * CSV default truncates to millis, same trap as the JSON feeds). */
   private val CsvTsFormat = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
@@ -274,6 +312,7 @@ object ControlPlaneQueries {
     "x01_pipeline_e2e"    -> x01PipelineE2e _,
     "x02_catalog_sql"     -> x02CatalogSql _,
     "x03_parallel_scatter" -> x03ParallelScatter _,
+    "x04_map_state"        -> x04MapState _,
     "k01_format_roundtrip" -> k01FormatRoundtrip _,
     "k02_bucketed_join"   -> k02BucketedJoin _,
     "k03_json_roundtrip"  -> k03JsonRoundtrip _,
@@ -346,6 +385,18 @@ object ControlPlaneQueries {
              round(sum(CAST(round(value * 1000000) AS BIGINT)) * 1.0
                    / 1000000.0, 6) AS sum_value,
              CAST(count(DISTINCT user_id % 3) AS BIGINT) AS n_branches
+      FROM events
+      WHERE ts < TIMESTAMP '$E2eFeedEnd'
+      GROUP BY event_type
+      ORDER BY event_type""",
+    // x04: the Map ≡ groupBy law — the dynamic per-item fan-out gathered
+    // by union must equal the plain grouped rollup
+    "x04_map_state" -> s"""
+      SELECT event_type,
+             count(*) AS n_events,
+             round(sum(CAST(round(value * 1000000) AS BIGINT)) * 1.0
+                   / 1000000.0, 6) AS sum_value,
+             count(DISTINCT user_id) AS n_users
       FROM events
       WHERE ts < TIMESTAMP '$E2eFeedEnd'
       GROUP BY event_type

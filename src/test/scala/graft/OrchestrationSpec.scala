@@ -244,6 +244,33 @@ class OrchestrationSpec extends SparkSpec {
     assert(spark.read.parquet(s"$root/shards").count() == docs.count())
   }
 
+  test("MapState: data-driven fan-out equals groupBy; guards fail loudly") {
+    val stateLog = new StateLog(spark, freshLayout().state)
+    val df = Seq(("a", 1L), ("b", 2L), ("a", 3L), ("c", 4L)).toDF("k", "v")
+    var landed: Option[org.apache.spark.sql.DataFrame] = None
+    val flow = Flow.MapState("per_key",
+      items = d => d.select("k").distinct().collect().map(_.getString(0)).sorted.toSeq,
+      perItem = (d, k) => d.filter(col("k") === k)
+        .agg(sum(col("v")).as("sv")).withColumn("k", lit(k)),
+      next = Flow.Task("land", { d => landed = Some(d); d }, Flow.Succeed()))
+    val outcome = new PipelineRunner(stateLog, fastConfig).run("m1", flow, df)
+    assert(outcome.isInstanceOf[PipelineOutcome.Succeeded], outcome)
+    val got = landed.get.select("k", "sv").as[(String, Long)].collect().toMap
+    assert(got == Map("a" -> 4L, "b" -> 2L, "c" -> 4L)) // ≡ groupBy k
+    // item count over maxItems fails the pipeline, loudly, not silently
+    val over = Flow.MapState("too_many",
+      items = d => d.select("k").collect().map(_.getString(0)).toSeq,
+      perItem = (d, _) => d, next = Flow.Succeed(), maxItems = 2)
+    val failed = new PipelineRunner(stateLog, fastConfig).run("m2", over, df)
+    assert(failed.isInstanceOf[PipelineOutcome.Failed])
+    assert(failed.asInstanceOf[PipelineOutcome.Failed].cause.contains("maxItems"))
+    // an empty item list is a wiring bug, not an empty result
+    val empty = Flow.MapState("none",
+      items = _ => Seq.empty, perItem = (d, _) => d, next = Flow.Succeed())
+    val failed2 = new PipelineRunner(stateLog, fastConfig).run("m3", empty, df)
+    assert(failed2.isInstanceOf[PipelineOutcome.Failed])
+  }
+
   test("state log rolls back in-memory status when the journal write fails") {
     val root = Files.createTempDirectory("graft-rb").toString
     // make the journal parent a FILE so the parquet write must fail
