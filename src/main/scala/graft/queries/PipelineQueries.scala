@@ -858,6 +858,56 @@ object PipelineQueries {
       .orderBy(col("source"))
   }
 
+  /** p30 arrival cut — deliberately NOT hour-aligned, so exactly the
+    * 07:00 hour on this day straddles the two scheduled runs and the
+    * final read genuinely merges partials from different runs. */
+  val BookmarkCut = "2024-01-10 07:30:00"
+
+  /** p30: bookmark-driven incremental ingest ([[graft.state.Bookmark]])
+    * — the scheduled-batch rerun contract: run 1 sees only pre-cut
+    * arrivals, run 2 sees everything and processes ONLY past the
+    * watermark, run 3 sees nothing new and must be a no-op (enforced
+    * with a loud require — a bookmark that reprocesses is silent
+    * double-count at scale). The accumulated partials re-aggregate to
+    * the one-shot rollup over the whole corpus — the union-of-runs ≡
+    * full-run law the oracle states — and n_runs pins the straddling
+    * hour to 2 (the merge actually happened). Cents ride exact longs. */
+  def p30BookmarkIngest(s: SparkSession, d: String): DataFrame = {
+    import graft.state.Bookmark
+    val tmp = java.nio.file.Files.createTempDirectory("graft-p30-").toString
+    try {
+      val ev = Tables.events(s, d)
+      val partials = s"$tmp/partials"
+      val bm = s"$tmp/bookmark"
+      def rollup(df: DataFrame): DataFrame =
+        df.groupBy(date_trunc("hour", col("ts")).as("hour_bucket"))
+          .agg(count(lit(1)).as("n"),
+            sum(round(col("value") * 100).cast("long")).as("cents"))
+      val n1 = Bookmark.runIncremental(
+        ev.filter(col("ts") < lit(BookmarkCut).cast("timestamp")),
+        unix_micros(col("ts")), "r1", partials, bm)(rollup)
+      val n2 = Bookmark.runIncremental(
+        ev, unix_micros(col("ts")), "r2", partials, bm)(rollup)
+      val n3 = Bookmark.runIncremental(
+        ev, unix_micros(col("ts")), "r3", partials, bm)(rollup)
+      require(n1 > 0 && n2 > 0,
+        s"both scheduled runs must process rows (n1=$n1 n2=$n2)")
+      require(n3 == 0, s"bookmark failed to stop an empty rerun (n3=$n3)")
+      s.read.parquet(partials)
+        .groupBy(col("hour_bucket"))
+        .agg(sum(col("n")).as("n"), sum(col("cents")).as("cents"),
+          countDistinct(col("run")).as("n_runs"))
+        .orderBy(col("hour_bucket"))
+        .localCheckpoint(eager = true)
+    } finally {
+      try {
+        val p = new org.apache.hadoop.fs.Path(tmp)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        ()
+      } catch { case _: Throwable => () }
+    }
+  }
+
   /** g17: ordered conversion funnel (cohort analysis) — per user, the
     * FIRST view, the first click AT-OR-AFTER that view, and the first
     * purchase at-or-after that click (strict stage ordering: a click
@@ -1454,6 +1504,7 @@ object PipelineQueries {
     "g07_profile_approx"    -> g07ProfileApprox _,
     "g09_token_profile"     -> g09TokenProfile _,
     "g17_event_funnel"      -> g17EventFunnel _,
+    "p30_bookmark_ingest"   -> p30BookmarkIngest _,
   )
 
   /** Shared p16/p20 oracle front (`t`..`gated`) — the funnel gate CTEs,
@@ -1897,6 +1948,21 @@ object PipelineQueries {
       FROM documents d JOIN r USING (source)
       GROUP BY d.source
       ORDER BY d.source""",
+    // p30: the union-of-incremental-runs ≡ one-shot-run law; run
+    // membership restated as the arrival-cut CASE, n_runs pins the
+    // straddling hour
+    "p30_bookmark_ingest" -> s"""
+      WITH h AS (
+        SELECT date_trunc('hour', ts) AS hour_bucket,
+               CAST(round(value * 100) AS BIGINT) AS cents,
+               CASE WHEN ts < TIMESTAMP '$BookmarkCut'
+                    THEN 'r1' ELSE 'r2' END AS run
+        FROM events)
+      SELECT CAST(hour_bucket AS TIMESTAMP) AS hour_bucket,
+             count(*) AS n,
+             CAST(sum(cents) AS BIGINT) AS cents,
+             count(DISTINCT run) AS n_runs
+      FROM h GROUP BY 1 ORDER BY hour_bucket""",
     // g17: the funnel walk restated as stage-wise join-aggregates — a
     // structurally different formulation from the Spark array folds
     "g17_event_funnel" -> """

@@ -731,6 +731,43 @@ class RoundSevenOpsSpec extends SparkSpec {
     }
   }
 
+  test("p30: bookmark crash semantics - replayed slice is idempotent, no-op rerun lands nothing") {
+    import graft.state.Bookmark
+    val tmp = java.nio.file.Files.createTempDirectory("graft-bm-spec").toString
+    val partials = s"$tmp/partials"; val bm = s"$tmp/bookmark"
+    val ev = Tables.events(spark, sf)
+    val cut = lit("2024-01-05 00:00:00").cast("timestamp")
+    def rollup(df: org.apache.spark.sql.DataFrame) =
+      df.agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100).cast("long")).as("cents"))
+    // run 1 over the early slice
+    val n1 = Bookmark.runIncremental(ev.filter(col("ts") < cut),
+      unix_micros(col("ts")), "r1", partials, bm)(rollup)
+    assert(n1 > 0)
+    val w1 = Bookmark.read(spark, bm).get
+    // crash AFTER landing, BEFORE the advance: wipe the bookmark, replay r1
+    val bmPath = new org.apache.hadoop.fs.Path(bm)
+    bmPath.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(bmPath, true)
+    val n1b = Bookmark.runIncremental(ev.filter(col("ts") < cut),
+      unix_micros(col("ts")), "r1", partials, bm)(rollup)
+    assert(n1b == n1, "replayed slice must be the same slice")
+    assert(Bookmark.read(spark, bm).contains(w1), "watermark must be restored")
+    // the runId-keyed overwrite kept exactly one partial for r1
+    val r1 = spark.read.parquet(partials).filter(col("run") === "r1").collect()
+    assert(r1.length == 1 && r1.head.getAs[Long]("n") == n1)
+    // run 2 processes only the delta; totals accumulate to the full corpus
+    val n2 = Bookmark.runIncremental(ev, unix_micros(col("ts")), "r2",
+      partials, bm)(rollup)
+    assert(n1 + n2 == ev.count())
+    // a no-op rerun lands nothing and leaves the watermark untouched
+    val w2 = Bookmark.read(spark, bm).get
+    assert(Bookmark.runIncremental(ev, unix_micros(col("ts")), "r3",
+      partials, bm)(rollup) == 0L)
+    assert(Bookmark.read(spark, bm).contains(w2))
+    assert(!spark.read.parquet(partials).columns.isEmpty &&
+      spark.read.parquet(partials).filter(col("run") === "r3").isEmpty)
+  }
+
   test("p27: history+delta partial merge equals a plain-Scala one-pass rebuild") {
     val got = PipelineQueries.p27MergeSummaries(spark, sf).collect()
       .map(r => (r.getAs[String]("event_type"), r.getAs[java.sql.Date]("day").toString) ->
