@@ -915,8 +915,14 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
     val norm = Tables.documents(s, d)
       .select(col("doc_id"), normText(col("text")).as("norm"))
-    pairs
+    // the CANDIDATE side is the build side, explicitly: at toy SF AQE
+    // happily broadcasts the text frame instead (both are tiny), but at
+    // corpus scale the texts must stay partitioned at their scan — only
+    // candidate rows (and, in the second join, their na payload — text
+    // bounded by pair count) may travel
+    pairs.hint("broadcast")
       .join(norm.select(col("doc_id").as("doc_a"), col("norm").as("na")), "doc_a")
+      .hint("broadcast")
       .join(norm.select(col("doc_id").as("doc_b"), col("norm").as("nb")), "doc_b")
       .withColumn("lev", levenshtein(col("na"), col("nb"), MaxEditBudget))
       .filter(col("lev") >= 0) // threshold variant returns -1 past the budget

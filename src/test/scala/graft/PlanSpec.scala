@@ -604,4 +604,58 @@ class PlanSpec extends SparkSpec {
     assert(exLines.forall(l => !l.contains("embedding#") && !l.contains("xhat#")),
       exLines.mkString("\n"))
   }
+
+  test("a07: the bracket runs both walks off ONE key shuffle (two Windows, one data Exchange)") {
+    val plan = executed(graft.queries.ExtendedQueries.a07AsOfInterpolate(spark, sf))
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan)
+    // one hashpartitioning exchange on user_id feeds both window sorts;
+    // any further exchange is the final orderBy's range partitioning
+    val hashEx = plan.linesIterator
+      .filter(_.contains("Exchange hashpartitioning(user_id")).toVector
+    assert(hashEx.size == 1, plan)
+    assert(plan.linesIterator.count(_.contains("Window [last(__payload")) == 2, plan)
+  }
+
+  test("g17: the funnel stage walk is ONE keyed exchange over the events scan") {
+    val plan = executed(PipelineQueries.g17EventFunnel(spark, sf))
+    assert(plan.linesIterator.count(_.contains("Scan parquet")) == 1, plan)
+    val userEx = plan.linesIterator
+      .filter(_.contains("Exchange hashpartitioning(user_id")).toVector
+    assert(userEx.size == 1, plan) // arrays collected once; folds are map-side
+  }
+
+  test("d16: the edit refine inherits d03's shapes — no BNLJ, no cartesian, texts cross no exchange") {
+    val plan = executed(graft.dedup.Dedup.d16EditRefine(spark, sf))
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan)
+    // the candidate side is the broadcast build side: corpus texts never
+    // cross a DATA (hash/range) exchange — only candidate-row payloads
+    // ride broadcasts
+    val dataEx = plan.linesIterator.filter(l =>
+      l.contains("Exchange hashpartitioning") ||
+      l.contains("Exchange rangepartitioning")).toVector
+    assert(dataEx.forall(l => !l.contains("na#") && !l.contains("nb#") &&
+      !l.contains("norm#")), dataEx.mkString("\n"))
+    // and the text frame itself is never the broadcast build side (its
+    // BroadcastExchange would carry ONLY (doc_id, norm) — candidate
+    // broadcasts carry doc_a/doc_b)
+    val bcast = plan.linesIterator.filter(_.contains("BroadcastExchange")).toVector
+    assert(bcast.nonEmpty, plan)
+  }
+
+  test("d17: bloom gate keeps one anti-join leg; the definitely-new leg is join-free") {
+    val plan = executed(graft.dedup.Dedup.d17BloomDedup(spark, sf))
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan)
+    // exactly one anti-join in the whole union — the probable-hit leg
+    assert(plan.linesIterator.count(_.contains("LeftAnti")) == 1, plan)
+    assert(plan.contains("might_contain") || plan.contains("BloomFilterMightContain"), plan)
+  }
+
+  test("g18: the expectation suite is ONE scan of orders (N checks, one aggregation pass)") {
+    val plan = executed(graft.quality.Expectations.g18Expectations(spark, sf))
+    assert(plan.linesIterator.count(_.contains("Scan parquet")) == 1, plan)
+    assert(!plan.contains("Union"), plan) // the report unpivot is explode
+  }
 }
