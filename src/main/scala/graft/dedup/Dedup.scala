@@ -960,6 +960,34 @@ object Dedup {
     dist.unionAll(singles).orderBy(col("cluster_size"))
   }
 
+  /** d18: dedup-informed SOFT reweighting — keep every copy, weight each
+    * document by 1/|its dup cluster| so each unique content contributes
+    * unit mass to the training mix (the soft alternative to hard
+    * removal from the data-constrained-scaling literature, Muennighoff
+    * et al. '23: when data is the binding constraint, discarding text
+    * wastes tokens — uniform per-cluster mass removes the duplication
+    * bias while keeping every copy available for sampling). Clusters
+    * are d07's connected components over the exact J ≥ 0.6 near-dup
+    * graph; docs outside any pair are singletons at weight 1. Scale:
+    * the output is a (doc_id, cluster_id, size, weight) table — a few
+    * bytes per row, joined back to the corpus map-side by any
+    * downstream sampler; the cluster computation is d07's (id, label)
+    * propagation, bodies never shuffle. */
+  def d18SoftDedup(s: SparkSession, d: String): DataFrame = {
+    val clustered = d07DupClusters(s, d).select(col("doc_id"), col("cluster_id"))
+    val sized = clustered.join(
+      clustered.groupBy(col("cluster_id")).agg(count(lit(1)).as("cluster_size")),
+      "cluster_id")
+    val singles = Tables.documents(s, d).select(col("doc_id"))
+      .join(clustered.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("doc_id").as("cluster_id"),
+        lit(1L).as("cluster_size"))
+    sized.select(col("doc_id"), col("cluster_id"), col("cluster_size"))
+      .unionByName(singles)
+      .withColumn("weight", round(lit(1.0) / col("cluster_size"), 6))
+      .orderBy(col("doc_id"))
+  }
+
   /** d10 span geometry: 40-character grams at stride 1 — any verbatim
     * copy of ≥ 40 characters is guaranteed to produce at least one
     * shared gram in both copies. */
@@ -1327,6 +1355,7 @@ object Dedup {
     "d15_containment"         -> d15Containment _,
     "d16_edit_refine"         -> d16EditRefine _,
     "d17_bloom_dedup"         -> d17BloomDedup _,
+    "d18_soft_dedup"          -> d18SoftDedup _,
     "g10_cluster_sizes"       -> g10ClusterSizes _,
     "g13_label_purity"        -> g13LabelPurity _,
   )
@@ -1468,6 +1497,33 @@ object Dedup {
       JOIN nrm tb ON j.doc_b = tb.doc_id
       WHERE levenshtein(ta.norm, tb.norm) <= $MaxEditBudget
       ORDER BY doc_a, doc_b""",
+    // d18: d07's recursive component oracle, per-doc with the 1/size
+    // weight; singletons are the corpus complement at weight 1
+    "d18_soft_dedup" -> s"""
+      WITH RECURSIVE $JaccardPairsCte,
+      edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM jpairs
+        UNION ALL
+        SELECT doc_b AS src, doc_a AS dst FROM jpairs),
+      nodes AS (SELECT DISTINCT src AS v FROM edges),
+      reach(v, r) AS (
+        SELECT v, v AS r FROM nodes
+        UNION
+        SELECT e.src AS v, reach.r AS r
+        FROM edges e JOIN reach ON reach.v = e.dst),
+      comp AS (SELECT v, min(r) AS cluster_id FROM reach GROUP BY v),
+      csize AS (SELECT cluster_id, count(*) AS n FROM comp GROUP BY cluster_id),
+      allrows AS (
+        SELECT comp.v AS doc_id, comp.cluster_id,
+               CAST(csize.n AS BIGINT) AS cluster_size
+        FROM comp JOIN csize USING (cluster_id)
+        UNION ALL
+        SELECT d.doc_id, d.doc_id, CAST(1 AS BIGINT)
+        FROM documents d
+        WHERE d.doc_id NOT IN (SELECT v FROM comp))
+      SELECT doc_id, cluster_id, cluster_size,
+             round(CAST(1 AS DOUBLE) / cluster_size, 6) AS weight
+      FROM allrows ORDER BY doc_id""",
     // d07's recursive component oracle, rolled up to the size
     // distribution; the singleton row is the corpus complement
     "g10_cluster_sizes" -> s"""

@@ -171,6 +171,25 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("d18: soft weights conserve unit mass per cluster and cover every doc exactly once") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = Dedup.d18SoftDedup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(rows.length == nDocs, "every doc weighted exactly once")
+    // per-cluster mass: size × (1/size) ≈ 1 (rounding at 6 dp)
+    rows.groupBy(_._2).foreach { case (cid, rs) =>
+      val size = rs.head._3
+      assert(rs.forall(_._3 == size), s"cluster $cid size disagreement")
+      assert(math.abs(rs.map(_._4).sum - 1.0) < 1e-4, s"cluster $cid mass")
+    }
+    // total mass = effective unique count = #clusters
+    val nClusters = rows.map(_._2).distinct.length
+    assert(math.abs(rows.map(_._4).sum - nClusters) < 1e-3)
+    // duplication actually exists at this SF (non-vacuous weights < 1)
+    assert(rows.exists(_._4 < 1.0))
+  }
+
   test("d17: bloomDedup equals incrementalExactDedup (the gate never changes the answer)") {
     import org.apache.spark.sql.functions.{col, md5}
     import graft.text.TextAnalysis.normText
