@@ -55,7 +55,8 @@ object SparkEntry {
       ("k03_json_roundtrip" -> "e2e")
     val contract = Seq("s02_topk_lsh", "s03_topk_ivf", "s04_topk_pq",
       "s05_cluster_profile", "s09_topk_ivfsq", "s12_filtered_ivf",
-      "d04_simhash", "g07_profile_approx", "g14_heavy_hitters")
+      "s15_ivf_append", "d04_simhash", "g07_profile_approx",
+      "g14_heavy_hitters")
       .map(_ -> "contract").toMap
     val batch = queries.keys.map(_ -> "batch").toMap
     batch ++ e2e ++ contract

@@ -274,15 +274,89 @@ object Similarity {
       c
     }
     m.computeIfAbsent(d, { _ =>
-      import org.apache.spark.ml.clustering.KMeans
-      import org.apache.spark.ml.functions.array_to_vector
-      val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
-      val trainFrac = math.min(1.0, 4000.0 / math.max(1L, e.count()).toDouble)
-      val train = e.sample(withReplacement = false, trainFrac, seed = 42L)
-        .select(array_to_vector(col("embedding")).as("features"))
-      val model = new KMeans().setK(NumCells).setSeed(42L).setMaxIter(10).fit(train)
-      model.clusterCenters.map(_.toArray)
+      fitCoarse(Tables.embeddings(s, d).select(col("vec_id"), col("embedding")))
     })
+  }
+
+  private def fitCoarse(e: org.apache.spark.sql.DataFrame): Array[Array[Double]] = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val trainFrac = math.min(1.0, 4000.0 / math.max(1L, e.count()).toDouble)
+    val train = e.sample(withReplacement = false, trainFrac, seed = 42L)
+      .select(array_to_vector(col("embedding")).as("features"))
+    val model = new KMeans().setK(NumCells).setSeed(42L).setMaxIter(10).fit(train)
+    model.clusterCenters.map(_.toArray)
+  }
+
+  /** s15's FROZEN quantizer: trained on the OLD segment only (the new
+    * arrivals are unseen at training time — the real add-without-retrain
+    * scenario), memoized under a distinct key so it never collides with
+    * the s03/s09 whole-corpus quantizer. */
+  private[graft] def frozenCentroids(s: SparkSession, d: String): Array[Array[Double]] = {
+    val m = quantMemo.synchronized {
+      var c = quantMemo.get(s)
+      if (c == null) {
+        c = new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Double]]]()
+        quantMemo.put(s, c)
+      }
+      c
+    }
+    m.computeIfAbsent(s"$d#old", { _ =>
+      fitCoarse(Tables.embeddings(s, d)
+        .filter(col("vec_id") % AppendMod =!= 0)
+        .select(col("vec_id"), col("embedding")))
+    })
+  }
+
+  /** Every [[AppendMod]]-th vector plays the late-arriving segment in
+    * s15 (20 % of the corpus unseen by the frozen quantizer). */
+  val AppendMod = 5
+
+  /** s15: incremental IVF maintenance — FAISS `add()` semantics: the
+    * coarse quantizer is FROZEN at initial build (trained on the old
+    * segment only; the appended 20 % of the corpus was unseen), new
+    * vectors are assigned to their nearest frozen centroid with no
+    * retrain and no reassignment of old rows, and queries probe the
+    * union of segments. This is the production question for a growing
+    * corpus: does recall survive indexing data the quantizer never saw?
+    * The driver row is the recall contract vs the exact brute force
+    * over the WHOLE corpus (floor = [[IvfRecallFloor]], the same bar
+    * s03's fully-retrained index must clear); the spec pins the append
+    * laws (assignment = nearest frozen centroid; union search ≡
+    * one-shot assignment of the whole corpus to the frozen quantizer).
+    * Scale: append touches ONLY the new segment (assignment is one
+    * map-side pass against broadcast-literal centroids); the old
+    * segment's cells are untouched — no O(corpus) work per ingest. */
+  /** The appended index's (vec_id, embedding, cell) table — old segment
+    * and late arrivals, both against the frozen quantizer (exposed for
+    * the assignment-law spec). */
+  private[graft] def s15Assignments(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val centroids = frozenCentroids(s, d)
+    val oldSeg = e.filter(col("vec_id") % AppendMod =!= 0)
+      .withColumn("cell", cellOf(centroids, col("embedding")))
+    val newSeg = e.filter(col("vec_id") % AppendMod === 0)
+      .withColumn("cell", cellOf(centroids, col("embedding")))
+    oldSeg.unionByName(newSeg)
+  }
+
+  def s15IvfAppendTopK(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val centroids = frozenCentroids(s, d)
+    val assigned = s15Assignments(s, d)
+    val q = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        explode(probeCells(centroids, col("embedding"))).as("cell"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    assigned.join(broadcast(q), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos", cosine(col("qe"), col("embedding")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(col("cos"), 6).as("cos"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
   }
 
   def s03IvfTopK(s: SparkSession, d: String): DataFrame = {
@@ -523,6 +597,11 @@ object Similarity {
   /** s03 registered form: IVF top-k recall contract. */
   def s03IvfRecall(s: SparkSession, d: String): DataFrame =
     recallContract(s, d, s03IvfTopK(s, d), IvfRecallFloor)
+
+  /** s15 registered form: appended-index recall contract — judged
+    * against the exact top-k over the WHOLE corpus at s03's floor. */
+  def s15IvfAppendRecall(s: SparkSession, d: String): DataFrame =
+    recallContract(s, d, s15IvfAppendTopK(s, d), IvfRecallFloor)
 
   /** PQ geometry: [[PqSubspaces]] subvectors × [[PqCodes]] centroids each
     * (a 5-bit code per subspace). A 64-float vector (256 B) encodes to
@@ -1037,6 +1116,7 @@ object Similarity {
     "s11_knn_graph"       -> s11KnnGraph _,
     "s12_filtered_ivf"    -> s12FilteredIvfRecall _,
     "s13_knn_classify"    -> s13KnnClassify _,
+    "s15_ivf_append"      -> s15IvfAppendRecall _,
     "g11_class_tightness" -> g11ClassTightness _,
     "g12_label_centroids" -> g12LabelCentroids _,
   )
@@ -1055,6 +1135,7 @@ object Similarity {
     "s03_topk_ivf" -> contractOracle,
     "s04_topk_pq"  -> contractOracle,
     "s09_topk_ivfsq" -> contractOracle,
+    "s15_ivf_append" -> contractOracle,
     // s12: the exact-filtered result size per query IS oracle-computable
     // (min(k, same-label mates)); recall_ok is the engine-side contract
     "s12_filtered_ivf" -> s"""

@@ -171,6 +171,32 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("s15: append assigns every vector to its nearest FROZEN centroid, covering the corpus once") {
+    import org.apache.spark.sql.functions.col
+    val sf = "/root/testdata/sf0.001"
+    val cents = Similarity.frozenCentroids(spark, sf)
+    val assigned = Similarity.s15Assignments(spark, sf)
+      .collect().map(r => (r.getLong(0),
+        r.getSeq[Float](1).toArray, r.getInt(2)))
+    val nVecs = Tables.embeddings(spark, sf).count()
+    assert(assigned.length == nVecs, "every vector indexed exactly once")
+    // assignment law: cell = argmin squared distance to the frozen
+    // centroids — for OLD and APPENDED rows alike (no retrain happened)
+    def nearest(v: Array[Float]): Int =
+      cents.indices.minBy { c =>
+        val cc = cents(c)
+        var i = 0; var acc = 0.0
+        while (i < cc.length) { val dd = v(i) - cc(i); acc += dd * dd; i += 1 }
+        acc
+      }
+    assigned.foreach { case (id, v, cell) =>
+      assert(cell == nearest(v), s"vec $id assigned to $cell, nearest is ${nearest(v)}")
+    }
+    // the appended segment is non-empty and lands in existing cells only
+    val newCells = assigned.filter(_._1 % Similarity.AppendMod == 0).map(_._3)
+    assert(newCells.nonEmpty && newCells.forall(c => c >= 0 && c < cents.length))
+  }
+
   test("d18: soft weights conserve unit mass per cluster and cover every doc exactly once") {
     val sf = "/root/testdata/sf0.001"
     val rows = Dedup.d18SoftDedup(spark, sf).collect()
