@@ -262,6 +262,44 @@ object ControlPlaneQueries {
         .localCheckpoint(eager = true)
     }
 
+  /** The k04 schema cut: files written BEFORE it carry the v1 schema
+    * (no value/event_type columns), files after it the widened v2. */
+  val SchemaCut = "2024-01-15"
+
+  /** k04: schema-evolution round-trip — the lake reality x02's crawler
+    * handles at the catalog level, exercised at the FILE level: early
+    * files carry the v1 schema (id, ts, user), later files the widened
+    * v2 (+value, +event_type); one `mergeSchema` read reconciles them,
+    * with v1 rows surfacing the new columns as nulls (never dropped,
+    * never failing the scan). The rollup pins the evolution semantics:
+    * n_total conserves every row across both generations, the null
+    * masses equal the v1 population exactly, and the value sum equals
+    * the v2 slice's — all restated by the oracle over the original
+    * table with the same cut. At scale this is why a reader can span
+    * years of layout history in one query (footer-level merge, no
+    * rewrite of old files). */
+  def k04SchemaEvolution(s: SparkSession, d: String): DataFrame =
+    withTmp(s, "graft-k04-") { tmp =>
+      val ev = Tables.events(s, d)
+      val cut = lit(SchemaCut).cast("timestamp")
+      ev.filter(col("ts") < cut)
+        .select(col("event_id"), col("ts"), col("user_id"))
+        .write.mode("overwrite").parquet(s"$tmp/lake/gen=v1")
+      ev.filter(col("ts") >= cut)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("value"), col("event_type"))
+        .write.mode("overwrite").parquet(s"$tmp/lake/gen=v2")
+      val back = s.read.option("mergeSchema", "true").parquet(s"$tmp/lake")
+      back.agg(
+          count(lit(1)).as("n_total"),
+          sum(when(col("value").isNull, 1L).otherwise(0L)).as("n_null_value"),
+          sum(when(col("event_type").isNull, 1L).otherwise(0L)).as("n_null_type"),
+          count(col("value")).as("n_v2"),
+          coalesce(sum(round(col("value") * 100).cast("long")), lit(0L)).as("cents_v2"),
+          countDistinct(col("event_type")).as("n_types"))
+        .localCheckpoint(eager = true)
+    }
+
   /** k02: the bucketed co-located join e2e as a driver row (upgrades the
     * ExtensionsSpec-only proof): orders and lineitem are written as
     * 8-bucket tables on the join key ([[Sinks.writeBucketed]]), then
@@ -313,6 +351,7 @@ object ControlPlaneQueries {
     "x02_catalog_sql"     -> x02CatalogSql _,
     "x03_parallel_scatter" -> x03ParallelScatter _,
     "x04_map_state"        -> x04MapState _,
+    "k04_schema_evolution" -> k04SchemaEvolution _,
     "k01_format_roundtrip" -> k01FormatRoundtrip _,
     "k02_bucketed_join"   -> k02BucketedJoin _,
     "k03_json_roundtrip"  -> k03JsonRoundtrip _,
@@ -389,6 +428,18 @@ object ControlPlaneQueries {
       WHERE ts < TIMESTAMP '$E2eFeedEnd'
       GROUP BY event_type
       ORDER BY event_type""",
+    // k04: the evolution semantics restated over the original table —
+    // null masses equal the v1 population, value mass equals the v2 slice
+    "k04_schema_evolution" -> s"""
+      SELECT count(*) AS n_total,
+             count(*) FILTER (WHERE ts < TIMESTAMP '$SchemaCut') AS n_null_value,
+             count(*) FILTER (WHERE ts < TIMESTAMP '$SchemaCut') AS n_null_type,
+             count(*) FILTER (WHERE ts >= TIMESTAMP '$SchemaCut') AS n_v2,
+             CAST(COALESCE(sum(CAST(round(value * 100) AS BIGINT))
+               FILTER (WHERE ts >= TIMESTAMP '$SchemaCut'), 0) AS BIGINT) AS cents_v2,
+             count(DISTINCT event_type)
+               FILTER (WHERE ts >= TIMESTAMP '$SchemaCut') AS n_types
+      FROM events""",
     // x04: the Map ≡ groupBy law — the dynamic per-item fan-out gathered
     // by union must equal the plain grouped rollup
     "x04_map_state" -> s"""
