@@ -132,6 +132,40 @@ object ExtendedQueries {
       .orderBy(col("event_id"))
   }
 
+  /** a08: TEMPORAL (point-in-time) join against an SCD2 dimension — the
+    * lakehouse query every p08-style history table exists to answer:
+    * each fact row joined to the dimension version valid AT its own
+    * timestamp (`valid_from <= ts < valid_to`, half-open; open rows
+    * have null valid_to). Built on [[Joins.asOf]]'s backward walk over
+    * `valid_from` — SCD2 intervals tile each key's timeline, so the
+    * latest-start-at-or-before row IS the containing interval (a
+    * defensive `ts < valid_to` guard documents the general
+    * non-contiguous case and costs one filter) — one key shuffle, no
+    * range-join BNLJ. Facts before a key's first version emit null
+    * (they predate the dimension). The dimension here is the per-user
+    * purchase-value history (`Transform.scd2` over purchases, versions
+    * unique per key at every SF — verified); facts are error events. */
+  def a08TemporalJoin(s: SparkSession, d: String): DataFrame = {
+    import graft.transform.Transform
+    val ev = Tables.events(s, d)
+    val dim = Transform.scd2(
+      ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"),
+          round(col("value") * 100).cast("long").as("cents")),
+      keys = Seq("user_id"), versionCol = "ts")
+    val facts = ev.filter(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    Joins.asOf(facts, dim, "user_id",
+        leftTs = col("ts"), rightTs = col("valid_from"),
+        payload = Seq(col("cents").as("dim_cents"),
+          col("valid_to").as("dim_to")),
+        tieBreak = col("valid_from"))
+      .select(col("event_id"), col("user_id"),
+        when(col("dim_to").isNull || col("ts") < col("dim_to"),
+          col("dim_cents")).as("dim_cents"))
+      .orderBy(col("event_id"))
+  }
+
   /** a06: as-of vs a NATIVE independent implementation — the strongest
     * oracle form the as-of family can carry: a01/a03/a04/a05's oracles
     * RESTATE the union-merge as window SQL (same algorithm, different
@@ -439,6 +473,7 @@ object ExtendedQueries {
     "a05_asof_nearest"   -> a05AsOfNearest _,
     "a06_asof_native"    -> a06AsOfNative _,
     "a07_asof_interpolate" -> a07AsOfInterpolate _,
+    "a08_temporal_join"    -> a08TemporalJoin _,
     "q37_sliding_window" -> q37SlidingWindow _,
     "q30_pivot"          -> q30Pivot _,
     "q25_approx_distinct"-> q25ApproxDistinct _,
@@ -597,6 +632,27 @@ object ExtendedQueries {
              CASE WHEN ts - m_ts <= INTERVAL 30 MINUTE
                   THEN epoch_us(m_ts) - epoch_us(ts) END AS gap_us
       FROM m WHERE side = 1 ORDER BY event_id""",
+    // a08: the point-in-time semantics stated DIRECTLY as an interval
+    // join (valid_from <= ts < valid_to over the lead-built dimension)
+    // — a structurally different formulation from the as-of walk
+    "a08_temporal_join" -> """
+      WITH p AS (
+        SELECT user_id, ts,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events WHERE event_type = 'purchase'),
+      dim AS (
+        SELECT user_id, ts AS valid_from,
+               lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to,
+               cents
+        FROM p),
+      f AS (
+        SELECT event_id, user_id, ts
+        FROM events WHERE event_type = 'error')
+      SELECT f.event_id, f.user_id, d.cents AS dim_cents
+      FROM f LEFT JOIN dim d
+        ON f.user_id = d.user_id AND d.valid_from <= f.ts
+       AND (d.valid_to IS NULL OR f.ts < d.valid_to)
+      ORDER BY event_id""",
     // a07: both directed walks (the bracket) as two windows over ONE
     // stacked union with the purchase cents carried; the blend restated
     // as the same exact-integer (numerator, denominator) pair

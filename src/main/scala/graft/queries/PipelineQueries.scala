@@ -858,6 +858,41 @@ object PipelineQueries {
       .orderBy(col("source"))
   }
 
+  /** g19: functional-dependency audit — the profiling pass that decides
+    * whether `lhs → rhs` holds on the actual data (schema-inference /
+    * normalization / key-discovery input, the Metanome-style FD check
+    * as a panel): an FD holds iff every lhs value maps to exactly one
+    * rhs value, i.e. countDistinct(lhs) == countDistinct(lhs, rhs);
+    * violations = the surplus (lhs, rhs) combinations. One aggregation
+    * per candidate over one scan each of two tables (distinct-pair
+    * counting shuffles 16-byte hashes, never rows); the candidate list
+    * deliberately mixes holding FDs (orders' key determines everything)
+    * with failing ones (a user emits many event types). */
+  def g19FdAudit(s: SparkSession, d: String): DataFrame = {
+    def audit(df: DataFrame, table: String,
+              cands: Seq[(String, String)]): DataFrame = {
+      val aggs = cands.zipWithIndex.flatMap { case ((l, r), i) =>
+        Seq(countDistinct(col(l)).as(s"_l$i"),
+          countDistinct(col(l), col(r)).as(s"_p$i"))
+      }
+      val one = df.agg(aggs.head, aggs.tail: _*)
+      val entries = cands.zipWithIndex.map { case ((l, r), i) =>
+        struct(lit(table).as("table_name"), lit(l).as("lhs"), lit(r).as("rhs"),
+          col(s"_l$i").as("n_lhs"), col(s"_p$i").as("n_pairs"))
+      }
+      one.select(explode(array(entries: _*)).as("e")).select(col("e.*"))
+    }
+    val orders = audit(Tables.orders(s, d), "orders", Seq(
+      ("o_orderkey", "o_custkey"), ("o_orderkey", "o_orderstatus"),
+      ("o_custkey", "o_orderstatus")))
+    val events = audit(Tables.events(s, d), "events", Seq(
+      ("event_id", "user_id"), ("user_id", "event_type")))
+    orders.unionByName(events)
+      .withColumn("violations", col("n_pairs") - col("n_lhs"))
+      .withColumn("holds", col("n_pairs") === col("n_lhs"))
+      .orderBy(col("table_name"), col("lhs"), col("rhs"))
+  }
+
   /** p30 arrival cut — deliberately NOT hour-aligned, so exactly the
     * 07:00 hour on this day straddles the two scheduled runs and the
     * final read genuinely merges partials from different runs. */
@@ -1505,6 +1540,7 @@ object PipelineQueries {
     "g09_token_profile"     -> g09TokenProfile _,
     "g17_event_funnel"      -> g17EventFunnel _,
     "p30_bookmark_ingest"   -> p30BookmarkIngest _,
+    "g19_fd_audit"          -> g19FdAudit _,
   )
 
   /** Shared p16/p20 oracle front (`t`..`gated`) — the funnel gate CTEs,
@@ -1948,6 +1984,33 @@ object PipelineQueries {
       FROM documents d JOIN r USING (source)
       GROUP BY d.source
       ORDER BY d.source""",
+    // g19: each FD candidate restated as two distinct counts; literal
+    // (table, lhs, rhs) ids so the engines can only agree by meaning
+    "g19_fd_audit" -> """
+      WITH c AS (
+        SELECT 'orders' AS table_name, 'o_orderkey' AS lhs, 'o_custkey' AS rhs,
+               count(DISTINCT o_orderkey) AS n_lhs,
+               count(DISTINCT (o_orderkey, o_custkey)) AS n_pairs FROM orders
+        UNION ALL
+        SELECT 'orders', 'o_orderkey', 'o_orderstatus',
+               count(DISTINCT o_orderkey),
+               count(DISTINCT (o_orderkey, o_orderstatus)) FROM orders
+        UNION ALL
+        SELECT 'orders', 'o_custkey', 'o_orderstatus',
+               count(DISTINCT o_custkey),
+               count(DISTINCT (o_custkey, o_orderstatus)) FROM orders
+        UNION ALL
+        SELECT 'events', 'event_id', 'user_id',
+               count(DISTINCT event_id),
+               count(DISTINCT (event_id, user_id)) FROM events
+        UNION ALL
+        SELECT 'events', 'user_id', 'event_type',
+               count(DISTINCT user_id),
+               count(DISTINCT (user_id, event_type)) FROM events)
+      SELECT table_name, lhs, rhs, n_lhs, n_pairs,
+             n_pairs - n_lhs AS violations,
+             n_pairs = n_lhs AS holds
+      FROM c ORDER BY table_name, lhs, rhs""",
     // p30: the union-of-incremental-runs ≡ one-shot-run law; run
     // membership restated as the arrival-cut CASE, n_runs pins the
     // straddling hour

@@ -264,6 +264,35 @@ class AsOfJoinSpec extends SparkSpec {
     }
   }
 
+  test("temporal join via asOf: containing interval wins; boundaries half-open; gaps and pre-history null") {
+    // a non-contiguous SCD2-style dimension: [10,20) -> 100, [20,30) -> 200,
+    // a GAP [30,50), then open-from-50 -> 300
+    val dim = Seq(
+      ("k", 10L, Some(20L), 100L),
+      ("k", 20L, Some(30L), 200L),
+      ("k", 50L, None, 300L)
+    ).toDF("k", "valid_from", "valid_to", "cents")
+    val facts = Seq(
+      (1L, "k", 5L),   // pre-history -> null
+      (2L, "k", 15L),  // inside first -> 100
+      (3L, "k", 20L),  // boundary: half-open, second interval -> 200
+      (4L, "k", 29L),  // inside second -> 200
+      (5L, "k", 35L),  // in the GAP -> null (the defensive valid_to guard)
+      (6L, "k", 50L),  // open-row start -> 300
+      (7L, "k", 99L)   // deep in the open row -> 300
+    ).toDF("id", "k", "ts")
+    val out = Joins.asOf(facts, dim, "k",
+        leftTs = col("ts"), rightTs = col("valid_from"),
+        payload = Seq(col("cents").as("dim_cents"), col("valid_to").as("dim_to")),
+        tieBreak = col("valid_from"))
+      .select(col("id"),
+        when(col("dim_to").isNull || col("ts") < col("dim_to"),
+          col("dim_cents")).as("c"))
+      .as[(Long, Option[Long])].collect().sortBy(_._1)
+    assert(out.map(_._2).toSeq == Seq(None, Some(100L), Some(200L),
+      Some(200L), None, Some(300L), Some(300L)), out.mkString(","))
+  }
+
   test("asOf plans a single shuffle on the key - no nested loop join") {
     val left = Seq((1L, "k", ts("2024-01-01 10:00:00"))).toDF("id", "k", "ts")
     val right = Seq((2L, "k", ts("2024-01-01 09:00:00"), 1.0)).toDF("rid", "k", "ts", "v")
