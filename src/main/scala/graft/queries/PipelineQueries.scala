@@ -858,6 +858,70 @@ object PipelineQueries {
       .orderBy(col("source"))
   }
 
+  /** p31: dataset DATACARD — the one-artifact corpus summary a curation
+    * pipeline publishes alongside its shards (the "dataset card" the
+    * open-data releases ship): corpus size, language and source
+    * composition with shares, token accounting, quality quantiles, and
+    * exact-duplication structure, in a tall (section, item, n, v)
+    * schema so the artifact is stable, diffable, and oracle-exact (no
+    * nested maps whose ordering could flip a hash). Every number
+    * reuses an already-oracled definition — the t02 quality score, the
+    * t04 fingerprint, the shared tokenizer — so the card can never
+    * disagree with the operators it summarizes. Quantiles use
+    * percentile_disc (element-picking: exact across engines). Cost: a
+    * handful of metadata-width scans + one tokenizer pass; the card is
+    * a few dozen rows regardless of corpus size. */
+  def p31Datacard(s: SparkSession, d: String): DataFrame = {
+    import graft.text.TextAnalysis
+    val docs = Tables.documents(s, d)
+    val nDocs = docs.count()
+    def entry(sec: String, item: Column, n: Column, v: Column) =
+      struct(lit(sec).as("section"), item.as("item"),
+        n.cast("long").as("n"), v.cast("double").as("v"))
+    def unpivot(df: DataFrame, entries: Seq[Column]): DataFrame =
+      df.select(explode(array(entries: _*)).as("e")).select(col("e.*"))
+    val nullV = lit(null).cast("double")
+    val nullN = lit(null).cast("long")
+    def share(c: Column) = round(c.cast("double") / lit(nDocs.toDouble), 6)
+
+    val corpus = unpivot(
+      docs.agg(count(lit(1)).as("nd"), sum(col("n_chars")).as("nc")),
+      Seq(entry("corpus", lit("docs"), col("nd"), nullV),
+        entry("corpus", lit("chars"), col("nc"), nullV)))
+    val lang = docs.groupBy(col("lang")).agg(count(lit(1)).as("c"))
+      .select(lit("lang").as("section"), col("lang").as("item"),
+        col("c").as("n"), share(col("c")).as("v"))
+    val source = docs.groupBy(col("source")).agg(count(lit(1)).as("c"))
+      .select(lit("source").as("section"), col("source").as("item"),
+        col("c").as("n"), share(col("c")).as("v"))
+    val toks = unpivot(
+      docs.select(size(TextAnalysis.tokens(col("text"))).cast("long").as("nt"))
+        .agg(sum(col("nt")).as("t"), count(lit(1)).as("c")),
+      Seq(entry("tokens", lit("total"), col("t"), nullV),
+        entry("tokens", lit("mean"), nullN,
+          round(col("t").cast("double") / col("c").cast("double"), 6))))
+    TextAnalysis.t02Quality(s, d).createOrReplaceTempView("dc_quality")
+    val quality = s.sql("""
+      SELECT 'quality' AS section, item, CAST(NULL AS BIGINT) AS n, v FROM (
+        SELECT 'p25' AS item,
+               percentile_disc(0.25) WITHIN GROUP (ORDER BY quality) AS v
+        FROM dc_quality
+        UNION ALL SELECT 'p50',
+               percentile_disc(0.5) WITHIN GROUP (ORDER BY quality)
+        FROM dc_quality
+        UNION ALL SELECT 'p75',
+               percentile_disc(0.75) WITHIN GROUP (ORDER BY quality)
+        FROM dc_quality)""")
+    val dedup = unpivot(
+      docs.select(md5(graft.text.TextAnalysis.normText(col("text"))).as("fp"))
+        .agg(countDistinct(col("fp")).as("u")),
+      Seq(entry("dedup", lit("unique"), col("u"), nullV),
+        entry("dedup", lit("dup_docs"), lit(nDocs) - col("u"), nullV)))
+    corpus.unionByName(lang).unionByName(source).unionByName(toks)
+      .unionByName(quality).unionByName(dedup)
+      .orderBy(col("section"), col("item"))
+  }
+
   /** g19: functional-dependency audit — the profiling pass that decides
     * whether `lhs → rhs` holds on the actual data (schema-inference /
     * normalization / key-discovery input, the Metanome-style FD check
@@ -1541,6 +1605,7 @@ object PipelineQueries {
     "g17_event_funnel"      -> g17EventFunnel _,
     "p30_bookmark_ingest"   -> p30BookmarkIngest _,
     "g19_fd_audit"          -> g19FdAudit _,
+    "p31_datacard"          -> p31Datacard _,
   )
 
   /** Shared p16/p20 oracle front (`t`..`gated`) — the funnel gate CTEs,
@@ -1984,6 +2049,53 @@ object PipelineQueries {
       FROM documents d JOIN r USING (source)
       GROUP BY d.source
       ORDER BY d.source""",
+    // p31: every card number restated from the SAME shared definitions
+    // (tokenizer, t02 quality, t04 fingerprint) in the tall schema
+    "p31_datacard" -> s"""
+      WITH t AS (
+        SELECT doc_id, lang, source, n_chars,
+               ${graft.text.TextAnalysis.ToksSql} AS toks,
+               ${graft.text.TextAnalysis.NormSql} AS norm
+        FROM documents),
+      q AS (SELECT ${graft.text.TextAnalysis.QualityExprSql} AS quality FROM t),
+      tot AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM documents),
+      card AS (
+        SELECT 'corpus' AS section, 'docs' AS item,
+               CAST(count(*) AS BIGINT) AS n, NULL::DOUBLE AS v FROM documents
+        UNION ALL
+        SELECT 'corpus', 'chars', CAST(sum(n_chars) AS BIGINT), NULL FROM documents
+        UNION ALL
+        SELECT 'lang', lang, count(*),
+               round(CAST(count(*) AS DOUBLE) / (SELECT nd FROM tot), 6)
+        FROM documents GROUP BY lang
+        UNION ALL
+        SELECT 'source', source, count(*),
+               round(CAST(count(*) AS DOUBLE) / (SELECT nd FROM tot), 6)
+        FROM documents GROUP BY source
+        UNION ALL
+        SELECT 'tokens', 'total', CAST(sum(len(toks)) AS BIGINT), NULL FROM t
+        UNION ALL
+        SELECT 'tokens', 'mean', NULL,
+               round(CAST(sum(len(toks)) AS DOUBLE) / count(*), 6) FROM t
+        UNION ALL
+        SELECT 'quality', 'p25', NULL,
+               percentile_disc(0.25) WITHIN GROUP (ORDER BY quality) FROM q
+        UNION ALL
+        SELECT 'quality', 'p50', NULL,
+               percentile_disc(0.5) WITHIN GROUP (ORDER BY quality) FROM q
+        UNION ALL
+        SELECT 'quality', 'p75', NULL,
+               percentile_disc(0.75) WITHIN GROUP (ORDER BY quality) FROM q
+        UNION ALL
+        SELECT 'dedup', 'unique',
+               CAST(count(DISTINCT ${graft.text.TextAnalysis.FpSql}) AS BIGINT),
+               NULL FROM documents
+        UNION ALL
+        SELECT 'dedup', 'dup_docs',
+               CAST(count(*) - count(DISTINCT ${graft.text.TextAnalysis.FpSql})
+                 AS BIGINT), NULL FROM documents)
+      SELECT section, item, n, v FROM card
+      ORDER BY section, item""",
     // g19: each FD candidate restated as two distinct counts; literal
     // (table, lhs, rhs) ids so the engines can only agree by meaning
     "g19_fd_audit" -> """

@@ -218,4 +218,32 @@ class CurationOpsSpec extends SparkSpec {
       s"${got.length} vs ${batch.length}")
     got.zip(batch).foreach { case (g, b) => assert(g == b, s"$g != $b") }
   }
+
+  test("p31: datacard internal consistency - shares sum to 1, masses reconcile") {
+    import org.apache.spark.sql.Row
+    val sf = "/root/testdata/sf0.001"
+    val card = graft.queries.PipelineQueries.p31Datacard(spark, sf).collect()
+      .map { case Row(s: String, i: String, n, v) =>
+        (s, i) -> (Option(n).map(_.asInstanceOf[Long]),
+                   Option(v).map(_.asInstanceOf[Double])) }.toMap
+    val nDocs = card(("corpus", "docs"))._1.get
+    assert(nDocs == Tables.documents(spark, sf).count())
+    // composition shares each sum to 1 within rounding
+    Seq("lang", "source").foreach { sec =>
+      val shares = card.collect { case ((`sec`, _), (_, Some(v))) => v }
+      val mass = card.collect { case ((`sec`, _), (Some(n), _)) => n }
+      assert(math.abs(shares.sum - 1.0) < 1e-4, s"$sec shares")
+      assert(mass.sum == nDocs, s"$sec masses must cover the corpus")
+    }
+    // duplication reconciles: unique + dup_docs = docs
+    assert(card(("dedup", "unique"))._1.get +
+      card(("dedup", "dup_docs"))._1.get == nDocs)
+    // quantiles are ordered and in [0, 1]
+    val Seq(p25, p50, p75) = Seq("p25", "p50", "p75")
+      .map(p => card(("quality", p))._2.get)
+    assert(p25 <= p50 && p50 <= p75 && p25 >= 0.0 && p75 <= 1.0)
+    // token mean is total / docs
+    assert(math.abs(card(("tokens", "mean"))._2.get -
+      card(("tokens", "total"))._1.get.toDouble / nDocs) < 1e-4)
+  }
 }
