@@ -130,6 +130,35 @@ object Dedup {
   val BandRows  = 2
   val NumBands: Int = NumHashes / BandRows
 
+  /** Choose an LSH banding geometry from the DECISION requirements
+    * instead of by hand: given the Jaccard threshold J* the pipeline
+    * filters at, the largest acceptable probability of MISSING a pair
+    * at exactly J*, and the signature budget H, return the (bands,
+    * rowsPerBand) with the fewest false candidates (largest feasible
+    * rows-per-band — candidate selectivity grows with r) that still
+    * satisfies `(1 − J*^r)^(H/r) ≤ maxMiss`. This is the [[NumHashes]]
+    * scaladoc's derivation as executable code: `lshGeometry(0.6, 1e-6,
+    * 64)` returns the (32, 2) the d03 row uses (and the spec pins that
+    * agreement). Throws loudly when no divisor of the budget meets the
+    * miss bound — a silent fallback geometry would silently desync an
+    * LSH row from its exact oracle. */
+  def lshGeometry(jThreshold: Double, maxMiss: Double,
+                  hashBudget: Int = NumHashes): (Int, Int) = {
+    require(jThreshold > 0 && jThreshold < 1, s"jThreshold $jThreshold")
+    require(maxMiss > 0 && maxMiss < 1, s"maxMiss $maxMiss")
+    val feasible = (1 to hashBudget)
+      .filter(hashBudget % _ == 0)
+      .map { r =>
+        val b = hashBudget / r
+        (r, b, math.pow(1.0 - math.pow(jThreshold, r), b))
+      }
+      .filter(_._3 <= maxMiss)
+    require(feasible.nonEmpty,
+      s"no geometry within $hashBudget hashes meets miss <= $maxMiss at J = $jThreshold")
+    val (r, b, _) = feasible.maxBy(_._1)
+    (b, r)
+  }
+
   /** d03: MinHash + LSH near-dup. Shingles are exploded once and hashed
     * flat (`xxhash64` is codegen'd as a plain expression; wrapping it in
     * `transform` lambdas would evaluate interpreted per element —

@@ -171,6 +171,25 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("lshGeometry derives d03's hand-chosen banding and respects the miss bound") {
+    // the documented derivation, now executable: J=0.6, miss 1e-6, 64 hashes
+    assert(Dedup.lshGeometry(0.6, 1e-6, 64) == ((Dedup.NumBands, Dedup.BandRows)))
+    // the returned geometry always satisfies its own bound
+    for (j <- Seq(0.5, 0.6, 0.8, 0.9); m <- Seq(1e-3, 1e-6); h <- Seq(64, 128)) {
+      val (b, r) = Dedup.lshGeometry(j, m, h)
+      assert(b * r == h)
+      assert(math.pow(1.0 - math.pow(j, r), b) <= m, s"(j=$j m=$m h=$h)")
+    }
+    // a higher threshold affords more rows per band (more selective)
+    val (_, rLo) = Dedup.lshGeometry(0.5, 1e-6, 64)
+    val (_, rHi) = Dedup.lshGeometry(0.9, 1e-6, 64)
+    assert(rHi >= rLo)
+    // an unsatisfiable bound fails loudly, never silently degrades
+    intercept[IllegalArgumentException] {
+      Dedup.lshGeometry(0.05, 1e-12, 8)
+    }
+  }
+
   test("s15: append assigns every vector to its nearest FROZEN centroid, covering the corpus once") {
     import org.apache.spark.sql.functions.col
     val sf = "/root/testdata/sf0.001"
