@@ -658,4 +658,20 @@ class PlanSpec extends SparkSpec {
     assert(plan.linesIterator.count(_.contains("Scan parquet")) == 1, plan)
     assert(!plan.contains("Union"), plan) // the report unpivot is explode
   }
+
+  test("g19: the FD panel scans each table once (all candidates share one aggregation)") {
+    val plan = executed(PipelineQueries.g19FdAudit(spark, sf))
+    // one orders scan + one events scan — candidates never re-scan
+    assert(plan.linesIterator.count(_.contains("Scan parquet")) == 2, plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("a08: the temporal join is the as-of walk — no range-join BNLJ, no cartesian") {
+    val plan = executed(graft.queries.ExtendedQueries.a08TemporalJoin(spark, sf))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    // one hash exchange on the key feeds the dimension window AND the
+    // stacked as-of walk's windows
+    assert(plan.linesIterator.exists(_.contains("Exchange hashpartitioning(user_id")), plan)
+  }
 }
