@@ -246,8 +246,9 @@ object Similarity {
 
   /** Per-query probe list: the [[NProbe]] nearest cells. */
   private def probeCells(centroids: Array[Array[Double]],
-                         vec: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    slice(array_sort(array(centroidDists(centroids, vec).toIndexedSeq: _*)), 1, NProbe)
+                         vec: org.apache.spark.sql.Column,
+                         n: Int = NProbe): org.apache.spark.sql.Column =
+    slice(array_sort(array(centroidDists(centroids, vec).toIndexedSeq: _*)), 1, n)
       .getField("cell")
 
   /** The KMeans coarse quantizer shared by s03/s09: trained on a bounded
@@ -312,6 +313,15 @@ object Similarity {
     * s15 (20 % of the corpus unseen by the frozen quantizer). */
   val AppendMod = 5
 
+  /** s15 probes WIDER than s03 (12 of 24 cells vs 8) — the measured
+    * production trade of frozen-index operation: a quantizer that never
+    * saw 20 % of the corpus draws slightly-off cell boundaries, so at
+    * sf0.1 one query's true neighbors fell outside the 8-cell probe set
+    * (recall 0.3 < the 0.4 floor). Recovering recall by probing wider —
+    * paying scan, never rebuild — is exactly what an operator without a
+    * retrain window does. */
+  val S15Probe = 12
+
   /** s15: incremental IVF maintenance — FAISS `add()` semantics: the
     * coarse quantizer is FROZEN at initial build (trained on the old
     * segment only; the appended 20 % of the corpus was unseen), new
@@ -346,7 +356,7 @@ object Similarity {
     val assigned = s15Assignments(s, d)
     val q = e.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
-        explode(probeCells(centroids, col("embedding"))).as("cell"))
+        explode(probeCells(centroids, col("embedding"), S15Probe)).as("cell"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("vec_id"))
     assigned.join(broadcast(q), Seq("cell"))
