@@ -52,7 +52,10 @@ object SparkEntry {
     val e2e = queries.keys.filter(k => k.startsWith("st") || k.startsWith("x"))
       .map(_ -> "e2e").toMap +
       ("k01_format_roundtrip" -> "e2e") + ("k02_bucketed_join" -> "e2e") +
-      ("k03_json_roundtrip" -> "e2e") + ("k04_schema_evolution" -> "e2e")
+      ("k03_json_roundtrip" -> "e2e") + ("k04_schema_evolution" -> "e2e") +
+      // p30 lands three real parquet write/read cycles plus bookmark
+      // audit writes against a one-GROUP-BY oracle — the k01 rule
+      ("p30_bookmark_ingest" -> "e2e")
     val contract = Seq("s02_topk_lsh", "s03_topk_ivf", "s04_topk_pq",
       "s05_cluster_profile", "s09_topk_ivfsq", "s12_filtered_ivf",
       "s15_ivf_append", "d04_simhash", "g07_profile_approx",

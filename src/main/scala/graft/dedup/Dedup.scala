@@ -1518,13 +1518,18 @@ object Dedup {
       WITH $JaccardPairsCte,
       nrm AS (
         SELECT doc_id, ${graft.text.TextAnalysis.NormSql} AS norm
-        FROM documents)
-      SELECT j.doc_a, j.doc_b, j.jaccard,
-             CAST(levenshtein(ta.norm, tb.norm) AS INT) AS lev
-      FROM jpairs j
-      JOIN nrm ta ON j.doc_a = ta.doc_id
-      JOIN nrm tb ON j.doc_b = tb.doc_id
-      WHERE levenshtein(ta.norm, tb.norm) <= $MaxEditBudget
+        FROM documents),
+      scored AS (
+        -- levenshtein computed ONCE per pair (no cross-clause CSE
+        -- guarantee; the O(len^2) distance dominates this oracle)
+        SELECT j.doc_a, j.doc_b, j.jaccard,
+               CAST(levenshtein(ta.norm, tb.norm) AS INT) AS lev
+        FROM jpairs j
+        JOIN nrm ta ON j.doc_a = ta.doc_id
+        JOIN nrm tb ON j.doc_b = tb.doc_id)
+      SELECT doc_a, doc_b, jaccard, lev
+      FROM scored
+      WHERE lev <= $MaxEditBudget
       ORDER BY doc_a, doc_b""",
     // d18: d07's recursive component oracle, per-doc with the 1/size
     // weight; singletons are the corpus complement at weight 1

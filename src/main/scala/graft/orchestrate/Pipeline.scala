@@ -93,15 +93,23 @@ final class PipelineRunner(stateLog: StateLog, config: PipelineConfig = Pipeline
           case Left(err)  => PipelineOutcome.Failed(s"$name: $err")
         }
       case Flow.MapState(name, items, perItem, next, maxItems) =>
-        withRetry(id, name) {
-          val list = items(df)
-          require(list.nonEmpty, s"$name: empty item list")
-          require(list.size <= maxItems,
-            s"$name: ${list.size} items exceed maxItems=$maxItems")
-          list.map(perItem(df, _)).reduce(_ unionByName _)
-        } match {
-          case Right(out) => exec(id, next, out, deadline)
-          case Left(err)  => PipelineOutcome.Failed(s"$name: $err")
+        // deriving the item list is retryable cluster work; the WIRING
+        // guards are not — a 65-items-with-maxItems-64 machine fails the
+        // same way on every attempt, so retrying it only burns the
+        // backoff budget and journals spurious attempt rows
+        withRetry(id, s"$name:items")(items(df)) match {
+          case Left(err) => PipelineOutcome.Failed(s"$name: $err")
+          case Right(list) if list.isEmpty =>
+            PipelineOutcome.Failed(s"$name: empty item list")
+          case Right(list) if list.size > maxItems =>
+            PipelineOutcome.Failed(
+              s"$name: ${list.size} items exceed maxItems=$maxItems")
+          case Right(list) =>
+            withRetry(id, name)(
+              list.map(perItem(df, _)).reduce(_ unionByName _)) match {
+              case Right(out) => exec(id, next, out, deadline)
+              case Left(err)  => PipelineOutcome.Failed(s"$name: $err")
+            }
         }
       case Flow.Succeed(score) =>
         withRetry(id, "succeed")(score(df)) match {

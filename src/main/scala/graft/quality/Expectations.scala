@@ -40,12 +40,22 @@ object Expectations {
       sum(when(col(column).isNull, 1L).otherwise(0L))
   }
 
-  /** Uniqueness of a column tuple; violations = rows minus distinct
-    * tuples (i.e. the surplus copies, 0 when unique). */
+  /** Uniqueness of a column tuple under the SQL UNIQUE-constraint
+    * convention: rows with ANY null key column are EXEMPT (declare
+    * [[NotNull]] separately if absence matters); violations = the
+    * surplus copies among fully-non-null tuples. The convention is
+    * explicit because the engines disagree by default — Spark's
+    * countDistinct over a struct counts a null-field tuple, SQL's
+    * count(DISTINCT col) skips it — so a defined rule (and the oracle
+    * restating it with the same filter) is the only way the check
+    * means one thing. */
   final case class Unique(columns: Seq[String]) extends Expectation {
     val id = s"unique(${columns.mkString(",")})"
-    private[quality] def violations =
-      count(lit(1)) - countDistinct(struct(columns.map(col): _*))
+    private[quality] def violations = {
+      val allSet = columns.map(col(_).isNotNull).reduce(_ && _)
+      sum(when(allSet, 1L).otherwise(0L)) -
+        countDistinct(when(allSet, struct(columns.map(col): _*)))
+    }
     override val mergeable = false
   }
 
@@ -152,8 +162,13 @@ object Expectations {
       WITH agg AS (
         SELECT count(*) AS n_rows,
           count(*) FILTER (WHERE o_orderkey IS NULL) AS v0,
-          count(*) - count(DISTINCT o_orderkey) AS v1,
-          count(*) - count(DISTINCT (o_custkey, o_orderdate)) AS v2,
+          count(*) FILTER (WHERE o_orderkey IS NOT NULL)
+            - count(DISTINCT o_orderkey) AS v1,
+          count(*) FILTER (WHERE o_custkey IS NOT NULL
+                           AND o_orderdate IS NOT NULL)
+            - count(DISTINCT (o_custkey, o_orderdate))
+                FILTER (WHERE o_custkey IS NOT NULL
+                        AND o_orderdate IS NOT NULL) AS v2,
           count(*) FILTER (WHERE o_totalprice < 0.0 OR o_totalprice > 300000.0) AS v3,
           count(*) FILTER (WHERE o_orderstatus IS NOT NULL
                            AND o_orderstatus NOT IN ('O','F')) AS v4,

@@ -26,7 +26,9 @@ object ControlPlaneQueries {
     * keeps the hour-partition count small. */
   val E2eFeedEnd = "2024-01-04"
 
-  private def withTmp[A](s: SparkSession, prefix: String)(body: String => A): A = {
+  // package-shared (p30 reuses it): one copy of the tmp-dir lifecycle,
+  // not three drifting ones
+  private[queries] def withTmp[A](s: SparkSession, prefix: String)(body: String => A): A = {
     val tmp = java.nio.file.Files.createTempDirectory(prefix).toString
     try body(tmp)
     finally {

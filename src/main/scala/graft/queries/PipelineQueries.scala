@@ -927,7 +927,11 @@ object PipelineQueries {
     * normalization / key-discovery input, the Metanome-style FD check
     * as a panel): an FD holds iff every lhs value maps to exactly one
     * rhs value, i.e. countDistinct(lhs) == countDistinct(lhs, rhs);
-    * violations = the surplus (lhs, rhs) combinations. One aggregation
+    * violations = the surplus (lhs, rhs) combinations. Null convention,
+    * explicit because the engines disagree by default: rows where
+    * EITHER side is null are exempt from the check (Spark's multi-arg
+    * countDistinct drops them; the oracle filters to the same rule) —
+    * an FD over an absent value is undefined, not violated. One aggregation
     * per candidate over one scan each of two tables (distinct-pair
     * counting shuffles 16-byte hashes, never rows); the candidate list
     * deliberately mixes holding FDs (orders' key determines everything)
@@ -936,7 +940,11 @@ object PipelineQueries {
     def audit(df: DataFrame, table: String,
               cands: Seq[(String, String)]): DataFrame = {
       val aggs = cands.zipWithIndex.flatMap { case ((l, r), i) =>
-        Seq(countDistinct(col(l)).as(s"_l$i"),
+        // BOTH counts over the same exempt-filtered row set (either
+        // side null → row exempt), else an lhs seen only with null rhs
+        // would make violations negative
+        val bothSet = col(l).isNotNull && col(r).isNotNull
+        Seq(countDistinct(when(bothSet, col(l))).as(s"_l$i"),
           countDistinct(col(l), col(r)).as(s"_p$i"))
       }
       val one = df.agg(aggs.head, aggs.tail: _*)
@@ -971,10 +979,9 @@ object PipelineQueries {
     * the one-shot rollup over the whole corpus — the union-of-runs ≡
     * full-run law the oracle states — and n_runs pins the straddling
     * hour to 2 (the merge actually happened). Cents ride exact longs. */
-  def p30BookmarkIngest(s: SparkSession, d: String): DataFrame = {
-    import graft.state.Bookmark
-    val tmp = java.nio.file.Files.createTempDirectory("graft-p30-").toString
-    try {
+  def p30BookmarkIngest(s: SparkSession, d: String): DataFrame =
+    ControlPlaneQueries.withTmp(s, "graft-p30-") { tmp =>
+      import graft.state.Bookmark
       val ev = Tables.events(s, d)
       val partials = s"$tmp/partials"
       val bm = s"$tmp/bookmark"
@@ -998,14 +1005,7 @@ object PipelineQueries {
           countDistinct(col("run")).as("n_runs"))
         .orderBy(col("hour_bucket"))
         .localCheckpoint(eager = true)
-    } finally {
-      try {
-        val p = new org.apache.hadoop.fs.Path(tmp)
-        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
-        ()
-      } catch { case _: Throwable => () }
     }
-  }
 
   /** g17: ordered conversion funnel (cohort analysis) — per user, the
     * FIRST view, the first click AT-OR-AFTER that view, and the first
@@ -2101,24 +2101,39 @@ object PipelineQueries {
     "g19_fd_audit" -> """
       WITH c AS (
         SELECT 'orders' AS table_name, 'o_orderkey' AS lhs, 'o_custkey' AS rhs,
-               count(DISTINCT o_orderkey) AS n_lhs,
-               count(DISTINCT (o_orderkey, o_custkey)) AS n_pairs FROM orders
+               count(DISTINCT o_orderkey)
+                 FILTER (WHERE o_custkey IS NOT NULL) AS n_lhs,
+               count(DISTINCT (o_orderkey, o_custkey))
+                 FILTER (WHERE o_orderkey IS NOT NULL
+                         AND o_custkey IS NOT NULL) AS n_pairs FROM orders
         UNION ALL
         SELECT 'orders', 'o_orderkey', 'o_orderstatus',
-               count(DISTINCT o_orderkey),
-               count(DISTINCT (o_orderkey, o_orderstatus)) FROM orders
+               count(DISTINCT o_orderkey)
+                 FILTER (WHERE o_orderstatus IS NOT NULL),
+               count(DISTINCT (o_orderkey, o_orderstatus))
+                 FILTER (WHERE o_orderkey IS NOT NULL
+                         AND o_orderstatus IS NOT NULL) FROM orders
         UNION ALL
         SELECT 'orders', 'o_custkey', 'o_orderstatus',
-               count(DISTINCT o_custkey),
-               count(DISTINCT (o_custkey, o_orderstatus)) FROM orders
+               count(DISTINCT o_custkey)
+                 FILTER (WHERE o_orderstatus IS NOT NULL),
+               count(DISTINCT (o_custkey, o_orderstatus))
+                 FILTER (WHERE o_custkey IS NOT NULL
+                         AND o_orderstatus IS NOT NULL) FROM orders
         UNION ALL
         SELECT 'events', 'event_id', 'user_id',
-               count(DISTINCT event_id),
-               count(DISTINCT (event_id, user_id)) FROM events
+               count(DISTINCT event_id)
+                 FILTER (WHERE user_id IS NOT NULL),
+               count(DISTINCT (event_id, user_id))
+                 FILTER (WHERE event_id IS NOT NULL
+                         AND user_id IS NOT NULL) FROM events
         UNION ALL
         SELECT 'events', 'user_id', 'event_type',
-               count(DISTINCT user_id),
-               count(DISTINCT (user_id, event_type)) FROM events)
+               count(DISTINCT user_id)
+                 FILTER (WHERE event_type IS NOT NULL),
+               count(DISTINCT (user_id, event_type))
+                 FILTER (WHERE user_id IS NOT NULL
+                         AND event_type IS NOT NULL) FROM events)
       SELECT table_name, lhs, rhs, n_lhs, n_pairs,
              n_pairs - n_lhs AS violations,
              n_pairs = n_lhs AS holds

@@ -339,7 +339,12 @@ object Similarity {
     * segment's cells are untouched — no O(corpus) work per ingest. */
   /** The appended index's (vec_id, embedding, cell) table — old segment
     * and late arrivals, both against the frozen quantizer (exposed for
-    * the assignment-law spec). */
+    * the assignment-law spec). Deliberately a UNION of two filtered
+    * scans, not one pass: in production the segments are distinct
+    * index files written at different times, and the union is the
+    * actual merged-read shape (collapsing it to one scan here would
+    * optimize away the thing the operator demonstrates; the toy-SF
+    * cost is one extra filtered scan on a contract row). */
   private[graft] def s15Assignments(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
     val centroids = frozenCentroids(s, d)

@@ -27,14 +27,26 @@ import org.apache.spark.sql.functions._
 object Bookmark {
 
   /** Current high watermark (exact microseconds), or None before the
-    * first advancing run. */
+    * first advancing run. A crash-TORN bookmark dir (the committer's
+    * `_temporary` exists but no parquet file ever committed) reads as
+    * absent, not as an error — the documented "died before the advance"
+    * semantics must hold even when the crash was mid-advance: parquet
+    * commits whole files, so whatever footers exist are prior complete
+    * advances and their max is the correct pre-crash watermark. */
   def read(s: SparkSession, bookmarkPath: String): Option[Long] = {
     val hp = new org.apache.hadoop.fs.Path(bookmarkPath)
     val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (!fs.exists(hp)) None
-    else Option(s.read.parquet(bookmarkPath)
-      .agg(max(col("watermark_us"))).head.getAs[java.lang.Long](0))
-      .map(_.longValue())
+    else if (!fs.listFiles(hp, true).hasNext) None
+    else
+      try Option(s.read.parquet(bookmarkPath)
+          .agg(max(col("watermark_us"))).head.getAs[java.lang.Long](0))
+        .map(_.longValue())
+      catch {
+        // dir holds only uncommitted temp droppings — no schema to infer
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getMessage != null && e.getMessage.contains("infer") => None
+      }
   }
 
   /** One incremental run over what is currently visible. `axisUs` must
@@ -48,6 +60,11 @@ object Bookmark {
     val withAxis = visible.withColumn("__axis", axisUs)
     val slice = read(s, bookmarkPath)
       .fold(withAxis)(w => withAxis.filter(col("__axis") > w))
+    // a stats pre-pass, not a second data pass: the agg projects only
+    // the axis column, so parquet column pruning (and, on a
+    // time-partitioned lake, partition pruning) reduces it to a
+    // single-column scan of the new slice — the process() pass below
+    // is the only full-width read
     val head = slice.agg(max(col("__axis")), count(lit(1))).head
     val n = head.getLong(1)
     if (n > 0) {

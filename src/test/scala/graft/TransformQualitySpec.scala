@@ -156,7 +156,8 @@ class TransformQualitySpec extends SparkSpec {
       .collect().map(r => r.getString(0) ->
         (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
     assert(out("not_null(id)") == ((1L, 4L, false)))
-    // 4 rows, 3 distinct ids (1, 2, null-tuple) -> 1 surplus copy
+    // null-keyed row EXEMPT (SQL UNIQUE convention): 3 non-null ids
+    // (1, 2, 2), 2 distinct -> 1 surplus copy
     assert(out("unique(id)") == ((1L, 4L, false)))
     assert(out("in_range(price,0.0,100.0)") == ((2L, 4L, false))) // 500 and -5; null skipped
     assert(out("one_of(status)") == ((1L, 4L, false)))            // X; null skipped
