@@ -573,7 +573,32 @@ object RelationalQueries {
     s.sql(q43Sql("sp_lineitem"))
   }
 
+  /** q44: UNPIVOT/melt — the inverse of q30/q36's pivot, completing the
+    * reshape surface: four lineitem measures melt to (id, measure, v)
+    * long form (Spark's native `Dataset.unpivot`, an Expand under the
+    * hood — one scan, no join, rows × 4 map-side), then a grouped
+    * rollup per (flag, measure) pins the reshape exactly via
+    * cent-scaled integer sums. Long form is what generic downstream
+    * consumers (metric stores, plotting, per-measure quality rules)
+    * want — the wide→long reshape is a real operator, not sugar. */
+  def q44Unpivot(s: SparkSession, d: String): DataFrame = {
+    Tables.lineitem(s, d)
+      .select(col("l_returnflag"), col("l_quantity"),
+        col("l_extendedprice"), col("l_discount"), col("l_tax"))
+      .unpivot(
+        ids = Array(col("l_returnflag")),
+        values = Array(col("l_quantity"), col("l_extendedprice"),
+          col("l_discount"), col("l_tax")),
+        variableColumnName = "measure",
+        valueColumnName = "v")
+      .groupBy(col("l_returnflag"), col("measure"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("v") * 100).cast("long")).as("cents"))
+      .orderBy(col("l_returnflag"), col("measure"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q44_unpivot"         -> q44Unpivot _,
     "q43_stats_panel"     -> q43StatsPanel _,
     "q01_pricing_summary" -> q01PricingSummary _,
     "q02_filter_agg"      -> q02FilterAgg _,
@@ -616,6 +641,19 @@ object RelationalQueries {
     // q43: the IDENTICAL SQL text; rounding digits chosen against the
     // measured co-moment magnitudes (see q43Sql scaladoc)
     "q43_stats_panel" -> q43Sql("lineitem"),
+    // q44: DuckDB's native UNPIVOT — an independently-implemented
+    // reshape, not a restatement of Spark's Expand
+    "q44_unpivot" -> """
+      WITH m AS (
+        UNPIVOT (SELECT l_returnflag, l_quantity, l_extendedprice,
+                        l_discount, l_tax
+                 FROM lineitem)
+        ON l_quantity, l_extendedprice, l_discount, l_tax
+        INTO NAME measure VALUE v)
+      SELECT l_returnflag, measure, count(*) AS n,
+             CAST(sum(CAST(round(v * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM m GROUP BY l_returnflag, measure
+      ORDER BY l_returnflag, measure""",
     "q01_pricing_summary" -> """
       SELECT l_returnflag, l_linestatus,
              sum(l_quantity) AS sum_qty,
