@@ -19,6 +19,30 @@ con = duckdb.connect()
 for t in TABLES:
     con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
 
+INT_TYPES = {"TINYINT", "SMALLINT", "INTEGER", "BIGINT", "HUGEINT",
+              "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT"}
+
+def type_class(t):
+    """Collapse a DuckDB type name to the equivalence class the driver's
+    value-hash actually distinguishes. Integer WIDTHS serialize to the same
+    values (q10/q19/s01/t01... were hash-green in r02 with int32 vs int64),
+    so all integer types are one class. DECIMAL serializes with its SCALE
+    ("8560.00") — precision doesn't show, scale does — so DECIMAL(p,s)
+    collapses to DECIMAL(s). Everything else (DOUBLE vs DECIMAL vs VARCHAR
+    vs BOOLEAN...) must match exactly: the r07 q38 red row was DECIMAL
+    "8560.00" vs DOUBLE 8560.0 with equal values, which the old pandas
+    dtype-KIND check provably missed (both coerce to float64)."""
+    t = t.strip().upper()
+    if t in INT_TYPES:
+        return "INT"
+    if t.startswith("DECIMAL"):
+        s = t[t.rindex(",") + 1:].rstrip(")").strip() if "," in t else "0"
+        return f"DECIMAL(scale={s})"
+    return t
+
+def described_types(q):
+    return {r[0]: r[1] for r in con.sql(f"DESCRIBE {q}").fetchall()}
+
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
 n_pass = n_fail = 0
 for name, sql in sorted(oracle.items()):
@@ -33,14 +57,17 @@ for name, sql in sorted(oracle.items()):
         if len(odf) != len(sdf):
             status.append(f"rows spark={len(sdf)} oracle={len(odf)}")
         if not status:
-            # dtype KIND drift is what the driver's value-hash actually
-            # trips on (HUGEINT->object/float, DOUBLE vs BIGINT) even when
-            # values match; int width (int32 vs int64) provably does not
-            # (q10/q19/s01/t01... were all hash-green in r02 with int32).
+            # Driver-strict type check: compare the EXACT serialized output
+            # types (Spark's parquet schema vs the DuckDB result schema, both
+            # as seen by DuckDB), modulo the classes the driver provably
+            # tolerates — see type_class.
+            stypes = described_types(f"SELECT * FROM '{outdir}/{name}/*.parquet'")
+            otypes = described_types(sql)
             for c in odf.columns:
-                if sdf[c].dtype.kind != odf[c].dtype.kind:
+                sc, oc = type_class(stypes[c]), type_class(otypes[c])
+                if sc != oc:
                     status.append(
-                        f"dtype {c}: spark={sdf[c].dtype} oracle={odf[c].dtype}")
+                        f"type {c}: spark={stypes[c]}({sc}) oracle={otypes[c]}({oc})")
         if not status:
             for c in odf.columns:
                 a, b = sdf[c].tolist(), odf[c].tolist()

@@ -433,10 +433,15 @@ object RelationalQueries {
     // total_bal sums micro-scaled integers (s_acctbal is an exact 2-dp
     // decimal, so round(x*100) is exact and the sum is order-free) — the
     // p16/p20/x03 idiom, so no parallel-double-sum order can flip the
-    // rounded digit between engines (ADVICE r6).
+    // rounded digit between engines (ADVICE r6). The cents sum is CAST to
+    // DOUBLE before the division: Spark parses the `100.0` literal as
+    // DECIMAL(4,1), so BIGINT/DECIMAL would type the column DECIMAL where
+    // DuckDB's division yields DOUBLE — same values, different serialized
+    // type, hash mismatch (the r07 red row).
     s.sql("""
       SELECT n_name, count(*) AS n_suppliers,
-             round(sum(CAST(round(s_acctbal * 100) AS BIGINT)) / 100.0, 2) AS total_bal
+             round(CAST(sum(CAST(round(s_acctbal * 100) AS BIGINT)) AS DOUBLE)
+                   / 100.0, 2) AS total_bal
       FROM ex_supplier s JOIN ex_nation n ON s.s_nationkey = n.n_nationkey
       WHERE EXISTS (SELECT 1 FROM ex_customer c
                     WHERE c.c_nationkey = s.s_nationkey AND c.c_acctbal > 9000)
@@ -876,7 +881,8 @@ object RelationalQueries {
       ORDER BY o_custkey""",
     "q38_exists_subquery" -> """
       SELECT n_name, count(*) AS n_suppliers,
-             round(sum(CAST(round(s_acctbal * 100) AS BIGINT)) / 100.0, 2) AS total_bal
+             round(CAST(sum(CAST(round(s_acctbal * 100) AS BIGINT)) AS DOUBLE)
+                   / 100.0, 2) AS total_bal
       FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
       WHERE EXISTS (SELECT 1 FROM customer c
                     WHERE c.c_nationkey = s.s_nationkey AND c.c_acctbal > 9000)
