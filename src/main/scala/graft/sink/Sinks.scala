@@ -61,6 +61,111 @@ object Sinks {
       .parquet(path)
   }
 
+  /** K1 byte half: the reference's Firehose delivery buffers 60 s OR
+    * 5 MB, whichever crosses first (SDP.py:199-202). The time half is the
+    * streaming trigger; THIS is the size half: within each Hive partition
+    * the rows are split into consecutive "rolls" of at most `byteBudget`
+    * serialized bytes (a record that crosses the boundary still joins the
+    * roll it started in, like a Firehose buffer flush), and each roll
+    * becomes exactly ONE output file. So a fat hour delivers
+    * ceil(bytes/budget) bounded files instead of one unbounded one — the
+    * property the downstream reader actually wants from Firehose's size
+    * flush (no multi-GB objects, no seek-amplification).
+    *
+    * `sizeOf` is the per-row serialized-size measure in bytes. It must be
+    * DETERMINISTIC (the roll assignment is content-addressed: re-runs and
+    * checkpoint replays of the same rows produce the same file cuts) —
+    * engine-portable string-length arithmetic, not an opaque serializer
+    * probe. `orderCols` fixes the within-partition row order the running
+    * byte count accumulates in (pass a unique tiebreaker; ts alone has
+    * duplicates at scale).
+    *
+    * Scale shape: one hash exchange on (partition cols, roll) and a
+    * per-partition window sum — the same single shuffle
+    * [[writePartitioned]]'s rebalance hint already pays, now also
+    * bounding every file's bytes. Rolls are computed per write (per
+    * micro-batch epoch under streaming), matching Firehose's
+    * per-delivery-window buffer. */
+  def writePartitionedSizeBudget(df: DataFrame, path: String,
+                                 sizeOf: org.apache.spark.sql.Column,
+                                 orderCols: Seq[String],
+                                 byteBudget: Long = 5L * 1024 * 1024,
+                                 tsCol: String = "ts",
+                                 mode: SaveMode = SaveMode.Append): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    require(byteBudget > 0, "byteBudget must be positive")
+    val withParts =
+      if (df.columns.contains("year")) df
+      else Transform.derivePartitions(tsCol)(df)
+    val partCols = Seq("year", "month", "day", "hour")
+      .filter(withParts.columns.contains)
+    require(partCols.nonEmpty,
+      s"writePartitionedSizeBudget needs partition columns (derived from $tsCol)")
+    // roll = floor(exclusive-prefix-bytes / budget): the first row of a
+    // partition always starts roll 0, and a row lands in the roll its
+    // PREDECESSORS filled — the buffer it arrives into — so every roll
+    // holds at least one row and crosses the budget by at most one record.
+    val w = Window.partitionBy(partCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val rolled = withParts.withColumn("_roll",
+      floor(coalesce(sum(sizeOf).over(w), lit(0L)) / byteBudget.toDouble)
+        .cast("long"))
+    val allParts = partCols :+ "_roll"
+    // hash-repartition on the full combo: every (partition, roll) group
+    // lands in one task, and the dynamic writer opens one file per
+    // partition DIRECTORY per task — exactly one file per roll. (Two
+    // combos hash-colliding into one task still write to different dirs.)
+    rolled
+      .repartition(allParts.map(col): _*)
+      .sortWithinPartitions((allParts ++ Seq(tsCol).filter(withParts.columns.contains)).map(col): _*)
+      .write
+      .mode(mode)
+      .option("compression", "gzip")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(allParts: _*)
+      .parquet(path)
+    // Collapse the _roll=N level: hoist each roll's single file into its
+    // hour directory (prefixed so rolls never collide) and drop the roll
+    // dirs — the table keeps the plain K1 year/month/day/hour layout, with
+    // ceil(bytes/budget) files per hour instead of one. Underscore-prefixed
+    // dirs are invisible to Spark's file index, so a crash mid-hoist leaves
+    // unhoisted rolls hidden rather than double-visible.
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(path).getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+    def hoist(dir: Path): Unit =
+      fs.listStatus(dir).foreach { st =>
+        if (st.isDirectory) {
+          val name = st.getPath.getName
+          if (name.startsWith("_roll=")) {
+            val rollId = name.substring("_roll=".length)
+            fs.listStatus(st.getPath).foreach { f =>
+              if (f.isFile && f.getPath.getName != "_SUCCESS") {
+                val target = new Path(dir, s"roll-$rollId-${f.getPath.getName}")
+                if (!fs.rename(f.getPath, target))
+                  throw new java.io.IOException(
+                    s"size-budget hoist: rename ${f.getPath} -> $target returned false")
+              }
+            }
+            fs.delete(st.getPath, true)
+            ()
+          } else hoist(st.getPath)
+        }
+      }
+    hoist(new Path(path))
+  }
+
+  /** The engine's canonical record-size measure for the events feed: the
+    * string payload bytes plus a fixed 64-byte envelope (timestamp, value,
+    * framing). Deliberately a portable integer formula — the oracle
+    * recomputes it verbatim — standing in for "serialized record bytes"
+    * the way Firehose counts payload bytes. */
+  def eventWireSize: org.apache.spark.sql.Column =
+    (length(col("event_id").cast("string")) + length(col("event_type")) +
+      length(col("user_id").cast("string")) +
+      length(coalesce(col("props"), lit(""))) + lit(64))
+      .cast("long")
+
   /** K2: quarantine sink — failed rows land with the error reason, the
     * stage that rejected them, and a batch id for replay bookkeeping.
     * Each (stage, batch) writes its own OVERWRITE-mode subdirectory, so a

@@ -948,8 +948,55 @@ object StreamReplay {
         .localCheckpoint(eager = true)
     }
 
+  /** Feed bound + byte budget for st15. One corpus day keeps the file
+    * count a write-cost, not a write-catastrophe, at every SF; 1 KiB is
+    * the 5 MB production default scaled to the test corpus's KB-sized
+    * hour partitions (the ROLL ARITHMETIC is what the row verifies —
+    * the budget constant is a config knob, SDP.py:201's `SizeInMBs`). */
+  val SizeFlushFeedEnd = "2024-01-02"
+  val SizeFlushBudget  = 1024L
+
+  /** st15: the Firehose SIZE-flush half as a hard row (K1,
+    * SDP.py:199-202 "60 s OR 5 MB"). The first-day events slice drains
+    * through the REAL [[StreamingPipeline.sizeBudgetSink]] (checkpointed
+    * foreachBatch, staged write, promote) in one AvailableNow epoch; the
+    * landed lake is rolled up per hour as (n_rows, n_files), n_files
+    * counted from the physical parquet files each hour directory holds.
+    * The oracle recomputes the same wire-size running sum in SQL: the
+    * per-hour file count is the number of distinct
+    * floor(exclusive-prefix-bytes / budget) values — a pure function of
+    * the feed — so the row pins BOTH the row accounting (the roll
+    * machinery lost/duplicated nothing) and the file-cut arithmetic. */
+  def st15SizeFlushReplay(s: SparkSession, d: String): DataFrame =
+    withReplayTmp(s, "graft-st15-") { tmp =>
+      val ev = Tables.events(s, d)
+        .filter(col("ts") < lit(SizeFlushFeedEnd).cast("timestamp"))
+      ev.write.mode("overwrite").option("timestampFormat", JsonTsFormat)
+        .json(s"$tmp/incoming")
+      val layout = PipelineLayout(s"$tmp/lake")
+      val source = StreamingPipeline.jsonFileSource(
+        s, s"$tmp/incoming", ev.schema, maxFilesPerTrigger = 1000,
+        options = Map("timestampFormat" -> JsonTsFormat))
+      val stream = StreamingPipeline.processingStream(
+        source, Seq(Rule("always_true", lit(true))))
+      val query = StreamingPipeline.sizeBudgetSink(stream, layout,
+        sizeOf = Sinks.eventWireSize, orderCols = Seq("ts", "event_id"),
+        byteBudget = SizeFlushBudget, availableNow = true).start()
+      query.awaitTermination()
+      s.read.parquet(layout.processed)
+        // project the file name BEFORE the aggregate (non-deterministic
+        // expressions can't sit inside an aggregate function's arguments)
+        .withColumn("_file", input_file_name())
+        .groupBy(col("year"), col("month"), col("day"), col("hour"))
+        .agg(count(lit(1)).as("n_rows"),
+             countDistinct(col("_file")).as("n_files"))
+        .orderBy(col("year"), col("month"), col("day"), col("hour"))
+        .localCheckpoint(eager = true)
+    }
+
   val queries: Map[String, Q] = Map(
     "st01_stream_replay"   -> st01StreamReplay _,
+    "st15_sizeflush_replay" -> st15SizeFlushReplay _,
     "st02_state_replay"    -> st02StateReplay _,
     "st03_windowed_replay" -> st03WindowedReplay _,
     "st04_fanout_replay"   -> st04FanoutReplay _,
@@ -1078,6 +1125,27 @@ object StreamReplay {
                    AND c.c_ts >= p.p_ts - INTERVAL 1 DAY
                    AND c.c_ts <= p.p_ts
       GROUP BY 1 ORDER BY hour_bucket""",
+    // st15: per-hour file count = distinct floor(prefix-bytes/budget)
+    // values over the SAME wire-size measure the sink rolls on — the
+    // size-flush contract as pure SQL over the feed. Row counts prove
+    // the roll machinery also landed every row exactly once.
+    "st15_sizeflush_replay" -> s"""
+      WITH e AS (
+        SELECT * FROM events WHERE ts < TIMESTAMP '$SizeFlushFeedEnd'),
+      rolled AS (
+        SELECT year(ts) AS year, month(ts) AS month, day(ts) AS day,
+               hour(ts) AS hour,
+               CAST(floor(coalesce(sum(length(CAST(event_id AS VARCHAR))
+                     + length(event_type) + length(CAST(user_id AS VARCHAR))
+                     + length(coalesce(props, '')) + 64)
+                 OVER (PARTITION BY year(ts), month(ts), day(ts), hour(ts)
+                       ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 / $SizeFlushBudget.0) AS BIGINT) AS roll
+        FROM e)
+      SELECT year, month, day, hour, count(*) AS n_rows,
+             CAST(count(DISTINCT roll) AS BIGINT) AS n_files
+      FROM rolled GROUP BY 1, 2, 3, 4 ORDER BY 1, 2, 3, 4""",
     // Same oracle as p05: the streamed (and then compacted) partition
     // layout must agree with the batch derivation row-for-row.
     "st01_stream_replay" -> """

@@ -17,9 +17,11 @@ import org.apache.spark.sql.types.StructType
   *  - Kinesis consumer, batch 100, start LATEST (SDP.py:648-655) → file
   *    source with `maxFilesPerTrigger` + `latestFirst`; micro-batch rate is
   *    a source option, not code.
-  *  - Firehose buffering 60 s (SDP.py:199-202) → `Trigger.ProcessingTime`;
-  *    the 5 MB size flush has no Structured Streaming primitive and is
-  *    documented as approximated by time (SURVEY §7.4).
+  *  - Firehose buffering 60 s OR 5 MB (SDP.py:199-202) →
+  *    `Trigger.ProcessingTime` bounds delivery latency (the time half);
+  *    [[sizeBudgetSink]] bounds delivered file size via the per-partition
+  *    byte-budget roll (the size half) — see
+  *    [[graft.sink.Sinks.writePartitionedSizeBudget]].
   *  - At-least-once + 3 receives → DLQ (SDP.py:133-136) →
   *    checkpointed `foreachBatch` that retries the batch body and
   *    quarantines the batch's failed rows after exhaustion; the Parquet
@@ -101,7 +103,8 @@ object StreamingPipeline {
   def partitionedSink(stream: DataFrame, layout: PipelineLayout,
                       triggerInterval: String = "60 seconds",
                       maxRetries: Int = 3,
-                      availableNow: Boolean = false): DataStreamWriter[org.apache.spark.sql.Row] =
+                      availableNow: Boolean = false,
+                      stagedWrite: Option[(DataFrame, String) => Unit] = None): DataStreamWriter[org.apache.spark.sql.Row] =
     stream.writeStream
       .option("checkpointLocation", s"${layout.checkpoints}/processed")
       // AvailableNow = drain-everything-then-stop: the batch-replay mode
@@ -133,10 +136,15 @@ object StreamingPipeline {
           // successful earlier phase safe — a whole-body retry would
           // re-stage with fresh part-file names and promote duplicates.
           val result = for {
-            _ <- retried(Sinks.writePartitioned(
-                   valid.drop(SchemaValidator.IsValidCol, SchemaValidator.ErrorsCol,
-                     SchemaValidator.CorruptCol),
-                   staging, mode = org.apache.spark.sql.SaveMode.Overwrite))
+            _ <- retried {
+                   val cleaned = valid.drop(SchemaValidator.IsValidCol,
+                     SchemaValidator.ErrorsCol, SchemaValidator.CorruptCol)
+                   stagedWrite match {
+                     case Some(write) => write(cleaned, staging)
+                     case None => Sinks.writePartitioned(
+                       cleaned, staging, mode = org.apache.spark.sql.SaveMode.Overwrite)
+                   }
+                 }
             _ <- retried {
                    val inv = invalid.drop(SchemaValidator.IsValidCol)
                    if (!inv.isEmpty)
@@ -161,6 +169,25 @@ object StreamingPipeline {
           } finally batch.unpersist()
         }
       }
+
+  /** K1 size flush: [[partitionedSink]] with the Firehose byte half —
+    * each micro-batch's staged write rolls a new file whenever the
+    * running serialized size inside an hour partition crosses
+    * `byteBudget` ([[Sinks.writePartitionedSizeBudget]]). Together with
+    * the trigger this completes the reference's "60 s OR 5 MB, whichever
+    * first" delivery contract (SDP.py:199-202): the trigger bounds
+    * delivery LATENCY, the budget bounds delivered FILE SIZE. */
+  def sizeBudgetSink(stream: DataFrame, layout: PipelineLayout,
+                     sizeOf: org.apache.spark.sql.Column,
+                     orderCols: Seq[String],
+                     byteBudget: Long = 5L * 1024 * 1024,
+                     triggerInterval: String = "60 seconds",
+                     maxRetries: Int = 3,
+                     availableNow: Boolean = false): DataStreamWriter[org.apache.spark.sql.Row] =
+    partitionedSink(stream, layout, triggerInterval, maxRetries, availableNow,
+      stagedWrite = Some((df, staging) =>
+        Sinks.writePartitionedSizeBudget(df, staging, sizeOf, orderCols,
+          byteBudget, mode = org.apache.spark.sql.SaveMode.Overwrite)))
 
   /** T2/T4: tumbling-window rollup with a watermark — the realtime
     * analytics leg. Late rows beyond `lateness` are dropped (retention

@@ -48,6 +48,41 @@ class StreamingSpec extends SparkSpec {
     assert(quarantined.select("_error_stage").as[String].head() == "stream_validation")
   }
 
+  test("size-budget sink: files roll at the byte budget, layout stays plain K1") {
+    // Firehose's "5 MB" half (SDP.py:199-202) at spec scale: five 40-byte
+    // rows against a 100-byte budget roll at exclusive prefixes
+    // 0,40,80,120,160 → rolls 0,0,0,1,1 → two files; the lone hour-11 row
+    // is its own roll.
+    val root = Files.createTempDirectory("graft-sizebudget").toString
+    val rows = Seq(
+      (1L, ts("2024-01-01 10:00:01"), "a" * 40),
+      (2L, ts("2024-01-01 10:00:02"), "b" * 40),
+      (3L, ts("2024-01-01 10:00:03"), "c" * 40),
+      (4L, ts("2024-01-01 10:00:04"), "d" * 40),
+      (5L, ts("2024-01-01 10:00:05"), "e" * 40),
+      (6L, ts("2024-01-01 11:00:00"), "f" * 40),
+    ).toDF("id", "ts", "payload")
+    graft.sink.Sinks.writePartitionedSizeBudget(
+      rows, s"$root/lake", sizeOf = length(col("payload")).cast("long"),
+      orderCols = Seq("ts", "id"), byteBudget = 100L)
+    def hourDir(h: Int) =
+      new java.io.File(s"$root/lake/year=2024/month=1/day=1/hour=$h")
+    def parquets(h: Int) =
+      hourDir(h).listFiles().filter(_.getName.endsWith(".parquet"))
+    assert(parquets(10).length == 2, "hour 10 must roll into two files")
+    assert(parquets(11).length == 1)
+    // the _roll level is hoisted away — plain K1 layout, roll-prefixed files
+    assert(hourDir(10).listFiles().forall(!_.isDirectory))
+    assert(parquets(10).forall(_.getName.startsWith("roll-")))
+    val back = spark.read.parquet(s"$root/lake")
+    assert(back.count() == 6)
+    assert(!back.columns.contains("_roll"))
+    // roll 0 holds exactly the rows that fit before the budget crossed
+    val roll0 = parquets(10).find(_.getName.startsWith("roll-0-")).get
+    assert(spark.read.parquet(roll0.getPath).select("id")
+      .as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
+  }
+
   test("malformed JSON lines quarantine with raw payload; valid rows land clean") {
     val root = Files.createTempDirectory("graft-corrupt").toString
     val layout = PipelineLayout(root)
