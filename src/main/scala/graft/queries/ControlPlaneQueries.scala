@@ -186,6 +186,92 @@ object ControlPlaneQueries {
         .localCheckpoint(eager = true)
     }
 
+  /** x05: the PRIORITY LANE (§2.10 X7, the reference's priority queue,
+    * SDP.py:140-144) as a hard row — previously spec-only. Two pipelines
+    * start CONCURRENTLY through the real [[graft.service.PipelineService]]
+    * in different priority lanes; each processes its deterministic corpus
+    * slice (event_id parity). The row pins, per lane:
+    *
+    *  - `observed_pool`: the `spark.scheduler.pool` property Spark's
+    *    scheduler actually SAW on that run's jobs (captured by a
+    *    SparkListener keyed on the run's job group) — proving the
+    *    priority→FAIR-pool routing reaches the scheduler, not just a
+    *    journal string. Under a FIFO test session the property is inert
+    *    but still set and observed; under `spark.scheduler.mode=FAIR` +
+    *    a pool config the same property is the weighted lane.
+    *  - journal accounting: exactly two state rows (submitted, succeeded)
+    *    and a SUCCEEDED final status — the st09 shape.
+    *  - data accounting: the slice rollup each lane landed, which must
+    *    equal the corpus restatement (micro-scaled integer sum).
+    *
+    * Completion ORDER is wall-clock (FAIR weights under load), so it is
+    * deliberately not oracled — lane accounting is. */
+  def x05PriorityLanes(s: SparkSession, d: String): DataFrame =
+    withTmp(s, "graft-x05-") { tmp =>
+      import graft.model.{PipelineOutcome, PipelineStatus}
+      import graft.service.PipelineService
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.global
+      val ev = Tables.events(s, d)
+        .filter(col("ts") < lit(E2eFeedEnd).cast("timestamp"))
+      val stateLog = new StateLog(s, s"$tmp/state")
+      val service = new PipelineService(s, stateLog)
+      // job-group id → scheduler pool, as Spark's scheduler saw it
+      val pools = new java.util.concurrent.ConcurrentHashMap[String, String]()
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          val props = js.properties
+          for {
+            g <- Option(props.getProperty("spark.jobGroup.id"))
+            p <- Option(props.getProperty("spark.scheduler.pool"))
+          } pools.put(g, p)
+        }
+      }
+      s.sparkContext.addSparkListener(listener)
+      try {
+        def lane(name: String, parity: Int): String =
+          service.start({ id =>
+            ev.filter(pmod(col("event_id"), lit(2)) === parity)
+              .agg(count(lit(1)).as("n_rows"),
+                round(sum(round(col("value") * 1000000).cast("long")) * lit(1.0)
+                  / lit(1000000.0), 6).as("sum_value"))
+              .withColumn("priority", lit(name))
+              .coalesce(1).write.mode("overwrite").parquet(s"$tmp/out_$name")
+            stateLog.append(id, "pipeline", PipelineStatus.Succeeded,
+              s"lane=$name landed")
+            PipelineOutcome.Succeeded(1.0)
+          }, priority = name)
+        // start both, then await both: the runs overlap
+        val ids = Seq("high" -> lane("high", 0), "normal" -> lane("normal", 1))
+        ids.foreach { case (n, id) =>
+          val outcome = service.await(id)
+          require(outcome.exists(_.isSuccess), s"x05 lane $n failed: $outcome")
+        }
+        // listener delivery is async — poll (bounded) until both job
+        // groups' pool observations arrived
+        val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+        while (ids.exists(i => !pools.containsKey(i._2)) &&
+               System.nanoTime() < deadline) Thread.sleep(20)
+        val perLane = ids.map { case (name, id) =>
+          // the full journal (list() serves only the latest row per id):
+          // exactly two appends — submitted, succeeded
+          val nJournal = stateLog.journal()
+            .filter(col("pipeline_id") === id).count()
+          val finalStatus = stateLog.currentStatus(id).map(_.status).getOrElse("?")
+          val rollup = s.read.parquet(s"$tmp/out_$name").head()
+          (name, Option(pools.get(id)).getOrElse("?"),
+            rollup.getAs[Long]("n_rows"), rollup.getAs[Double]("sum_value"),
+            nJournal, finalStatus)
+        }
+        import s.implicits._
+        perLane.toDF("priority", "observed_pool", "n_rows", "sum_value",
+            "n_journal", "final_status")
+          .orderBy(col("priority"))
+          .localCheckpoint(eager = true)
+      } finally s.sparkContext.removeSparkListener(listener)
+    }
+
   /** Micro-second-preserving timestamp format for the CSV leg (Spark's
     * CSV default truncates to millis, same trap as the JSON feeds). */
   private val CsvTsFormat = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
@@ -353,6 +439,7 @@ object ControlPlaneQueries {
     "x02_catalog_sql"     -> x02CatalogSql _,
     "x03_parallel_scatter" -> x03ParallelScatter _,
     "x04_map_state"        -> x04MapState _,
+    "x05_priority_lanes"   -> x05PriorityLanes _,
     "k04_schema_evolution" -> k04SchemaEvolution _,
     "k01_format_roundtrip" -> k01FormatRoundtrip _,
     "k02_bucketed_join"   -> k02BucketedJoin _,
@@ -396,6 +483,21 @@ object ControlPlaneQueries {
       FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
       GROUP BY o.o_orderpriority
       ORDER BY o.o_orderpriority""",
+    // x05: per-lane accounting stated from the corpus alone. observed_pool
+    // MUST equal the lane name (the scheduler saw the routed pool),
+    // n_journal the exact submitted+succeeded pair, final_status the
+    // journal's last word — any of service routing, journaling, or the
+    // lane's data plane going wrong breaks a column.
+    "x05_priority_lanes" -> s"""
+      SELECT CASE WHEN event_id % 2 = 0 THEN 'high' ELSE 'normal' END AS priority,
+             CASE WHEN event_id % 2 = 0 THEN 'high' ELSE 'normal' END AS observed_pool,
+             count(*) AS n_rows,
+             round(sum(CAST(round(value * 1000000) AS BIGINT)) * 1.0
+                   / 1000000.0, 6) AS sum_value,
+             CAST(2 AS BIGINT) AS n_journal,
+             'SUCCEEDED' AS final_status
+      FROM events WHERE ts < TIMESTAMP '$E2eFeedEnd'
+      GROUP BY 1, 2 ORDER BY priority""",
     // processed = rows passing every rule; quarantined = the complement —
     // NULL rule results count as failures (SchemaValidator semantics)
     "x01_pipeline_e2e" -> s"""
