@@ -80,12 +80,18 @@ object Sinks {
     * byte count accumulates in (pass a unique tiebreaker; ts alone has
     * duplicates at scale).
     *
-    * Scale shape: one hash exchange on (partition cols, roll) and a
-    * per-partition window sum — the same single shuffle
-    * [[writePartitioned]]'s rebalance hint already pays, now also
-    * bounding every file's bytes. Rolls are computed per write (per
-    * micro-batch epoch under streaming), matching Firehose's
-    * per-delivery-window buffer. */
+    * Scale shape: TWO hash exchanges of the batch — one on the partition
+    * cols for the prefix-sum window (roll assignment needs a partition's
+    * rows co-located and ordered), then one on (partition cols, roll) to
+    * give each roll its own writer task. That is one more shuffle than
+    * [[writePartitioned]]'s rebalance pays; the extra pass is inherent to
+    * EXACT file cuts (a roll id is a function of the prefix sum, which
+    * needs the first co-location before it can partition the second) and
+    * buys the bounded-file-size contract. Use this sink when file-size
+    * bounds are the contract (Firehose-style delivery); keep
+    * [[writePartitioned]] when AQE-rebalanced best-effort sizes are
+    * enough. Rolls are computed per write (per micro-batch epoch under
+    * streaming), matching Firehose's per-delivery-window buffer. */
   def writePartitionedSizeBudget(df: DataFrame, path: String,
                                  sizeOf: org.apache.spark.sql.Column,
                                  orderCols: Seq[String],

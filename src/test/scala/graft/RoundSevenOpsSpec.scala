@@ -295,6 +295,11 @@ class RoundSevenOpsSpec extends SparkSpec {
       // the masked text must carry no residual matches of ANY detector
       assert(eRe.findFirstIn(masked).isEmpty && pRe.findFirstIn(masked).isEmpty
         && iRe.findFirstIn(masked).isEmpty, s"residual PII in: $masked")
+      // mask-token collision guard: the engine reads counts off the
+      // replace outputs, which is only ≡ raw-line match counts if the raw
+      // line never carries a literal mask token
+      assert(!line.contains("<email>") && !line.contains("<phone>") &&
+        !line.contains("<ip>"), s"mask literal in feed: $line")
       val a = accs.getOrElseUpdate(et, Acc())
       a.n += 1
       a.ne += eRe.findAllIn(line).size
