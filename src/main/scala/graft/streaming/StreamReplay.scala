@@ -971,7 +971,11 @@ object StreamReplay {
     withReplayTmp(s, "graft-st15-") { tmp =>
       val ev = Tables.events(s, d)
         .filter(col("ts") < lit(SizeFlushFeedEnd).cast("timestamp"))
-      ev.write.mode("overwrite").option("timestampFormat", JsonTsFormat)
+      // one staged file → exactly one AvailableNow epoch at ANY SF: rolls
+      // are per-delivery-epoch (Firehose buffer semantics), so the oracle's
+      // whole-feed roll arithmetic requires the drain not to split
+      ev.coalesce(1).write.mode("overwrite")
+        .option("timestampFormat", JsonTsFormat)
         .json(s"$tmp/incoming")
       val layout = PipelineLayout(s"$tmp/lake")
       val source = StreamingPipeline.jsonFileSource(
