@@ -88,4 +88,38 @@ object CatalogSync {
 
   /** Query a registered table (the Athena surface, README:155-164). */
   def query(spark: SparkSession, sql: String): DataFrame = spark.sql(sql)
+
+  /** The crawler's STATISTICS half (Glue crawlers record table/column
+    * stats the query planner consumes): `ANALYZE TABLE` for table-level
+    * row/byte counts plus per-column min/max/null/NDV. At 100 TB this is
+    * what turns the optimizer cost-based — join reorder, broadcast
+    * selection, and partition-size estimates all read these numbers
+    * instead of file sizes; the row count is EXACT (one scan), the NDV is
+    * a HyperLogLog++ estimate (the same approximate-vs-exact trade as
+    * g04/g07). */
+  def analyze(spark: SparkSession, table: String,
+              columns: Seq[String] = Seq.empty): Unit = {
+    spark.sql(s"ANALYZE TABLE $table COMPUTE STATISTICS")
+    if (columns.nonEmpty)
+      spark.sql(s"ANALYZE TABLE $table COMPUTE STATISTICS FOR COLUMNS " +
+        columns.map(c => s"`$c`").mkString(", "))
+    ()
+  }
+
+  /** Read one column's recorded stats off the public SQL surface
+    * (`DESCRIBE EXTENDED table column` → info_name/info_value rows):
+    * min, max, num_nulls, distinct_count, ... as strings. */
+  def columnStats(spark: SparkSession, table: String,
+                  column: String): Map[String, String] =
+    spark.sql(s"DESCRIBE EXTENDED $table `$column`")
+      .collect()
+      .map(r => r.getString(0) -> r.getString(1))
+      .toMap
+
+  /** The planner-visible row count for a catalog table under CBO — the
+    * contract [[analyze]] exists to satisfy: `Some(exact rows)` when
+    * stats are recorded and `spark.sql.cbo.enabled` is on, `None` when
+    * the optimizer is back to file-size-only estimates. */
+  def plannerRowCount(spark: SparkSession, table: String): Option[BigInt] =
+    spark.table(table).queryExecution.optimizedPlan.stats.rowCount
 }

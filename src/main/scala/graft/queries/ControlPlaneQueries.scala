@@ -272,6 +272,67 @@ object ControlPlaneQueries {
       } finally s.sparkContext.removeSparkListener(listener)
     }
 
+  /** x06: the crawler's STATISTICS half as a hard row (§2.10 X8 — Glue
+    * crawlers record the table/column stats Athena's planner consumes;
+    * here `ANALYZE TABLE` feeds Spark's cost-based optimizer). Two
+    * corpus tables are registered, analyzed, and the row pins, per table:
+    *
+    *  - `n_rows`: the row count the OPTIMIZER actually sees
+    *    ([[CatalogSync.plannerRowCount]] under `spark.sql.cbo.enabled`)
+    *    — not a recount of the data. ANALYZE's table pass is exact, so
+    *    this must equal the corpus count: the CBO contract that join
+    *    reorder / broadcast selection at 100 TB plan on true
+    *    cardinalities, checked end to end through the catalog.
+    *  - key-column min/max and null count off the public
+    *    `DESCRIBE EXTENDED` surface (exact by construction).
+    *  - `ndv_ok`: the recorded distinct_count (HLL++, the g07 trade)
+    *    within the q25-style 10 % band of the exact NDV.
+    *
+    * A guard also requires the PRE-analyze planner row count to be
+    * absent — proving the number flows from the recorded stats, not from
+    * some other estimator. */
+  def x06CatalogStats(s: SparkSession, d: String): DataFrame =
+    withTmp(s, "graft-x06-") { tmp =>
+      val specs = Seq(
+        ("customer", Tables.customer(s, d), "c_custkey"),
+        ("orders", Tables.orders(s, d), "o_custkey"))
+      val cboBefore = s.conf.get("spark.sql.cbo.enabled", "false")
+      val registered = scala.collection.mutable.ListBuffer.empty[String]
+      try {
+        s.conf.set("spark.sql.cbo.enabled", "true")
+        val perTable = specs.map { case (name, df, key) =>
+          val table = "graft_x06_" + name + "_" +
+            java.util.UUID.randomUUID().toString.replace("-", "")
+          df.write.parquet(s"$tmp/$name")
+          CatalogSync.register(s, table, s"$tmp/$name", partitionCols = Seq.empty)
+          registered += table
+          require(CatalogSync.plannerRowCount(s, table).isEmpty,
+            s"x06: planner row count present before ANALYZE on $table")
+          CatalogSync.analyze(s, table, columns = Seq(key))
+          val nRows = CatalogSync.plannerRowCount(s, table)
+            .getOrElse(sys.error(s"x06: no planner row count after ANALYZE on $table"))
+            .toLong
+          val stats = CatalogSync.columnStats(s, table, key)
+          val ndv = stats("distinct_count").toLong
+          val exactNdv = df.select(countDistinct(col(key))).head().getLong(0)
+          (name, nRows, stats("num_nulls").toLong,
+            stats("min").toLong, stats("max").toLong,
+            math.abs(ndv - exactNdv) <= exactNdv / 10)
+        }
+        import s.implicits._
+        perTable.toDF("table_name", "n_rows", "n_nulls",
+            "min_key", "max_key", "ndv_ok")
+          .orderBy(col("table_name"))
+          .localCheckpoint(eager = true)
+      } finally {
+        registered.foreach { t =>
+          try { s.sql(s"DROP TABLE IF EXISTS $t"); () }
+          catch { case _: Throwable => () }
+        }
+        s.conf.set("spark.sql.cbo.enabled", cboBefore)
+      }
+    }
+
   /** Micro-second-preserving timestamp format for the CSV leg (Spark's
     * CSV default truncates to millis, same trap as the JSON feeds). */
   private val CsvTsFormat = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
@@ -440,6 +501,7 @@ object ControlPlaneQueries {
     "x03_parallel_scatter" -> x03ParallelScatter _,
     "x04_map_state"        -> x04MapState _,
     "x05_priority_lanes"   -> x05PriorityLanes _,
+    "x06_catalog_stats"    -> x06CatalogStats _,
     "k04_schema_evolution" -> k04SchemaEvolution _,
     "k01_format_roundtrip" -> k01FormatRoundtrip _,
     "k02_bucketed_join"   -> k02BucketedJoin _,
@@ -498,6 +560,21 @@ object ControlPlaneQueries {
              'SUCCEEDED' AS final_status
       FROM events WHERE ts < TIMESTAMP '$E2eFeedEnd'
       GROUP BY 1, 2 ORDER BY priority""",
+    // x06: the ANALYZE stats restated from the corpus — n_rows is what the
+    // OPTIMIZER saw (exact by ANALYZE's contract), min/max/nulls exact off
+    // DESCRIBE EXTENDED, NDV a TRUE band (the g07/q25 shape)
+    "x06_catalog_stats" -> """
+      SELECT 'customer' AS table_name, count(*) AS n_rows,
+             count(*) - count(c_custkey) AS n_nulls,
+             CAST(min(c_custkey) AS BIGINT) AS min_key,
+             CAST(max(c_custkey) AS BIGINT) AS max_key,
+             TRUE AS ndv_ok
+      FROM customer
+      UNION ALL
+      SELECT 'orders', count(*), count(*) - count(o_custkey),
+             CAST(min(o_custkey) AS BIGINT), CAST(max(o_custkey) AS BIGINT), TRUE
+      FROM orders
+      ORDER BY table_name""",
     // processed = rows passing every rule; quarantined = the complement —
     // NULL rule results count as failures (SchemaValidator semantics)
     "x01_pipeline_e2e" -> s"""

@@ -50,6 +50,31 @@ class ServiceCatalogSpec extends SparkSpec {
     assert(!svc.cancel("nonexistent"))
   }
 
+  test("catalog stats: ANALYZE feeds the CBO exact row counts and column min/max/nulls") {
+    import org.apache.spark.sql.functions.col
+    val root = Files.createTempDirectory("graft-stats").toString
+    val df = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "a"), (5L, null))
+      .toDF("k", "s")
+    df.write.parquet(s"$root/t")
+    val table = "graft_stats_spec"
+    CatalogSync.register(spark, table, s"$root/t", partitionCols = Seq.empty)
+    try {
+      val cbo = spark.conf.get("spark.sql.cbo.enabled", "false")
+      try {
+        spark.conf.set("spark.sql.cbo.enabled", "true")
+        // before ANALYZE the planner has only file sizes, no row count
+        assert(CatalogSync.plannerRowCount(spark, table).isEmpty)
+        CatalogSync.analyze(spark, table, columns = Seq("k", "s"))
+        assert(CatalogSync.plannerRowCount(spark, table).contains(BigInt(5)))
+        val ks = CatalogSync.columnStats(spark, table, "k")
+        assert(ks("min").toLong == 1L && ks("max").toLong == 5L)
+        assert(ks("num_nulls").toLong == 0L && ks("distinct_count").toLong == 5L)
+        val ss = CatalogSync.columnStats(spark, table, "s")
+        assert(ss("num_nulls").toLong == 1L)
+      } finally spark.conf.set("spark.sql.cbo.enabled", cbo)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
   test("service drives the full reference pipeline end-to-end") {
     import graft.orchestrate.ReferencePipeline
     import graft.quality.Quality.Check
