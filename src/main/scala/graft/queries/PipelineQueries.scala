@@ -1578,7 +1578,63 @@ object PipelineQueries {
       GROUP BY event_type, day
       ORDER BY event_type, day"""
 
+  /** g20: sketch-algebra distinct overlap (the capability HLL can't
+    * give, SURVEY §2.4/§2.9) — per event type, a [[graft.functions
+    * .Aggregators.KmvSketch]] of the distinct user hashes is built in ONE
+    * grouped pass (map-side-merged K-minima, a few KB per type); every
+    * pairwise "how many users do types A and B share" then reads off the
+    * collected sketches via the theta intersection rule, and the union
+    * cardinality off the merged sketch. At 100 TB this replaces an exact
+    * pairwise distinct self-join (quadratic in the pair count, one
+    * shuffle each) with one linear pass + driver arithmetic on
+    * n_types × K longs.
+    *
+    * Contract row (the g07/q25 shape): the exact intersections ARE
+    * computed here too (the join the sketch replaces — affordable at
+    * test SF, and the truth the bands need), and the booleans pin both
+    * estimators: intersection within max(15 %, 64) of exact (K = 1024 →
+    * rse ≈ 3.1 %, so the band is ≈5σ), union within 10 %. The sketch
+    * hashes with `xxhash64`, so every estimate is deterministic. */
+  def g20SketchOverlap(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.Aggregators
+    val k = Aggregators.KmvSketch.DefaultK
+    val kmv = udaf(new Aggregators.KmvSketch(k),
+      org.apache.spark.sql.Encoders.scalaLong)
+    val ev = Tables.events(s, d)
+    // bounded collect: n_event_types × K longs (the d13-codebook precedent)
+    val sketches = ev
+      .select(col("event_type"), xxhash64(col("user_id")).as("h"))
+      .groupBy(col("event_type")).agg(kmv(col("h")).as("sk"))
+      .collect()
+      .map(r => r.getString(0) -> r.getSeq[Long](1).toArray).toMap
+    val du = ev.select(col("event_type"), col("user_id")).distinct()
+    val perType = du.groupBy(col("event_type")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val pairsExact = du.as("a").join(du.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("type_a"),
+        col("b.event_type").as("type_b"))
+      .agg(count(lit(1)).as("n_exact"))
+      .collect()
+    val rows = pairsExact.map { r =>
+      val (ta, tb, nx) = (r.getString(0), r.getString(1), r.getLong(2))
+      val est = Aggregators.KmvSketch.intersectEstimate(
+        sketches(ta), sketches(tb), k)
+      val exactUnion = perType(ta) + perType(tb) - nx
+      val estU = Aggregators.KmvSketch.unionEstimate(
+        sketches(ta), sketches(tb), k)
+      (ta, tb, nx,
+        math.abs(est - nx) <= math.max(0.15 * nx, 64.0),
+        math.abs(estU - exactUnion) <= 0.1 * exactUnion)
+    }
+    import s.implicits._
+    rows.toSeq.toDF("type_a", "type_b", "n_exact", "est_ok", "union_ok")
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "g20_sketch_overlap"    -> g20SketchOverlap _,
     "p01_validate_events"   -> p01ValidateEvents _,
     "p02_clean_dedup"       -> p02CleanDedup _,
     "p03_enrich_events"     -> p03EnrichEvents _,
@@ -1667,6 +1723,16 @@ object PipelineQueries {
       FROM kept GROUP BY 1 ORDER BY 1"""
 
   val oracleSql: Map[String, String] = Map(
+    // g20: exact pairwise distinct-user intersections + TRUE bands — the
+    // estimator contract is Spark-side (sketches aren't oracle-statable),
+    // the truth it's banded against is
+    "g20_sketch_overlap" -> """
+      WITH du AS (SELECT DISTINCT event_type, user_id FROM events)
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             count(*) AS n_exact, TRUE AS est_ok, TRUE AS union_ok
+      FROM du a JOIN du b ON a.user_id = b.user_id
+                         AND a.event_type < b.event_type
+      GROUP BY 1, 2 ORDER BY type_a, type_b""",
     // same fingerprint construction both sides: round(·,2) →
     // DECIMAL(18,2) → VARCHAR renders "123.40" in both engines
     "p14_snapshot_diff" -> s"""

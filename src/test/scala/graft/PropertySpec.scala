@@ -56,6 +56,39 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("KMV sketch: set-algebra estimates land within their bands on known ground truth") {
+    import graft.functions.Aggregators
+    val k = Aggregators.KmvSketch.DefaultK
+    val kmv = udaf(new Aggregators.KmvSketch(k),
+      org.apache.spark.sql.Encoders.scalaLong)
+    // A = [0, 50k), B = [30k, 80k): |A∩B| = 20k, |A∪B| = 80k — both far
+    // past K, so the FULL-sketch estimators (not the exact degenerate)
+    // are what's exercised; hashes via the same xxhash64 the row uses
+    val rows = (0L until 50000L).map(("A", _)) ++
+      (30000L until 80000L).map(("B", _))
+    val sk = rows.toDF("s", "v")
+      .select(col("s"), xxhash64(col("v")).as("h"))
+      .groupBy(col("s")).agg(kmv(col("h")).as("sk"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1).toArray).toMap
+    val (a, b) = (sk("A"), sk("B"))
+    assert(a.length == k && b.length == k)
+    val estA = Aggregators.KmvSketch.estimate(a, k)
+    val estI = Aggregators.KmvSketch.intersectEstimate(a, b, k)
+    val estU = Aggregators.KmvSketch.unionEstimate(a, b, k)
+    assert(math.abs(estA - 50000) <= 5000, s"estA=$estA")
+    assert(math.abs(estI - 20000) <= 3000, s"estI=$estI")
+    assert(math.abs(estU - 80000) <= 8000, s"estU=$estU")
+    // undersampled regime degenerates to EXACT set arithmetic
+    val small = (0L until 100L).map(("C", _)) ++ (50L until 150L).map(("D", _))
+    val sk2 = small.toDF("s", "v")
+      .select(col("s"), xxhash64(col("v")).as("h"))
+      .groupBy(col("s")).agg(kmv(col("h")).as("sk"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1).toArray).toMap
+    assert(Aggregators.KmvSketch.estimate(sk2("C"), k) == 100.0)
+    assert(Aggregators.KmvSketch.intersectEstimate(sk2("C"), sk2("D"), k) == 50.0)
+    assert(Aggregators.KmvSketch.unionEstimate(sk2("C"), sk2("D"), k) == 150.0)
+  }
+
   test("incremental dedup: survivors are unique, first-of-fp, and disjoint from history") {
     import graft.dedup.Dedup
     // docs with deliberate duplicate texts across and within halves
