@@ -1633,8 +1633,42 @@ object PipelineQueries {
       .orderBy(col("type_a"), col("type_b"))
   }
 
+  /** g21: frequent itemset mining — which event-type COMBINATIONS
+    * co-occur in a (user, day) activity basket at ≥5 % support (the
+    * co-occurrence analytics funnel panels are built from). Runs the
+    * real distributed FP-Growth (Han et al. '00; MLlib's parallel PFP
+    * variant): baskets shuffle ONCE on a hashed prefix, each partition
+    * mines its conditional FP-trees locally, and only (itemset, count)
+    * pairs aggregate — the algorithm that works when the item alphabet
+    * is too large to enumerate the powerset. The support threshold is
+    * applied as the integer rational `freq × 20 ≥ n_baskets` on BOTH
+    * engines: a `ceil(0.05 × n)` double on the Spark side would round
+    * differently than DuckDB's decimal arithmetic exactly at the
+    * boundary (0.05 is not a binary fraction).
+    *
+    * The oracle CAN enumerate here (5-type alphabet → ≤31 subsets), so
+    * the row is exact: FP-Growth's output must equal brute-force
+    * powerset support counting — the classic algorithm-vs-specification
+    * contract. */
+  def g21FrequentSets(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.ml.fpm.FPGrowth
+    val baskets = Tables.events(s, d)
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(sort_array(collect_set(col("event_type"))).as("items"))
+    val nBaskets = baskets.count()
+    // mine everything (minCount 1), threshold with exact integer math
+    val model = new FPGrowth().setItemsCol("items")
+      .setMinSupport(1e-12).fit(baskets)
+    model.freqItemsets
+      .filter(col("freq") * 20 >= nBaskets)
+      .select(concat_ws(",", sort_array(col("items"))).as("itemset"),
+        col("freq").as("n_baskets"))
+      .orderBy(col("itemset"))
+  }
+
   val queries: Map[String, Q] = Map(
     "g20_sketch_overlap"    -> g20SketchOverlap _,
+    "g21_frequent_sets"     -> g21FrequentSets _,
     "p01_validate_events"   -> p01ValidateEvents _,
     "p02_clean_dedup"       -> p02CleanDedup _,
     "p03_enrich_events"     -> p03EnrichEvents _,
@@ -1733,6 +1767,29 @@ object PipelineQueries {
       FROM du a JOIN du b ON a.user_id = b.user_id
                          AND a.event_type < b.event_type
       GROUP BY 1, 2 ORDER BY type_a, type_b""",
+    // g21: the specification FP-Growth must match — brute-force powerset
+    // enumeration (≤31 subsets of the 5-type alphabet) with the same
+    // integer-rational support threshold
+    "g21_frequent_sets" -> """
+      WITH RECURSIVE s(items, last) AS (
+        SELECT [it], it FROM (SELECT DISTINCT event_type AS it FROM events)
+        UNION ALL
+        SELECT list_append(s.items, t.it), t.it
+        FROM s, (SELECT DISTINCT event_type AS it FROM events) t
+        WHERE t.it > s.last),
+      b AS (
+        SELECT user_id, CAST(ts AS DATE) AS day,
+               list_sort(list(DISTINCT event_type)) AS items
+        FROM events GROUP BY 1, 2),
+      tot AS (SELECT count(*) AS n FROM b),
+      sup AS (
+        SELECT array_to_string(s.items, ',') AS itemset,
+               count(*) AS n_baskets
+        FROM s JOIN b ON list_has_all(b.items, s.items)
+        GROUP BY 1)
+      SELECT itemset, n_baskets
+      FROM sup, tot WHERE n_baskets * 20 >= tot.n
+      ORDER BY itemset""",
     // same fingerprint construction both sides: round(·,2) →
     // DECIMAL(18,2) → VARCHAR renders "123.40" in both engines
     "p14_snapshot_diff" -> s"""
