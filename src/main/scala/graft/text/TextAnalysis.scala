@@ -664,8 +664,10 @@ object TextAnalysis {
     * weights, squash through a sigmoid, keep docs scoring ≥ 0.5.
     *
     * The WEIGHTS are a deterministic stub (md5-derived pseudo-randoms in
-    * [−1, 1), the multimodal-decode precedent: no training lib ships in
-    * this container and a trained vector would not be oracle-checkable).
+    * [−1, 1)): a trained weight VECTOR is not oracle-checkable, so this
+    * row pins the scoring machinery with fixed weights while
+    * [[t23TrainedClassifier]] covers the TRAINING path for real (MLlib
+    * logistic regression, accuracy-contract oracle).
     * Everything a trained model would need is real and tested: the
     * feature hashing, the fixed-width weight table (≤ [[DsirBuckets]]
     * rows — always broadcastable, however big the corpus), the map-side
@@ -994,6 +996,54 @@ object TextAnalysis {
       .orderBy(col("source"))
   }
 
+  /** t23 label hyperplane threshold (the corpus margin median — splits
+    * ~50/50 at every SF) and test-split gate (~20 %). */
+  val TrainedClfThreshold = 13.9
+  val TrainedClfTestGateHex = "33"
+
+  /** t23: a TRAINED quality classifier through the real distributed
+    * training path — the half t18 deliberately stubs (t18 scores with
+    * fixed hashed weights because a trained weight VECTOR isn't
+    * oracle-checkable; this row trains for real and pins what IS
+    * checkable). MLlib `LogisticRegression` fits on the train split —
+    * each LBFGS iteration is one treeAggregate gradient pass over the
+    * executors, the shape distributed training takes at corpus scale —
+    * and the learned model scores both splits.
+    *
+    * The label is a KNOWN hyperplane over the two features fed to the
+    * model (alpha-density ×10 + ln(1+chars) > median), so the learning
+    * problem is linearly separable by construction and a correct
+    * training path recovers ≥90 % held-out accuracy with a wide margin
+    * (observed ≈99 %; the band absorbs LBFGS's summation-order jitter).
+    * The oracle restates the split accounting and the label counts
+    * exactly (md5 gate + the same margin arithmetic) and carries the
+    * accuracy contract as the g07-style TRUE band. */
+  def t23TrainedClassifier(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.ml.classification.LogisticRegression
+    import org.apache.spark.ml.functions.array_to_vector
+    val labeled = Tables.documents(s, d)
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"),
+        (length(regexp_replace(col("text"), "[^A-Za-z]", "")) * lit(10.0)
+          / length(col("text"))).as("f_alpha"),
+        log(lit(1.0) + length(col("text"))).as("f_len"))
+      .withColumn("label",
+        ((col("f_alpha") + col("f_len")) > TrainedClfThreshold).cast("double"))
+      .withColumn("is_test",
+        graft.functions.HashGate(col("doc_id"), TrainedClfTestGateHex))
+      .withColumn("features", array_to_vector(array(col("f_alpha"), col("f_len"))))
+    val model = new LogisticRegression()
+      .setMaxIter(100).setRegParam(0.0)
+      .fit(labeled.filter(!col("is_test")))
+    model.transform(labeled)
+      .groupBy(when(col("is_test"), "test").otherwise("train").as("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("label")).cast("long").as("n_pos"),
+        (sum(when(col("prediction") === col("label"), 1L).otherwise(0L))
+          >= count(lit(1)) * lit(0.9)).as("acc_ok"))
+      .orderBy(col("split"))
+  }
+
   val queries: Map[String, Q] = Map(
     "t01_token_count" -> t01TokenCount _,
     "t02_quality"     -> t02Quality _,
@@ -1017,6 +1067,7 @@ object TextAnalysis {
     "t20_readability" -> t20Readability _,
     "t21_bigram_lm"   -> t21BigramLm _,
     "t22_pii_scan"    -> t22PiiScan _,
+    "t23_trained_classifier" -> t23TrainedClassifier _,
     "g14_heavy_hitters" -> g14HeavyHitters _,
     "g16_quality_psi" -> g16QualityPsi _,
   )
@@ -1055,6 +1106,23 @@ object TextAnalysis {
            6)"""
 
   val oracleSql: Map[String, String] = Map(
+    // t23: split sizes + label counts exact (md5 gate + the same margin
+    // arithmetic, doubles computed identically: *10.0/len then ln); the
+    // held-out accuracy of the actually-trained model is the TRUE band
+    "t23_trained_classifier" -> s"""
+      WITH f AS (
+        SELECT doc_id,
+               length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 10.0
+                 / length(text)
+               + ln(1 + length(text)) AS margin
+        FROM documents WHERE length(text) > 0)
+      SELECT CASE WHEN ${graft.functions.HashGate.sql("doc_id", TrainedClfTestGateHex)}
+                  THEN 'test' ELSE 'train' END AS split,
+             count(*) AS n_docs,
+             CAST(count(*) FILTER (WHERE margin > $TrainedClfThreshold)
+                  AS BIGINT) AS n_pos,
+             TRUE AS acc_ok
+      FROM f GROUP BY 1 ORDER BY split""",
     // DuckDB range(a, b, s) is end-exclusive; list slicing l[a:b] is
     // 1-based inclusive and clamps at the array end, matching Spark's
     // slice(arr, start, len). chunk_idx counts from 0 in both (posexplode
