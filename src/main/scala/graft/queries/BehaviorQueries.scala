@@ -1,0 +1,276 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Behavioral / graph analytics over the `events` clickstream and the
+  * `documents` release table: link-graph centrality (PageRank), cohort
+  * retention, Markov transition structure, and a k-anonymity
+  * generalization audit.
+  *
+  * These are the analytics a crawl-curation stack runs beside the
+  * LLM-data operators (SURVEY §2.4/§6): centrality is the classic
+  * crawl-frontier / domain-quality prior (the public Common Crawl
+  * ranking uses exactly a link-graph centrality over hosts), cohorts and
+  * transition matrices are the reference's Athena-style product
+  * analytics, and the k-anonymity ladder is the governance audit run
+  * before a corpus release (alongside t22's PII scan and p27's
+  * pseudonymization).
+  *
+  * Determinism discipline: every row is EXACT — all arithmetic is
+  * integer (`div` in Spark ≡ `//` in DuckDB on non-negative BIGINTs),
+  * window orders carry an `event_id` tiebreak, and output orders end in
+  * a unique key, so the driver's value-hash compare holds bit-for-bit.
+  */
+object BehaviorQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  // --- g22: PageRank over the props.k page graph ------------------------
+
+  /** Fixed power-iteration count; small because the output contract is
+    * "the spec's 5th iterate", not convergence — both engines run the
+    * identical integer recurrence. */
+  val PageRankIters = 5
+
+  /** Rank fixed-point scale: r₀ = 10⁹ per node. With damping 85/100 and
+    * edge weights ≤ 10⁶, every intermediate product stays ≤ ~10¹⁶,
+    * comfortably inside BIGINT (and never routed through a double). */
+  val RankScale = 1000000000L
+
+  /** floor(0.15 × [[RankScale]]) — the teleport term each node receives
+    * per iteration. */
+  val TeleportScaled = 150000000L
+
+  /** g22: weighted PageRank over the clickstream page graph. Each user's
+    * event sequence (ordered by `ts, event_id`) yields transitions
+    * `page(i) → page(i+1)` where `page = props.k` (the 100-value page id
+    * the synthetic feed carries); transition multiplicity is the edge
+    * weight. The rank recurrence is stated EXACTLY in scaled integers —
+    * r₀(v) = 10⁹; rᵢ(v) = 150 000 000 + ⌊85 × Σ_{(u,v,w)} ⌊rᵢ₋₁(u)·w /
+    * outw(u)⌋ / 100⌋ — so Spark and the DuckDB oracle compute the same
+    * BIGINTs with no float in the loop. Dangling pages (none in this
+    * graph, but stated) keep their mass; no redistribution.
+    *
+    * Scale: the expensive step is building EDGES — one per-user window
+    * pass over the corpus (co-partitioned by `user_id`, linear) and one
+    * groupBy onto the page-pair key. The iteration itself runs over the
+    * AGGREGATED graph (|pages|² ≤ 10⁴ rows here; hosts-not-pages at
+    * 100 TB, still ≪ corpus), so the 5 join+agg rounds shuffle only
+    * rank-table-sized frames. Edges/nodes are persisted so the loop
+    * reads the windowed corpus once, not five times — exactly how the
+    * production host-graph job is shaped (edge extraction ≫ iteration). */
+  def g22PageRank(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val ev = Tables.events(s, d).select(
+      col("user_id"),
+      get_json_object(col("props"), "$.k").cast("long").as("page"),
+      col("ts"), col("event_id"))
+    val edges = ev
+      .withColumn("src", lag(col("page"), 1).over(w))
+      .filter(col("src").isNotNull)
+      .groupBy(col("src"), col("page").as("dst"))
+      .agg(count(lit(1)).as("w"))
+    val outw = edges.groupBy(col("src").as("ow_src")).agg(sum(col("w")).as("outw"))
+    val ew = edges.join(outw, edges("src") === outw("ow_src"))
+      .select(col("src"), col("dst"), col("w"), col("outw"))
+      .persist()
+    val nodes = ew.select(col("src").as("node"))
+      .union(ew.select(col("dst").as("node"))).distinct().persist()
+    var ranks = nodes.select(col("node"), lit(RankScale).as("r"))
+    for (_ <- 1 to PageRankIters) {
+      val contrib = ew.join(ranks, ew("src") === ranks("node"))
+        .select(col("dst"), expr("(r * w) div outw").as("c"))
+      val inw = contrib.groupBy(col("dst")).agg(sum(col("c")).as("inw"))
+      ranks = nodes.join(inw, nodes("node") === inw("dst"), "left")
+        .select(col("node"),
+          (lit(TeleportScaled) +
+            coalesce(expr("(85 * inw) div 100"), lit(0L))).as("r"))
+    }
+    ranks.select(col("node").as("page"), col("r").as("rank_scaled"))
+      .orderBy(col("rank_scaled").desc, col("page"))
+  }
+
+  /** The g22 oracle, generated for the same [[PageRankIters]] — one CTE
+    * per iteration (a fixed unrolling rather than a recursive CTE:
+    * grouped aggregation over the recursive reference is exactly what
+    * SQL's recursive-term rules restrict, and an unrolled chain is
+    * portable and visibly identical to the Spark loop). */
+  private[queries] val PageRankOracleSql: String = {
+    val base = s"""
+      WITH seqd AS (
+        SELECT user_id,
+               CAST(json_extract_string(props, '$$.k') AS BIGINT) AS page,
+               lag(CAST(json_extract_string(props, '$$.k') AS BIGINT))
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src
+        FROM events),
+      edges AS (
+        SELECT src, page AS dst, count(*) AS w
+        FROM seqd WHERE src IS NOT NULL GROUP BY 1, 2),
+      ew AS (
+        SELECT e.src, e.dst, e.w, o.outw
+        FROM edges e
+        JOIN (SELECT src, sum(w) AS outw FROM edges GROUP BY 1) o USING (src)),
+      nodes AS (SELECT DISTINCT src AS node FROM edges
+                UNION SELECT DISTINCT dst FROM edges),
+      r0 AS (SELECT node, CAST($RankScale AS BIGINT) AS r FROM nodes)"""
+    val iters = (1 to PageRankIters).map { i =>
+      s""",
+      r$i AS (
+        SELECT n.node,
+               CAST($TeleportScaled AS BIGINT) +
+                 COALESCE((85 * s.inw) // 100, 0) AS r
+        FROM nodes n LEFT JOIN (
+          SELECT e.dst, sum((p.r * e.w) // e.outw) AS inw
+          FROM r${i - 1} p JOIN ew e ON e.src = p.node
+          GROUP BY e.dst) s ON s.dst = n.node)"""
+    }.mkString
+    base + iters + s"""
+      SELECT node AS page, r AS rank_scaled
+      FROM r$PageRankIters
+      ORDER BY rank_scaled DESC, page"""
+  }
+
+  // --- g23: weekly cohort retention ------------------------------------
+
+  /** g23: cohort retention matrix — users bucketed by the ISO week of
+    * their FIRST event; each (cohort_week, offset_week) cell counts the
+    * distinct users from that cohort active that many whole weeks later,
+    * plus their event volume. The product-analytics staple the reference
+    * serves from Athena.
+    *
+    * Scale: one groupBy(user) for first-touch, then a join back on
+    * `user_id` — both sides hash-partitioned on the SAME key, so the
+    * join reuses the aggregation's exchange (no extra shuffle for the
+    * fact side under AQE); the final rollup is over the (weeks × offsets)
+    * grid, tiny at any corpus size. distinct-user counting is exact here
+    * (the oracle can state it); at 100 TB the drop-in economization is
+    * `approx_count_distinct`, the q25/g07 contract shape. */
+  def g23CohortRetention(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+    val first = ev.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+    ev.join(first, "user_id")
+      .select(col("user_id"),
+        date_trunc("week", col("cohort_day")).cast("date").as("cohort_week"),
+        expr("datediff(day, cohort_day) div 7").as("offset_week"))
+      .groupBy(col("cohort_week"), col("offset_week"))
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("cohort_week"), col("offset_week"))
+  }
+
+  // --- g24: event-type transition matrix --------------------------------
+
+  /** g24: first-order Markov transition matrix over each user's event
+    * sequence — counts per (prev_type → next_type) pair and the row-
+    * normalized transition probability in exact parts-per-million
+    * (`(n × 10⁶) div row_total`, integer on both engines — no float
+    * probability to drift). The session-modeling companion to g17's
+    * funnel: the funnel fixes one path, this surfaces all of them.
+    *
+    * Scale: one per-user window pass (co-partitioned, linear) onto a
+    * |types|² aggregate; the row-total window then runs over ≤ 25 rows. */
+  def g24EventTransitions(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val pairs = Tables.events(s, d)
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n"))
+    pairs
+      .withColumn("row_total", sum(col("n")).over(Window.partitionBy("prev_type")))
+      .withColumn("p_ppm", expr("(n * 1000000) div row_total"))
+      .select(col("prev_type"), col("next_type"), col("n"), col("p_ppm"))
+      .orderBy(col("prev_type"), col("next_type"))
+  }
+
+  // --- g25: k-anonymity generalization ladder ---------------------------
+
+  /** Classes smaller than this violate k-anonymity. */
+  val KAnonK = 5L
+
+  /** The generalization ladder for the numeric quasi-identifier:
+    * candidate `n_chars` bucket widths, coarsest last. */
+  val KAnonWidths: Seq[Long] = Seq(10L, 100L, 1000L)
+
+  /** g25: k-anonymity audit over the document release table. Quasi-
+    * identifiers are (lang, source, n_chars bucketed at a candidate
+    * width); for each width on the generalization ladder the audit
+    * reports the equivalence-class count, the smallest class, how many
+    * rows sit in sub-k classes (the suppression cost of releasing at
+    * that width), and whether the width achieves k-anonymity outright —
+    * the table a release manager picks the minimal safe generalization
+    * from. Complements t22 (PII content scan) and p27 (pseudonymization):
+    * those fix VALUES, this audits LINKABILITY.
+    *
+    * Scale: one scan with a 3-way width explode (an Expand, ×|ladder|)
+    * into a single hash aggregate on the class key, then a |ladder|-row
+    * rollup — no joins, no driver data. At 100 TB the Expand factor is
+    * the ladder length (3), constant, and partial aggregation collapses
+    * each class before the exchange. */
+  def g25KAnonymity(s: SparkSession, d: String): DataFrame = {
+    val classes = Tables.documents(s, d)
+      .select(col("lang"), col("source"), col("n_chars"),
+        explode(array(KAnonWidths.map(lit): _*)).as("width"))
+      .groupBy(col("width"), col("lang"), col("source"),
+        expr("n_chars div width").as("bucket"))
+      .agg(count(lit(1)).as("class_size"))
+    classes.groupBy(col("width"))
+      .agg(count(lit(1)).as("n_classes"),
+        min(col("class_size")).as("min_class_size"),
+        sum(when(col("class_size") < KAnonK, col("class_size"))
+          .otherwise(lit(0L))).as("n_rows_suppressed"),
+        (min(col("class_size")) >= KAnonK).as("achieves_k"))
+      .orderBy(col("width"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "g22_pagerank" -> g22PageRank _,
+    "g23_cohort_retention" -> g23CohortRetention _,
+    "g24_event_transitions" -> g24EventTransitions _,
+    "g25_kanonymity" -> g25KAnonymity _,
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "g22_pagerank" -> PageRankOracleSql,
+    "g23_cohort_retention" -> """
+      WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+      f AS (SELECT user_id, min(day) AS cohort_day FROM ev GROUP BY 1)
+      SELECT CAST(date_trunc('week', f.cohort_day) AS DATE) AS cohort_week,
+             (date_diff('day', f.cohort_day, ev.day) // 7) AS offset_week,
+             count(DISTINCT ev.user_id) AS n_users,
+             count(*) AS n_events
+      FROM ev JOIN f USING (user_id)
+      GROUP BY 1, 2 ORDER BY cohort_week, offset_week""",
+    "g24_event_transitions" -> """
+      WITH seqd AS (
+        SELECT event_type,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_type
+        FROM events),
+      pairs AS (
+        SELECT prev_type, event_type AS next_type, count(*) AS n
+        FROM seqd WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+      SELECT prev_type, next_type, n,
+             (n * 1000000) // sum(n) OVER (PARTITION BY prev_type) AS p_ppm
+      FROM pairs ORDER BY prev_type, next_type""",
+    "g25_kanonymity" -> s"""
+      WITH classes AS (
+        SELECT w.width, lang, source, n_chars // w.width AS bucket,
+               count(*) AS class_size
+        FROM documents
+        CROSS JOIN (SELECT CAST(unnest([${KAnonWidths.mkString(", ")}]) AS BIGINT)
+                      AS width) w
+        GROUP BY 1, 2, 3, 4)
+      SELECT width, count(*) AS n_classes,
+             min(class_size) AS min_class_size,
+             CAST(sum(CASE WHEN class_size < $KAnonK
+                           THEN class_size ELSE 0 END) AS BIGINT)
+               AS n_rows_suppressed,
+             (min(class_size) >= $KAnonK) AS achieves_k
+      FROM classes GROUP BY 1 ORDER BY width""",
+  )
+}

@@ -1,0 +1,81 @@
+package graft
+
+import graft.queries.BehaviorQueries
+import org.apache.spark.sql.functions._
+
+/** Semantic laws for the behavioral/graph family (g22 PageRank, g23
+  * cohort retention, g24 transition matrix, g25 k-anonymity ladder).
+  * Each law re-derives the expectation through an INDEPENDENT path —
+  * g22's integer recurrence is re-run in pure Scala over the collected
+  * edge list, the others check conservation/partition laws against raw
+  * corpus counts — so a production-path regression cannot cancel out. */
+class BehaviorOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("g22: Spark PageRank equals the pure-Scala integer recurrence exactly") {
+    val got = BehaviorQueries.g22PageRank(spark, sf).collect()
+      .map(r => r.getAs[Long]("page") -> r.getAs[Long]("rank_scaled")).toMap
+    // independent path: rebuild edges driver-side from the raw corpus
+    val raw = Tables.events(spark, sf)
+      .select(col("user_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("page"),
+        unix_micros(col("ts")).as("tss"), col("event_id"))
+      .as[(Long, Long, Long, Long)].collect()
+    val edges = raw.groupBy(_._1).values.toSeq.flatMap { evs =>
+      val pages = evs.sortBy(e => (e._3, e._4)).map(_._2).toSeq
+      pages.zip(pages.drop(1))
+    }.groupBy(p => p).map { case ((u, v), xs) => (u, v, xs.size.toLong) }.toSeq
+    val outw = edges.groupBy(_._1).map { case (u, es) => u -> es.map(_._3).sum }
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    var r = nodes.map(_ -> BehaviorQueries.RankScale).toMap
+    for (_ <- 1 to BehaviorQueries.PageRankIters) {
+      val in = edges.groupBy(_._2).map { case (v, es) =>
+        v -> es.map { case (u, _, w) => r(u) * w / outw(u) }.sum
+      }
+      r = nodes.map(v =>
+        v -> (BehaviorQueries.TeleportScaled +
+          in.get(v).map(85L * _ / 100L).getOrElse(0L))).toMap
+    }
+    assert(got == r, "rank fixed-point mismatch")
+    assert(got.values.forall(_ >= BehaviorQueries.TeleportScaled))
+  }
+
+  test("g23: offset-0 cohort users partition the user base; events conserve") {
+    val cells = BehaviorQueries.g23CohortRetention(spark, sf).collect()
+    val ev = Tables.events(spark, sf)
+    assert(cells.map(_.getAs[Long]("n_events")).sum == ev.count())
+    val atZero = cells.filter(_.getAs[Long]("offset_week") == 0L)
+    assert(atZero.map(_.getAs[Long]("n_users")).sum ==
+      ev.select(col("user_id")).distinct().count())
+    assert(cells.forall(_.getAs[Long]("offset_week") >= 0L))
+  }
+
+  test("g24: transition counts conserve and row probabilities floor-sum to 1e6") {
+    val rows = BehaviorQueries.g24EventTransitions(spark, sf).collect()
+    val nEvents = Tables.events(spark, sf).count()
+    val nUsers = Tables.events(spark, sf).select(col("user_id")).distinct().count()
+    // every event except each user's first contributes exactly one pair
+    assert(rows.map(_.getAs[Long]("n")).sum == nEvents - nUsers)
+    rows.groupBy(_.getAs[String]("prev_type")).foreach { case (p, rs) =>
+      val ppm = rs.map(_.getAs[Long]("p_ppm")).sum
+      // floor division loses < 1 ppm per cell
+      assert(ppm <= 1000000L && ppm > 1000000L - rs.length, s"row $p ppm $ppm")
+    }
+  }
+
+  test("g25: ladder is a coarsening — classes shrink, min class grows, k eventually holds") {
+    val rows = BehaviorQueries.g25KAnonymity(spark, sf).collect()
+      .sortBy(_.getAs[Long]("width"))
+    assert(rows.map(_.getAs[Long]("width")).toSeq == BehaviorQueries.KAnonWidths)
+    val nClasses = rows.map(_.getAs[Long]("n_classes"))
+    val minClass = rows.map(_.getAs[Long]("min_class_size"))
+    // width w2 = 10×w1 buckets are unions of w1 buckets (x div 100 =
+    // (x div 10) div 10), so coarsening is monotone on both metrics
+    assert(nClasses.zip(nClasses.tail).forall { case (a, b) => b <= a })
+    assert(minClass.zip(minClass.tail).forall { case (a, b) => b >= a })
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("achieves_k") ==
+        (r.getAs[Long]("min_class_size") >= BehaviorQueries.KAnonK))
+    }
+  }
+}
