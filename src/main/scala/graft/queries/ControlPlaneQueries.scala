@@ -495,6 +495,63 @@ object ControlPlaneQueries {
       }
     }
 
+  /** k05: dynamic partition pruning as a hard row — the events slice is
+    * landed as a DATE-PARTITIONED lake table (the p05/st01 layout), then
+    * joined to a small derived dimension ("hot days": days whose error
+    * count is above the corpus average, a scale-free predicate) with the
+    * dim side broadcast. Catalyst's PlanDynamicPruningFilters must push a
+    * `dynamicpruning` subquery into the fact scan's PartitionFilters —
+    * the fact scan reads ONLY the joined days' directories, at runtime,
+    * without the filter ever being written against the fact table. The
+    * executed plan is interrogated for that filter and the fact rides
+    * out as a column the oracle pins TRUE, the k02 zero-Exchange idiom.
+    *
+    * This is THE selective fact-dim join shape at 100 TB: a day-
+    * partitioned petabyte fact joined to a filtered dimension must scan
+    * the qualifying partitions only — without DPP the scan cost is the
+    * whole table and no amount of join tuning recovers it. The rollup
+    * itself is oracle-exact via micro-scaled integer sums.
+    *
+    * e2e-tagged: the Spark side writes and re-reads a real partitioned
+    * lake copy; the oracle is a parquet-only join. */
+  def k05DppPrune(s: SparkSession, d: String): DataFrame =
+    withTmp(s, "graft-k05-") { tmp =>
+      val ev = Tables.events(s, d)
+      ev.withColumn("event_date", to_date(col("ts")))
+        .write.mode("overwrite").partitionBy("event_date").parquet(s"$tmp/fact")
+      val fact = s.read.parquet(s"$tmp/fact")
+      val days = ev.groupBy(to_date(col("ts")).as("d_date"))
+        .agg(sum(when(col("event_type") === "error", 1L).otherwise(0L))
+          .as("n_errors"))
+      // The above-average threshold lands as LITERALS (one bounded
+      // driver read of two global longs — a scalar at any corpus size):
+      // PartitionPruning's selective-predicate check accepts a
+      // literal comparison on the dim side but not the equivalent
+      // attribute-vs-attribute form via a cross-joined total, which
+      // silently disables DPP. Same exact integer predicate as the
+      // oracle (`n_errors × n_days > tot_errors`), no float division.
+      val totRow = days.agg(count(lit(1)).as("n_days"),
+        sum(col("n_errors")).as("tot_errors")).head()
+      val (nDays, totErrors) = (totRow.getLong(0), totRow.getLong(1))
+      val hot = days
+        .filter(col("n_errors") * lit(nDays) > lit(totErrors))
+        .select(col("d_date"))
+      val joined = fact.join(broadcast(hot), fact("event_date") === hot("d_date"))
+      // pruning evidence from the plan that will actually run: the fact
+      // scan's PartitionFilters must carry the runtime subquery
+      val pruned = joined.queryExecution.executedPlan.toString
+        .contains("dynamicpruning")
+      joined
+        .select(col("event_date"),
+          round(col("value") * 1000000).cast("long").as("micros"))
+        .groupBy(col("event_date"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("micros")).as("sum_value_micros"))
+        .withColumn("scan_dpp_pruned", lit(pruned))
+        .orderBy(col("event_date"))
+        .localCheckpoint(eager = true)
+    }
+
   val queries: Map[String, Q] = Map(
     "x01_pipeline_e2e"    -> x01PipelineE2e _,
     "x02_catalog_sql"     -> x02CatalogSql _,
@@ -506,9 +563,28 @@ object ControlPlaneQueries {
     "k01_format_roundtrip" -> k01FormatRoundtrip _,
     "k02_bucketed_join"   -> k02BucketedJoin _,
     "k03_json_roundtrip"  -> k03JsonRoundtrip _,
+    "k05_dpp_prune"       -> k05DppPrune _,
   )
 
   val oracleSql: Map[String, String] = Map(
+    // k05: the same hot-day join straight off the parquet corpus; the
+    // DPP fact is pinned TRUE — a plan that stopped pruning fails the row
+    "k05_dpp_prune" -> """
+      WITH days AS (
+        SELECT CAST(ts AS DATE) AS d_date,
+               sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_errors
+        FROM events GROUP BY 1),
+      hot AS (
+        SELECT d_date FROM days
+        WHERE n_errors * (SELECT count(*) FROM days)
+                > (SELECT sum(n_errors) FROM days))
+      SELECT CAST(e.ts AS DATE) AS event_date,
+             count(*) AS n_events,
+             CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT)
+               AS sum_value_micros,
+             TRUE AS scan_dpp_pruned
+      FROM events e JOIN hot h ON CAST(e.ts AS DATE) = h.d_date
+      GROUP BY 1 ORDER BY event_date""",
     // k01: the same per-type rollup straight off the parquet corpus,
     // stated once per format — any round-trip loss breaks that format's
     // rows against this

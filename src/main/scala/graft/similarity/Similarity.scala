@@ -374,6 +374,99 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  // --- s16: Johnson–Lindenstrauss dimension reduction --------------------
+
+  /** Projected dimensionality: 64 → [[JlDim]] (2× here; the ratio is the
+    * knob — production embedding dims of 1–4k reduce 32–128×). */
+  val JlDim = 32
+
+  /** Refine-depth floor: at least this many candidates re-rank exactly. */
+  val JlRefineMin = 500
+
+  /** Refine depth as a percentage of corpus size. JL's ranking noise is
+    * crowding-limited — projected-cosine error is ~N(0, O(1/k)) per
+    * distractor, so the number of distractors that leapfrog a true
+    * neighbor grows LINEARLY with corpus size at fixed [[JlDim]] — which
+    * is why the refine budget is a corpus fraction, not a constant.
+    * Measured worst-query recall@10 (5 queries) on the near-dup-
+    * saturated sf0.3 sweep corpus: refine 500 → 0.30, 1500 (1 %) →
+    * 0.70, 3000 (2 %) → 1.00; at sf0.1 refine 500 → 0.90; at
+    * sf0.01 refine 500 (= the floor) → 1.00. 2 % holds everywhere
+    * with margin. */
+  val JlRefinePct = 2
+
+  /** Recall floor for the s16 contract. Measured at sf0.01 / sf0.1 and
+    * the harder sf0.3 sweep distribution before being pinned (the s15
+    * lesson: verify approximate rows beyond the driver SF); worst-query
+    * recall with the adaptive refine ≥ 0.9 at all three, floored with
+    * margin. */
+  val JlRecallFloor = 0.7
+
+  /** The ±1 Rademacher projection matrix ([[JlDim]] × [[Dim]]), seeded-
+    * deterministic like the LSH [[planes]]: a few KB generated on the
+    * driver, entering the plan as literals. Rademacher rather than
+    * Gaussian because the JL guarantee holds for subgaussian signs
+    * (Achlioptas 2001) and sign matrices cost no RNG state to recreate
+    * exactly anywhere. */
+  private def jlMatrix: Array[Array[Double]] = {
+    val rnd = new Random(271828L)
+    Array.fill(JlDim, Dim)(if (rnd.nextBoolean()) 1.0 else -1.0)
+  }
+
+  /** s16: ANN via Johnson–Lindenstrauss projection — every vector is
+    * projected once to [[JlDim]] dims (map-only, native [[graft.functions.DotProduct]]
+    * per output dim), the top-refine candidates per query are found
+    * by projected-space cosine, and only those re-rank by exact cosine on
+    * the original vectors. Completes the compression matrix the s-family
+    * spans: SQ8 shrinks PRECISION (s08), PQ shrinks both (s04), IVF
+    * partitions the SCAN (s03) — JL shrinks DIMENSION, the axis that
+    * dominates cost when embeddings are 1–4k floats wide.
+    *
+    * Scale: the projection halves (here; 32–128× at production dims)
+    * every byte the candidate scan touches and shuffles, and composes
+    * with IVF exactly as s09 composes SQ8 — project, then cell-probe the
+    * projected table. The refine join ships ≤ refine original
+    * vectors per query, never the corpus. */
+  def s16JlTopK(s: SparkSession, d: String, refine: Int = -1): DataFrame = {
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    // adaptive refine: [[JlRefinePct]] % of the corpus, floored at
+    // [[JlRefineMin]] (one metadata-only count job; exact, so the row
+    // stays deterministic)
+    val ref = if (refine > 0) refine
+      else math.max(JlRefineMin.toLong, e.count() * JlRefinePct / 100).toInt
+    val m = jlMatrix
+    val proj = e.select(col("vec_id"),
+      array((0 until JlDim).map(j =>
+        graft.functions.VectorFunctions.dot(col("embedding"), lit(m(j)))): _*)
+        .as("proj"))
+    val qp = proj.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("proj").as("qproj"))
+    val pw = Window.partitionBy(col("query_id"))
+      .orderBy(col("pcos").desc, col("vec_id"))
+    val cand = proj.join(broadcast(qp), col("vec_id") =!= col("query_id"))
+      .withColumn("pcos", cosine(col("qproj"), col("proj")))
+      .withColumn("prank", row_number().over(pw))
+      .filter(col("prank") <= ref)
+      .select(col("query_id"), col("vec_id"))
+    val q = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    cand
+      .join(e, "vec_id")
+      .join(broadcast(q), "query_id")
+      .withColumn("cos", cosine(col("qe"), col("embedding")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(col("cos"), 6).as("cos"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** s16 registered form: JL-projected retrieval recall contract. */
+  def s16JlRecall(s: SparkSession, d: String): DataFrame =
+    recallContract(s, d, s16JlTopK(s, d), JlRecallFloor)
+
   def s03IvfTopK(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
     val centroids = coarseCentroids(s, d)
@@ -1132,6 +1225,7 @@ object Similarity {
     "s12_filtered_ivf"    -> s12FilteredIvfRecall _,
     "s13_knn_classify"    -> s13KnnClassify _,
     "s15_ivf_append"      -> s15IvfAppendRecall _,
+    "s16_jl_project"      -> s16JlRecall _,
     "g11_class_tightness" -> g11ClassTightness _,
     "g12_label_centroids" -> g12LabelCentroids _,
   )
@@ -1151,6 +1245,7 @@ object Similarity {
     "s04_topk_pq"  -> contractOracle,
     "s09_topk_ivfsq" -> contractOracle,
     "s15_ivf_append" -> contractOracle,
+    "s16_jl_project" -> contractOracle,
     // s12: the exact-filtered result size per query IS oracle-computable
     // (min(k, same-label mates)); recall_ok is the engine-side contract
     "s12_filtered_ivf" -> s"""
