@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.dedup.Dedup
 import graft.multimodal.MultimodalQueries
-import graft.queries.{ControlPlaneQueries, ExtendedQueries, PipelineQueries, RelationalQueries}
+import graft.queries.{BehaviorQueries, ControlPlaneQueries, ExtendedQueries, PipelineQueries, RelationalQueries}
 import graft.similarity.Similarity
 import graft.streaming.StreamReplay
 import graft.text.TextAnalysis
@@ -27,7 +27,7 @@ object SparkEntry {
       PipelineQueries.queries ++ TextAnalysis.queries ++
       Dedup.queries ++ Similarity.queries ++ StreamReplay.queries ++
       MultimodalQueries.queries ++ ControlPlaneQueries.queries ++
-      graft.quality.Expectations.queries
+      graft.quality.Expectations.queries ++ BehaviorQueries.queries
 
   /** Like-for-like bench-cut tags (VERDICT r6 item 2) — the single source
     * of truth scripts/duckbench.py derives the batch cut from (it used to
@@ -53,13 +53,16 @@ object SparkEntry {
       .map(_ -> "e2e").toMap +
       ("k01_format_roundtrip" -> "e2e") + ("k02_bucketed_join" -> "e2e") +
       ("k03_json_roundtrip" -> "e2e") + ("k04_schema_evolution" -> "e2e") +
+      ("k05_dpp_prune" -> "e2e") +
       // p30 lands three real parquet write/read cycles plus bookmark
       // audit writes against a one-GROUP-BY oracle — the k01 rule
       ("p30_bookmark_ingest" -> "e2e")
     val contract = Seq("s02_topk_lsh", "s03_topk_ivf", "s04_topk_pq",
       "s05_cluster_profile", "s09_topk_ivfsq", "s12_filtered_ivf",
-      "s15_ivf_append", "d04_simhash", "g07_profile_approx",
-      "g14_heavy_hitters")
+      "s15_ivf_append", "s16_jl_project", "d04_simhash", "g07_profile_approx",
+      // t23 TRAINS a model (100 LBFGS passes) against a one-GROUP-BY
+      // oracle — a pipeline-vs-boolean comparison, not like-for-like
+      "g14_heavy_hitters", "t23_trained_classifier")
       .map(_ -> "contract").toMap
     val batch = queries.keys.map(_ -> "batch").toMap
     batch ++ e2e ++ contract
@@ -72,5 +75,5 @@ object SparkEntry {
       PipelineQueries.oracleSql ++ TextAnalysis.oracleSql ++
       Dedup.oracleSql ++ Similarity.oracleSql ++ StreamReplay.oracleSql ++
       MultimodalQueries.oracleSql ++ ControlPlaneQueries.oracleSql ++
-      graft.quality.Expectations.oracleSql
+      graft.quality.Expectations.oracleSql ++ BehaviorQueries.oracleSql
 }
