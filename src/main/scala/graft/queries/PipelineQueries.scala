@@ -1666,7 +1666,59 @@ object PipelineQueries {
       .orderBy(col("itemset"))
   }
 
+  /** p32 sampling fraction denominator: target k = n div this. */
+  val PpsDenom = 20L
+
+  /** p32 prefix-sum bucket width (doc_id div this = the level-1 key). */
+  val PpsBucket = 64L
+
+  /** p32: systematic probability-proportional-to-size sampling — the
+    * weighted corpus subsample (weight = `n_chars`, the token-mass
+    * proxy) picked by the classic cumulative-weight systematic rule:
+    * with k slots over total weight W, doc i is selected iff its
+    * cumulative-weight interval (C_{i-1}, C_i] crosses a slot boundary,
+    * i.e. `(C_i·k) div W > (C_{i-1}·k) div W` — ALL in BIGINT, no float
+    * anywhere, so both engines pick the identical sample. Items heavier
+    * than W/k are certainty items (always selected); expectation is
+    * exactly ∝ weight for the rest. This is the "sample 5 % of the
+    * corpus by token mass, not doc count" operator a mixing pipeline
+    * runs after p13's per-source rates.
+    *
+    * Scale: a global ordered prefix sum is the naive trap — a single
+    * ORDER BY window moves the corpus to ONE partition. It is computed
+    * here as the standard two-level decomposition instead: (1) an
+    * intra-bucket running sum windowed BY bucket (`doc_id div
+    * [[PpsBucket]]` — distributed, linear), (2) per-bucket totals with
+    * an exclusive running sum over the bucket FRAME (n/[[PpsBucket]]
+    * rows — for corpora where even that frame is large, the same
+    * decomposition nests recursively), (3) a broadcast join adding each
+    * bucket's offset. The k/W scalars ride in from one tiny aggregate
+    * via a broadcast cross join, never a driver literal. */
+  def p32PpsSample(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("n_chars"),
+        expr(s"doc_id div $PpsBucket").as("bkt"))
+    val wIntra = Window.partitionBy(col("bkt")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val intra = docs.withColumn("c_in", sum(col("n_chars")).over(wIntra))
+    val wBkt = Window.orderBy(col("bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = docs.groupBy(col("bkt")).agg(sum(col("n_chars")).as("bsum"))
+      .withColumn("off", coalesce(sum(col("bsum")).over(wBkt), lit(0L)))
+      .select(col("bkt"), col("off"))
+    val tot = docs.agg(sum(col("n_chars")).as("w_tot"),
+      greatest(lit(1L), expr(s"count(1) div $PpsDenom")).as("k"))
+    intra.join(broadcast(offsets), "bkt")
+      .crossJoin(broadcast(tot))
+      .withColumn("c", col("off") + col("c_in"))
+      .filter(expr("(c * k) div w_tot > ((c - n_chars) * k) div w_tot"))
+      .select(col("doc_id"), col("n_chars"), col("c").as("cum_weight"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "p32_pps_sample"        -> p32PpsSample _,
     "g20_sketch_overlap"    -> g20SketchOverlap _,
     "g21_frequent_sets"     -> g21FrequentSets _,
     "p01_validate_events"   -> p01ValidateEvents _,
@@ -1757,6 +1809,22 @@ object PipelineQueries {
       FROM kept GROUP BY 1 ORDER BY 1"""
 
   val oracleSql: Map[String, String] = Map(
+    // p32: the same integer slot rule over a plain single-pass cumsum
+    // (the oracle engine may single-partition; the Spark side must not)
+    "p32_pps_sample" -> s"""
+      WITH t AS (
+        SELECT CAST(sum(n_chars) AS BIGINT) AS w_tot,
+               greatest(1, count(*) // $PpsDenom) AS k
+        FROM documents),
+      c AS (
+        SELECT doc_id, n_chars,
+               sum(n_chars) OVER (ORDER BY doc_id
+                                  ROWS UNBOUNDED PRECEDING) AS c
+        FROM documents)
+      SELECT c.doc_id, c.n_chars, CAST(c.c AS BIGINT) AS cum_weight
+      FROM c, t
+      WHERE (c.c * t.k) // t.w_tot > ((c.c - c.n_chars) * t.k) // t.w_tot
+      ORDER BY c.doc_id""",
     // g20: exact pairwise distinct-user intersections + TRUE bands — the
     // estimator contract is Spark-side (sketches aren't oracle-statable),
     // the truth it's banded against is

@@ -1044,7 +1044,41 @@ object TextAnalysis {
       .orderBy(col("split"))
   }
 
+  /** Fixed hashed-feature dimensionality for t24 (the classic 2^k). */
+  val FeatureHashBuckets = 256
+
+  /** t24: the hashing-trick featurizer (Weinberger et al. 2009) — every
+    * token maps to one of [[FeatureHashBuckets]] buckets via the first
+    * four hex digits of md5(term) (the [[graft.functions.HashGate]]
+    * engine-portable hash family), and the corpus-level hashed feature
+    * matrix is summarized per bucket: term frequency, document
+    * frequency, and the number of DISTINCT terms sharing the bucket —
+    * the collision count that is the trick's only cost, made a visible,
+    * oracle-checked output rather than folklore. This is the
+    * featurization that feeds fixed-width models (t23's trainer) without
+    * a vocabulary pass: no vocab table to build, broadcast, or version.
+    *
+    * Scale: one scan → explode → hash → one aggregate on a key space
+    * FIXED at [[FeatureHashBuckets]] regardless of corpus size (the
+    * whole point of the trick: the shuffle key cardinality is a
+    * constant, so partial aggregation collapses everything map-side);
+    * the two distinct-counts ride the same Expand pass. No vocabulary
+    * state anywhere. */
+  def t24FeatureHash(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .filter(col("term") =!= "")
+      .withColumn("bucket",
+        (conv(substring(md5(col("term")), 1, 4), 16, 10).cast("int")
+          % FeatureHashBuckets))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("tf"),
+        countDistinct(col("doc_id")).as("df"),
+        countDistinct(col("term")).as("n_terms"))
+      .orderBy(col("bucket"))
+
   val queries: Map[String, Q] = Map(
+    "t24_feature_hash" -> t24FeatureHash _,
     "t01_token_count" -> t01TokenCount _,
     "t02_quality"     -> t02Quality _,
     "t03_langid"      -> t03LangId _,
@@ -1106,6 +1140,19 @@ object TextAnalysis {
            6)"""
 
   val oracleSql: Map[String, String] = Map(
+    // t24: same tokenizer, same md5-prefix bucket, exact rollup
+    "t24_feature_hash" -> s"""
+      WITH tok AS (
+        SELECT doc_id, unnest($ToksSql) AS term FROM documents),
+      b AS (
+        SELECT doc_id, term,
+               CAST('0x' || substr(md5(term), 1, 4) AS INT)
+                 % $FeatureHashBuckets AS bucket
+        FROM tok WHERE term <> '')
+      SELECT bucket, count(*) AS tf,
+             count(DISTINCT doc_id) AS df,
+             count(DISTINCT term) AS n_terms
+      FROM b GROUP BY 1 ORDER BY bucket""",
     // t23: split sizes + label counts exact (md5 gate + the same margin
     // arithmetic, doubles computed identically: *10.0/len then ln); the
     // held-out accuracy of the actually-trained model is the TRUE band

@@ -1,12 +1,50 @@
 package graft
 
-import graft.queries.ControlPlaneQueries
+import graft.queries.{ControlPlaneQueries, PipelineQueries}
 import graft.similarity.Similarity
+import graft.text.TextAnalysis
 import org.apache.spark.sql.functions._
 
 /** Semantic laws for the round-8 third batch (s16 JL projection, k05
-  * dynamic partition pruning). */
+  * dynamic partition pruning, p32 PPS sampling, t24 feature hashing). */
 class RoundEightOpsSpec extends SparkSpec {
+
+  test("p32: the two-level prefix-sum sample equals the driver-side slot rule") {
+    val got = PipelineQueries.p32PpsSample(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cum_weight"))).toSeq
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("n_chars"))
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_chars")))
+      .sortBy(_._1)
+    val w = docs.map(_._2).sum
+    val k = math.max(1L, docs.length.toLong / PipelineQueries.PpsDenom)
+    var c = 0L
+    val expect = docs.flatMap { case (id, nc) =>
+      val prev = c; c += nc
+      if (c * k / w > prev * k / w) Some((id, c)) else None
+    }.toSeq
+    assert(got == expect, "selected set mismatch")
+    assert(got.size <= k, s"${got.size} > k=$k")
+    // certainty items (w_i > W/k) are always selected
+    val sel = got.map(_._1).toSet
+    docs.filter { case (_, nc) => nc * k > w }
+      .foreach { case (id, _) => assert(sel.contains(id), s"certainty item $id") }
+  }
+
+  test("t24: hashed feature mass conserves tokens, docs, and vocabulary") {
+    val got = TextAnalysis.t24FeatureHash(spark, sf).collect()
+    val toks = Tables.documents(spark, sf)
+      .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("term"))
+      .filter(col("term") =!= "")
+    assert(got.map(_.getAs[Long]("tf")).sum == toks.count())
+    assert(got.map(_.getAs[Long]("n_terms")).sum ==
+      toks.select(col("term")).distinct().count())
+    got.foreach { r =>
+      val b = r.getAs[Int]("bucket")
+      assert(b >= 0 && b < TextAnalysis.FeatureHashBuckets)
+      assert(r.getAs[Long]("df") <= r.getAs[Long]("tf"))
+    }
+  }
 
   test("s16: JL recall clears the floor, measured independently against s01") {
     val exact = Similarity.s01BruteForceTopK(spark, sf)
