@@ -674,4 +674,30 @@ class PlanSpec extends SparkSpec {
     // stacked as-of walk's windows
     assert(plan.linesIterator.exists(_.contains("Exchange hashpartitioning(user_id")), plan)
   }
+
+  test("p32: the per-doc prefix sum runs bucket-partitioned, never corpus-on-one-partition") {
+    val plan = executed(PipelineQueries.p32PpsSample(spark, sf))
+    // level 1 (per-doc running sum) is distributed by bucket
+    assert(plan.linesIterator.exists(_.contains("Exchange hashpartitioning(bkt")), plan)
+    // the per-doc running sum (c_in) is partitioned by bkt, never a
+    // global-order window
+    val cin = plan.linesIterator.find(_.contains("AS c_in")).get
+    assert(cin.contains("windowspecdefinition(bkt"), cin)
+    // the only single-partition frames: the bucket-offset window, the
+    // scalar total, and the SmallGlobalSort output sort (k rows) — all
+    // bounded by the bucket/sample count, not the corpus
+    assert(plan.linesIterator.count(_.contains("Exchange SinglePartition")) <= 3, plan)
+  }
+
+  test("g22: the rank iteration is all hash joins — no BNLJ, no cartesian") {
+    val plan = executed(graft.queries.BehaviorQueries.g22PageRank(spark, sf))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("t24: the hashed featurizer is one scan, no join, fixed-width aggregate") {
+    val plan = executed(graft.text.TextAnalysis.t24FeatureHash(spark, sf))
+    assert(plan.linesIterator.count(_.contains("Scan parquet")) == 1, plan)
+    assert(!plan.contains("Join"), plan)
+  }
 }
