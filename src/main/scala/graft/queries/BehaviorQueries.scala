@@ -227,7 +227,61 @@ object BehaviorQueries {
       .orderBy(col("width"))
   }
 
+  // --- g26: chi-square independence test --------------------------------
+
+  /** χ² critical value at α = 0.05, dof = (5−1)(7−1) = 24 — the fixed
+    * decision threshold for this contingency shape. */
+  val ChiSqCrit24 = 36.415
+
+  /** g26: Pearson chi-square independence test over the event_type ×
+    * ISO-weekday contingency table — per event type its χ² contribution,
+    * the table-level statistic, and the α=0.05 verdict. The statistical
+    * companion to g03's drift monitor: drift panels SCORE a divergence,
+    * this TESTS one (is behavior weekday-dependent at all?).
+    *
+    * Determinism discipline: observed counts aggregate exactly; expected
+    * values and per-cell terms are doubles computed by the IDENTICAL
+    * expression text in both engines from identical integers (BIGINT `/`
+    * is float division in both), then each cell's term is micro-scaled
+    * to BIGINT before any multi-cell SUM — the p16 order-free idiom, so
+    * no parallel-double-sum order can flip a rounded digit. Weekday is
+    * ISO (1 = Monday) on both engines (`weekday(ts)+1` ≡ `isodow(ts)`).
+    *
+    * Scale: one scan into a 35-cell aggregate; every window/join after
+    * the rollup runs over ≤ 35 rows. */
+  def g26ChiSquare(s: SparkSession, d: String): DataFrame = {
+    val cells = Tables.events(s, d)
+      .groupBy(col("event_type"), expr("weekday(ts) + 1").as("dow"))
+      .agg(count(lit(1)).as("o"))
+    val tot = cells.agg(
+      count_distinct(col("event_type")).as("n_types"),
+      count_distinct(col("dow")).as("n_dows"))
+    val withTot = cells
+      .withColumn("row_tot", sum(col("o")).over(Window.partitionBy("event_type")))
+      .withColumn("col_tot", sum(col("o")).over(Window.partitionBy("dow")))
+      .withColumn("n_tot", sum(col("o")).over(Window.partitionBy()))
+      .withColumn("term_micros", expr(
+        """CAST(round(pow(o - (row_tot * col_tot) / n_tot, 2)
+          |     / ((row_tot * col_tot) / n_tot) * 1000000) AS BIGINT)""".stripMargin))
+    withTot
+      .groupBy(col("event_type"))
+      .agg(sum(col("o")).as("n"), sum(col("term_micros")).as("part_micros"))
+      .withColumn("chi2_part",
+        round(col("part_micros") / lit(1000000.0), 6))
+      .withColumn("chi2_total",
+        round(sum(col("part_micros")).over(Window.partitionBy())
+          / lit(1000000.0), 6))
+      .crossJoin(broadcast(tot))
+      .withColumn("dof", (col("n_types") - 1) * (col("n_dows") - 1))
+      .withColumn("is_dependent",
+        col("chi2_total") > lit(ChiSqCrit24) && col("dof") === lit(24L))
+      .select(col("event_type"), col("n"), col("chi2_part"),
+        col("chi2_total"), col("dof"), col("is_dependent"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "g26_chi_square" -> g26ChiSquare _,
     "g22_pagerank" -> g22PageRank _,
     "g23_cohort_retention" -> g23CohortRetention _,
     "g24_event_transitions" -> g24EventTransitions _,
@@ -236,6 +290,37 @@ object BehaviorQueries {
 
   val oracleSql: Map[String, String] = Map(
     "g22_pagerank" -> PageRankOracleSql,
+    "g26_chi_square" -> s"""
+      WITH cells AS (
+        SELECT event_type, isodow(ts) AS dow, count(*) AS o
+        FROM events GROUP BY 1, 2),
+      t AS (
+        SELECT count(DISTINCT event_type) AS n_types,
+               count(DISTINCT dow) AS n_dows
+        FROM cells),
+      w AS (
+        SELECT event_type, o,
+               sum(o) OVER (PARTITION BY event_type) AS row_tot,
+               sum(o) OVER (PARTITION BY dow) AS col_tot,
+               sum(o) OVER () AS n_tot
+        FROM cells),
+      terms AS (
+        SELECT event_type, o,
+               CAST(round(pow(o - (row_tot * col_tot) / n_tot, 2)
+                    / ((row_tot * col_tot) / n_tot) * 1000000) AS BIGINT)
+                 AS term_micros
+        FROM w),
+      parts AS (
+        SELECT event_type, CAST(sum(o) AS BIGINT) AS n,
+               CAST(sum(term_micros) AS BIGINT) AS part_micros
+        FROM terms GROUP BY 1)
+      SELECT event_type, n,
+             round(part_micros / 1000000.0, 6) AS chi2_part,
+             round(sum(part_micros) OVER () / 1000000.0, 6) AS chi2_total,
+             (t.n_types - 1) * (t.n_dows - 1) AS dof,
+             (round(sum(part_micros) OVER () / 1000000.0, 6) > $ChiSqCrit24
+              AND (t.n_types - 1) * (t.n_dows - 1) = 24) AS is_dependent
+      FROM parts, t ORDER BY event_type""",
     "g23_cohort_retention" -> """
       WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
       f AS (SELECT user_id, min(day) AS cohort_day FROM ev GROUP BY 1)

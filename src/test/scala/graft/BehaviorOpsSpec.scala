@@ -63,6 +63,31 @@ class BehaviorOpsSpec extends SparkSpec {
     }
   }
 
+  test("g26: chi-square equals the pure-Scala contingency computation") {
+    val got = BehaviorQueries.g26ChiSquare(spark, sf).collect()
+    val raw = Tables.events(spark, sf)
+      .select(col("event_type"), expr("weekday(ts) + 1").as("dow"))
+      .as[(String, Int)].collect()
+    val cells = raw.groupBy(identity(_)).view.mapValues(_.length.toLong).toMap
+    val rowTot = cells.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val colTot = cells.groupBy(_._1._2).view.mapValues(_.values.sum).toMap
+    val n = raw.length.toLong
+    val partMicros = cells.toSeq.map { case ((t, w), o) =>
+      val e = (rowTot(t) * colTot(w)).toDouble / n
+      t -> math.round(math.pow(o - e, 2) / e * 1000000)
+    }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val total = math.rint(partMicros.values.sum / 1000000.0 * 1e6) / 1e6
+    got.foreach { r =>
+      val t = r.getAs[String]("event_type")
+      assert(r.getAs[Long]("n") == rowTot(t), s"$t n")
+      assert(math.abs(r.getAs[Double]("chi2_part") - partMicros(t) / 1e6) < 1e-9, s"$t part")
+      assert(math.abs(r.getAs[Double]("chi2_total") - total) < 1e-9)
+      assert(r.getAs[Long]("dof") == 24L)
+      assert(r.getAs[Boolean]("is_dependent") ==
+        (r.getAs[Double]("chi2_total") > BehaviorQueries.ChiSqCrit24))
+    }
+  }
+
   test("g25: ladder is a coarsening — classes shrink, min class grows, k eventually holds") {
     val rows = BehaviorQueries.g25KAnonymity(spark, sf).collect()
       .sortBy(_.getAs[Long]("width"))
