@@ -280,8 +280,68 @@ object BehaviorQueries {
       .orderBy(col("event_type"))
   }
 
+  // --- g27: autocorrelation of the hourly event series -------------------
+
+  /** ACF lags probed: adjacent hours, short horizons, and the daily
+    * seasonality lag (24). */
+  val AcfLags: Seq[Int] = Seq(1, 2, 3, 6, 12, 24)
+
+  /** g27: sample autocorrelation of the DENSIFIED hourly event-count
+    * series at the [[AcfLags]] horizons — the seasonality diagnostic
+    * behind g06's anomaly window (a lag-24 spike says "daily cycle";
+    * near-zero everywhere says the trailing-24h baseline is the right
+    * model). Standard estimator r_k = Σ(n_t−μ)(n_{t+k}−μ) / Σ(n_t−μ)².
+    *
+    * Determinism discipline: the estimator is expanded so that BOTH the
+    * numerator and denominator are single BIGINT expressions over exact
+    * integer aggregates — with S = Σn, N = #hours, A_k = Σ n_t·n_{t+k},
+    * B_k/C_k the truncated sums over each pair's ends:
+    * num_k·N² = A_k·N² − S·N·(B_k+C_k) + (N−k)·S², and
+    * den·N² = N²·Σn² − N·S² — so r_k is ONE double division of two
+    * identically-computed BIGINTs, no floating-point accumulation
+    * anywhere. (At feeds where n·N overflows 2⁶³ the same algebra rides
+    * DECIMAL/HUGEINT; stated here for the journal-scale frame.)
+    *
+    * Scale: the corpus collapses to the hourly aggregate first (one
+    * scan, one shuffle); the series frame (8,760 rows/year), the grid
+    * densify, the lag self-join, and the final per-lag rollup are all
+    * bounded by HOURS, not events — the g06 justification. */
+  def g27Acf(s: SparkSession, d: String): DataFrame = {
+    val hourly = Tables.events(s, d)
+      .groupBy(date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("n"))
+    val grid = hourly.agg(min(col("h")).as("lo"), max(col("h")).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"), expr("INTERVAL 1 HOUR")))
+        .as("h"))
+    val dense = grid.join(hourly, Seq("h"), "left")
+      .select(unix_micros(col("h")).as("hu"),
+        coalesce(col("n"), lit(0L)).as("n"))
+    val tot = dense.agg(sum(col("n")).as("s"), count(lit(1)).as("nn"),
+      sum(col("n") * col("n")).as("s2"))
+    val lags = dense.select(col("hu"), col("n"),
+      explode(array(AcfLags.map(lit): _*)).as("lag"))
+    val h2 = dense.select(col("hu").as("hu2"), col("n").as("n2"))
+    val pairs = lags.join(h2,
+        col("hu2") === col("hu") + col("lag").cast("long") * lit(3600000000L))
+      .groupBy(col("lag"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("n") * col("n2")).as("a"),
+        sum(col("n")).as("b"),
+        sum(col("n2")).as("c"))
+    pairs.crossJoin(broadcast(tot))
+      .withColumn("num", col("a") * col("nn") * col("nn")
+        - col("s") * col("nn") * (col("b") + col("c"))
+        + (col("nn") - col("lag")) * col("s") * col("s"))
+      .withColumn("den", col("nn") * col("nn") * col("s2")
+        - col("nn") * col("s") * col("s"))
+      .select(col("lag"), col("n_pairs"),
+        round(col("num").cast("double") / col("den"), 6).as("acf"))
+      .orderBy(col("lag"))
+  }
+
   val queries: Map[String, Q] = Map(
     "g26_chi_square" -> g26ChiSquare _,
+    "g27_acf" -> g27Acf _,
     "g22_pagerank" -> g22PageRank _,
     "g23_cohort_retention" -> g23CohortRetention _,
     "g24_event_transitions" -> g24EventTransitions _,
@@ -290,6 +350,35 @@ object BehaviorQueries {
 
   val oracleSql: Map[String, String] = Map(
     "g22_pagerank" -> PageRankOracleSql,
+    "g27_acf" -> s"""
+      WITH o AS (
+        SELECT date_trunc('hour', ts) AS h, count(*) AS n
+        FROM events GROUP BY 1),
+      g AS (
+        SELECT unnest(generate_series(min(h), max(h), INTERVAL 1 HOUR)) AS h
+        FROM o),
+      dense AS (
+        SELECT epoch_us(g.h) AS hu, CAST(coalesce(o.n, 0) AS BIGINT) AS n
+        FROM g LEFT JOIN o ON g.h = o.h),
+      tot AS (
+        SELECT CAST(sum(n) AS BIGINT) AS s, count(*) AS nn,
+               CAST(sum(n * n) AS BIGINT) AS s2
+        FROM dense),
+      lags AS (
+        SELECT hu, n, unnest([${AcfLags.mkString(", ")}]) AS lag FROM dense),
+      pairs AS (
+        SELECT l.lag, count(*) AS n_pairs,
+               CAST(sum(l.n * d2.n) AS BIGINT) AS a,
+               CAST(sum(l.n) AS BIGINT) AS b,
+               CAST(sum(d2.n) AS BIGINT) AS c
+        FROM lags l
+        JOIN dense d2 ON d2.hu = l.hu + CAST(l.lag AS BIGINT) * 3600000000
+        GROUP BY 1)
+      SELECT p.lag, p.n_pairs,
+             round(CAST(p.a * t.nn * t.nn - t.s * t.nn * (p.b + p.c)
+                        + (t.nn - p.lag) * t.s * t.s AS DOUBLE)
+                   / (t.nn * t.nn * t.s2 - t.nn * t.s * t.s), 6) AS acf
+      FROM pairs p, tot t ORDER BY p.lag""",
     "g26_chi_square" -> s"""
       WITH cells AS (
         SELECT event_type, isodow(ts) AS dow, count(*) AS o

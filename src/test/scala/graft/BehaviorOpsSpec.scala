@@ -88,6 +88,30 @@ class BehaviorOpsSpec extends SparkSpec {
     }
   }
 
+  test("g27: ACF equals the textbook estimator on the driver-side dense series") {
+    val got = BehaviorQueries.g27Acf(spark, sf).collect()
+    val byHour = Tables.events(spark, sf)
+      .groupBy(date_trunc("hour", col("ts")).as("h")).agg(count(lit(1)).as("n"))
+      .select(unix_micros(col("h")).as("hu"), col("n"))
+      .as[(Long, Long)].collect().toMap
+    val lo = byHour.keys.min; val hi = byHour.keys.max
+    val series = (lo to hi by 3600000000L).map(h => byHour.getOrElse(h, 0L).toDouble)
+    val n = series.length
+    val mu = series.sum / n
+    val den = series.map(x => (x - mu) * (x - mu)).sum
+    val expect = BehaviorQueries.AcfLags.map { k =>
+      k -> series.dropRight(k).zip(series.drop(k))
+        .map { case (x, y) => (x - mu) * (y - mu) }.sum / den
+    }.toMap
+    assert(got.length == BehaviorQueries.AcfLags.length)
+    got.foreach { r =>
+      val k = r.getAs[Int]("lag")
+      assert(r.getAs[Long]("n_pairs") == (n - k).toLong, s"lag $k pairs")
+      assert(math.abs(r.getAs[Double]("acf") - expect(k)) < 1e-5,
+        s"lag $k acf ${r.getAs[Double]("acf")} vs ${expect(k)}")
+    }
+  }
+
   test("g25: ladder is a coarsening — classes shrink, min class grows, k eventually holds") {
     val rows = BehaviorQueries.g25KAnonymity(spark, sf).collect()
       .sortBy(_.getAs[Long]("width"))
