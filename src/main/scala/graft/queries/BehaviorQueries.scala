@@ -339,9 +339,55 @@ object BehaviorQueries {
       .orderBy(col("lag"))
   }
 
+  // --- g28: Benford first-digit audit ------------------------------------
+
+  /** Mean-absolute-deviation conformity threshold in ppm — Nigrini's
+    * "close conformity" band (MAD < 0.006) in the integer scale. */
+  val BenfordMadPpm = 6000L
+
+  /** g28: Benford's-law first-digit audit over the event `value` column —
+    * the classic fabricated-data / unit-mix screen run beside g01's rule
+    * gates: observed first-significant-digit shares vs log₁₀(1+1/d),
+    * with the per-digit deviation and Nigrini's MAD verdict. (The
+    * synthetic feed is uniform-ish, so the audit SAYS non-conformant —
+    * the point is the audit, not the corpus passing it.)
+    *
+    * Determinism: the first digit is taken from the INTEGER cents
+    * (`round(value·100)`) rendered as a string — never from
+    * `floor(log10(value))`, whose boundary cells (exact powers of ten)
+    * can round differently across engines; shares are exact ppm
+    * integers; the Benford expectation is the identical literal
+    * `round(log10(1 + 1/d)·10⁶)` on both sides. One scan, a ≤ 9-row
+    * aggregate, window rollups over that frame. */
+  def g28Benford(s: SparkSession, d: String): DataFrame = {
+    val observed = Tables.events(s, d)
+      .select(round(col("value") * 100).cast("long").as("cents"))
+      .filter(col("cents") > 0)
+      .select(substring(col("cents").cast("string"), 1, 1).cast("int")
+        .as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    // densify to all nine bins: an absent digit's deviation from its
+    // Benford share must count, not silently vanish
+    val grid = s.range(1, 10).select(col("id").cast("int").as("digit"))
+    grid.join(observed, Seq("digit"), "left")
+      .select(col("digit"), coalesce(col("n"), lit(0L)).as("n"))
+      .withColumn("total", sum(col("n")).over(Window.partitionBy()))
+      .withColumn("freq_ppm", expr("(n * 1000000) div total"))
+      .withColumn("expected_ppm",
+        expr("CAST(round(log10(1 + 1/digit) * 1000000) AS BIGINT)"))
+      .withColumn("dev_ppm", abs(col("freq_ppm") - col("expected_ppm")))
+      .withColumn("mad_ppm",
+        expr("sum(dev_ppm) OVER () div 9"))
+      .withColumn("conforms", col("mad_ppm") < lit(BenfordMadPpm))
+      .select(col("digit"), col("n"), col("freq_ppm"), col("expected_ppm"),
+        col("dev_ppm"), col("mad_ppm"), col("conforms"))
+      .orderBy(col("digit"))
+  }
+
   val queries: Map[String, Q] = Map(
     "g26_chi_square" -> g26ChiSquare _,
     "g27_acf" -> g27Acf _,
+    "g28_benford" -> g28Benford _,
     "g22_pagerank" -> g22PageRank _,
     "g23_cohort_retention" -> g23CohortRetention _,
     "g24_event_transitions" -> g24EventTransitions _,
@@ -379,6 +425,33 @@ object BehaviorQueries {
                         + (t.nn - p.lag) * t.s * t.s AS DOUBLE)
                    / (t.nn * t.nn * t.s2 - t.nn * t.s * t.s), 6) AS acf
       FROM pairs p, tot t ORDER BY p.lag""",
+    "g28_benford" -> s"""
+      WITH obs AS (
+        SELECT CAST(substr(CAST(CAST(round(value * 100) AS BIGINT) AS VARCHAR),
+                           1, 1) AS INT) AS digit,
+               count(*) AS n
+        FROM events
+        WHERE CAST(round(value * 100) AS BIGINT) > 0
+        GROUP BY 1),
+      grid AS (SELECT CAST(unnest(range(1, 10)) AS INT) AS digit),
+      dense AS (
+        SELECT g.digit, CAST(coalesce(obs.n, 0) AS BIGINT) AS n
+        FROM grid g LEFT JOIN obs ON obs.digit = g.digit),
+      w AS (
+        SELECT digit, n,
+               CAST((n * 1000000) // sum(n) OVER () AS BIGINT) AS freq_ppm,
+               CAST(round(log10(1 + 1/digit) * 1000000) AS BIGINT)
+                 AS expected_ppm
+        FROM dense),
+      dev AS (
+        SELECT digit, n, freq_ppm, expected_ppm,
+               abs(freq_ppm - expected_ppm) AS dev_ppm
+        FROM w)
+      SELECT digit, n, freq_ppm, expected_ppm, dev_ppm,
+             CAST(sum(dev_ppm) OVER () // 9 AS BIGINT) AS mad_ppm,
+             (CAST(sum(dev_ppm) OVER () // 9 AS BIGINT) < $BenfordMadPpm)
+               AS conforms
+      FROM dev ORDER BY digit""",
     "g26_chi_square" -> s"""
       WITH cells AS (
         SELECT event_type, isodow(ts) AS dow, count(*) AS o

@@ -112,6 +112,30 @@ class BehaviorOpsSpec extends SparkSpec {
     }
   }
 
+  test("g28: Benford audit equals the driver-side digit census, all nine bins present") {
+    val got = BehaviorQueries.g28Benford(spark, sf).collect()
+    assert(got.map(_.getAs[Int]("digit")).toSeq == (1 to 9))
+    val cents = Tables.events(spark, sf)
+      .select(round(col("value") * 100).cast("long").as("c"))
+      .as[Long].collect().filter(_ > 0)
+    val census = cents.groupBy(_.toString.head.asDigit).view.mapValues(_.length.toLong)
+    val total = cents.length.toLong
+    val devs = got.map { r =>
+      val d = r.getAs[Int]("digit")
+      assert(r.getAs[Long]("n") == census.getOrElse(d, 0L), s"digit $d n")
+      val freq = r.getAs[Long]("n") * 1000000L / total
+      assert(r.getAs[Long]("freq_ppm") == freq, s"digit $d freq")
+      val exp = math.round(math.log10(1 + 1.0 / d) * 1000000)
+      assert(r.getAs[Long]("expected_ppm") == exp, s"digit $d expected")
+      math.abs(freq - exp)
+    }
+    val mad = devs.sum / 9
+    got.foreach { r =>
+      assert(r.getAs[Long]("mad_ppm") == mad)
+      assert(r.getAs[Boolean]("conforms") == (mad < BehaviorQueries.BenfordMadPpm))
+    }
+  }
+
   test("g25: ladder is a coarsening — classes shrink, min class grows, k eventually holds") {
     val rows = BehaviorQueries.g25KAnonymity(spark, sf).collect()
       .sortBy(_.getAs[Long]("width"))
