@@ -384,6 +384,203 @@ object BehaviorQueries {
       .orderBy(col("digit"))
   }
 
+  // --- g29: sequential conversion funnel ---------------------------------
+
+  /** The ordered funnel steps — each must happen at-or-after the
+    * previous step's FIRST qualifying occurrence. */
+  val FunnelSteps: Seq[String] = Seq("view", "click", "signup", "purchase")
+
+  /** g29: the sequential conversion funnel — for each step k, the number
+    * of users whose event history contains the ORDERED chain
+    * step₁ ≤ … ≤ stepₖ (each step's timestamp at-or-after the previous
+    * step's earliest qualifying time). This is the temporal-order funnel
+    * p10's gate-counting cannot express (a user with purchase-then-view
+    * is NOT a converted user here) — the product-analytics panel Athena
+    * serves on the reference's event lake.
+    *
+    * Semantics pinned exactly: t₁ = min ts of step 1; tₖ = min ts of
+    * step k with ts ≥ tₖ₋₁ (inclusive — a same-microsecond follow-up
+    * counts). Nulls propagate: a user missing step k has null tₖ₊₁…
+    * Conversion ratios are integer ppm (`div`), so the row is exact.
+    *
+    * Scale: one chain of |steps| left-joins + min-aggregations, ALL
+    * keyed on `user_id` — a single hash-partitioning reused down the
+    * chain, each frame ≤ one row per user; the final rollup is one
+    * 4-counter aggregate stacked into the funnel table. No windows over
+    * the raw corpus, no cross joins. */
+  def g29EventFunnel(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), col("ts"))
+    var acc = ev.filter(col("event_type") === FunnelSteps.head)
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t0"))
+    for (i <- 1 until FunnelSteps.length) {
+      val st = ev.filter(col("event_type") === FunnelSteps(i))
+        .select(col("user_id").as("su"), col("ts").as("sts"))
+      val carried = (0 until i).map(j => col(s"t$j"))
+      acc = acc.join(st,
+          acc("user_id") === st("su") && col("sts") >= col(s"t${i - 1}"),
+          "left")
+        .groupBy(col("user_id") +: carried: _*)
+        .agg(min(col("sts")).as(s"t$i"))
+    }
+    acc.agg(count(col("t0")).as("n0"), count(col("t1")).as("n1"),
+        count(col("t2")).as("n2"), count(col("t3")).as("n3"))
+      .selectExpr(
+        s"""stack(4,
+             0, '${FunnelSteps(0)}', n0, CAST(1000000 AS BIGINT),
+                CAST(1000000 AS BIGINT),
+             1, '${FunnelSteps(1)}', n1,
+                CASE WHEN n0 = 0 THEN CAST(0 AS BIGINT)
+                     ELSE (n1 * 1000000) div n0 END,
+                CASE WHEN n0 = 0 THEN CAST(0 AS BIGINT)
+                     ELSE (n1 * 1000000) div n0 END,
+             2, '${FunnelSteps(2)}', n2,
+                CASE WHEN n0 = 0 THEN CAST(0 AS BIGINT)
+                     ELSE (n2 * 1000000) div n0 END,
+                CASE WHEN n1 = 0 THEN CAST(0 AS BIGINT)
+                     ELSE (n2 * 1000000) div n1 END,
+             3, '${FunnelSteps(3)}', n3,
+                CASE WHEN n0 = 0 THEN CAST(0 AS BIGINT)
+                     ELSE (n3 * 1000000) div n0 END,
+                CASE WHEN n2 = 0 THEN CAST(0 AS BIGINT)
+                     ELSE (n3 * 1000000) div n2 END)
+           AS (step_idx, step, n_users, conv_top_ppm, conv_prev_ppm)""")
+      .orderBy(col("step_idx"))
+  }
+
+  // --- g30: Mann–Whitney rank-sum test ------------------------------------
+
+  /** The two samples compared by g30: does spend (`value`) distribute
+    * differently across these event types? */
+  val RankSumA = "purchase"
+  val RankSumB = "click"
+
+  /** g30 prefix-sum bucket width over the cents key (value ≤ ~6×10⁴
+    * cents in this domain → ≤ ~16 buckets; the bucket count is bounded
+    * by the VALUE DOMAIN, not the corpus). */
+  val RankSumBucket = 4096L
+
+  /** The z-statistic under the normal approximation with tie correction,
+    * as ONE shared expression string over the aggregate columns
+    * (n_a, n_b, r2a, tie_term) — Spark `selectExpr` and the DuckDB
+    * oracle evaluate the identical IEEE-double formula on identical
+    * BIGINT inputs, so the doubles agree bit-for-bit.
+    * z = (2U_A − n_A·n_B) / √(n_A·n_B·((N+1) − T/(N(N−1)))/3), where
+    * 2U_A = 2R_A − n_A(n_A+1) and T = Σ(t³−t) over tie groups. */
+  private val RankSumZSql: String =
+    "(r2a - n_a * (n_a + 1) - n_a * n_b) / " +
+      "sqrt(CAST(n_a AS DOUBLE) * n_b * ((n_a + n_b + 1.0) - " +
+      "CAST(tie_term AS DOUBLE) / (CAST(n_a + n_b AS DOUBLE) * " +
+      "(n_a + n_b - 1.0))) / 3.0)"
+
+  /** g30: the Mann–Whitney U (Wilcoxon rank-sum) test — the
+    * nonparametric two-sample comparison a metrics pipeline runs when
+    * spend distributions are skewed and a t-test's normality assumption
+    * fails (the A/B-test screen beside g26's categorical independence
+    * test). Values are keyed as integer cents; tied values take
+    * midranks, carried THROUGHOUT in the doubled integer scale
+    * (rank2 = 2·|{< v}| + t_v + 1 — an odd integer for any tie group),
+    * so R_A, U_A, and the tie term are exact BIGINTs on both engines;
+    * only the final z-score touches doubles, via the one shared
+    * [[RankSumZSql]] expression.
+    *
+    * Scale: the corpus collapses to ONE row per distinct cents value
+    * first (domain-bounded, like g28's digit frame); the global
+    * rank prefix sum runs the p32 two-level decomposition — an
+    * intra-bucket running sum windowed BY [[RankSumBucket]] bucket,
+    * exclusive bucket offsets over the bucket frame, broadcast back —
+    * never a value-table-on-one-partition global window. The final
+    * statistic is a single scalar aggregate. */
+  def g30RankSum(s: SparkSession, d: String): DataFrame = {
+    val per = Tables.events(s, d)
+      .filter(col("event_type").isin(RankSumA, RankSumB))
+      .select(expr("CAST(round(value * 100) AS BIGINT)").as("cents"),
+        when(col("event_type") === RankSumA, 1L).otherwise(0L).as("isa"))
+      .groupBy(col("cents"))
+      .agg(sum(col("isa")).as("na"), count(lit(1)).as("n"))
+      .withColumn("bkt", expr(s"cents div $RankSumBucket"))
+    val wIntra = Window.partitionBy(col("bkt")).orderBy(col("cents"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val intra = per
+      .withColumn("c_in", coalesce(sum(col("n")).over(wIntra), lit(0L)))
+    val wBkt = Window.orderBy(col("bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = per.groupBy(col("bkt")).agg(sum(col("n")).as("bsum"))
+      .withColumn("off", coalesce(sum(col("bsum")).over(wBkt), lit(0L)))
+      .select(col("bkt"), col("off"))
+    intra.join(broadcast(offs), "bkt")
+      .withColumn("rank2",
+        lit(2L) * (col("off") + col("c_in")) + col("n") + lit(1L))
+      .agg(sum(col("na")).as("n_a"), sum(col("n") - col("na")).as("n_b"),
+        sum(col("na") * col("rank2")).as("r2a"),
+        sum(col("n") * col("n") * col("n") - col("n")).as("tie_term"))
+      .selectExpr("n_a", "n_b",
+        "r2a - n_a * (n_a + 1) AS u2_a",
+        "2 * n_a * n_b - (r2a - n_a * (n_a + 1)) AS u2_b",
+        "tie_term",
+        s"CAST(round(($RankSumZSql) * 1000000) AS BIGINT) AS z_micros",
+        s"abs($RankSumZSql) > 1.96 AS significant")
+  }
+
+  // --- g31: triangle counting / clustering coefficient --------------------
+
+  /** g31: exact triangle counting over the undirected page graph (edges
+    * = g22's observed transitions, collapsed + deduplicated) with the
+    * global clustering coefficient — the graph-cohesion audit beside
+    * g22's centrality (for a crawl host graph: how clique-ish is the
+    * link neighborhood — a spam-farm / link-ring signal).
+    *
+    * Algorithm: the standard degree-ordered orientation (the MapReduce
+    * triangle count of Suri–Vassilvitskii '11): each undirected edge is
+    * directed from its (degree, id)-smaller endpoint to the larger, so
+    * every triangle is counted exactly once and the join fan-out per
+    * node is bounded by its ORIENTED out-degree — O(√m) per node on any
+    * graph, which is what makes the self-join survive skew (a celebrity
+    * node's edges all point outward from its low-degree neighbors).
+    * Wedges w(a→b→c) come from one hash self-join; each closes iff
+    * (a→c) exists — a second hash join. The clustering coefficient
+    * 3·Δ/wedges is integer ppm.
+    *
+    * Scale: edge extraction is the g22 per-user window pass; degrees
+    * and orientation are edge-keyed aggregates/joins; nothing touches
+    * the raw corpus twice, and no join is ever node×node. */
+  def g31Triangles(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val ev = Tables.events(s, d).select(
+      col("user_id"),
+      get_json_object(col("props"), "$.k").cast("long").as("page"),
+      col("ts"), col("event_id"))
+    val edges = ev.withColumn("src", lag(col("page"), 1).over(w))
+      .filter(col("src").isNotNull && col("src") =!= col("page"))
+      .select(least(col("src"), col("page")).as("u"),
+        greatest(col("src"), col("page")).as("v"))
+      .distinct().persist()
+    val deg = edges.select(col("u").as("node"))
+      .union(edges.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg")).persist()
+    val du = deg.select(col("node").as("u"), col("deg").as("du"))
+    val dv = deg.select(col("node").as("v"), col("deg").as("dv"))
+    val fwd = struct(col("du"), col("u")) < struct(col("dv"), col("v"))
+    val oriented = edges.join(broadcast(du), "u").join(broadcast(dv), "v")
+      .select(when(fwd, col("u")).otherwise(col("v")).as("a"),
+        when(fwd, col("v")).otherwise(col("u")).as("b"))
+      .persist()
+    val e2 = oriented.select(col("a").as("b2"), col("b").as("c"))
+    val closing = oriented.select(col("a").as("ca"), col("b").as("cb"))
+    val tri = oriented.join(e2, col("b") === col("b2"))
+      .join(closing, col("a") === col("ca") && col("c") === col("cb"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val stats = deg.agg(count(lit(1)).as("n_nodes"),
+      sum(expr("deg * (deg - 1) div 2")).as("n_wedges"))
+    val ecount = edges.agg(count(lit(1)).as("n_edges"))
+    stats.crossJoin(ecount).crossJoin(tri)
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+        col("n_triangles"),
+        expr("CASE WHEN n_wedges = 0 THEN CAST(0 AS BIGINT) " +
+          "ELSE (3 * n_triangles * 1000000) div n_wedges END")
+          .as("clustering_ppm"))
+  }
+
   val queries: Map[String, Q] = Map(
     "g26_chi_square" -> g26ChiSquare _,
     "g27_acf" -> g27Acf _,
@@ -392,6 +589,9 @@ object BehaviorQueries {
     "g23_cohort_retention" -> g23CohortRetention _,
     "g24_event_transitions" -> g24EventTransitions _,
     "g25_kanonymity" -> g25KAnonymity _,
+    "g29_event_funnel" -> g29EventFunnel _,
+    "g30_rank_sum" -> g30RankSum _,
+    "g31_triangles" -> g31Triangles _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -504,6 +704,118 @@ object BehaviorQueries {
       SELECT prev_type, next_type, n,
              (n * 1000000) // sum(n) OVER (PARTITION BY prev_type) AS p_ppm
       FROM pairs ORDER BY prev_type, next_type""",
+    // g29: the same sequential min-ts chain, one CTE per step — nulls
+    // propagate through the ts >= prev join condition exactly as the
+    // Spark left-join chain does
+    "g29_event_funnel" -> s"""
+      WITH s0 AS (
+        SELECT user_id, min(ts) AS t0 FROM events
+        WHERE event_type = '${FunnelSteps(0)}' GROUP BY 1),
+      s1 AS (
+        SELECT s0.user_id, min(e.ts) AS t1
+        FROM s0 LEFT JOIN events e
+          ON e.user_id = s0.user_id
+         AND e.event_type = '${FunnelSteps(1)}' AND e.ts >= s0.t0
+        GROUP BY 1),
+      s2 AS (
+        SELECT s1.user_id, min(e.ts) AS t2
+        FROM s1 LEFT JOIN events e
+          ON e.user_id = s1.user_id
+         AND e.event_type = '${FunnelSteps(2)}' AND e.ts >= s1.t1
+        GROUP BY 1),
+      s3 AS (
+        SELECT s2.user_id, min(e.ts) AS t3
+        FROM s2 LEFT JOIN events e
+          ON e.user_id = s2.user_id
+         AND e.event_type = '${FunnelSteps(3)}' AND e.ts >= s2.t2
+        GROUP BY 1),
+      tot AS (
+        SELECT count(s0.t0) AS n0, count(s1.t1) AS n1,
+               count(s2.t2) AS n2, count(s3.t3) AS n3
+        FROM s0 JOIN s1 USING (user_id) JOIN s2 USING (user_id)
+                JOIN s3 USING (user_id))
+      SELECT CAST(0 AS INTEGER) AS step_idx, '${FunnelSteps(0)}' AS step,
+             n0 AS n_users, CAST(1000000 AS BIGINT) AS conv_top_ppm,
+             CAST(1000000 AS BIGINT) AS conv_prev_ppm FROM tot
+      UNION ALL
+      SELECT 1, '${FunnelSteps(1)}', n1,
+             CASE WHEN n0 = 0 THEN 0 ELSE (n1 * 1000000) // n0 END,
+             CASE WHEN n0 = 0 THEN 0 ELSE (n1 * 1000000) // n0 END FROM tot
+      UNION ALL
+      SELECT 2, '${FunnelSteps(2)}', n2,
+             CASE WHEN n0 = 0 THEN 0 ELSE (n2 * 1000000) // n0 END,
+             CASE WHEN n1 = 0 THEN 0 ELSE (n2 * 1000000) // n1 END FROM tot
+      UNION ALL
+      SELECT 3, '${FunnelSteps(3)}', n3,
+             CASE WHEN n0 = 0 THEN 0 ELSE (n3 * 1000000) // n0 END,
+             CASE WHEN n2 = 0 THEN 0 ELSE (n3 * 1000000) // n2 END FROM tot
+      ORDER BY step_idx""",
+    // g30: midranks in the doubled integer scale over a plain
+    // single-pass prefix (the oracle engine may single-partition; the
+    // Spark side runs the two-level decomposition); z via the SHARED
+    // [[RankSumZSql]] expression on identical BIGINTs
+    "g30_rank_sum" -> s"""
+      WITH per AS (
+        SELECT CAST(round(value * 100) AS BIGINT) AS cents,
+               CAST(sum(CASE WHEN event_type = '$RankSumA' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS na,
+               count(*) AS n
+        FROM events WHERE event_type IN ('$RankSumA', '$RankSumB')
+        GROUP BY 1),
+      r AS (
+        SELECT cents, na, n,
+               coalesce(sum(n) OVER (ORDER BY cents
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS cntless
+        FROM per),
+      a AS (
+        SELECT CAST(sum(na) AS BIGINT) AS n_a,
+               CAST(sum(n - na) AS BIGINT) AS n_b,
+               CAST(sum(na * (2 * cntless + n + 1)) AS BIGINT) AS r2a,
+               CAST(sum(n * n * n - n) AS BIGINT) AS tie_term
+        FROM r)
+      SELECT n_a, n_b,
+             r2a - n_a * (n_a + 1) AS u2_a,
+             2 * n_a * n_b - (r2a - n_a * (n_a + 1)) AS u2_b,
+             tie_term,
+             CAST(round(($RankSumZSql) * 1000000) AS BIGINT) AS z_micros,
+             abs($RankSumZSql) > 1.96 AS significant
+      FROM a""",
+    // g31: same degree-ordered orientation; every triangle counted once
+    "g31_triangles" -> """
+      WITH seqd AS (
+        SELECT user_id,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS page,
+               lag(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src
+        FROM events),
+      edges AS (
+        SELECT DISTINCT least(src, page) AS u, greatest(src, page) AS v
+        FROM seqd WHERE src IS NOT NULL AND src <> page),
+      deg AS (
+        SELECT node, count(*) AS deg
+        FROM (SELECT u AS node FROM edges
+              UNION ALL SELECT v FROM edges) GROUP BY 1),
+      o AS (
+        SELECT CASE WHEN (x.deg, e.u) < (y.deg, e.v) THEN e.u ELSE e.v END
+                 AS a,
+               CASE WHEN (x.deg, e.u) < (y.deg, e.v) THEN e.v ELSE e.u END
+                 AS b
+        FROM edges e JOIN deg x ON x.node = e.u JOIN deg y ON y.node = e.v),
+      tri AS (
+        SELECT count(*) AS n_triangles
+        FROM o e1 JOIN o e2 ON e1.b = e2.a
+                  JOIN o e3 ON e3.a = e1.a AND e3.b = e2.b),
+      st AS (
+        SELECT count(*) AS n_nodes,
+               CAST(sum(deg * (deg - 1) // 2) AS BIGINT) AS n_wedges
+        FROM deg),
+      ec AS (SELECT count(*) AS n_edges FROM edges)
+      SELECT n_nodes, n_edges, n_wedges, n_triangles,
+             CASE WHEN n_wedges = 0 THEN CAST(0 AS BIGINT)
+                  ELSE (3 * n_triangles * 1000000) // n_wedges END
+               AS clustering_ppm
+      FROM st, ec, tri""",
     "g25_kanonymity" -> s"""
       WITH classes AS (
         SELECT w.width, lang, source, n_chars // w.width AS bucket,

@@ -461,6 +461,57 @@ object ExtendedQueries {
       FROM u02_emb ORDER BY vec_id""")
   }
 
+  /** a09: resample-to-grid with forward fill (last observation carried
+    * forward) — the gap-fill that turns an irregular event series into
+    * the regular hourly frame every downstream time-series op (g27's
+    * ACF, a drift monitor, a feature-store point-in-time read) assumes.
+    * Each user's purchase stream becomes hourly bars: the bar value is
+    * the hour's LAST purchase (by ts, event_id — the deterministic
+    * "hourly close"), and empty hours carry the previous close forward;
+    * hours before a user's first purchase stay null. The row emits the
+    * per-user accounting of that resample (grid size, own-bar hours,
+    * filled hours, carried hours, filled mass) rather than the
+    * user×hour frame itself, so the oracle hash stays O(users).
+    *
+    * Scale: the grid is |users| × |hours| — hours bounded by the feed's
+    * calendar span (the g27 argument), users are the parallelism. The
+    * hourly close prunes as WindowGroupLimit (rn = 1 per (user, hour));
+    * the carry-forward is a running `last(ignoreNulls)` windowed BY
+    * USER over that user's ≤|hours| grid rows — never a global window;
+    * the rollup re-uses the same user partitioning. */
+  def a09LocfResample(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, d)
+    val bounds = ev.agg(date_trunc("hour", min(col("ts"))).as("h0"),
+      date_trunc("hour", max(col("ts"))).as("h1"))
+    val grid = ev.select(col("user_id")).distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("user_id"),
+        explode(sequence(col("h0"), col("h1"), expr("INTERVAL 1 HOUR")))
+          .as("h"))
+    val pw = Window.partitionBy(col("user_id"), col("h"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val bars = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), date_trunc("hour", col("ts")).as("h"),
+        col("ts"), col("event_id"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .withColumn("rn", row_number().over(pw)).filter(col("rn") === 1)
+      .select(col("user_id"), col("h"), col("cents"))
+    val lw = Window.partitionBy(col("user_id")).orderBy(col("h"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(bars, Seq("user_id", "h"), "left")
+      .withColumn("fill", last(col("cents"), ignoreNulls = true).over(lw))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_hours"),
+        count(col("cents")).as("n_bar_hours"),
+        count(col("fill")).as("n_filled_hours"),
+        (count(col("fill")) - count(col("cents"))).as("n_gap_hours"),
+        sum(col("fill")).as("sum_filled_cents"))
+      .withColumn("coverage_ppm",
+        expr("(n_filled_hours * 1000000) div n_hours"))
+      .orderBy(col("user_id"))
+  }
+
   val queries: Map[String, Q] = Map(
     "u01_plugin_agg"     -> u01PluginAgg _,
     "u02_sql_vector"     -> u02SqlVector _,
@@ -474,6 +525,7 @@ object ExtendedQueries {
     "a06_asof_native"    -> a06AsOfNative _,
     "a07_asof_interpolate" -> a07AsOfInterpolate _,
     "a08_temporal_join"    -> a08TemporalJoin _,
+    "a09_locf_resample"    -> a09LocfResample _,
     "q37_sliding_window" -> q37SlidingWindow _,
     "q30_pivot"          -> q30Pivot _,
     "q25_approx_distinct"-> q25ApproxDistinct _,
@@ -635,6 +687,41 @@ object ExtendedQueries {
     // a08: the point-in-time semantics stated DIRECTLY as an interval
     // join (valid_from <= ts < valid_to over the lead-built dimension)
     // — a structurally different formulation from the as-of walk
+    // a09: identical grid/close/carry rule — generate_series is
+    // end-inclusive like Spark's sequence; nulls before a user's first
+    // purchase survive both engines' count/sum skipping
+    "a09_locf_resample" -> """
+      WITH b AS (
+        SELECT date_trunc('hour', min(ts)) AS h0,
+               date_trunc('hour', max(ts)) AS h1
+        FROM events),
+      u AS (SELECT DISTINCT user_id FROM events),
+      grid AS (
+        SELECT u.user_id, g.h
+        FROM u, b, unnest(generate_series(b.h0, b.h1, INTERVAL 1 HOUR))
+               AS g(h)),
+      p AS (
+        SELECT user_id, date_trunc('hour', ts) AS h,
+               CAST(round(value * 100) AS BIGINT) AS cents,
+               row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE event_type = 'purchase'),
+      bars AS (SELECT user_id, h, cents FROM p WHERE rn = 1),
+      f AS (
+        SELECT g.user_id, bars.cents,
+               last_value(bars.cents IGNORE NULLS)
+                 OVER (PARTITION BY g.user_id ORDER BY g.h
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS fill
+        FROM grid g LEFT JOIN bars
+          ON bars.user_id = g.user_id AND bars.h = g.h)
+      SELECT user_id, count(*) AS n_hours,
+             count(cents) AS n_bar_hours,
+             count(fill) AS n_filled_hours,
+             count(fill) - count(cents) AS n_gap_hours,
+             CAST(sum(fill) AS BIGINT) AS sum_filled_cents,
+             (count(fill) * 1000000) // count(*) AS coverage_ppm
+      FROM f GROUP BY 1 ORDER BY user_id""",
     "a08_temporal_join" -> """
       WITH p AS (
         SELECT user_id, ts,

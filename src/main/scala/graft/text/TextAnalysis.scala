@@ -1077,8 +1077,61 @@ object TextAnalysis {
         countDistinct(col("term")).as("n_terms"))
       .orderBy(col("bucket"))
 
+  /** t25 ladder: each rung covers the doc_id prefix `[0, (max+1) div
+    * denom)` — 1/16th of the corpus up to all of it. */
+  val VocabRungDenoms: Seq[Long] = Seq(16L, 8L, 4L, 2L, 1L)
+
+  /** t25: the vocabulary-growth (Heaps'-law) census — distinct-term
+    * count, token mass, type-token ratio, and NEW terms per corpus
+    * prefix rung. The curve a corpus curator reads before sizing a
+    * tokenizer vocabulary or a hashed feature width (t24's bucket
+    * count): sublinear growth says the vocabulary is saturating;
+    * near-linear growth says the corpus is still surfacing new types
+    * (or is noise-heavy — g09's Zipf head is the companion view of the
+    * same distribution). "First N docs" is by `doc_id` order, the
+    * corpus's ingest order.
+    *
+    * Determinism: rungs are integer prefixes of the id space
+    * ((max+1) div denom); a term belongs to a rung iff its FIRST
+    * occurrence (min doc_id — an exact term-keyed aggregate) falls in
+    * the prefix; ratios are integer ppm. Docs with zero non-empty
+    * tokens count in no rung's n_docs (stated, and matched by the
+    * oracle).
+    *
+    * Scale: one explode pass → a term-keyed min aggregate (vocabulary-
+    * bounded, the t15 frame) and a doc-keyed count; the ladder is a
+    * constant ×|rungs| broadcast expand over those AGGREGATED frames
+    * (g25's idiom), never over the corpus; the final new-terms lag
+    * rides a |rungs|-row window. */
+  def t25VocabGrowth(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rungs = Tables.documents(s, d).agg(max(col("doc_id")).as("mx"))
+      .select(explode(array(VocabRungDenoms.map(lit): _*)).as("denom"),
+        col("mx"))
+      .select(col("denom"), expr("(mx + 1) div denom").as("cut"))
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .filter(col("term") =!= "")
+    val vocab = toks.groupBy(col("term")).agg(min(col("doc_id")).as("fd"))
+      .crossJoin(broadcast(rungs)).filter(col("fd") < col("cut"))
+      .groupBy(col("cut")).agg(count(lit(1)).as("vocab"))
+    val dstats = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("nt"))
+      .crossJoin(broadcast(rungs)).filter(col("doc_id") < col("cut"))
+      .groupBy(col("cut"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"))
+    val wr = Window.orderBy(col("cut"))
+    dstats.join(vocab, Seq("cut"))
+      .withColumn("new_terms",
+        col("vocab") - coalesce(lag(col("vocab"), 1).over(wr), lit(0L)))
+      .select(col("cut"), col("n_docs"), col("n_tokens"), col("vocab"),
+        col("new_terms"),
+        expr("(vocab * 1000000) div n_tokens").as("ttr_ppm"))
+      .orderBy(col("cut"))
+  }
+
   val queries: Map[String, Q] = Map(
     "t24_feature_hash" -> t24FeatureHash _,
+    "t25_vocab_growth" -> t25VocabGrowth _,
     "t01_token_count" -> t01TokenCount _,
     "t02_quality"     -> t02Quality _,
     "t03_langid"      -> t03LangId _,
@@ -1141,6 +1194,32 @@ object TextAnalysis {
 
   val oracleSql: Map[String, String] = Map(
     // t24: same tokenizer, same md5-prefix bucket, exact rollup
+    // t25: same first-occurrence rule — a term is in a rung iff its min
+    // doc_id falls in the prefix; docs with zero non-empty tokens count
+    // in no rung
+    "t25_vocab_growth" -> s"""
+      WITH rungs AS (
+        SELECT CAST(unnest([${VocabRungDenoms.mkString(", ")}]) AS BIGINT)
+                 AS denom,
+               (SELECT max(doc_id) FROM documents) AS mx),
+      cuts AS (SELECT denom, (mx + 1) // denom AS cut FROM rungs),
+      tok AS (
+        SELECT doc_id, unnest($ToksSql) AS term FROM documents),
+      toks AS (SELECT doc_id, term FROM tok WHERE term <> ''),
+      firsts AS (SELECT term, min(doc_id) AS fd FROM toks GROUP BY 1),
+      vocab AS (
+        SELECT c.cut, count(*) AS vocab
+        FROM firsts f JOIN cuts c ON f.fd < c.cut GROUP BY 1),
+      dtok AS (SELECT doc_id, count(*) AS nt FROM toks GROUP BY 1),
+      dstats AS (
+        SELECT c.cut, count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS n_tokens
+        FROM dtok d JOIN cuts c ON d.doc_id < c.cut GROUP BY 1)
+      SELECT d.cut, d.n_docs, d.n_tokens, v.vocab,
+             v.vocab - coalesce(lag(v.vocab) OVER (ORDER BY d.cut), 0)
+               AS new_terms,
+             (v.vocab * 1000000) // d.n_tokens AS ttr_ppm
+      FROM dstats d JOIN vocab v ON v.cut = d.cut
+      ORDER BY d.cut""",
     "t24_feature_hash" -> s"""
       WITH tok AS (
         SELECT doc_id, unnest($ToksSql) AS term FROM documents),

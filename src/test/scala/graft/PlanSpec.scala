@@ -700,4 +700,47 @@ class PlanSpec extends SparkSpec {
     assert(plan.linesIterator.count(_.contains("Scan parquet")) == 1, plan)
     assert(!plan.contains("Join"), plan)
   }
+
+  test("g29: the funnel chain is all user-keyed hash joins — no cartesian, no BNLJ") {
+    val plan = executed(graft.queries.BehaviorQueries.g29EventFunnel(spark, sf))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("g30: the rank prefix sum runs bucket-partitioned, never values-on-one-partition") {
+    val plan = executed(graft.queries.BehaviorQueries.g30RankSum(spark, sf))
+    val cin = plan.linesIterator.find(_.contains("AS c_in")).get
+    assert(cin.contains("windowspecdefinition(bkt"), cin)
+    // single-partition frames: the bucket-offset window and the final
+    // scalar aggregate — bounded by the bucket count, not the value table
+    assert(plan.linesIterator.count(_.contains("Exchange SinglePartition")) <= 3, plan)
+  }
+
+  test("g31: wedge and closure joins are hash joins; the only nested loops are scalar crossjoins") {
+    val plan = executed(graft.queries.BehaviorQueries.g31Triangles(spark, sf))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin") ||
+      plan.contains("ShuffledHashJoin"), plan)
+    // BNLJ appears only for the single-row stats crossjoins, never with
+    // a join condition (a conditioned BNLJ would be the O(n·m) closure)
+    assert(plan.linesIterator.filter(_.contains("BroadcastNestedLoopJoin"))
+      .forall(l => l.contains("Cross") && !l.contains("condition")), plan)
+  }
+
+  test("t25: the ladder expands over aggregated frames — term and doc aggregates, broadcast rungs") {
+    val plan = executed(graft.text.TextAnalysis.t25VocabGrowth(spark, sf))
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the rung table rides in as a broadcast; the corpus-side scans feed
+    // aggregates BEFORE any join with the ladder
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("a09: the hourly close prunes as WindowGroupLimit; the carry-forward windows by user") {
+    val plan = executed(graft.queries.ExtendedQueries.a09LocfResample(spark, sf))
+    assert(plan.contains("WindowGroupLimit"), plan)
+    val fill = plan.linesIterator.find(_.contains("AS fill")).get
+    assert(fill.contains("windowspecdefinition(user_id"), fill)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
 }
