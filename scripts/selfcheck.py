@@ -19,19 +19,23 @@ con = duckdb.connect()
 for t in TABLES:
     con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
 
-INT_TYPES = {"TINYINT", "SMALLINT", "INTEGER", "BIGINT", "HUGEINT",
+INT_TYPES = {"TINYINT", "SMALLINT", "INTEGER", "BIGINT",
               "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT"}
 
 def type_class(t):
     """Collapse a DuckDB type name to the equivalence class the driver's
-    value-hash actually distinguishes. Integer WIDTHS serialize to the same
-    values (q10/q19/s01/t01... were hash-green in r02 with int32 vs int64),
-    so all integer types are one class. DECIMAL serializes with its SCALE
-    ("8560.00") — precision doesn't show, scale does — so DECIMAL(p,s)
-    collapses to DECIMAL(s). Everything else (DOUBLE vs DECIMAL vs VARCHAR
-    vs BOOLEAN...) must match exactly: the r07 q38 red row was DECIMAL
-    "8560.00" vs DOUBLE 8560.0 with equal values, which the old pandas
-    dtype-KIND check provably missed (both coerce to float64)."""
+    value-hash actually distinguishes. Integer WIDTHS up to 64 bits
+    serialize to the same values (q10/q19/s01/t01... were hash-green in r02
+    with int32 vs int64), so those integer types are one class. HUGEINT /
+    UHUGEINT are deliberately NOT in that class: pandas materializes them as
+    object/float, so the driver's value-hash diverges from int64 even when
+    values match — exactly the r08 g22/g24 red rows (DuckDB sum()/`//` on
+    BIGINT promotes to HUGEINT). Oracles must CAST back to BIGINT. DECIMAL
+    serializes with its SCALE ("8560.00") — precision doesn't show, scale
+    does — so DECIMAL(p,s) collapses to DECIMAL(s). Everything else (DOUBLE
+    vs DECIMAL vs VARCHAR vs BOOLEAN...) must match exactly: the r07 q38 red
+    row was DECIMAL "8560.00" vs DOUBLE 8560.0 with equal values, which the
+    old pandas dtype-KIND check provably missed (both coerce to float64)."""
     t = t.strip().upper()
     if t in INT_TYPES:
         return "INT"

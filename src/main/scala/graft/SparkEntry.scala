@@ -62,7 +62,12 @@ object SparkEntry {
       "s15_ivf_append", "s16_jl_project", "d04_simhash", "g07_profile_approx",
       // t23 TRAINS a model (100 LBFGS passes) against a one-GROUP-BY
       // oracle — a pipeline-vs-boolean comparison, not like-for-like
-      "g14_heavy_hitters", "t23_trained_classifier")
+      "g14_heavy_hitters", "t23_trained_classifier",
+      // g20 builds KMV/theta sketches on the Spark side and checks
+      // driver-side estimates against the exact plain-SQL overlap; g21
+      // runs MLlib FP-Growth (training-style work) against a brute-force
+      // itemset oracle — both pipeline-vs-boolean, not like-for-like
+      "g20_sketch_overlap", "g21_frequent_sets")
       .map(_ -> "contract").toMap
     val batch = queries.keys.map(_ -> "batch").toMap
     batch ++ e2e ++ contract

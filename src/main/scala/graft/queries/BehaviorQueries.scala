@@ -120,8 +120,8 @@ object BehaviorQueries {
       s""",
       r$i AS (
         SELECT n.node,
-               CAST($TeleportScaled AS BIGINT) +
-                 COALESCE((85 * s.inw) // 100, 0) AS r
+               CAST(CAST($TeleportScaled AS BIGINT) +
+                 COALESCE((85 * s.inw) // 100, 0) AS BIGINT) AS r
         FROM nodes n LEFT JOIN (
           SELECT e.dst, sum((p.r * e.w) // e.outw) AS inw
           FROM r${i - 1} p JOIN ew e ON e.src = p.node
@@ -581,6 +581,123 @@ object BehaviorQueries {
           .as("clustering_ppm"))
   }
 
+  // --- g32: Kolmogorov–Smirnov two-sample test ---------------------------
+
+  /** The KS significance verdict at α = 0.05 as ONE shared expression
+    * string over the exact BIGINT aggregates (g30's [[RankSumZSql]]
+    * idiom): D > c(α)·√((n_A+n_B)/(n_A·n_B)) with c(0.05) = 1.3581 —
+    * identical IEEE-double evaluation on identical integers in both
+    * engines, so the boolean and the micro-scaled statistic agree
+    * bit-for-bit. */
+  private val KsStatSql: String =
+    "CAST(d_scaled AS DOUBLE) / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))"
+  private val KsCritSql: String =
+    "1.3581 * sqrt((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) / " +
+      "(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)))"
+
+  /** g32: the Kolmogorov–Smirnov two-sample test over the same
+    * purchase-vs-click spend split as g30 — the SHAPE-sensitive
+    * companion (KS sees any CDF divergence: location, scale, tails;
+    * Mann–Whitney sees stochastic dominance only; g26 sees categorical
+    * association). The drift screen a curation pipeline runs when two
+    * corpus slices should be exchangeable.
+    *
+    * Exactness: D = sup|F_A − F_B| is evaluated in the cross-multiplied
+    * integer frame — D_scaled = max|cumA·n_B − cumB·n_A| over the
+    * pooled distinct cents values — so the supremum, its argmax, and
+    * d_ppm = D_scaled·10⁶ div (n_A·n_B) are exact BIGINTs (the ppm
+    * scaling is valid to n_A·n_B ≤ 9.2×10¹²; past that, emit the shared
+    * double only). Only the significance verdict touches doubles, via
+    * the one shared [[KsStatSql]]/[[KsCritSql]] expression pair.
+    *
+    * Scale: the corpus collapses to one row per distinct cents value
+    * first (domain-bounded, g28's frame); the inclusive CDF prefix sums
+    * run the p32/g30 two-level bucket decomposition — never a
+    * value-table-on-one-partition global window; D is one scalar
+    * aggregate over that bounded frame. */
+  def g32KsTest(s: SparkSession, d: String): DataFrame = {
+    val per = Tables.events(s, d)
+      .filter(col("event_type").isin(RankSumA, RankSumB))
+      .select(expr("CAST(round(value * 100) AS BIGINT)").as("cents"),
+        when(col("event_type") === RankSumA, 1L).otherwise(0L).as("isa"))
+      .groupBy(col("cents"))
+      .agg(sum(col("isa")).as("na"), count(lit(1)).as("n"))
+      .withColumn("nb", col("n") - col("na"))
+      .withColumn("bkt", expr(s"cents div $RankSumBucket"))
+    val wIntra = Window.partitionBy(col("bkt")).orderBy(col("cents"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val intra = per
+      .withColumn("ia", sum(col("na")).over(wIntra))
+      .withColumn("ib", sum(col("nb")).over(wIntra))
+    val wBkt = Window.orderBy(col("bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = per.groupBy(col("bkt"))
+      .agg(sum(col("na")).as("ba"), sum(col("nb")).as("bb"))
+      .withColumn("offa", coalesce(sum(col("ba")).over(wBkt), lit(0L)))
+      .withColumn("offb", coalesce(sum(col("bb")).over(wBkt), lit(0L)))
+      .select(col("bkt"), col("offa"), col("offb"))
+    val totals = per.agg(sum(col("na")).as("n_a"), sum(col("nb")).as("n_b"))
+    intra.join(broadcast(offs), "bkt")
+      .crossJoin(broadcast(totals))
+      .select(col("n_a"), col("n_b"),
+        abs((col("offa") + col("ia")) * col("n_b") -
+          (col("offb") + col("ib")) * col("n_a")).as("gap"))
+      .groupBy(col("n_a"), col("n_b"))
+      .agg(max(col("gap")).as("d_scaled"))
+      .selectExpr("n_a", "n_b", "d_scaled",
+        "(d_scaled * 1000000) div (n_a * n_b) AS d_ppm",
+        s"CAST(round(($KsStatSql) * 1000000) AS BIGINT) AS d_micros",
+        s"($KsStatSql) > ($KsCritSql) AS significant")
+  }
+
+  // --- g33: Gini concentration of document mass per source ---------------
+
+  /** g33: the Lorenz/Gini concentration audit — per source, how
+    * unequally is character mass distributed across documents? The
+    * mixture-design read beside g09's token panel and p13's source-mix
+    * rates: a source whose mass sits in a few giant documents (gini →
+    * 1) contributes far less DIVERSITY per token than its row count
+    * suggests, and chunking/packing (t13/p21) behave very differently
+    * on it than on a uniform source (gini → 0).
+    *
+    * Exactness: Gini = (2·Σᵢ i·x₍ᵢ₎ − (n+1)·Σx) / (n·Σx) over the
+    * ascending length order — computed WITHOUT materializing ranks:
+    * after collapsing to one row per (source, n_chars), a tie-group of
+    * c docs at value v with C predecessors contributes
+    * v·(c·C + c·(c+1)/2) to Σᵢ i·x₍ᵢ₎ (the sum is tie-order invariant,
+    * so no tiebreak is ever needed); everything through the ppm result
+    * is BIGINT (`div` ≡ `//`). Mean length rides along exact.
+    *
+    * Scale: one corpus scan → a (source, n_chars) aggregate bounded by
+    * sources × length domain (g28's frame); the predecessor count is a
+    * per-source window over that BOUNDED frame, not the corpus; the
+    * rollup is #sources rows. At extreme corpus scale Σ i·x overflows
+    * 64 bits near n·v ≈ 10¹⁸ — shard the sum by length bucket (p32's
+    * decomposition) before widening, noted here because the toy SF
+    * never approaches it. */
+  def g33GiniConcentration(s: SparkSession, d: String): DataFrame = {
+    val per = Tables.documents(s, d)
+      .groupBy(col("source"), col("n_chars").cast("long").as("v"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("source")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    per
+      .withColumn("cpred", coalesce(sum(col("c")).over(w), lit(0L)))
+      .withColumn("contrib",
+        col("v") * (col("c") * col("cpred") +
+          expr("(c * (c + 1)) div 2")))
+      .groupBy(col("source"))
+      .agg(sum(col("c")).as("n_docs"),
+        sum(col("v") * col("c")).as("total_chars"),
+        sum(col("contrib")).as("rank_mass"))
+      .selectExpr("source", "n_docs", "total_chars",
+        "total_chars div n_docs AS mean_chars",
+        "CASE WHEN n_docs = 0 OR total_chars = 0 THEN CAST(0 AS BIGINT) " +
+          "ELSE ((2 * rank_mass - (n_docs + 1) * total_chars) * 1000000) " +
+          "div (n_docs * total_chars) END AS gini_ppm")
+      .orderBy(col("source"))
+  }
+
   val queries: Map[String, Q] = Map(
     "g26_chi_square" -> g26ChiSquare _,
     "g27_acf" -> g27Acf _,
@@ -592,6 +709,8 @@ object BehaviorQueries {
     "g29_event_funnel" -> g29EventFunnel _,
     "g30_rank_sum" -> g30RankSum _,
     "g31_triangles" -> g31Triangles _,
+    "g32_ks_test" -> g32KsTest _,
+    "g33_gini" -> g33GiniConcentration _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -702,7 +821,8 @@ object BehaviorQueries {
         SELECT prev_type, event_type AS next_type, count(*) AS n
         FROM seqd WHERE prev_type IS NOT NULL GROUP BY 1, 2)
       SELECT prev_type, next_type, n,
-             (n * 1000000) // sum(n) OVER (PARTITION BY prev_type) AS p_ppm
+             CAST((n * 1000000) // sum(n) OVER (PARTITION BY prev_type)
+                  AS BIGINT) AS p_ppm
       FROM pairs ORDER BY prev_type, next_type""",
     // g29: the same sequential min-ts chain, one CTE per step — nulls
     // propagate through the ts >= prev join condition exactly as the
@@ -816,6 +936,62 @@ object BehaviorQueries {
                   ELSE (3 * n_triangles * 1000000) // n_wedges END
                AS clustering_ppm
       FROM st, ec, tri""",
+    // g32: inclusive CDF prefixes over a plain single-pass window (the
+    // oracle engine may single-partition; the Spark side runs the
+    // two-level decomposition); the verdict via the SHARED
+    // [[KsStatSql]]/[[KsCritSql]] expressions on identical BIGINTs.
+    // Every sum CASTs back to BIGINT — DuckDB promotes to HUGEINT.
+    "g32_ks_test" -> s"""
+      WITH per AS (
+        SELECT CAST(round(value * 100) AS BIGINT) AS cents,
+               CAST(sum(CASE WHEN event_type = '$RankSumA' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS na,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events WHERE event_type IN ('$RankSumA', '$RankSumB')
+        GROUP BY 1),
+      c AS (
+        SELECT CAST(sum(na) OVER (ORDER BY cents) AS BIGINT) AS cuma,
+               CAST(sum(n - na) OVER (ORDER BY cents) AS BIGINT) AS cumb
+        FROM per),
+      t AS (
+        SELECT CAST(sum(na) AS BIGINT) AS n_a,
+               CAST(sum(n - na) AS BIGINT) AS n_b
+        FROM per),
+      m AS (
+        SELECT n_a, n_b,
+               CAST(max(abs(cuma * n_b - cumb * n_a)) AS BIGINT) AS d_scaled
+        FROM c, t GROUP BY 1, 2)
+      SELECT n_a, n_b, d_scaled,
+             (d_scaled * 1000000) // (n_a * n_b) AS d_ppm,
+             CAST(round(($KsStatSql) * 1000000) AS BIGINT) AS d_micros,
+             ($KsStatSql) > ($KsCritSql) AS significant
+      FROM m""",
+    // g33: the same tie-group identity over a plain per-source window;
+    // sums CAST to BIGINT against HUGEINT promotion
+    "g33_gini" -> """
+      WITH per AS (
+        SELECT source, CAST(n_chars AS BIGINT) AS v,
+               CAST(count(*) AS BIGINT) AS c
+        FROM documents GROUP BY 1, 2),
+      p AS (
+        SELECT source, v, c,
+               CAST(coalesce(sum(c) OVER (PARTITION BY source ORDER BY v
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS BIGINT) AS cpred
+        FROM per),
+      a AS (
+        SELECT source,
+               CAST(sum(c) AS BIGINT) AS n_docs,
+               CAST(sum(v * c) AS BIGINT) AS total_chars,
+               CAST(sum(v * (c * cpred + (c * (c + 1)) // 2)) AS BIGINT)
+                 AS rank_mass
+        FROM p GROUP BY 1)
+      SELECT source, n_docs, total_chars,
+             total_chars // n_docs AS mean_chars,
+             CASE WHEN n_docs = 0 OR total_chars = 0 THEN CAST(0 AS BIGINT)
+                  ELSE ((2 * rank_mass - (n_docs + 1) * total_chars)
+                        * 1000000) // (n_docs * total_chars) END AS gini_ppm
+      FROM a ORDER BY source""",
     "g25_kanonymity" -> s"""
       WITH classes AS (
         SELECT w.width, lang, source, n_chars // w.width AS bucket,

@@ -1218,6 +1218,64 @@ object Similarity {
       .orderBy(col("label"))
   }
 
+  /** g34 quantization scale: embedding components land as
+    * round(x·10³) BIGINTs, so every downstream sum is exact integer
+    * arithmetic in both engines. 10³ (not 10⁶) because the second-moment
+    * path squares per-position totals: |T_a| ≤ n·10³, and Σ_a T_a² must
+    * stay inside BIGINT — at 10³ that holds to n ≈ 3×10⁵ vectors per
+    * label; past that, shard the position sums by vec_id bucket (p32's
+    * decomposition) before squaring, or widen to the decimal
+    * accumulator. */
+  val PairQuant = 1000L
+
+  /** g34: ALL-PAIRS cosine moments per label WITHOUT the N² self-join —
+    * the Gram identity Σ_{i≠j}⟨xᵢ,xⱼ⟩ = ‖Σᵢxᵢ‖² − Σᵢ‖xᵢ‖² turns the
+    * quadratic pair statistic into one linear scan: per (label,
+    * position) totals T_a and per-label Σ‖q‖², then
+    * num = Σ_a T_a² − Σ‖q‖² over exactly n(n−1) ordered pairs. The
+    * class-coherence read BEFORE spending a SemDeDup/dedup pass per
+    * class (g11's nearest-neighbor panel says the local structure; this
+    * says the GLOBAL mean affinity — on this corpus' isotropic geometry
+    * mean pair cos ≈ intra-label signal vs ~0 ambient), and the honest
+    * alternative to a pairwise sample: exact, deterministic, O(N·d).
+    *
+    * Exactness: components quantize to [[PairQuant]] BIGINTs first, so
+    * T_a, Σ‖q‖², and the numerator are exact integers in both engines
+    * (the statistic is DEFINED over the quantized vectors — stated;
+    * at 10³ the quantized mean tracks the true mean cosine within
+    * ~10⁻⁴, ample for a coherence audit). The numerator can be
+    * negative, so it ships as an exact (num, n_pairs) pair — the a07
+    * numerator/denominator idiom, never integer-divided (Spark `div`
+    * truncates where DuckDB `//` floors on negatives) — and the
+    * readable micro-scaled mean evaluates through one shared
+    * double expression on identical BIGINTs.
+    *
+    * Scale: posexplode fans each vector into d rows that partial-
+    * aggregate map-side to #labels×d keys (t24's fixed-key argument) —
+    * ONE scan, one bounded shuffle; everything downstream is
+    * label-bounded. The N² pair space is never materialized. */
+  def g34PairMoments(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d).select(col("label"),
+      expr(s"transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * $PairQuant) AS BIGINT))")
+        .as("q"))
+    e.select(col("label"), posexplode(col("q")).as(Seq("pos", "x")))
+      .groupBy(col("label"), col("pos"))
+      .agg(sum(col("x")).as("t"), sum(col("x") * col("x")).as("s2"),
+        count(lit(1)).as("c"))
+      .groupBy(col("label"))
+      .agg(sum(col("t") * col("t")).as("sum_t2"), sum(col("s2")).as("ss"),
+        max(col("c")).as("n_vecs"))
+      .selectExpr("label", "n_vecs",
+        "sum_t2 - ss AS pair_dot_num",
+        "n_vecs * (n_vecs - 1) AS n_pairs",
+        s"CASE WHEN n_vecs < 2 THEN CAST(0 AS BIGINT) ELSE " +
+          s"CAST(round(CAST(sum_t2 - ss AS DOUBLE) / " +
+          s"(CAST(n_vecs * (n_vecs - 1) AS DOUBLE) * " +
+          s"CAST(${PairQuant * PairQuant} AS DOUBLE)) * " +
+          s"CAST(1000000 AS DOUBLE)) AS BIGINT) END AS mean_cos_micros")
+      .orderBy(col("label"))
+  }
+
   val queries: Map[String, Q] = Map(
     "s01_topk_bruteforce" -> s01BruteForceTopK _,
     "s02_topk_lsh"        -> s02LshRecall _,
@@ -1236,6 +1294,7 @@ object Similarity {
     "s16_jl_project"      -> s16JlRecall _,
     "g11_class_tightness" -> g11ClassTightness _,
     "g12_label_centroids" -> g12LabelCentroids _,
+    "g34_pair_moments"    -> g34PairMoments _,
   )
 
   /** The recall-contract oracle: every query id must come back with a full
@@ -1453,6 +1512,39 @@ object Similarity {
       FROM cells c JOIN per p USING (label)
       GROUP BY c.label, p.n_vecs, p.mean_norm
       ORDER BY c.label""",
+    // g34: the identical Gram-identity pipeline over the same quantized
+    // BIGINTs (every sum CAST back against HUGEINT promotion); the
+    // readable mean through the same double expression text
+    "g34_pair_moments" -> s"""
+      WITH q AS (
+        SELECT label,
+               list_transform(embedding,
+                 x -> CAST(round(CAST(x AS DOUBLE) * $PairQuant) AS BIGINT))
+                 AS qv
+        FROM embeddings),
+      ex AS (
+        SELECT label, qv, unnest(range(1, len(qv) + 1)) AS pos FROM q),
+      px AS (
+        SELECT label, pos, qv[CAST(pos AS INT)] AS x FROM ex),
+      st1 AS (
+        SELECT label, pos, CAST(sum(x) AS BIGINT) AS t,
+               CAST(sum(x * x) AS BIGINT) AS s2,
+               CAST(count(*) AS BIGINT) AS c
+        FROM px GROUP BY 1, 2),
+      st2 AS (
+        SELECT label, CAST(sum(t * t) AS BIGINT) AS sum_t2,
+               CAST(sum(s2) AS BIGINT) AS ss,
+               CAST(max(c) AS BIGINT) AS n_vecs
+        FROM st1 GROUP BY 1)
+      SELECT label, n_vecs,
+             sum_t2 - ss AS pair_dot_num,
+             n_vecs * (n_vecs - 1) AS n_pairs,
+             CASE WHEN n_vecs < 2 THEN CAST(0 AS BIGINT) ELSE
+               CAST(round(CAST(sum_t2 - ss AS DOUBLE) /
+                 (CAST(n_vecs * (n_vecs - 1) AS DOUBLE) *
+                  CAST(${PairQuant * PairQuant} AS DOUBLE)) *
+                 CAST(1000000 AS DOUBLE)) AS BIGINT) END AS mean_cos_micros
+      FROM st2 ORDER BY label""",
     // s07: the greedy MMR recursion restated as a recursive CTE — the
     // picked set accumulates as a list, each step's argmax uses the
     // SAME rounded inputs and literals, QUALIFY picks one row per query

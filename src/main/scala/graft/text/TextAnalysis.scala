@@ -1129,9 +1129,49 @@ object TextAnalysis {
       .orderBy(col("cut"))
   }
 
+  /** t26 output depth: the merge-candidate table a tokenizer trainer
+    * reads top-down. */
+  val BpeTopPairs = 20
+
+  /** t26: the BPE first-merge census — corpus-wide counts of adjacent
+    * character pairs within words, ranked: exactly the statistic the
+    * first iteration of byte-pair-encoding tokenizer training (Sennrich
+    * et al. '16) maximizes over, exposed as the merge-candidate table.
+    * The companion read to t25's vocabulary curve (t25 says whether the
+    * vocab is saturating; this says WHICH merges a subword tokenizer
+    * trained on this corpus would learn first, and how concentrated the
+    * pair mass is). Simplification stated: no end-of-word marker symbol
+    * — pairs are interior to whitespace tokens ([[tokens]], the shared
+    * tokenizer), which is the marker-free BPE variant.
+    *
+    * Scale: the corpus collapses to the (word, count) VOCABULARY frame
+    * first — the pair explosion and everything after it run over
+    * vocab-bounded rows, never corpus tokens (the t15 frame argument);
+    * pair counts aggregate over ≤ charset² keys, and the final ranking
+    * window orders that bounded frame, not data. Occurrence counts
+    * weight by word frequency (sum(n), not distinct words). */
+  def t26BpePairs(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vocab = Tables.documents(s, d)
+      .select(explode(tokens(col("text"))).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("word")).agg(count(lit(1)).as("n"))
+      .filter(length(col("word")) >= 2)
+    val w = Window.orderBy(col("n_pairs").desc, col("pair"))
+    vocab
+      .withColumn("i", explode(sequence(lit(1), length(col("word")) - 1)))
+      .select(expr("substring(word, i, 2)").as("pair"), col("n"))
+      .groupBy(col("pair")).agg(sum(col("n")).as("n_pairs"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= BpeTopPairs)
+      .select(col("rank"), col("pair"), col("n_pairs"))
+      .orderBy(col("rank"))
+  }
+
   val queries: Map[String, Q] = Map(
     "t24_feature_hash" -> t24FeatureHash _,
     "t25_vocab_growth" -> t25VocabGrowth _,
+    "t26_bpe_pairs"   -> t26BpePairs _,
     "t01_token_count" -> t01TokenCount _,
     "t02_quality"     -> t02Quality _,
     "t03_langid"      -> t03LangId _,
@@ -1197,6 +1237,26 @@ object TextAnalysis {
     // t25: same first-occurrence rule — a term is in a rung iff its min
     // doc_id falls in the prefix; docs with zero non-empty tokens count
     // in no rung
+    // t26: the same vocabulary frame, adjacent char pairs via substr over
+    // 1..len-1 (DuckDB range is half-open so single-char words drop,
+    // matching the Spark length>=2 guard); sums CAST against HUGEINT
+    "t26_bpe_pairs" -> s"""
+      WITH w AS (SELECT unnest($ToksSql) AS word FROM documents),
+      v AS (
+        SELECT word, CAST(count(*) AS BIGINT) AS n
+        FROM w WHERE word <> '' GROUP BY 1),
+      pos AS (
+        SELECT word, n, unnest(range(1, length(word))) AS i FROM v),
+      p AS (
+        SELECT substr(word, CAST(i AS INT), 2) AS pair,
+               CAST(sum(n) AS BIGINT) AS n_pairs
+        FROM pos GROUP BY 1),
+      r AS (
+        SELECT row_number() OVER (ORDER BY n_pairs DESC, pair) AS rank,
+               pair, n_pairs
+        FROM p)
+      SELECT rank, pair, n_pairs FROM r
+      WHERE rank <= $BpeTopPairs ORDER BY rank""",
     "t25_vocab_growth" -> s"""
       WITH rungs AS (
         SELECT CAST(unnest([${VocabRungDenoms.mkString(", ")}]) AS BIGINT)
