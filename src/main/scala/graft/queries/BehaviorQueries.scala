@@ -698,6 +698,72 @@ object BehaviorQueries {
       .orderBy(col("source"))
   }
 
+  // --- g35: Theil inequality decomposition --------------------------------
+
+  /** g35's per-cell within-group term and per-source between-group term,
+    * as shared expression strings over exact BIGINT aggregates (g26's
+    * micro-scale-then-sum discipline): each CELL rounds to integer
+    * micros BEFORE any multi-cell sum, so no parallel-double summation
+    * order can flip a digit — the integer sums are then order-free and
+    * engine-identical. The statistic is thereby DEFINED as the sum of
+    * per-cell micro-rounded terms (within ±0.5 µ per cell of true
+    * Theil; the spec bounds the drift against an unrounded rebuild). */
+  private val TheilCellSql: String =
+    "CAST(round(CAST(c AS DOUBLE) * CAST(v AS DOUBLE) / CAST(s_g AS DOUBLE)" +
+      " * ln(CAST(v AS DOUBLE) * CAST(n_g AS DOUBLE) / CAST(s_g AS DOUBLE))" +
+      " * CAST(1000000 AS DOUBLE)) AS BIGINT)"
+  private val TheilBetweenSql: String =
+    "CAST(round(CAST(s_g AS DOUBLE) / CAST(s_tot AS DOUBLE)" +
+      " * ln(CAST(s_g AS DOUBLE) * CAST(n_tot AS DOUBLE) /" +
+      " (CAST(n_g AS DOUBLE) * CAST(s_tot AS DOUBLE)))" +
+      " * CAST(1000000 AS DOUBLE)) AS BIGINT)"
+
+  /** g35: the Theil T inequality index with its between/within-source
+    * decomposition — the property that makes Theil (not g33's Gini) the
+    * mixture-design tool: T = T_between + Σ_g (s_g/S)·T_within,g
+    * EXACTLY, so the panel says how much of the corpus's length
+    * inequality is "sources differ from each other" (fixable by p13/p18
+    * mixing weights) vs "documents differ within a source" (fixable
+    * only by per-doc curation like p15 caps). Gini does not decompose;
+    * this is the standard companion audit.
+    *
+    * Exactness: the corpus collapses to the (source, n_chars) frame
+    * (g33's); within-cell terms (c/n_g)·(v·n_g/s_g)·ln(v·n_g/s_g) =
+    * (c·v/s_g)·ln(v·n_g/s_g) and the between term
+    * (s_g/S)·ln(μ_g/μ) each evaluate through ONE shared expression on
+    * identical BIGINTs and round to integer micros per cell before
+    * summation — the g26 discipline — so both engines emit identical
+    * integers.
+    *
+    * Scale: identical to g33 — one scan, a bounded (source × length-
+    * domain) frame, per-source and global rollups derived from that
+    * frame (no second scan), #sources output rows. */
+  def g35Theil(s: SparkSession, d: String): DataFrame = {
+    // the bounded (source × length-domain) frame feeds the per-source
+    // rollup AND the within-term sum: persist it so the corpus scan runs
+    // once (g22 edges precedent — cache the small frame, not the corpus)
+    val per = Tables.documents(s, d)
+      .filter(col("n_chars") > 0)
+      .groupBy(col("source"), col("n_chars").cast("long").as("v"))
+      .agg(count(lit(1)).as("c"))
+      .persist()
+    val bySrc = per.groupBy(col("source"))
+      .agg(sum(col("c")).as("n_g"), sum(col("v") * col("c")).as("s_g"))
+    val glob = bySrc.agg(sum(col("n_g")).as("n_tot"),
+      sum(col("s_g")).as("s_tot"))
+    val within = per.join(broadcast(bySrc), "source")
+      .selectExpr("source", s"$TheilCellSql AS cell_micros")
+      .groupBy(col("source"))
+      .agg(sum(col("cell_micros")).as("theil_within_micros"))
+    bySrc.join(within, "source")
+      .crossJoin(broadcast(glob))
+      .selectExpr("source", "n_g AS n_docs", "s_g AS total_chars",
+        "theil_within_micros",
+        s"$TheilBetweenSql AS between_term_micros",
+        "(s_g * 1000000) div s_tot AS weight_ppm")
+      .orderBy(col("source"))
+  }
+
   val queries: Map[String, Q] = Map(
     "g26_chi_square" -> g26ChiSquare _,
     "g27_acf" -> g27Acf _,
@@ -711,6 +777,7 @@ object BehaviorQueries {
     "g31_triangles" -> g31Triangles _,
     "g32_ks_test" -> g32KsTest _,
     "g33_gini" -> g33GiniConcentration _,
+    "g35_theil" -> g35Theil _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -966,6 +1033,33 @@ object BehaviorQueries {
              CAST(round(($KsStatSql) * 1000000) AS BIGINT) AS d_micros,
              ($KsStatSql) > ($KsCritSql) AS significant
       FROM m""",
+    // g35: identical frame, identical shared cell/between expressions on
+    // identical BIGINTs; per-cell micro-rounding BEFORE summation makes
+    // the sums order-free (g26 discipline); sums CAST against HUGEINT
+    "g35_theil" -> s"""
+      WITH per AS (
+        SELECT source, CAST(n_chars AS BIGINT) AS v,
+               CAST(count(*) AS BIGINT) AS c
+        FROM documents WHERE n_chars > 0 GROUP BY 1, 2),
+      bysrc AS (
+        SELECT source, CAST(sum(c) AS BIGINT) AS n_g,
+               CAST(sum(v * c) AS BIGINT) AS s_g
+        FROM per GROUP BY 1),
+      gtot AS (
+        SELECT CAST(sum(n_g) AS BIGINT) AS n_tot,
+               CAST(sum(s_g) AS BIGINT) AS s_tot
+        FROM bysrc),
+      within AS (
+        SELECT p.source,
+               CAST(sum($TheilCellSql) AS BIGINT) AS theil_within_micros
+        FROM per p JOIN bysrc USING (source)
+        GROUP BY 1)
+      SELECT b.source, b.n_g AS n_docs, b.s_g AS total_chars,
+             w.theil_within_micros,
+             $TheilBetweenSql AS between_term_micros,
+             (b.s_g * 1000000) // g.s_tot AS weight_ppm
+      FROM bysrc b JOIN within w ON w.source = b.source CROSS JOIN gtot g
+      ORDER BY b.source""",
     // g33: the same tie-group identity over a plain per-source window;
     // sums CAST to BIGINT against HUGEINT promotion
     "g33_gini" -> """

@@ -1717,7 +1717,55 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** p33 sample size. */
+  val ReservoirK = 25
+
+  /** The A-ES key in log form, as ONE shared expression string over the
+    * exact BIGINT inputs (u48 = 48-bit md5 prefix, n_chars = weight):
+    * ln(u)/w with u = (2·u48 + 1)/2⁴⁹ — the +1/2⁴⁹ midpoint keeps u in
+    * (0,1) exactly, and identical IEEE evaluation on identical integers
+    * makes the key (and therefore the whole sample) bit-reproducible in
+    * both engines. */
+  private val ResKeySql: String =
+    "ln(CAST(2 * u48 + 1 AS DOUBLE) / CAST(562949953421312 AS DOUBLE)) / " +
+      "CAST(n_chars AS DOUBLE)"
+
+  /** p33: deterministic weighted reservoir sampling — Efraimidis–
+    * Spirakis A-ES: each doc draws u ∈ (0,1) and ranks by u^(1/w)
+    * (equivalently ln(u)/w); the top-[[ReservoirK]] is a
+    * without-replacement sample with inclusion probability ∝ weight.
+    * The streaming-friendly counterpart of p32's systematic rule: p32
+    * needs a global prefix sum (two passes at scale); A-ES is ONE pass
+    * with a constant-size heap per partition — the shape you run inside
+    * an ingest stream or a merge of shard-local samples (top-k of
+    * top-ks is exact for A-ES, which is the whole point of the
+    * algorithm). Randomness is the [[graft.functions.HashGate]] md5
+    * family (48-bit prefix of md5(doc_id)), so the "random" draw is an
+    * engine-portable pure function of the row and the sample is exactly
+    * reproducible — the p11/p18 determinism discipline.
+    *
+    * Scale: the ranking plans as a rank-1..k window over the
+    * (id, weight, key) projection — WindowGroupLimit keeps O(k) rows
+    * per map task before the single-partition merge of k·#partitions
+    * candidates; bodies never ride (PlanSpec). */
+  def p33WeightedReservoir(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d)
+      .filter(col("n_chars") > 0)
+      .select(col("doc_id"), col("n_chars"),
+        conv(substring(md5(col("doc_id").cast("string")), 1, 12), 16, 10)
+          .cast("long").as("u48"))
+      .withColumn("lnkey", expr(ResKeySql))
+    val w = Window.orderBy(col("lnkey").desc, col("doc_id"))
+    docs.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= ReservoirK)
+      .select(col("rank"), col("doc_id"), col("n_chars"),
+        expr("CAST(round(lnkey * 1000000000) AS BIGINT)").as("key_nanos"))
+      .orderBy(col("rank"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "p33_weighted_reservoir" -> p33WeightedReservoir _,
     "p32_pps_sample"        -> p32PpsSample _,
     "g20_sketch_overlap"    -> g20SketchOverlap _,
     "g21_frequent_sets"     -> g21FrequentSets _,
@@ -1811,6 +1859,24 @@ object PipelineQueries {
   val oracleSql: Map[String, String] = Map(
     // p32: the same integer slot rule over a plain single-pass cumsum
     // (the oracle engine may single-partition; the Spark side must not)
+    // p33: the identical A-ES key on the identical 48-bit md5 integers
+    // through the one shared [[ResKeySql]] expression — the full ranking
+    // reproduces, not just the sample membership
+    "p33_weighted_reservoir" -> s"""
+      WITH docs AS (
+        SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+               CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)
+                    AS BIGINT) AS u48
+        FROM documents WHERE n_chars > 0),
+      keyed AS (
+        SELECT doc_id, n_chars, $ResKeySql AS lnkey FROM docs),
+      r AS (
+        SELECT row_number() OVER (ORDER BY lnkey DESC, doc_id) AS rank,
+               doc_id, n_chars, lnkey
+        FROM keyed)
+      SELECT rank, doc_id, n_chars,
+             CAST(round(lnkey * 1000000000) AS BIGINT) AS key_nanos
+      FROM r WHERE rank <= $ReservoirK ORDER BY rank""",
     "p32_pps_sample" -> s"""
       WITH t AS (
         SELECT CAST(sum(n_chars) AS BIGINT) AS w_tot,

@@ -1168,10 +1168,61 @@ object TextAnalysis {
       .orderBy(col("rank"))
   }
 
+  /** t27 candidate vocabulary sizes (the ladder a tokenizer designer
+    * sweeps). */
+  val OovVocabSizes: Seq[Long] = Seq(256L, 512L, 1024L, 2048L, 4096L)
+
+  /** t27: the OOV-rate ladder — for each candidate vocabulary size V,
+    * the share of corpus tokens NOT covered by the top-V terms (by
+    * count desc, term asc). Closes the tokenizer-design trilogy: t25
+    * says whether the vocabulary is still growing, t26 says which
+    * subword merges training would learn first, and this says what a
+    * WORD-level vocabulary of size V would leave out-of-vocabulary —
+    * the coverage/size trade curve read before committing a vocab
+    * budget. Everything is exact integers: term counts, rank by
+    * (count desc, term), in-vocab token mass per rung, oov ppm by
+    * integer division.
+    *
+    * Scale: one explode pass → the vocabulary-bounded count frame (the
+    * t15 argument); the rank-≤-max(V) cut prunes as a rank window over
+    * that frame (WindowGroupLimit keeps O(maxV) per map task), the
+    * ladder is a constant ×|rungs| expand over the ≤ maxV surviving
+    * rows (g25's idiom), and the scalar token total broadcasts back.
+    * The corpus is never ranked — only the vocabulary is. */
+  def t27OovLadder(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // the count frame feeds BOTH the scalar total and the ranked ladder:
+    // persist the vocabulary-bounded aggregate so the corpus explode
+    // pass runs once (the g22 edges precedent — cache the small frame,
+    // never the corpus)
+    val counts = Tables.documents(s, d)
+      .select(explode(tokens(col("text"))).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col("term")).agg(count(lit(1)).as("c"))
+      .persist()
+    val totals = counts.agg(sum(col("c")).as("total_tokens"))
+    val w = Window.orderBy(col("c").desc, col("term"))
+    counts.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= OovVocabSizes.max)
+      .select(explode(array(OovVocabSizes.map(lit): _*)).as("vocab_size"),
+        col("rank"), col("c"))
+      .filter(col("rank") <= col("vocab_size"))
+      .groupBy(col("vocab_size"))
+      .agg(count(lit(1)).as("n_vocab_terms"),
+        sum(col("c")).as("invocab_tokens"))
+      .crossJoin(broadcast(totals))
+      .selectExpr("vocab_size", "n_vocab_terms", "invocab_tokens",
+        "total_tokens - invocab_tokens AS oov_tokens",
+        "((total_tokens - invocab_tokens) * 1000000) div total_tokens" +
+          " AS oov_ppm")
+      .orderBy(col("vocab_size"))
+  }
+
   val queries: Map[String, Q] = Map(
     "t24_feature_hash" -> t24FeatureHash _,
     "t25_vocab_growth" -> t25VocabGrowth _,
     "t26_bpe_pairs"   -> t26BpePairs _,
+    "t27_oov_ladder"  -> t27OovLadder _,
     "t01_token_count" -> t01TokenCount _,
     "t02_quality"     -> t02Quality _,
     "t03_langid"      -> t03LangId _,
@@ -1237,6 +1288,30 @@ object TextAnalysis {
     // t25: same first-occurrence rule — a term is in a rung iff its min
     // doc_id falls in the prefix; docs with zero non-empty tokens count
     // in no rung
+    // t27: same counts frame, same (count desc, term) ranking; the rung
+    // join against the FULL ranked table ≡ the Spark side's rank<=maxV
+    // prune (rungs never exceed maxV); sums CAST against HUGEINT
+    "t27_oov_ladder" -> s"""
+      WITH tok AS (SELECT unnest($ToksSql) AS term FROM documents),
+      cnt AS (
+        SELECT term, CAST(count(*) AS BIGINT) AS c
+        FROM tok WHERE term <> '' GROUP BY 1),
+      tot AS (SELECT CAST(sum(c) AS BIGINT) AS total_tokens FROM cnt),
+      rk AS (
+        SELECT term, c, row_number() OVER (ORDER BY c DESC, term) AS rank
+        FROM cnt),
+      lad AS (
+        SELECT CAST(unnest([${OovVocabSizes.mkString(", ")}]) AS BIGINT)
+          AS vocab_size),
+      agg AS (
+        SELECT l.vocab_size, CAST(count(*) AS BIGINT) AS n_vocab_terms,
+               CAST(sum(r.c) AS BIGINT) AS invocab_tokens
+        FROM rk r JOIN lad l ON r.rank <= l.vocab_size GROUP BY 1)
+      SELECT vocab_size, n_vocab_terms, invocab_tokens,
+             total_tokens - invocab_tokens AS oov_tokens,
+             ((total_tokens - invocab_tokens) * 1000000) // total_tokens
+               AS oov_ppm
+      FROM agg, tot ORDER BY vocab_size""",
     // t26: the same vocabulary frame, adjacent char pairs via substr over
     // 1..len-1 (DuckDB range is half-open so single-char words drop,
     // matching the Spark length>=2 guard); sums CAST against HUGEINT

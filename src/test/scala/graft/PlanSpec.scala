@@ -802,4 +802,34 @@ class PlanSpec extends SparkSpec {
     // (vocab HashAggregate between them) is what bounds the second fan-out
     assert(plan.linesIterator.count(_.contains("Generate")) == 2, plan)
   }
+
+  test("t27: the corpus explode feeds a cached vocab frame; only the vocabulary is ranked") {
+    // cached subtree (the persisted count frame) → full-plan positives
+    val plan = executedFull(graft.text.TextAnalysis.t27OovLadder(spark, sf))
+    assert(plan.contains("InMemoryTableScan"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the single row_number ranks the vocabulary frame, never the corpus:
+    // its window input is the cached count table, not a Generate output
+    assert(plan.contains("windowspecdefinition("), plan)
+  }
+
+  test("g35: single corpus scan into the cached bounded frame; rollups join broadcast") {
+    val plan = executedFull(graft.queries.BehaviorQueries.g35Theil(spark, sf))
+    assert(plan.contains("InMemoryTableScan"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan) // all joins are tiny broadcasts
+  }
+
+  test("p33: the reservoir top-k prunes map-side (TakeOrderedAndProject), bodies never ride") {
+    val plan = executed(graft.queries.PipelineQueries.p33WeightedReservoir(spark, sf))
+    // the global rank-<=k collapses to TakeOrderedAndProject — each map
+    // task keeps a k-heap and only k·#partitions candidates merge: the
+    // literal merge-of-shard-local-reservoirs A-ES is designed around
+    assert(plan.contains("TakeOrderedAndProject(limit=25"), plan)
+    assert(!plan.contains("Join"), plan)
+    // only ids/weights/keys cross the single-partition merge — the text
+    // column is never read at all
+    val rs = plan.linesIterator.find(_.contains("ReadSchema:")).get
+    assert(!rs.contains("text"), rs)
+  }
 }

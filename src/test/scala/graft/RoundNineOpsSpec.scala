@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.BehaviorQueries
+import graft.queries.{BehaviorQueries, PipelineQueries}
 import graft.similarity.Similarity
 import graft.text.TextAnalysis
 import org.apache.spark.sql.functions._
@@ -85,6 +85,107 @@ class RoundNineOpsSpec extends SparkSpec {
       assert(gotNum == num, s"label $lab: identity $gotNum vs brute force $num")
     }
     assert(got.keySet == vecs.map(_._1).toSet)
+  }
+
+  test("t27: OOV curve matches a plain-Scala top-V sweep and is non-increasing in V") {
+    val got = TextAnalysis.t27OovLadder(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(4))).toSeq
+    val words = Tables.documents(spark, sf).select(col("text")).collect()
+      .flatMap(r => r.getString(0).trim.toLowerCase
+        .replaceAll("\\s+", " ").split(" "))
+      .filter(_.nonEmpty).toSeq
+    val counts = words.groupBy(identity).map { case (t, g) => (t, g.size.toLong) }
+    val ranked = counts.toSeq.sortBy { case (t, n) => (-n, t) }
+    val total = words.size.toLong
+    TextAnalysis.OovVocabSizes.zip(got).foreach { case (v, (gv, gn, gin, gppm)) =>
+      val top = ranked.take(v.toInt)
+      val in = top.map(_._2).sum
+      assert(gv == v && gn == top.size.toLong && gin == in,
+        s"V=$v got ($gv,$gn,$gin) expected ($v,${top.size},$in)")
+      assert(gppm == (total - in) * 1000000L / total)
+    }
+    got.map(_._4).sliding(2).foreach { case Seq(a, b) => assert(b <= a) }
+  }
+
+  test("g35: micro-rounded sums rebuild exactly; decomposition tracks true Theil") {
+    val got = BehaviorQueries.g35Theil(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val docs = Tables.documents(spark, sf)
+      .filter(col("n_chars") > 0)
+      .select(col("source"), col("n_chars").cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val nTot = docs.size.toLong
+    val sTot = docs.map(_._2).sum
+    var cells = 0
+    var trueWithinWeighted = 0.0
+    docs.groupBy(_._1).foreach { case (src, ds) =>
+      val nG = ds.size.toLong
+      val sG = ds.map(_._2).sum
+      // exact integer rebuild of the micro-rounded cell sums
+      val byV = ds.groupBy(_._2).map { case (v, g) => (v, g.size.toLong) }
+      val withinExp = byV.map { case (v, c) =>
+        new java.math.BigDecimal(
+          c.toDouble * v.toDouble / sG.toDouble *
+            math.log(v.toDouble * nG.toDouble / sG.toDouble) * 1e6)
+          .setScale(0, java.math.RoundingMode.HALF_UP).longValue
+      }.sum
+      val betweenExp = new java.math.BigDecimal(
+        sG.toDouble / sTot.toDouble *
+          math.log(sG.toDouble * nTot.toDouble / (nG.toDouble * sTot.toDouble)) * 1e6)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValue
+      val (gn, gs, gw, gb) = got(src)
+      assert(gn == nG && gs == sG, s"$src rollup")
+      assert(gw == withinExp, s"$src within: $gw vs $withinExp")
+      assert(gb == betweenExp, s"$src between: $gb vs $betweenExp")
+      cells += byV.size
+      // true (unrounded) within contribution, weighted by s_g/S
+      val trueWithin = byV.map { case (v, c) =>
+        c.toDouble / nG * (v.toDouble * nG / sG) *
+          math.log(v.toDouble * nG / sG)
+      }.sum
+      trueWithinWeighted += sG.toDouble / sTot * trueWithin
+    }
+    // decomposition: between + weighted within == the true global Theil,
+    // and the emitted micro sums sit within the per-cell rounding budget
+    val mu = sTot.toDouble / nTot
+    val trueTotal = docs.map { case (_, v) =>
+      (v / mu) * math.log(v / mu)
+    }.sum / nTot
+    val trueBetween = docs.groupBy(_._1).map { case (_, ds) =>
+      val nG = ds.size.toDouble; val sG = ds.map(_._2).sum.toDouble
+      sG / sTot * math.log(sG * nTot / (nG * sTot))
+    }.sum
+    assert(math.abs(trueBetween + trueWithinWeighted - trueTotal) < 1e-9,
+      "Theil decomposition identity")
+    val gotDecomposed = got.values.map(_._4).sum / 1e6 +
+      got.map { case (_, (_, gs, gw, _)) => gs.toDouble / sTot * (gw / 1e6) }.sum
+    assert(math.abs(gotDecomposed - trueTotal) < (cells + got.size) * 1e-6 + 1e-9,
+      s"micro-rounded total $gotDecomposed vs true $trueTotal")
+  }
+
+  test("p33: the A-ES sample reproduces from java MD5 exactly") {
+    val got = PipelineQueries.p33WeightedReservoir(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getAs[Number](2).longValue)).toSeq
+    val docs = Tables.documents(spark, sf)
+      .filter(col("n_chars") > 0)
+      .select(col("doc_id"), col("n_chars").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def u48(id: Long): Long = {
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(12)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val keyed = docs.map { case (id, w) =>
+      val u = (2.0 * u48(id) + 1.0) / 562949953421312.0
+      (id, w, math.log(u) / w)
+    }
+    val exp = keyed.sortBy { case (id, _, k) => (-k, id) }
+      .take(PipelineQueries.ReservoirK)
+    assert(got.map(t => (t._2, t._3)) == exp.map(t => (t._1, t._2)),
+      s"got=${got.take(3)} expected=${exp.take(3)}")
+    assert(got.map(_._1) == (1 to got.size))
   }
 
   test("t26: pair counts match a plain-Scala census; ranking is (count desc, pair)") {
