@@ -1726,7 +1726,7 @@ object PipelineQueries {
     * (0,1) exactly, and identical IEEE evaluation on identical integers
     * makes the key (and therefore the whole sample) bit-reproducible in
     * both engines. */
-  private val ResKeySql: String =
+  private[graft] val ResKeySql: String =
     "ln(CAST(2 * u48 + 1 AS DOUBLE) / CAST(562949953421312 AS DOUBLE)) / " +
       "CAST(n_chars AS DOUBLE)"
 

@@ -998,7 +998,92 @@ object StreamReplay {
         .localCheckpoint(eager = true)
     }
 
+  /** st16 shard count: the stream maintains one bounded reservoir per
+    * shard; 8 matches the replay's stateful shuffle width. */
+  val ReservoirShards = 8
+
+  /** st16: streaming weighted reservoir — p33's A-ES sample maintained
+    * INCREMENTALLY in stream state, the "sample from the firehose
+    * without storing it" operator. Documents drain in micro-batches;
+    * each [[ReservoirShards]] shard keeps its own top-k reservoir in
+    * `flatMapGroupsWithState` (state bounded at k rows per shard —
+    * O(shards·k) total regardless of stream length), and the drained
+    * union merges with one batch top-k. Exactness is A-ES's mergeability
+    * theorem made a hard row: a global-top-k row is in its shard's
+    * top-k, so it is admitted on arrival and can never be evicted
+    * (eviction needs k better same-shard rows, which would contradict
+    * shard-top-k membership) — therefore stream-maintained ≡ batch p33,
+    * and the oracle IS p33's SQL, verbatim and single-sourced. Emitted
+    * rows are admission snapshots (a later-evicted candidate may linger
+    * in the sink), so the final merge distincts then ranks.
+    *
+    * Scale: per-batch state work is O(batch + k log k) per shard; the
+    * final merge ranks shards·k candidates — constants, not corpus. */
+  def st16ReservoirReplay(s: SparkSession, d: String): DataFrame =
+    withReplayTmp(s, "graft-st16-") { tmp =>
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.session.timeZone",
+        s.conf.get("spark.sql.session.timeZone", "UTC"))
+      s2.conf.set("spark.sql.shuffle.partitions", "8")
+      import s2.implicits._
+      import org.apache.spark.sql.streaming.GroupStateTimeout
+      import graft.queries.PipelineQueries
+      val qname = "graft_st16_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      try {
+        val docs = Tables.documents(s2, d)
+          .filter(col("n_chars") > 0)
+          .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"))
+        docs.repartitionByRange(4, col("doc_id"))
+          .write.mode("overwrite").json(s"$tmp/incoming")
+        val source = StreamingPipeline.jsonFileSource(
+          s2, s"$tmp/incoming", docs.schema, maxFilesPerTrigger = 1)
+        val keyed = source
+          .withColumn("u48",
+            conv(substring(md5(col("doc_id").cast("string")), 1, 12), 16, 10)
+              .cast("long"))
+          .withColumn("lnkey", expr(PipelineQueries.ResKeySql))
+          .withColumn("shard",
+            pmod(col("doc_id"), lit(ReservoirShards.toLong)).cast("int"))
+          .select(col("shard"), col("doc_id"), col("n_chars"), col("lnkey"))
+          .as[(Int, Long, Long, Double)]
+        val res = keyed.groupByKey(_._1)
+          .flatMapGroupsWithState[List[(Double, Long, Long)], (Int, Double, Long, Long)](
+            OutputMode.Update(), GroupStateTimeout.NoTimeout) {
+            case (shard, rows, state) =>
+              val cur = state.getOption.getOrElse(Nil)
+              val merged = (cur ++ rows.map(r => (r._4, r._2, r._3)))
+                .sortBy { case (k, id, _) => (-k, id) }
+                .take(PipelineQueries.ReservoirK)
+              state.update(merged)
+              merged.iterator.map { case (k, id, w) => (shard, k, id, w) }
+          }
+          .toDF("shard", "lnkey", "doc_id", "n_chars")
+        val query = res.writeStream
+          .format("memory")
+          .queryName(qname)
+          .outputMode("update")
+          .option("checkpointLocation", s"$tmp/ckpt")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        query.awaitTermination()
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.orderBy(col("lnkey").desc, col("doc_id"))
+        s2.table(qname)
+          .select(col("doc_id"), col("n_chars"), col("lnkey"))
+          .distinct()
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= PipelineQueries.ReservoirK)
+          .select(col("rank"), col("doc_id"), col("n_chars"),
+            expr("CAST(round(lnkey * 1000000000) AS BIGINT)").as("key_nanos"))
+          .orderBy(col("rank"))
+          .localCheckpoint(eager = true)
+      } finally {
+        try { s2.catalog.dropTempView(qname); () } catch { case _: Throwable => () }
+      }
+    }
+
   val queries: Map[String, Q] = Map(
+    "st16_reservoir_replay" -> st16ReservoirReplay _,
     "st01_stream_replay"   -> st01StreamReplay _,
     "st15_sizeflush_replay" -> st15SizeFlushReplay _,
     "st02_state_replay"    -> st02StateReplay _,
@@ -1017,6 +1102,11 @@ object StreamReplay {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // st16: the stream-maintained reservoir must equal the BATCH A-ES
+    // sample — the oracle is p33's SQL verbatim (single-sourced), the
+    // strongest stream≡batch contract form (st02/st13 precedent)
+    "st16_reservoir_replay" ->
+      graft.queries.PipelineQueries.oracleSql("p33_weighted_reservoir"),
     // st12: the four-epoch incremental merge must equal the one-pass
     // rebuild over the corpus — p27's contract across real micro-batches,
     // single-sourced from PipelineQueries so the two rows can never

@@ -188,6 +188,14 @@ class RoundNineOpsSpec extends SparkSpec {
     assert(got.map(_._1) == (1 to got.size))
   }
 
+  test("st16 == p33: the stream-maintained reservoir equals the batch A-ES sample") {
+    val stream = graft.streaming.StreamReplay.st16ReservoirReplay(spark, sf)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    val batch = PipelineQueries.p33WeightedReservoir(spark, sf)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    assert(stream == batch, s"stream=${stream.take(5)} batch=${batch.take(5)}")
+  }
+
   test("t26: pair counts match a plain-Scala census; ranking is (count desc, pair)") {
     val got = TextAnalysis.t26BpePairs(spark, sf).collect()
       .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
