@@ -764,6 +764,65 @@ object BehaviorQueries {
       .orderBy(col("source"))
   }
 
+  // --- g36: CUSUM drift alarm ---------------------------------------------
+
+  /** g36 allowance and decision threshold, as integer fractions of the
+    * frame's own mean hourly rate μ: allowance k = μ + μ/4 (alarm only
+    * on sustained >25 % elevation), threshold h = 4·μ (≈ the classic
+    * h = 4σ tuning when counts are Poisson-ish, σ ≈ √μ ≤ μ). Both land
+    * in micro-units via integer division, so the whole statistic is
+    * BIGINT-exact. */
+  val CusumSlackDenom = 4L
+  val CusumHFactor = 4L
+
+  /** g36: the one-sided CUSUM drift alarm over the densified hourly
+    * event series — the SEQUENTIAL change detector beside g06's
+    * pointwise z-score (a z-score sees one loud hour; CUSUM accumulates
+    * a persistent small elevation until it crosses h — the "slow leak"
+    * alarm a pipeline wants for gradual feed drift, SDP.py's alarms rule
+    * generalized). Silent hours densify to zero exactly as g06/g27, so
+    * a gap RESETS the statistic rather than hiding.
+    *
+    * The recursion S_t = max(0, S_{t-1} + x_t − k) is not a window
+    * function — the standard trap is a driver loop. It IS, however,
+    * exactly expressible as windows via the prefix identity
+    * S_t = Y_t − min(0, min_{j≤t} Y_j) with Y_t = Σ_{i≤t}(x_i − k): a
+    * running sum and a running min over the SAME ordered frame — two
+    * windows, no recursion, no driver loop. All arithmetic in integer
+    * micro-units (k = (N·10⁶ div H)·(1 + 1/[[CusumSlackDenom]]) exact),
+    * so both engines emit identical BIGINTs.
+    *
+    * Scale: the corpus collapses to the hourly aggregate first; the
+    * windows run over the CALENDAR-bounded hourly frame (g27's
+    * argument), never the corpus. */
+  def g36Cusum(s: SparkSession, d: String): DataFrame = {
+    // the hourly frame feeds the grid bounds, the dense join, and the
+    // rate scalars: persist the calendar-bounded aggregate so the corpus
+    // scan runs once (g22 edges precedent)
+    val hourly = Tables.events(s, d)
+      .groupBy(date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("n"))
+      .persist()
+    val grid = hourly.agg(min(col("h")).as("lo"), max(col("h")).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"), expr("INTERVAL 1 HOUR")))
+        .as("h"))
+    val dense = grid.join(hourly, Seq("h"), "left")
+      .select(col("h"), coalesce(col("n"), lit(0L)).as("n"))
+    val tot = dense.agg(sum(col("n")).as("ntot"), count(lit(1)).as("hh"))
+      .selectExpr(
+        s"(ntot * 1000000 div hh) + (ntot * 1000000 div hh) div $CusumSlackDenom AS k_micros",
+        s"$CusumHFactor * (ntot * 1000000 div hh) AS h_micros")
+    val wOrd = Window.orderBy(col("h"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dense.crossJoin(broadcast(tot))
+      .withColumn("y", sum(col("n") * lit(1000000L) - col("k_micros")).over(wOrd))
+      .withColumn("ymin", min(col("y")).over(wOrd))
+      .selectExpr("h", "n",
+        "y - least(CAST(0 AS BIGINT), ymin) AS cusum_micros",
+        "(y - least(CAST(0 AS BIGINT), ymin)) > h_micros AS alarm")
+      .orderBy(col("h"))
+  }
+
   val queries: Map[String, Q] = Map(
     "g26_chi_square" -> g26ChiSquare _,
     "g27_acf" -> g27Acf _,
@@ -778,6 +837,7 @@ object BehaviorQueries {
     "g32_ks_test" -> g32KsTest _,
     "g33_gini" -> g33GiniConcentration _,
     "g35_theil" -> g35Theil _,
+    "g36_cusum" -> g36Cusum _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1033,6 +1093,40 @@ object BehaviorQueries {
              CAST(round(($KsStatSql) * 1000000) AS BIGINT) AS d_micros,
              ($KsStatSql) > ($KsCritSql) AS significant
       FROM m""",
+    // g36: same densified grid (generate_series), same prefix identity
+    // (running sum + running min over the hour order), identical integer
+    // micro-unit arithmetic; sums CAST against HUGEINT
+    "g36_cusum" -> s"""
+      WITH o AS (
+        SELECT date_trunc('hour', ts) AS h, CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1),
+      g AS (
+        SELECT unnest(generate_series(min(h), max(h), INTERVAL 1 HOUR)) AS h
+        FROM o),
+      dense AS (
+        SELECT g.h, coalesce(o.n, 0) AS n FROM g LEFT JOIN o USING (h)),
+      t AS (
+        SELECT (CAST(sum(n) AS BIGINT) * 1000000 // count(*))
+                 + (CAST(sum(n) AS BIGINT) * 1000000 // count(*))
+                   // $CusumSlackDenom AS k_micros,
+               $CusumHFactor * (CAST(sum(n) AS BIGINT) * 1000000 // count(*))
+                 AS h_micros
+        FROM dense),
+      pre AS (
+        SELECT h, n,
+               CAST(sum(n * 1000000 - k_micros)
+                 OVER (ORDER BY h ROWS UNBOUNDED PRECEDING) AS BIGINT) AS y,
+               h_micros
+        FROM dense CROSS JOIN t),
+      mn AS (
+        SELECT h, n, y, h_micros,
+               CAST(min(y) OVER (ORDER BY h ROWS UNBOUNDED PRECEDING)
+                 AS BIGINT) AS ymin
+        FROM pre)
+      SELECT h, n,
+             y - least(CAST(0 AS BIGINT), ymin) AS cusum_micros,
+             (y - least(CAST(0 AS BIGINT), ymin)) > h_micros AS alarm
+      FROM mn ORDER BY h""",
     // g35: identical frame, identical shared cell/between expressions on
     // identical BIGINTs; per-cell micro-rounding BEFORE summation makes
     // the sums order-free (g26 discipline); sums CAST against HUGEINT

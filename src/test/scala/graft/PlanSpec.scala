@@ -820,6 +820,14 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), plan) // all joins are tiny broadcasts
   }
 
+  test("g36: the CUSUM windows run over the cached hourly frame, never the corpus") {
+    // cached subtree (persisted hourly aggregate) → full-plan positives
+    val plan = executedFull(graft.queries.BehaviorQueries.g36Cusum(spark, sf))
+    assert(plan.contains("InMemoryTableScan"), plan)
+    assert(plan.contains("windowspecdefinition("), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("p33: the reservoir top-k prunes map-side (TakeOrderedAndProject), bodies never ride") {
     val plan = executed(graft.queries.PipelineQueries.p33WeightedReservoir(spark, sf))
     // the global rank-<=k collapses to TakeOrderedAndProject — each map

@@ -188,6 +188,33 @@ class RoundNineOpsSpec extends SparkSpec {
     assert(got.map(_._1) == (1 to got.size))
   }
 
+  test("g36: the window identity equals the literal CUSUM recursion") {
+    val got = BehaviorQueries.g36Cusum(spark, sf).collect()
+      .map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .toSeq
+    // rebuild the densified hourly series driver-side
+    val hours = Tables.events(spark, sf)
+      .groupBy(date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getTimestamp(0).getTime, r.getLong(1))).toMap
+    val lo = hours.keys.min; val hi = hours.keys.max
+    val dense = (lo to hi by 3600000L).map(t => hours.getOrElse(t, 0L))
+    val nTot = dense.sum; val hh = dense.size.toLong
+    val mu = nTot * 1000000L / hh
+    val k = mu + mu / BehaviorQueries.CusumSlackDenom
+    val hThr = BehaviorQueries.CusumHFactor * mu
+    // the literal recursion the operator replaces with two windows
+    var sPrev = 0L
+    val exp = dense.map { x =>
+      sPrev = math.max(0L, sPrev + x * 1000000L - k)
+      (sPrev, sPrev > hThr)
+    }
+    assert(got.size == exp.size, s"${got.size} vs ${exp.size}")
+    got.zip(exp).foreach { case ((h, _, s, a), (se, ae)) =>
+      assert(s == se && a == ae, s"at $h: ($s,$a) vs ($se,$ae)")
+    }
+  }
+
   test("st16 == p33: the stream-maintained reservoir equals the batch A-ES sample") {
     val stream = graft.streaming.StreamReplay.st16ReservoirReplay(spark, sf)
       .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
