@@ -182,16 +182,29 @@ object Bench {
     }
     val tagsJson = SparkEntry.benchTags.toSeq.sorted
       .map { case (k, v) => s""""$k":"$v"""" }.mkString("{", ",", "}")
+    // Self-disqualification flag (VERDICT r9 item 5): a run that STARTED
+    // on a busy box (pre-warmup 1-min load > 1.5 or cpu PSI avg10 > 1)
+    // is machine-detectably contaminated — readers should discard the
+    // timings, not adjudicate them. Thresholds per SURVEY §6: a clean
+    // solo run on this 32-core box shows load1 < 1 and psi10 ≈ 0.
+    val contaminated =
+      envPre._1.headOption.exists(_ > 1.5) || envPre._2 > 1.0
+    if (contaminated)
+      System.err.println(
+        s"WARNING: bench started on a contended host (pre-warmup " +
+          s"loadavg1=${envPre._1.headOption.getOrElse(-1.0)}, " +
+          s"psi_cpu_avg10=${envPre._2}) — timings are contaminated; " +
+          "rerun on an idle box before quoting them.")
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_full.json"),
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$fullJson,"provenance":$provJson,"env_pre_warmup":${envJson(envPre)},"env_start":${envJson(envStart)},"env_end":${envJson(envEnd)},"tags":$tagsJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","contaminated":$contaminated,"queries":$fullJson,"provenance":$provJson,"env_pre_warmup":${envJson(envPre)},"env_start":${envJson(envStart)},"env_end":${envJson(envEnd)},"tags":$tagsJson,"sf":"$sfDir"}"""
     ) catch { case _: Throwable => () }
     // Compact contention stamp on the one-line JSON the driver captures:
     // load1 at start/end + PSI so a >1.5× anomaly is self-explaining from
     // BENCH_r{N}.json alone (a solo clean run on this box shows load1 well
     // under the 32 cores and psi_avg10 near 0).
     val envLine =
-      s""""env":{"load1_start":${fmt(envStart._1.headOption.getOrElse(-1.0))},"load1_end":${fmt(envEnd._1.headOption.getOrElse(-1.0))},"psi10_start":${fmt(envStart._2)},"psi10_end":${fmt(envEnd._2)},"nprocs_end":${envEnd._3}},"""
+      s""""contaminated":$contaminated,"env":{"load1_start":${fmt(envStart._1.headOption.getOrElse(-1.0))},"load1_end":${fmt(envEnd._1.headOption.getOrElse(-1.0))},"psi10_start":${fmt(envStart._2)},"psi10_end":${fmt(envEnd._2)},"nprocs_end":${envEnd._3}},"""
     val budget = 1500
     val header = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir",$envLine"queries":"""
     var used = header.length + 80

@@ -74,11 +74,14 @@ object BehaviorQueries {
       .groupBy(col("src"), col("page").as("dst"))
       .agg(count(lit(1)).as("w"))
     val outw = edges.groupBy(col("src").as("ow_src")).agg(sum(col("w")).as("outw"))
+    // localCheckpoint (eager), not persist: the iterative loop re-reads
+    // these small frames every pass, but a CacheManager entry would pin
+    // them for the session; checkpointed blocks release with the frame.
     val ew = edges.join(outw, edges("src") === outw("ow_src"))
       .select(col("src"), col("dst"), col("w"), col("outw"))
-      .persist()
+      .localCheckpoint(true)
     val nodes = ew.select(col("src").as("node"))
-      .union(ew.select(col("dst").as("node"))).distinct().persist()
+      .union(ew.select(col("dst").as("node"))).distinct().localCheckpoint(true)
     var ranks = nodes.select(col("node"), lit(RankScale).as("r"))
     for (_ <- 1 to PageRankIters) {
       val contrib = ew.join(ranks, ew("src") === ranks("node"))
@@ -554,17 +557,17 @@ object BehaviorQueries {
       .filter(col("src").isNotNull && col("src") =!= col("page"))
       .select(least(col("src"), col("page")).as("u"),
         greatest(col("src"), col("page")).as("v"))
-      .distinct().persist()
+      .distinct().localCheckpoint(true)
     val deg = edges.select(col("u").as("node"))
       .union(edges.select(col("v").as("node")))
-      .groupBy(col("node")).agg(count(lit(1)).as("deg")).persist()
+      .groupBy(col("node")).agg(count(lit(1)).as("deg")).localCheckpoint(true)
     val du = deg.select(col("node").as("u"), col("deg").as("du"))
     val dv = deg.select(col("node").as("v"), col("deg").as("dv"))
     val fwd = struct(col("du"), col("u")) < struct(col("dv"), col("v"))
     val oriented = edges.join(broadcast(du), "u").join(broadcast(dv), "v")
       .select(when(fwd, col("u")).otherwise(col("v")).as("a"),
         when(fwd, col("v")).otherwise(col("u")).as("b"))
-      .persist()
+      .localCheckpoint(true)
     val e2 = oriented.select(col("a").as("b2"), col("b").as("c"))
     val closing = oriented.select(col("a").as("ca"), col("b").as("cb"))
     val tri = oriented.join(e2, col("b") === col("b2"))
@@ -740,13 +743,14 @@ object BehaviorQueries {
     * frame (no second scan), #sources output rows. */
   def g35Theil(s: SparkSession, d: String): DataFrame = {
     // the bounded (source × length-domain) frame feeds the per-source
-    // rollup AND the within-term sum: persist it so the corpus scan runs
-    // once (g22 edges precedent — cache the small frame, not the corpus)
+    // rollup AND the within-term sum: eagerly localCheckpoint it so the
+    // corpus scan runs once (g22 edges precedent) without leaving a
+    // session-lifetime CacheManager entry behind.
     val per = Tables.documents(s, d)
       .filter(col("n_chars") > 0)
       .groupBy(col("source"), col("n_chars").cast("long").as("v"))
       .agg(count(lit(1)).as("c"))
-      .persist()
+      .localCheckpoint(true)
     val bySrc = per.groupBy(col("source"))
       .agg(sum(col("c")).as("n_g"), sum(col("v") * col("c")).as("s_g"))
     val glob = bySrc.agg(sum(col("n_g")).as("n_tot"),
@@ -797,12 +801,13 @@ object BehaviorQueries {
     * argument), never the corpus. */
   def g36Cusum(s: SparkSession, d: String): DataFrame = {
     // the hourly frame feeds the grid bounds, the dense join, and the
-    // rate scalars: persist the calendar-bounded aggregate so the corpus
-    // scan runs once (g22 edges precedent)
+    // rate scalars: eagerly localCheckpoint the calendar-bounded
+    // aggregate so the corpus scan runs once (g22 edges precedent)
+    // without a session-lifetime CacheManager entry.
     val hourly = Tables.events(s, d)
       .groupBy(date_trunc("hour", col("ts")).as("h"))
       .agg(count(lit(1)).as("n"))
-      .persist()
+      .localCheckpoint(true)
     val grid = hourly.agg(min(col("h")).as("lo"), max(col("h")).as("hi"))
       .select(explode(sequence(col("lo"), col("hi"), expr("INTERVAL 1 HOUR")))
         .as("h"))

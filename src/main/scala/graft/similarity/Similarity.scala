@@ -1228,6 +1228,14 @@ object Similarity {
     * accumulator. */
   val PairQuant = 1000L
 
+  /** g34 validity bound, ENFORCED (ADVICE r9): past ~3×10⁵ vectors per
+    * label (or components past 2× unit scale) the squared position
+    * totals leave BIGINT — where Spark's non-ANSI sum wraps silently
+    * while the DuckDB oracle CASTs down from HUGEINT, surfacing as a
+    * confusing hash mismatch. The in-query assert turns that into a
+    * loud failure on the Spark side instead. */
+  val GramMaxVecsPerLabel = 300000L
+
   /** g34: ALL-PAIRS cosine moments per label WITHOUT the N² self-join —
     * the Gram identity Σ_{i≠j}⟨xᵢ,xⱼ⟩ = ‖Σᵢxᵢ‖² − Σᵢ‖xᵢ‖² turns the
     * quadratic pair statistic into one linear scan: per (label,
@@ -1261,10 +1269,20 @@ object Similarity {
     e.select(col("label"), posexplode(col("q")).as(Seq("pos", "x")))
       .groupBy(col("label"), col("pos"))
       .agg(sum(col("x")).as("t"), sum(col("x") * col("x")).as("s2"),
-        count(lit(1)).as("c"))
+        count(lit(1)).as("c"), max(abs(col("x"))).as("mx"))
       .groupBy(col("label"))
       .agg(sum(col("t") * col("t")).as("sum_t2"), sum(col("s2")).as("ss"),
-        max(col("c")).as("n_vecs"))
+        max(col("c")).as("n_vecs"), max(col("mx")).as("mx"))
+      // the documented bound fails loudly instead of wrapping: a filter
+      // (not a dropped column) so the optimizer cannot prune the assert;
+      // it evaluates on the #labels-bounded frame, costing nothing
+      .filter(assert_true(
+        col("n_vecs") <= lit(GramMaxVecsPerLabel) &&
+          col("mx") <= lit(2L * PairQuant),
+        lit(s"g34: per-label count > $GramMaxVecsPerLabel or |component| > " +
+          "2x unit scale - the squared position totals would leave BIGINT; " +
+          "shard the position sums by vec_id bucket (p32) before squaring"))
+        .isNull)
       .selectExpr("label", "n_vecs",
         "sum_t2 - ss AS pair_dot_num",
         "n_vecs * (n_vecs - 1) AS n_pairs",

@@ -1055,7 +1055,13 @@ object StreamReplay {
                 .sortBy { case (k, id, _) => (-k, id) }
                 .take(PipelineQueries.ReservoirK)
               state.update(merged)
-              merged.iterator.map { case (k, id, w) => (shard, k, id, w) }
+              // emit only rows ADMITTED this batch (ADVICE r9): a
+              // global-top-k row is admitted on arrival and never
+              // evicted, so admissions alone carry the final sample —
+              // sink growth is O(admissions), not O(batches·shards·k)
+              val prev = cur.toSet
+              merged.iterator.filter(r => !prev.contains(r))
+                .map { case (k, id, w) => (shard, k, id, w) }
           }
           .toDF("shard", "lnkey", "doc_id", "n_chars")
         val query = res.writeStream

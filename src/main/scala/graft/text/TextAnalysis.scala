@@ -1192,18 +1192,28 @@ object TextAnalysis {
   def t27OovLadder(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // the count frame feeds BOTH the scalar total and the ranked ladder:
-    // persist the vocabulary-bounded aggregate so the corpus explode
-    // pass runs once (the g22 edges precedent — cache the small frame,
-    // never the corpus)
+    // eagerly localCheckpoint the vocabulary-bounded aggregate so the
+    // corpus explode pass runs once (the g22 edges precedent — pin the
+    // small frame, never the corpus). localCheckpoint instead of
+    // persist(): no CacheManager entry, so the blocks are released by
+    // the ContextCleaner once the result frame is dropped — a 214-query
+    // driver session no longer accumulates one cached frame per call.
     val counts = Tables.documents(s, d)
       .select(explode(tokens(col("text"))).as("term"))
       .filter(col("term") =!= "")
       .groupBy(col("term")).agg(count(lit(1)).as("c"))
-      .persist()
+      .localCheckpoint(true)
     val totals = counts.agg(sum(col("c")).as("total_tokens"))
     val w = Window.orderBy(col("c").desc, col("term"))
-    counts.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= OovVocabSizes.max)
+    // the rank-≤-maxV cut rides as an EXPLICIT orderBy+limit so it plans
+    // as TakeOrderedAndProject (each map task keeps an O(maxV) heap):
+    // maxV = 4096 exceeds windowGroupLimitThreshold (1000), so the
+    // filter-above-window form would NOT rewrite and the full vocabulary
+    // would cross the single-partition exchange (ADVICE r9). The total
+    // order (c desc, term) is deterministic, so limit-then-rank ≡
+    // rank-then-filter exactly; the window then ranks ≤ maxV rows.
+    counts.orderBy(col("c").desc, col("term")).limit(OovVocabSizes.max.toInt)
+      .withColumn("rank", row_number().over(w))
       .select(explode(array(OovVocabSizes.map(lit): _*)).as("vocab_size"),
         col("rank"), col("c"))
       .filter(col("rank") <= col("vocab_size"))

@@ -803,27 +803,45 @@ class PlanSpec extends SparkSpec {
     assert(plan.linesIterator.count(_.contains("Generate")) == 2, plan)
   }
 
-  test("t27: the corpus explode feeds a cached vocab frame; only the vocabulary is ranked") {
-    // cached subtree (the persisted count frame) → full-plan positives
+  test("t27: the corpus explode feeds a checkpointed vocab frame; only the vocabulary is ranked") {
+    // the count frame is an eager localCheckpoint (no CacheManager
+    // entry), so the ladder plan reads an ExistingRDD scan, not parquet
     val plan = executedFull(graft.text.TextAnalysis.t27OovLadder(spark, sf))
-    assert(plan.contains("InMemoryTableScan"), plan)
+    assert(plan.contains("Scan ExistingRDD"), plan)
     assert(!plan.contains("CartesianProduct"), plan)
     // the single row_number ranks the vocabulary frame, never the corpus:
-    // its window input is the cached count table, not a Generate output
+    // its window input is the checkpointed count table, not a Generate
     assert(plan.contains("windowspecdefinition("), plan)
+    // ADVICE r9: pin that the rank-≤-maxV cut prunes map-side — as an
+    // explicit TakeOrderedAndProject(limit=maxV) heap per task, because
+    // maxV=4096 exceeds windowGroupLimitThreshold and the implicit
+    // filter-above-window form would NOT rewrite (measured: the full
+    // vocabulary crossed a single-partition exchange). The window above
+    // then ranks a ≤ maxV-row frame, never the vocabulary.
+    assert(plan.contains(
+      s"TakeOrderedAndProject(limit=${graft.text.TextAnalysis.OovVocabSizes.max}"), plan)
   }
 
-  test("g35: single corpus scan into the cached bounded frame; rollups join broadcast") {
+  test("t26: the pair-census rank cut prunes map-side as a bounded top-k") {
+    // ADVICE r9: the top-pairs filter must reach the optimizer's
+    // rank-limit rewrite, bounding each map task at O(BpeTopPairs)
+    // before the single-partition window merge (it plans as
+    // TakeOrderedAndProject below the Window — verified by probe)
+    val plan = executedFull(graft.text.TextAnalysis.t26BpePairs(spark, sf))
+    assert(plan.contains(
+      s"TakeOrderedAndProject(limit=${graft.text.TextAnalysis.BpeTopPairs}"), plan)
+  }
+
+  test("g35: single corpus scan into the checkpointed bounded frame; rollups join broadcast") {
     val plan = executedFull(graft.queries.BehaviorQueries.g35Theil(spark, sf))
-    assert(plan.contains("InMemoryTableScan"), plan)
+    assert(plan.contains("Scan ExistingRDD"), plan)
     assert(!plan.contains("CartesianProduct"), plan)
     assert(!plan.contains("SortMergeJoin"), plan) // all joins are tiny broadcasts
   }
 
-  test("g36: the CUSUM windows run over the cached hourly frame, never the corpus") {
-    // cached subtree (persisted hourly aggregate) → full-plan positives
+  test("g36: the CUSUM windows run over the checkpointed hourly frame, never the corpus") {
     val plan = executedFull(graft.queries.BehaviorQueries.g36Cusum(spark, sf))
-    assert(plan.contains("InMemoryTableScan"), plan)
+    assert(plan.contains("Scan ExistingRDD"), plan)
     assert(plan.contains("windowspecdefinition("), plan)
     assert(!plan.contains("CartesianProduct"), plan)
   }
