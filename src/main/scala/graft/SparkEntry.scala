@@ -27,7 +27,8 @@ object SparkEntry {
       PipelineQueries.queries ++ TextAnalysis.queries ++
       Dedup.queries ++ Similarity.queries ++ StreamReplay.queries ++
       MultimodalQueries.queries ++ ControlPlaneQueries.queries ++
-      graft.quality.Expectations.queries ++ BehaviorQueries.queries
+      graft.quality.Expectations.queries ++ BehaviorQueries.queries ++
+      graft.similarity.Planted.queries
 
   /** Like-for-like bench-cut tags (VERDICT r6 item 2) — the single source
     * of truth scripts/duckbench.py derives the batch cut from (it used to
@@ -60,6 +61,10 @@ object SparkEntry {
     val contract = Seq("s02_topk_lsh", "s03_topk_ivf", "s04_topk_pq",
       "s05_cluster_profile", "s09_topk_ivfsq", "s12_filtered_ivf",
       "s15_ivf_append", "s16_jl_project", "d04_simhash", "g07_profile_approx",
+      // planted-regime recall contracts: full index pipelines vs a
+      // boolean-stating oracle — contract rows by construction
+      "s17_planted_lsh", "s18_planted_ivf", "s19_planted_pq",
+      "s20_planted_jl", "d19_planted_neardup",
       // t23 TRAINS a model (100 LBFGS passes) against a one-GROUP-BY
       // oracle — a pipeline-vs-boolean comparison, not like-for-like
       "g14_heavy_hitters", "t23_trained_classifier",
@@ -80,5 +85,6 @@ object SparkEntry {
       PipelineQueries.oracleSql ++ TextAnalysis.oracleSql ++
       Dedup.oracleSql ++ Similarity.oracleSql ++ StreamReplay.oracleSql ++
       MultimodalQueries.oracleSql ++ ControlPlaneQueries.oracleSql ++
-      graft.quality.Expectations.oracleSql ++ BehaviorQueries.oracleSql
+      graft.quality.Expectations.oracleSql ++ BehaviorQueries.oracleSql ++
+      graft.similarity.Planted.oracleSql
 }

@@ -31,8 +31,14 @@ object Similarity {
 
   /** s01: brute-force cosine top-k — the exact baseline, oracle-checked.
     * The tiny query side is broadcast; ranking is a per-query window. */
-  def s01BruteForceTopK(s: SparkSession, d: String): DataFrame = {
-    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+  def s01BruteForceTopK(s: SparkSession, d: String): DataFrame =
+    bruteTopKOn(Tables.embeddings(s, d).select(col("vec_id"), col("embedding")))
+
+  /** The s01 pipeline over an arbitrary (vec_id, embedding) corpus —
+    * the exact baseline/denominator every recall contract is judged
+    * against, shared by the real-corpus rows and the planted-corpus
+    * rows ([[Planted]]). */
+  private[graft] def bruteTopKOn(e: DataFrame): DataFrame = {
     val q = e.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
     val w = Window.partitionBy(col("query_id"))
@@ -177,8 +183,12 @@ object Similarity {
     * exact cosine re-rank, top-k per query. Approximate by construction
     * (hash-defined) → rows-only driver check; SimilaritySpec measures
     * recall against s01. */
-  def s02LshTopK(s: SparkSession, d: String): DataFrame = {
-    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+  def s02LshTopK(s: SparkSession, d: String): DataFrame =
+    lshTopKOn(Tables.embeddings(s, d).select(col("vec_id"), col("embedding")))
+
+  /** The s02 pipeline over an arbitrary (vec_id, embedding) corpus
+    * (shared with [[Planted]]). */
+  private[graft] def lshTopKOn(e: DataFrame): DataFrame = {
     val sigs = (0 until NumTables).map(t =>
       struct(lit(t).as("t"), signature(t, col("embedding")).as("sig")))
     // Bucket entries carry ONLY (vec_id, table, signature): the 16-way
@@ -279,7 +289,24 @@ object Similarity {
     })
   }
 
-  private def fitCoarse(e: org.apache.spark.sql.DataFrame): Array[Array[Double]] = {
+  /** Memoized quantizer training under an arbitrary cache key — the
+    * coarseCentroids/frozenCentroids pattern opened to [[Planted]]
+    * (index artifacts are built once per (session, corpus), never per
+    * query). */
+  private[similarity] def memoizedCentroids(s: SparkSession, key: String)(
+      train: => Array[Array[Double]]): Array[Array[Double]] = {
+    val m = quantMemo.synchronized {
+      var c = quantMemo.get(s)
+      if (c == null) {
+        c = new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Double]]]()
+        quantMemo.put(s, c)
+      }
+      c
+    }
+    m.computeIfAbsent(key, _ => train)
+  }
+
+  private[similarity] def fitCoarse(e: org.apache.spark.sql.DataFrame): Array[Array[Double]] = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val trainFrac = math.min(1.0, 4000.0 / math.max(1L, e.count()).toDouble)
@@ -435,8 +462,12 @@ object Similarity {
     * with IVF exactly as s09 composes SQ8 — project, then cell-probe the
     * projected table. The refine join ships ≤ refine original
     * vectors per query, never the corpus. */
-  def s16JlTopK(s: SparkSession, d: String, refine: Int = -1): DataFrame = {
-    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+  def s16JlTopK(s: SparkSession, d: String, refine: Int = -1): DataFrame =
+    jlTopKOn(Tables.embeddings(s, d).select(col("vec_id"), col("embedding")),
+      refine)
+
+  /** The s16 pipeline over an arbitrary corpus (shared with [[Planted]]). */
+  private[similarity] def jlTopKOn(e: DataFrame, refine: Int = -1): DataFrame = {
     // adaptive refine: [[JlRefinePct]] % of the corpus, floored at
     // [[JlRefineMin]] (one metadata-only count job; exact, so the row
     // stays deterministic)
@@ -475,9 +506,14 @@ object Similarity {
   def s16JlRecall(s: SparkSession, d: String): DataFrame =
     recallContract(s, d, s16JlTopK(s, d), JlRecallFloor)
 
-  def s03IvfTopK(s: SparkSession, d: String): DataFrame = {
-    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
-    val centroids = coarseCentroids(s, d)
+  def s03IvfTopK(s: SparkSession, d: String): DataFrame =
+    ivfTopKOn(Tables.embeddings(s, d).select(col("vec_id"), col("embedding")),
+      coarseCentroids(s, d))
+
+  /** The s03 pipeline over an arbitrary corpus and coarse quantizer
+    * (shared with [[Planted]]). */
+  private[similarity] def ivfTopKOn(e: DataFrame,
+                                    centroids: Array[Array[Double]]): DataFrame = {
     val assigned = e.withColumn("cell", cellOf(centroids, col("embedding")))
     val q = e.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
@@ -691,9 +727,18 @@ object Similarity {
     * them can — this is what turns the ANN operators from spec-only
     * coverage into a hard oracle row. */
   private def recallContract(s: SparkSession, d: String,
-                             approx: DataFrame, floor: Double): DataFrame = {
+                             approx: DataFrame, floor: Double): DataFrame =
+    recallContractOn(
+      s01BruteForceTopK(s, d).select(col("query_id"), col("neighbor_id")),
+      approx, floor)
+
+  /** The contract over an arbitrary exact baseline (shared with
+    * [[Planted]], whose baseline is the brute-force top-k over the
+    * planted corpus). */
+  private[similarity] def recallContractOn(exact: DataFrame,
+                                           approx: DataFrame,
+                                           floor: Double): DataFrame = {
     val a = approx.select(col("query_id"), col("neighbor_id"))
-    val exact = s01BruteForceTopK(s, d).select(col("query_id"), col("neighbor_id"))
     val recall = exact
       .join(a.withColumn("hit", lit(1)), Seq("query_id", "neighbor_id"), "left")
       .groupBy(col("query_id"))
@@ -803,8 +848,12 @@ object Similarity {
   def s04PqTopK(s: SparkSession, d: String): DataFrame =
     s04PqTopK(s, d, PqCodes, PqRefine)
 
-  def s04PqTopK(s: SparkSession, d: String, codes: Int, refine: Int): DataFrame = {
-    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+  def s04PqTopK(s: SparkSession, d: String, codes: Int, refine: Int): DataFrame =
+    pqTopKOn(Tables.embeddings(s, d).select(col("vec_id"), col("embedding")),
+      codes, refine)
+
+  /** The s04 pipeline over an arbitrary corpus (shared with [[Planted]]). */
+  private[similarity] def pqTopKOn(e: DataFrame, codes: Int, refine: Int): DataFrame = {
     // bounded driver-side sample → per-subspace codebooks
     val n = math.max(1L, e.count())
     val sample = e.sample(withReplacement = false,
@@ -1318,7 +1367,7 @@ object Similarity {
   /** The recall-contract oracle: every query id must come back with a full
     * top-k and a cleared recall floor — facts DuckDB can state from the
     * embeddings table alone. */
-  private def contractOracle: String = s"""
+  private[similarity] def contractOracle: String = s"""
       SELECT vec_id AS query_id, CAST($TopK AS BIGINT) AS n_results,
              TRUE AS recall_ok
       FROM embeddings WHERE vec_id < $NumQueries
