@@ -1088,7 +1088,73 @@ object StreamReplay {
       }
     }
 
+  /** st17 retention horizon — the reference's 1-day realtime state
+    * bound (vs the 7-day pipeline bound; same mechanism, tighter knob
+    * so the replay actually evicts). */
+  val TtlRetentionMs: Long = 24L * 3600 * 1000
+
+  /** st17: stateful TTL/eviction — the retention bound as STATE
+    * EVICTION, which st02's forever-keys tracker never exercises. The
+    * feed drains through [[StreamingPipeline.ttlSessionTrack]]
+    * (transformWithState, EVENT-TIME timers re-armed at last_ts +
+    * retention; gap-reset session semantics enforced in-line on the
+    * ordered feed); the result is the SURVIVING STATE read from the
+    * checkpoint's state store after the drain — not sink emissions —
+    * so eviction is observable: a key the watermark should have
+    * expired would surface as an extra row and fail the oracle.
+    *
+    * Oracle (exact): per key, the FINAL session's (count, last event)
+    * under the gap-reset rule, restricted to keys whose last event is
+    * within the horizon of the stream's end — plain SQL over the same
+    * events. StreamingSpec additionally pins the bounded-state
+    * property (state rows ≤ keys live within the horizon) and that at
+    * least one key was actually evicted at this SF.
+    *
+    * Scale: state is O(keys live within the horizon) — the property
+    * this row exists to prove; per-batch work is O(batch); the RocksDB
+    * provider keeps the store off-heap, the production posture for
+    * billion-key state. */
+  def st17TtlReplay(s: SparkSession, d: String): DataFrame =
+    withReplayTmp(s, "graft-st17-") { tmp =>
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.session.timeZone",
+        s.conf.get("spark.sql.session.timeZone", "UTC"))
+      s2.conf.set("spark.sql.shuffle.partitions", "8")
+      s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      import s2.implicits._
+      val ev = Tables.events(s2, d).select(col("user_id"), col("ts"))
+      val incoming = s"$tmp/incoming"
+      stageOrderedJson(ev, nFiles = 6, incoming, prefix = "a",
+        baseModTime = 1000000L)
+      val feedSchema = new StructType()
+        .add("user_id", "long").add("ts", "timestamp")
+      val source = StreamingPipeline.jsonFileSource(
+        s2, incoming, feedSchema, maxFilesPerTrigger = 2,
+        options = Map("timestampFormat" -> JsonTsFormat))
+      val typed = source
+        .withWatermark("ts", "0 seconds")
+        .select(col("user_id"), col("ts"))
+        .as[(Long, java.sql.Timestamp)]
+      val query = StreamingPipeline.ttlSessionTrack(typed, TtlRetentionMs)
+        .writeStream.format("noop")
+        .outputMode("update")
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+      s2.read.format("statestore")
+        .option("stateVarName", "retained")
+        .load(s"$tmp/ckpt")
+        .select(col("key.value").as("user_id"),
+          col("value.n").as("n_events"),
+          col("value.lastTs").as("last_ts"))
+        .orderBy(col("user_id"))
+        .localCheckpoint(eager = true)
+    }
+
   val queries: Map[String, Q] = Map(
+    "st17_ttl_replay" -> st17TtlReplay _,
     "st16_reservoir_replay" -> st16ReservoirReplay _,
     "st01_stream_replay"   -> st01StreamReplay _,
     "st15_sizeflush_replay" -> st15SizeFlushReplay _,
@@ -1108,6 +1174,33 @@ object StreamReplay {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // st17: gap-reset final session per key, retained iff the key's
+    // last event is within the retention horizon of the stream's end —
+    // the batch restatement of event-time-timer eviction. Interval
+    // arithmetic keeps full microsecond precision on both sides (the
+    // processor compares gaps in microseconds for exactly this reason).
+    "st17_ttl_replay" -> """
+      WITH brk AS (
+        SELECT user_id, ts,
+               CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                         > INTERVAL 1 DAY
+                    THEN 1 ELSE 0 END AS b
+        FROM events),
+      sess AS (
+        SELECT user_id, ts,
+               sum(b) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+        FROM brk),
+      lastg AS (SELECT user_id, max(g) AS mg FROM sess GROUP BY user_id),
+      fin AS (
+        SELECT s.user_id, CAST(count(*) AS BIGINT) AS n_events,
+               CAST(max(s.ts) AS TIMESTAMP) AS last_ts
+        FROM sess s JOIN lastg l ON s.user_id = l.user_id AND s.g = l.mg
+        GROUP BY s.user_id)
+      SELECT user_id, n_events, last_ts
+      FROM fin
+      WHERE last_ts >= (SELECT max(ts) FROM events) - INTERVAL 1 DAY
+      ORDER BY user_id""",
     // st16: the stream-maintained reservoir must equal the BATCH A-ES
     // sample — the oracle is p33's SQL verbatim (single-sourced), the
     // strongest stream≡batch contract form (st02/st13 precedent)

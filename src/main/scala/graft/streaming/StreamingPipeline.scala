@@ -7,7 +7,7 @@ import graft.validate.SchemaValidator
 import graft.validate.SchemaValidator.Rule
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, StreamingQuery, TTLConfig, TimeMode, TimerValues, Trigger, ValueState}
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode, ExpiredTimerInfo, StatefulProcessor, StreamingQuery, TTLConfig, TimeMode, TimerValues, Trigger, ValueState}
 import org.apache.spark.sql.types.StructType
 
 /** The streaming ingestion path (SURVEY §2.8, §3.2) on Structured
@@ -265,6 +265,82 @@ object StreamingPipeline {
     import events.sparkSession.implicits._
     events.groupByKey(_._1)
       .transformWithState(new KeyTrackerProcessor, TimeMode.None(), OutputMode.Update())
+  }
+
+  /** T5 + retention (st17): per-key session state with a TTL horizon —
+    * the reference's retention bounds (7-day pipeline state, 1-day
+    * realtime state) as STATE EVICTION, which trackState/st02 never
+    * exercise (their keys live forever).
+    *
+    * Semantics (deterministic, oracle-able): per key, a running
+    * (n_events, last_ts) that RESETS when the key's event gap exceeds
+    * `retentionMs` (a returning key starts fresh — exactly what a
+    * production state TTL does to it), enforced IN-LINE on the ordered
+    * feed so results never depend on timer scheduling. EVENT-TIME
+    * timers are the state-SIZE mechanism: each key re-arms one timer at
+    * last_ts + retention; when the watermark passes it the key's state
+    * is cleared, so live state is bounded by keys active within the
+    * horizon — the driver reads the surviving state from the
+    * checkpoint's state store after the drain (the statestore data
+    * source), which is also what makes eviction OBSERVABLE rather than
+    * asserted: an unexpired key that lingered would surface as an extra
+    * output row.
+    *
+    * Wall-clock TTL (`TTLConfig`) is deliberately NOT used: it expires
+    * by processing time, which no replayed oracle can restate. Event-
+    * time timers give the same bounded-state property deterministically. */
+  final case class RetainedState(n: Long, lastTs: java.sql.Timestamp)
+
+  class TtlSessionProcessor(retentionMs: Long)
+      extends StatefulProcessor[Long, (Long, java.sql.Timestamp), (Long, Long)] {
+    @transient private var state: ValueState[RetainedState] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[RetainedState]("retained",
+        org.apache.spark.sql.Encoders.product[RetainedState], TTLConfig.NONE)
+    override def handleInputRows(key: Long,
+                                 rows: Iterator[(Long, java.sql.Timestamp)],
+                                 timerValues: TimerValues): Iterator[(Long, Long)] = {
+      // within-batch order is not guaranteed; sort the (bounded) batch
+      // so the gap-reset fold sees event time ascending. Gap compare in
+      // MICROSECONDS (getTime is ms-truncated): the oracle restates the
+      // gap as a DuckDB interval comparison at full timestamp precision,
+      // and a gap inside the truncated millisecond would split the
+      // engines.
+      def micros(t: java.sql.Timestamp): Long =
+        t.getTime / 1000L * 1000000L + t.getNanos / 1000L
+      val sorted = rows.map(_._2).toArray.sortBy(micros)
+      var st = if (state.exists()) state.get()
+               else RetainedState(0L, new java.sql.Timestamp(0))
+      sorted.foreach { ts =>
+        if (st.n > 0L && micros(ts) - micros(st.lastTs) > retentionMs * 1000L)
+          st = RetainedState(0L, st.lastTs)
+        st = RetainedState(st.n + 1L, if (ts.after(st.lastTs)) ts else st.lastTs)
+      }
+      state.update(st)
+      // one eviction timer per key: re-arm at the new horizon, dropping
+      // the stale one (timers are per-key; listTimers sees this key's)
+      getHandle.listTimers().foreach(t => getHandle.deleteTimer(t))
+      getHandle.registerTimer(st.lastTs.getTime + retentionMs)
+      Iterator.empty
+    }
+    override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+                                    expiredTimerInfo: ExpiredTimerInfo): Iterator[(Long, Long)] = {
+      // fire only if no newer activity moved the horizon past this timer
+      if (state.exists() &&
+          state.get().lastTs.getTime + retentionMs <= expiredTimerInfo.getExpiryTimeInMs)
+        state.clear()
+      Iterator.empty
+    }
+  }
+
+  /** The st17 stream: watermarked feed through [[TtlSessionProcessor]];
+    * all output is read from the surviving STATE, not emissions. */
+  def ttlSessionTrack(events: Dataset[(Long, java.sql.Timestamp)],
+                      retentionMs: Long): Dataset[(Long, Long)] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_._1)
+      .transformWithState(new TtlSessionProcessor(retentionMs),
+        TimeMode.EventTime(), OutputMode.Update())
   }
 
   /** Stream-stream interval join (§2.3 as-of/interval streaming enrich):

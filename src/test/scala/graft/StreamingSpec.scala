@@ -447,4 +447,44 @@ class StreamingSpec extends SparkSpec {
       assert(q2.isActive) // analytics leg runs concurrently off the same source
     } finally { q1.stop(); q2.stop() }
   }
+
+  test("st17: TTL eviction bounds state at live keys and actually evicts") {
+    import org.apache.spark.sql.functions._
+    val retained = graft.streaming.StreamReplay.st17TtlReplay(spark, sf)
+    val ev = Tables.events(spark, sf)
+    val allKeys = ev.select(countDistinct("user_id")).head().getLong(0)
+    val horizon = ev.agg(max("ts")).head().getTimestamp(0).getTime -
+      graft.streaming.StreamReplay.TtlRetentionMs
+    val liveKeys = ev
+      .filter(col("ts").cast("double") * 1000 >= horizon)
+      .select(countDistinct("user_id")).head().getLong(0)
+    val stateRows = retained.count()
+    // bounded-state: the surviving store holds exactly the keys active
+    // within the horizon — never the full key universe
+    assert(stateRows <= liveKeys, s"$stateRows state rows > $liveKeys live keys")
+    // eviction actually exercised at this SF (not a vacuous bound)
+    assert(stateRows < allKeys, s"no key evicted: $stateRows of $allKeys")
+    // stream ≡ batch law (the oracle's Spark-side mirror): final-session
+    // counts under the gap-reset rule for retained keys
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts")
+    val sess = ev.select(col("user_id"), col("ts"))
+      .withColumn("gapus",
+        col("ts").cast("decimal(26,6)") * 1000000 -
+          lag(col("ts"), 1).over(w).cast("decimal(26,6)") * 1000000)
+      .withColumn("b", when(col("gapus") >
+        lit(graft.streaming.StreamReplay.TtlRetentionMs) * 1000, 1).otherwise(0))
+      .withColumn("g", sum("b").over(w.rowsBetween(Long.MinValue, 0)))
+    val lastg = sess.groupBy("user_id").agg(max("g").as("mg"))
+    val fin = sess.join(lastg, Seq("user_id"))
+      .filter(col("g") === col("mg"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"), max("ts").as("last_ts"))
+      .filter(col("last_ts").cast("double") * 1000 >= horizon)
+    val expect = fin.orderBy("user_id").collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getTimestamp(2))).toSeq
+    val got = retained.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getTimestamp(2))).toSeq
+    assert(got == expect, s"stream state ${got.take(3)}... != batch ${expect.take(3)}...")
+  }
 }
