@@ -602,7 +602,76 @@ object RelationalQueries {
       .orderBy(col("l_returnflag"), col("measure"))
   }
 
+  /** q45: skewed enrich under AQE skew-join (VERDICT r9 item 4) — the
+    * P3 broadcast-enrich shape when the dimension is NOT broadcastable
+    * and the fact's join key is Zipf-hot: 3/4 of the fact rows collapse
+    * onto one key, so a plain sort-merge join serializes the hot
+    * partition onto one task — THE silent 100× scale-killer p23 dodges
+    * by manual salting. This row takes the other production path:
+    * leave the plan declarative and let AQE's runtime skew-split divide
+    * the hot partition (duplicating the matching build rows), asserted
+    * by PlanSpec on the executed plan's `skew=true` markers.
+    *
+    * Confs are set on a CLONED session (the st02 discipline — never
+    * mutate the shared session): broadcast disabled to force the
+    * shuffled join the shape is about; the skew thresholds are scaled
+    * to toy SF (at production SF the 256 MB default plays the same
+    * role). The aggregate after the join is exact integers, so the
+    * oracle is a plain SQL restatement. */
+  def q45SkewJoin(s: SparkSession, d: String): DataFrame = {
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.session.timeZone",
+      s.conf.get("spark.sql.session.timeZone", "UTC"))
+    s2.conf.set("spark.sql.shuffle.partitions", "8")
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    // thresholds sized to COMPRESSED shuffle bytes at toy SF (the stats
+    // AQE reads are post-lz4: the 10k-row hot partition is ~10 KB)
+    s2.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "1k")
+    s2.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "512b")
+    def sk(c: org.apache.spark.sql.Column) =
+      when(pmod(c, lit(4L)) =!= 0, lit(0L)).otherwise(c)
+    // the fact rows carry their payload (event_id, value) through the
+    // join — realistic, and load-bearing for DETECTION at toy SF: skew
+    // stats are COMPRESSED bytes, and a hot partition of byte-identical
+    // (0, event_type) rows lz4-compresses below any sane threshold
+    // (measured: skew never fired until the incompressible columns rode
+    // along)
+    val ev = Tables.events(s2, d)
+      .select(sk(col("user_id")).as("sk"), col("event_type"),
+        col("event_id"), col("value"))
+      // multiple MAP tasks ahead of the join shuffle: AQE splits a
+      // skewed reduce partition by mapper ranges, so a single-file scan
+      // (one mapper, the toy-SF shape) leaves the hot partition
+      // unsplittable no matter the thresholds (measured). A production
+      // scan has thousands of mappers naturally; this round-robin is
+      // the toy-SF stand-in for that.
+      .repartition(8)
+    // the dim is made key-unique by FILTER, not aggregate: AQE\'s skew
+    // rule only splits a SortMergeJoin whose children are
+    // ENSURE_REQUIREMENTS shuffles directly under Sort — an inline
+    // aggregate (whose output partitioning already satisfies the join)
+    // or a user repartition() on the dim side masks the split (measured:
+    // skew=true never appeared until the dim became filter+project)
+    val c = col("c_custkey").cast("long")
+    val dim = Tables.customer(s2, d)
+      .filter((c % 4 === 0 && c =!= 0) || c === 1)
+      .select(sk(c).as("sk"),
+        round(col("c_acctbal") * 100).cast("long").as("bal_cents"))
+    // NO distinct-on-the-join-key in the output: count(DISTINCT sk)
+    // would make the aggregate's required distribution ride the join's
+    // hash integrity, and AQE then (correctly) refuses the skew split —
+    // splitting would break same-key co-location for the distinct
+    // (measured: skew=true vanished with countDistinct(sk) present)
+    ev.join(dim, "sk")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("bal_cents")).as("sum_bal_cents"),
+        sum(round(col("value") * 100).cast("long")).as("value_cents"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q45_skew_join"       -> q45SkewJoin _,
     "q44_unpivot"         -> q44Unpivot _,
     "q43_stats_panel"     -> q43StatsPanel _,
     "q01_pricing_summary" -> q01PricingSummary _,
@@ -910,6 +979,23 @@ object RelationalQueries {
       WINDOW w AS (PARTITION BY o_orderpriority
                    ORDER BY o_totalprice DESC, o_orderkey)
       ORDER BY o_orderkey""",
+    "q45_skew_join" -> """
+      WITH ev AS (
+        SELECT CASE WHEN user_id % 4 <> 0 THEN 0 ELSE user_id END AS sk,
+               event_type, value
+        FROM events),
+      dim AS (
+        SELECT CASE WHEN c_custkey % 4 <> 0 THEN 0 ELSE c_custkey END AS sk,
+               CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+        FROM customer
+        WHERE (c_custkey % 4 = 0 AND c_custkey <> 0) OR c_custkey = 1)
+      SELECT ev.event_type,
+             CAST(count(*) AS BIGINT) AS n_events,
+             CAST(sum(dim.bal_cents) AS BIGINT) AS sum_bal_cents,
+             CAST(sum(CAST(round(ev.value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+      FROM ev JOIN dim ON ev.sk = dim.sk
+      GROUP BY ev.event_type
+      ORDER BY ev.event_type""",
     // same recursion; DuckDB spells integer division //
     "q41_recursive_cte" -> """
       WITH RECURSIVE chain(k, anc, depth) AS (

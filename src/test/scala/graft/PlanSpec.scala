@@ -846,6 +846,17 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("q45: AQE splits the skewed fact partition at runtime (skew=true join)") {
+    // the Zipf-hot key must reach the executed plan as a skew-split
+    // sort-merge join — the runtime answer to the 100x straggler. The
+    // three measured preconditions are documented in the query:
+    // multiple mappers, incompressible hot bytes, and no required
+    // distribution riding the join's partitioning.
+    val plan = executed(RelationalQueries.q45SkewJoin(spark, sf))
+    assert(plan.contains("SortMergeJoin(skew=true)"), plan)
+    assert(plan.contains("skewed"), plan) // the AQEShuffleRead marker
+  }
+
   test("p33: the reservoir top-k prunes map-side (TakeOrderedAndProject), bodies never ride") {
     val plan = executed(graft.queries.PipelineQueries.p33WeightedReservoir(spark, sf))
     // the global rank-<=k collapses to TakeOrderedAndProject — each map
