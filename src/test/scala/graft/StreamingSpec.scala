@@ -448,6 +448,40 @@ class StreamingSpec extends SparkSpec {
     } finally { q1.stop(); q2.stop() }
   }
 
+  test("KafkaJsonSource: reference option mapping + payload parse on an embedded fake") {
+    import org.apache.spark.sql.functions._
+    val src = graft.streaming.KafkaJsonSource(
+      "broker-1:9092,broker-2:9092", "events",
+      graft.streaming.StreamSources.EventSchema)
+    // SDP.py:648-655 semantics, option for option
+    val opts = src.readerOptions
+    assert(opts("startingOffsets") == "latest")       // start at LATEST
+    assert(opts("maxOffsetsPerTrigger") == "100")     // consumer batch 100
+    assert(opts("failOnDataLoss") == "false")         // at-least-once posture
+    assert(opts("subscribe") == "events")
+    assert(opts("kafka.bootstrap.servers") == "broker-1:9092,broker-2:9092")
+    // embedded fake: a batch frame with the connector's exact output
+    // schema (binary value + wire metadata) through the shared parse
+    val wire = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        org.apache.spark.sql.Row(null, """{"id": 1, "ts": "2024-01-01T10:00:00.000Z", "value": 2.5}""".getBytes("UTF-8"), "events", 0, 0L),
+        org.apache.spark.sql.Row(null, """{"id": 2, "ts"::: not json""".getBytes("UTF-8"), "events", 0, 1L))),
+      new org.apache.spark.sql.types.StructType()
+        .add("key", "binary").add("value", "binary")
+        .add("topic", "string").add("partition", "int").add("offset", "long"))
+    val parsed = graft.streaming.KafkaJsonSource
+      .parse(wire, graft.streaming.StreamSources.EventSchema)
+      .orderBy(col("id").asc_nulls_last)
+      .collect()
+    assert(parsed.length == 2)
+    assert(parsed(0).getLong(0) == 1L && parsed(0).getDouble(2) == 2.5)
+    assert(parsed(0).isNullAt(3)) // well-formed row: no corrupt payload
+    // malformed payload survives as a corrupt-record row with the raw
+    // bytes intact (quarantine contract shared with file/socket)
+    assert(parsed(1).isNullAt(0))
+    assert(parsed(1).getString(3).contains("not json"))
+  }
+
   test("st17: TTL eviction bounds state at live keys and actually evicts") {
     import org.apache.spark.sql.functions._
     val retained = graft.streaming.StreamReplay.st17TtlReplay(spark, sf)
