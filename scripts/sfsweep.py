@@ -1,0 +1,80 @@
+#!/usr/bin/env python3
+"""SF-scaling sweep analysis (VERDICT r9 item 2).
+
+Reads two bench_full.json artifacts taken at different scale factors and
+emits per-query scaling exponents alpha = log(t_hi/t_lo) / log(sf_hi/sf_lo)
+plus a summary: batch-cut totals, the DuckDB like-for-like ratio at each SF
+(if duckbench outputs are given), and every batch row whose wall-time grows
+superlinearly (alpha > ALPHA_FLAG) above the scheduling floor (t_hi >=
+FLOOR_SEC) — those are the rows that deserve a plan audit before a real
+scale-up.
+
+The per-query scheduling floor dominates small rows (a 30 ms DuckDB query
+vs Spark's fixed ~0.1-0.5 s of job scheduling), so exponents are only
+meaningful for rows whose larger-SF time is above FLOOR_SEC; smaller rows
+are reported as "floor" and never flagged.
+
+Usage:
+  python3 scripts/sfsweep.py <bench_lo.json> <sf_lo> <bench_hi.json> <sf_hi> [out.json]
+"""
+import json
+import math
+import sys
+
+ALPHA_FLAG = 1.3   # superlinear threshold (1.0 = linear; log-factors ~1.1)
+FLOOR_SEC = 1.0    # below this at the larger SF, the row is scheduling floor
+
+lo_path, sf_lo, hi_path, sf_hi = sys.argv[1], float(sys.argv[2]), sys.argv[3], float(sys.argv[4])
+out_path = sys.argv[5] if len(sys.argv) > 5 else None
+
+lo = json.load(open(lo_path))
+hi = json.load(open(hi_path))
+ratio = math.log(sf_hi / sf_lo)
+tags = hi.get("tags", lo.get("tags", {}))
+
+rows = []
+for q, t_hi in hi["queries"].items():
+    t_lo = lo["queries"].get(q)
+    if t_lo is None or t_lo <= 0 or t_hi <= 0:
+        continue
+    alpha = math.log(t_hi / t_lo) / ratio
+    rows.append({
+        "query": q, "tag": tags.get(q, "batch"),
+        "t_lo": t_lo, "t_hi": t_hi,
+        "alpha": round(alpha, 3),
+        "floor": t_hi < FLOOR_SEC,
+    })
+
+rows.sort(key=lambda r: -r["alpha"])
+batch = [r for r in rows if r["tag"] == "batch"]
+flagged = [r for r in batch if not r["floor"] and r["alpha"] > ALPHA_FLAG]
+
+summary = {
+    "sf_lo": sf_lo, "sf_hi": sf_hi,
+    "contaminated_lo": lo.get("contaminated"),
+    "contaminated_hi": hi.get("contaminated"),
+    "total_lo": round(sum(r["t_lo"] for r in rows), 1),
+    "total_hi": round(sum(r["t_hi"] for r in rows), 1),
+    "batch_total_lo": round(sum(r["t_lo"] for r in batch), 1),
+    "batch_total_hi": round(sum(r["t_hi"] for r in batch), 1),
+    "n_queries": len(rows),
+    "n_batch": len(batch),
+    "n_floor_batch": sum(1 for r in batch if r["floor"]),
+    "superlinear_flagged": [r["query"] for r in flagged],
+    "alpha_flag": ALPHA_FLAG, "floor_sec": FLOOR_SEC,
+    "queries": rows,
+}
+if out_path:
+    json.dump(summary, open(out_path, "w"), indent=1)
+
+print(f"total {summary['total_lo']}s @sf{sf_lo} -> {summary['total_hi']}s @sf{sf_hi} "
+      f"(x{summary['total_hi']/max(summary['total_lo'],1e-9):.2f} for x{sf_hi/sf_lo:.0f} data)")
+print(f"batch cut {summary['batch_total_lo']}s -> {summary['batch_total_hi']}s; "
+      f"{summary['n_floor_batch']}/{summary['n_batch']} batch rows under the {FLOOR_SEC}s floor")
+print(f"contaminated: lo={summary['contaminated_lo']} hi={summary['contaminated_hi']}")
+if flagged:
+    print(f"SUPERLINEAR (alpha > {ALPHA_FLAG}, above floor): ")
+    for r in flagged:
+        print(f"  {r['query']}: {r['t_lo']}s -> {r['t_hi']}s (alpha {r['alpha']})")
+else:
+    print("no batch row grows superlinearly above the floor")

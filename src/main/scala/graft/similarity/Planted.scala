@@ -225,18 +225,22 @@ object Planted {
     * the bands are maximally separable), generate candidate pairs ONLY
     * from LSH bucket collisions (never d05's exact block product),
     * exact-rerank candidates at [[NearDupTau]], and contract that the
-    * planted pairs are recovered EXACTLY: all of them, and nothing
-    * else.
+    * result IS the corpus's true ≥ τ pair census: every planted pair
+    * recovered, and the non-planted admissions equal to the
+    * brute-force background count the oracle computes exactly — zero
+    * on the driver's isotropic corpora; the engineered cross-copy
+    * pairs on the r8 sf0.3 stress corpus (a detector that reports
+    * those is WORKING, so the contract is premise-free rather than
+    * assuming a clean background).
     *
     * Scale: bucket entries carry (vec_id, t, sig) only — vectors
     * re-enter by id join (the s02 discipline); candidate volume is
-    * Σ_buckets n_b², bounded by the 12-plane selectivity instead of the
-    * N² pair space. The oracle states the planted count from the
-    * embeddings table; recovery and precision are engine-side booleans
-    * it must deliver TRUE — a recall contract with zero tolerance,
-    * which is the point: at cos 0.9987 vs 0.51 the bands are separable
-    * and the per-pair LSH miss probability is ~10⁻¹², so any miss means
-    * the bucketer broke, not noise. */
+    * Σ_buckets n_b², bounded by the 12-plane selectivity instead of
+    * the N² pair space. The oracle rebuilds the copies and the full
+    * pair census in SQL (d05's list-lambda idiom); at cos 0.9987+ vs
+    * 0.52 the bands are separable and the per-pair LSH miss
+    * probability is ~10⁻¹², so any count drift means the bucketer
+    * broke, not noise. */
   def d19PlantedNearDup(s: SparkSession, d: String): DataFrame = {
     val pc = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
     val copies = pc.filter(col("vec_id") % CopyMod === 0)
@@ -264,20 +268,28 @@ object Planted {
       .dropDuplicates("a", "b")
     val ea = corpus.select(col("vec_id").as("a"), col("embedding").as("ea"))
     val eb = corpus.select(col("vec_id").as("b"), col("embedding").as("eb"))
+    // d05's round(·,4) threshold convention keeps the admission boundary
+    // engine-identical (nothing sits near τ on any test corpus — planted
+    // ≥ 0.9987, background ≤ 0.52 — but the convention costs nothing)
     val found = cand.join(ea, "a").join(eb, "b")
-      .filter(cosine(col("ea"), col("eb")) >= NearDupTau)
+      .filter(round(cosine(col("ea"), col("eb")), 4) >= NearDupTau)
       .select(col("a"), col("b"))
     val planted = pc.filter(col("vec_id") % CopyMod === 0)
       .select(col("vec_id").as("a"), (col("vec_id") + CopyIdOffset).as("b"))
     val nPlanted = planted.agg(count(lit(1)).as("n_planted"))
     val nRecovered = planted.join(found, Seq("a", "b"), "left_semi")
       .agg(count(lit(1)).as("n_recovered"))
-    val nFalse = found.join(planted, Seq("a", "b"), "left_anti")
-      .agg(count(lit(1)).as("n_false"))
-    nPlanted.crossJoin(nRecovered).crossJoin(nFalse)
+    // non-planted admissions are NOT presumed false: the oracle counts
+    // the corpus's true ≥ τ background pairs exactly (the r8 sf0.3
+    // stress corpus really contains cross-copy near-dups, and a
+    // detector that reports them is working, not hallucinating) — the
+    // contract is found ≡ truth, premise-free at any SF
+    val nBackground = found.join(planted, Seq("a", "b"), "left_anti")
+      .agg(count(lit(1)).as("n_background"))
+    nPlanted.crossJoin(nRecovered).crossJoin(nBackground)
       .select(col("n_planted"), col("n_recovered"),
         (col("n_recovered") === col("n_planted")).as("all_recovered"),
-        (col("n_false") === 0).as("none_false"))
+        col("n_background"))
   }
 
   val queries: Map[String, Q] = Map(
@@ -293,13 +305,52 @@ object Planted {
     "s18_planted_ivf" -> Similarity.contractOracle,
     "s19_planted_pq"  -> Similarity.contractOracle,
     "s20_planted_jl"  -> Similarity.contractOracle,
-    // d19: the planted-pair census is oracle-computable from the
-    // embeddings table alone; exact recovery and zero false positives
-    // are engine-side facts it must deliver TRUE
+    // d19: the oracle rebuilds the planted corpus (originals ∪ nudged
+    // copies, d05's list-lambda arithmetic) and counts the TRUE ≥ τ
+    // pair census exactly — the planted pairs plus any genuine
+    // background near-dups the corpus carries (zero on the driver's
+    // isotropic corpora; the engineered cross-copy pairs on the r8
+    // sf0.3 stress corpus). The engine must deliver exactly that
+    // census through LSH candidates: all planted recovered, and
+    // n_background equal to the brute-force truth — premise-free,
+    // so the row stays green on ANY corpus
     "d19_planted_neardup" -> s"""
-      SELECT CAST(count(*) AS BIGINT) AS n_planted,
-             CAST(count(*) AS BIGINT) AS n_recovered,
-             TRUE AS all_recovered, TRUE AS none_false
-      FROM embeddings WHERE vec_id % $CopyMod = 0""",
+      WITH e AS (SELECT vec_id, embedding FROM embeddings),
+      nrm AS (
+        SELECT vec_id,
+               sqrt(list_sum(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nv
+        FROM e),
+      cp AS (
+        SELECT e.vec_id + $CopyIdOffset AS vec_id,
+               list_transform(range(1, len(e.embedding) + 1),
+                 i -> CAST(e.embedding[i] AS DOUBLE) +
+                      CASE WHEN i = CAST((e.vec_id // $CopyMod) % ${Similarity.Dim} AS BIGINT) + 1
+                           THEN $CopyDelta * nrm.nv ELSE 0.0 END) AS embedding
+        FROM e JOIN nrm ON e.vec_id = nrm.vec_id
+        WHERE e.vec_id % $CopyMod = 0),
+      u AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding
+        FROM e
+        UNION ALL SELECT vec_id, embedding FROM cp),
+      p AS (
+        SELECT a.vec_id AS va, b.vec_id AS vb,
+               list_sum(list_transform(range(1, len(a.embedding) + 1),
+                 i -> a.embedding[i] * b.embedding[i]))
+               / (sqrt(list_sum(list_transform(a.embedding, x -> x * x)))
+                * sqrt(list_sum(list_transform(b.embedding, x -> x * x)))) AS cos
+        FROM u a JOIN u b ON a.vec_id < b.vec_id),
+      t AS (SELECT va, vb FROM p WHERE round(cos, 4) >= $NearDupTau),
+      planted AS (
+        SELECT vec_id AS va, vec_id + $CopyIdOffset AS vb
+        FROM e WHERE vec_id % $CopyMod = 0)
+      SELECT (SELECT CAST(count(*) AS BIGINT) FROM planted) AS n_planted,
+             (SELECT CAST(count(*) AS BIGINT) FROM planted) AS n_recovered,
+             TRUE AS all_recovered,
+             (SELECT CAST(count(*) AS BIGINT)
+              FROM t LEFT JOIN planted
+                ON t.va = planted.va AND t.vb = planted.vb
+              WHERE planted.va IS NULL) AS n_background""",
   )
 }

@@ -77,8 +77,9 @@ class PlantedSpec extends SparkSpec {
 
   test("d19: planted pairs sit above tau, background below; recovery is exact") {
     val row = Planted.d19PlantedNearDup(spark, sf)
-      .as[(Long, Long, Boolean, Boolean)].head()
-    assert(row._1 > 0 && row._2 == row._1 && row._3 && row._4, row)
+      .as[(Long, Long, Boolean, Long)].head()
+    // driver corpora are isotropic: the true background census is 0
+    assert(row._1 > 0 && row._2 == row._1 && row._3 && row._4 == 0L, row)
     // band check: every planted (orig, copy) pair clears tau with margin
     val e = graft.Tables.embeddings(spark, sf)
       .select(col("vec_id"), col("embedding"))
