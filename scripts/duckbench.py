@@ -13,12 +13,22 @@ prefixes. Rows tagged "e2e" (st*/x* machinery, k01's real CSV+ORC I/O) and
 are excluded: their oracle SQL restates the result, it is not equivalent
 work.
 
-Usage: python3 scripts/duckbench.py <sfDir> <oracle_sql.json> [spark_bench_full.json]
+Usage: python3 scripts/duckbench.py <sfDir> <oracle_sql.json> [spark_bench_full.json] [--skip-quadratic]
+
+--skip-quadratic (VERDICT r10 item 5): skip rows whose ORACLE is
+deliberately brute-force (oracle_cost=quadratic in SparkEntry.oracleCost,
+dumped by Verify as oracle_cost.json / embedded by Bench) — at stress SFs
+(sf0.3+) those oracles cost 10-60 s EACH and time the oracle's own
+quadratic construction, not equivalent work. Skipped rows are listed in
+"excluded_quadratic"; use the flag for ratio artifacts above sf0.1, never
+for correctness runs.
 """
 import json, os, sys, time
 import duckdb
 
-sfdir, oracle_path = sys.argv[1], sys.argv[2]
+skip_quadratic = "--skip-quadratic" in sys.argv
+argv = [a for a in sys.argv if a != "--skip-quadratic"]
+sfdir, oracle_path = argv[1], argv[2]
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
@@ -33,9 +43,9 @@ oracle = json.load(open(oracle_path))
 # bench_tags.json beside the oracle file (written by Verify) → prefix
 # fallback (pre-round-7 artifacts only).
 tags = {}
-if len(sys.argv) > 3:
+if len(argv) > 3:
     try:
-        tags = json.load(open(sys.argv[3])).get("tags", {})
+        tags = json.load(open(argv[3])).get("tags", {})
     except Exception:
         pass
 if not tags:
@@ -48,8 +58,25 @@ if not tags:
     tags = {k: ("e2e" if k.startswith(("st", "x")) else "batch")
             for k in oracle}
 
+# Oracle cost classes: bench_full.json (arg 3) → oracle_cost.json beside
+# the oracle file → empty (old artifacts: nothing skipped).
+cost = {}
+if len(argv) > 3:
+    try:
+        cost = json.load(open(argv[3])).get("oracle_cost", {})
+    except Exception:
+        pass
+if not cost:
+    side = os.path.join(os.path.dirname(oracle_path), "oracle_cost.json")
+    if os.path.exists(side):
+        cost = json.load(open(side))
+skipped = sorted(k for k in oracle
+                 if skip_quadratic and cost.get(k) == "quadratic")
+
 times = {}
 for name, sql in sorted(oracle.items()):
+    if name in skipped:
+        continue
     try:
         def once():
             t0 = time.time()
@@ -65,11 +92,12 @@ batch = {k: v for k, v in times.items()
 excluded = sorted(k for k in times if tags.get(k, "batch") != "batch")
 out = {"sf": sfdir, "total_all": round(sum(v for v in times.values() if v), 3),
        "total_batch_cut": round(sum(batch.values()), 3),
-       "n_batch_cut": len(batch), "excluded": excluded, "queries": times}
+       "n_batch_cut": len(batch), "excluded": excluded,
+       "excluded_quadratic": skipped, "queries": times}
 print(json.dumps(out, indent=1))
 
-if len(sys.argv) > 3:
-    sb = json.load(open(sys.argv[3]))["queries"]
+if len(argv) > 3:
+    sb = json.load(open(argv[3]))["queries"]
     rows = []
     for k, v in batch.items():
         if k in sb:

@@ -24,7 +24,12 @@ import sys
 ALPHA_FLAG = 1.3   # superlinear threshold (1.0 = linear; log-factors ~1.1)
 FLOOR_SEC = 1.0    # below this at the larger SF, the row is scheduling floor
 
+if len(sys.argv) < 5:
+    sys.exit("usage: sfsweep.py <bench_lo.json> <sf_lo> <bench_hi.json> <sf_hi> [out.json]")
 lo_path, sf_lo, hi_path, sf_hi = sys.argv[1], float(sys.argv[2]), sys.argv[3], float(sys.argv[4])
+if not (sf_hi > sf_lo > 0):
+    sys.exit(f"usage: sf_hi ({sf_hi}) must be > sf_lo ({sf_lo}) > 0 — "
+             "swapped or equal SFs would negate or zero every exponent")
 out_path = sys.argv[5] if len(sys.argv) > 5 else None
 
 lo = json.load(open(lo_path))
@@ -32,22 +37,39 @@ hi = json.load(open(hi_path))
 ratio = math.log(sf_hi / sf_lo)
 tags = hi.get("tags", lo.get("tags", {}))
 
+prov_lo = lo.get("provenance", {})
+prov_hi = hi.get("provenance", {})
+
 rows = []
 for q, t_hi in hi["queries"].items():
     t_lo = lo["queries"].get(q)
     if t_lo is None or t_lo <= 0 or t_hi <= 0:
         continue
     alpha = math.log(t_hi / t_lo) / ratio
+    # output-size exponent (round 11): a wall-time exponent is only a PLAN
+    # verdict relative to output growth — a row whose result set itself
+    # grows superlinearly (dup-dense corpora: the pair census is a corpus
+    # property) cannot have sublinear wall time in ANY engine. rows == -1
+    # means the artifact predates the rows column.
+    r_lo = prov_lo.get(q, {}).get("rows", -1)
+    r_hi = prov_hi.get(q, {}).get("rows", -1)
+    alpha_rows = (round(math.log(max(r_hi, 1) / max(r_lo, 1)) / ratio, 3)
+                  if r_lo > 0 and r_hi > 0 else None)
     rows.append({
         "query": q, "tag": tags.get(q, "batch"),
         "t_lo": t_lo, "t_hi": t_hi,
         "alpha": round(alpha, 3),
+        "alpha_rows": alpha_rows,
+        "output_driven": alpha_rows is not None and alpha <= alpha_rows + 0.2,
         "floor": t_hi < FLOOR_SEC,
     })
 
 rows.sort(key=lambda r: -r["alpha"])
 batch = [r for r in rows if r["tag"] == "batch"]
-flagged = [r for r in batch if not r["floor"] and r["alpha"] > ALPHA_FLAG]
+flagged = [r for r in batch
+           if not r["floor"] and r["alpha"] > ALPHA_FLAG and not r["output_driven"]]
+output_driven = [r for r in batch
+                 if not r["floor"] and r["alpha"] > ALPHA_FLAG and r["output_driven"]]
 
 summary = {
     "sf_lo": sf_lo, "sf_hi": sf_hi,
@@ -61,6 +83,7 @@ summary = {
     "n_batch": len(batch),
     "n_floor_batch": sum(1 for r in batch if r["floor"]),
     "superlinear_flagged": [r["query"] for r in flagged],
+    "superlinear_output_driven": [r["query"] for r in output_driven],
     "alpha_flag": ALPHA_FLAG, "floor_sec": FLOOR_SEC,
     "queries": rows,
 }
@@ -77,4 +100,7 @@ if flagged:
     for r in flagged:
         print(f"  {r['query']}: {r['t_lo']}s -> {r['t_hi']}s (alpha {r['alpha']})")
 else:
-    print("no batch row grows superlinearly above the floor")
+    print("no batch row grows superlinearly above the floor (plan-driven)")
+for r in output_driven:
+    print(f"  output-driven (not flagged): {r['query']} alpha {r['alpha']} "
+          f"<= alpha_rows {r['alpha_rows']} + 0.2")

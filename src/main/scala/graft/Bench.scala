@@ -39,6 +39,21 @@ object Bench {
     }
   private def jvmCpuSec: Double =
     osBean.map(_.getProcessCpuTime / 1e9).getOrElse(-1.0)
+  // Per-query GC + codegen provenance (VERDICT r10 item 3): the d07-family
+  // episodic swings (one family member 2-6 s slow per run, plan unchanged)
+  // were unattributable from jobs/stages/tasks/cpu alone. GC time is the
+  // JVM-wide collector total; codegen compiles counts Janino compilations
+  // (a nonzero delta 170 queries into a session = generated-class cache
+  // eviction, re-paying the 0.1-2 s compile inside a timed run).
+  private def gcMillis: Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+      .asScala.map(_.getCollectionTime).sum
+  }
+  private def codegenCompiles: Long =
+    try org.apache.spark.metrics.source.CodegenMetrics
+      .METRIC_COMPILATION_TIME.getCount
+    catch { case _: Throwable => -1L }
 
   /** Per-query job/stage/task provenance (VERDICT r5 item 9): the bench's
     * open question is how much of each query is scheduling floor vs data
@@ -140,24 +155,72 @@ object Bench {
     // dominated by (observed run-to-run swings of 2-5× on the heavies).
     val counter = new JobCounter
     spark.sparkContext.addSparkListener(counter)
+    // Output-row provenance (round 11, the d16 adjudication): a scaling
+    // exponent is only meaningful RELATIVE to output growth — a row whose
+    // wall-α tracks its rows-α is output-driven, not a plan regression
+    // (d16 at sf0.3: pairs 256→17.3k = α 3.8 BY CORPUS CONSTRUCTION,
+    // wall α ~1.7). The noop write's root exec carries numOutputRows;
+    // read it off the listener bus after each run.
+    val lastRows = new java.util.concurrent.atomic.AtomicLong(-1L)
+    val rowsSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+    spark.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {
+      private def rowsOf(p: org.apache.spark.sql.execution.SparkPlan): Option[Long] =
+        p.metrics.get("numOutputRows").map(_.value).orElse {
+          val kids = p match {
+            case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+              Seq(a.executedPlan)
+            case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
+            case other => other.children
+          }
+          kids.iterator.flatMap(rowsOf(_).iterator).nextOption()
+        }
+      override def onSuccess(f: String, qe: org.apache.spark.sql.execution.QueryExecution,
+                             d: Long): Unit = {
+        try lastRows.set(rowsOf(qe.executedPlan).getOrElse(-1L))
+        catch { case _: Throwable => lastRows.set(-1L) }
+        rowsSeq.incrementAndGet(); ()
+      }
+      override def onFailure(f: String, qe: org.apache.spark.sql.execution.QueryExecution,
+                             e: Exception): Unit = { rowsSeq.incrementAndGet(); () }
+    })
     val envStart =
       (loadAvg, cpuPsiAvg10, procCount, System.currentTimeMillis())
-    val provenance = scala.collection.mutable.LinkedHashMap.empty[String, (Long, Long, Long, Double)]
+    val provenance = scala.collection.mutable.LinkedHashMap
+      .empty[String, (Long, Long, Long, Double, Long, Long, Long, Long)]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      def once(): (Double, Double) = {
+      def once(): (Double, Double, Long) = {
         val c0 = jvmCpuSec
+        val g0 = gcMillis
         val t0 = System.nanoTime()
         try { runToNoop(fn(spark, sfDir)) } catch { case _: Throwable => () }
-        ((System.nanoTime() - t0) / 1e9, jvmCpuSec - c0)
+        ((System.nanoTime() - t0) / 1e9, jvmCpuSec - c0, gcMillis - g0)
       }
+      val cg0 = codegenCompiles
       val first = once()
       counter.settle()
       val (j0, s0, t0) = counter.snapshot
       val second = once()
       counter.settle()
       val (j1, s1, t1) = counter.snapshot
+      val cg1 = codegenCompiles
+      // the execution-listener bus is async, and a query may run MULTIPLE
+      // executions (internal counts before the final noop write): wait for
+      // the rows counter to go QUIET — the last event is the noop write,
+      // whose root numOutputRows is the query's output size
+      var quiet = 0
+      var spins = 0
+      var prevSeq = rowsSeq.get()
+      while (quiet < 2 && spins < 100) {
+        Thread.sleep(10)
+        val cur = rowsSeq.get()
+        if (cur == prevSeq) quiet += 1 else { quiet = 0; prevSeq = cur }
+        spins += 1
+      }
       val best = if (first._1 <= second._1) first else second
-      provenance(name) = (j1 - j0, s1 - s0, t1 - t0, best._2)
+      val worse = if (first._1 <= second._1) second else first
+      provenance(name) = (j1 - j0, s1 - s0, t1 - t0, best._2,
+        best._3, worse._3, if (cg1 >= 0 && cg0 >= 0) cg1 - cg0 else -1L,
+        lastRows.get())
       name -> best._1
     }.toMap
     val envEnd =
@@ -174,14 +237,18 @@ object Bench {
     val fullJson = full.map { case (k, v) => s"\"$k\":${fmt(v)}" }
       .mkString("{", ",", "}")
     val provJson = full.map { case (k, _) =>
-      val (j, st, ta, cpu) = provenance.getOrElse(k, (0L, 0L, 0L, -1.0))
-      s""""$k":{"jobs":$j,"stages":$st,"tasks":$ta,"cpu_sec":${fmt(cpu)}}"""
+      val (j, st, ta, cpu, gcBest, gcWorse, cg, rows) =
+        provenance.getOrElse(k, (0L, 0L, 0L, -1.0, -1L, -1L, -1L, -1L))
+      s""""$k":{"jobs":$j,"stages":$st,"tasks":$ta,"cpu_sec":${fmt(cpu)},""" +
+        s""""gc_ms":$gcBest,"gc_ms_worse":$gcWorse,"codegen":$cg,"rows":$rows}"""
     }.mkString("{", ",", "}")
     def envJson(e: (Seq[Double], Double, Int, Long)): String = {
       val la = e._1.map(fmt).mkString("[", ",", "]")
       s"""{"loadavg":$la,"psi_cpu_avg10":${fmt(e._2)},"nprocs":${e._3},"epoch_ms":${e._4}}"""
     }
     val tagsJson = SparkEntry.benchTags.toSeq.sorted
+      .map { case (k, v) => s""""$k":"$v"""" }.mkString("{", ",", "}")
+    val costJson = SparkEntry.oracleCost.toSeq.sorted
       .map { case (k, v) => s""""$k":"$v"""" }.mkString("{", ",", "}")
     // Self-disqualification flag (VERDICT r9 item 5): a run that STARTED
     // on a busy box is machine-detectably contaminated — readers should
@@ -203,7 +270,7 @@ object Bench {
           "rerun on an idle box before quoting them.")
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_full.json"),
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","contaminated":$contaminated,"queries":$fullJson,"provenance":$provJson,"env_pre_warmup":${envJson(envPre)},"env_start":${envJson(envStart)},"env_end":${envJson(envEnd)},"tags":$tagsJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","contaminated":$contaminated,"queries":$fullJson,"provenance":$provJson,"env_pre_warmup":${envJson(envPre)},"env_start":${envJson(envStart)},"env_end":${envJson(envEnd)},"tags":$tagsJson,"oracle_cost":$costJson,"sf":"$sfDir"}"""
     ) catch { case _: Throwable => () }
     // Compact contention stamp on the one-line JSON the driver captures:
     // load1 at start/end + PSI so a >1.5× anomaly is self-explaining from

@@ -21,8 +21,17 @@ object PlanDump {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val df = SparkEntry.queries(name)(spark, sfDir)
-    df.write.format("noop").mode("overwrite").save()
+    // collect() (not a noop write, which runs a SEPARATE QueryExecution)
+    // so df.queryExecution's own AQE plan finalizes and the dump shows
+    // the runtime choices — stage reuse, AQE join flips — not the
+    // initial static plan
+    df.collect()
     println("=== EXECUTED (final AQE) ===")
-    println(df.queryExecution.executedPlan.toString.take(12000))
+    val full = df.queryExecution.executedPlan.toString
+    println(full.take(12000))
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_PLAN_OUT",
+        "tmp/plandump.txt")), full)
+    catch { case _: Throwable => () }
   }
 }

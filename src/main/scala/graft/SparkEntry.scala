@@ -65,6 +65,9 @@ object SparkEntry {
       // boolean-stating oracle — contract rows by construction
       "s17_planted_lsh", "s18_planted_ivf", "s19_planted_pq",
       "s20_planted_jl", "d19_planted_neardup",
+      // s21 runs BOTH the exact panel vote and the IVF pipeline against
+      // an oracle that restates only the exact side — contract
+      "s21_ivf_vote",
       // t23 TRAINS a model (100 LBFGS passes) against a one-GROUP-BY
       // oracle — a pipeline-vs-boolean comparison, not like-for-like
       "g14_heavy_hitters", "t23_trained_classifier",
@@ -77,6 +80,29 @@ object SparkEntry {
     val batch = queries.keys.map(_ -> "batch").toMap
     batch ++ e2e ++ contract
   }
+
+  /** Oracle COST class (VERDICT r10 item 5) — about the DuckDB oracle,
+    * not the engine: rows whose oracle is deliberately brute-force
+    * (all-pairs censuses, recursive-CTE closures over the pair graph,
+    * panel-free cross joins) scale quadratically in the ORACLE even
+    * where the engine side is bucketed/bounded. duckbench excludes them
+    * above a scale threshold (--skip-quadratic) so the like-for-like
+    * ratio artifact stays finishable at stress SFs; correctness runs
+    * (selfcheck at sf0.01) still execute every oracle. Measured at
+    * sf0.3 / threads=16: these nine are 10-57 s each — 242 s of the
+    * oracle run's ~5.5 min total. Keys absent default to "linear". */
+  def oracleCost: Map[String, String] = Seq(
+    "d05_embedding_neardup",  // exact all-pairs cosine census (the one honest O(N^2))
+    "d07_dup_clusters",       // recursive reach CTE over the pair graph
+    "d09_canonical_select",   // d07's closure + quality argmax
+    "d18_soft_dedup",         // d07's closure + weights
+    "g10_cluster_sizes",      // d07's closure + size census
+    "d15_containment",        // one-sided shingle-pair census (no J floor)
+    "d16_edit_refine",        // levenshtein over the full pair census
+    "s11_knn_graph",          // all-pairs kNN edge census
+    "s13_knn_classify",       // full-holdout x labeled cross join
+    "g11_class_tightness")    // within-class all-pairs statistics
+    .map(_ -> "quadratic").toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

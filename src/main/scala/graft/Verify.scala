@@ -52,6 +52,11 @@ object Verify {
     val tags = SparkEntry.benchTags
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/bench_tags.json"), tags)
+    // Oracle cost classes so duckbench can skip the deliberately
+    // brute-force oracles above a scale threshold (--skip-quadratic).
+    val cost = SparkEntry.oracleCost
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/oracle_cost.json"), cost)
     spark.stop()
   }
 }

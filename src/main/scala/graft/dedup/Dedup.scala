@@ -785,6 +785,16 @@ object Dedup {
     * "near" means. */
   val SemContamTau = 0.4
 
+  /** d14 bench-suite size — FIXED, not a corpus fraction. Round 10's
+    * fixture drew the bench as `vec_id % 20` (5 % OF THE CORPUS), which
+    * violated the operator's own scale premise ("eval suites are MBs
+    * against a 100 TB corpus") — the collected broadcast array grew
+    * linearly with SF and the row measured α = 1.39. A real held-out
+    * suite has a size of its own; 100 vectors is O(1) in the corpus by
+    * construction, so the broadcast is provably constant and the scan
+    * is the only thing that scales. */
+  val SemContamBenchN = 100
+
   /** d14: SEMANTIC decontamination — d08's benchmark-hygiene pass in
     * embedding space: flag every training vector whose cosine to ANY
     * benchmark vector clears [[SemContamTau]] (the paraphrase leak
@@ -793,19 +803,23 @@ object Dedup {
     * space). Same bench-role convention as d08 (id ≡ 0 mod
     * [[ContaminationBenchMod]] plays the held-out suite).
     *
-    * Scale shape mirrors d08 exactly: the BENCH side is small by nature
-    * (eval suites are MBs against a 100 TB corpus), so it rides in the
-    * plan as ONE broadcast row holding the collected (id, vector) array,
-    * and the corpus side is a single scan pass — a higher-order fold
-    * scores each training vector against the array, so the corpus is
-    * never shuffled, never re-read, and no all-pairs frame ever
-    * materializes (the pair space exists only inside the fold). At a
-    * bench too large for one row, the same probe becomes a broadcast
-    * join + per-vector aggregate; the corpus-side story is unchanged. */
+    * Scale shape mirrors d08 exactly: the BENCH side is small BY
+    * CONSTRUCTION — a fixed [[SemContamBenchN]]-vector suite (the
+    * smallest md5(vec_id) values: deterministic, pseudo-random, and a
+    * bounded TakeOrderedAndProject in the plan), so it rides as ONE
+    * broadcast row holding the collected (id, vector) array that is
+    * O(1) in corpus size, and the corpus side is a single scan pass — a
+    * higher-order fold scores each training vector against the array,
+    * so the corpus is never shuffled, never re-read, and no all-pairs
+    * frame ever materializes (the pair space exists only inside the
+    * fold). At a bench too large for one row, the same probe becomes a
+    * broadcast join + per-vector aggregate; the corpus-side story is
+    * unchanged. */
   def d14SemanticDecontam(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
-    val isBench = pmod(col("vec_id"), lit(ContaminationBenchMod)) === 0
-    val benchArr = e.filter(isBench)
+    val bench = e.orderBy(md5(col("vec_id").cast("string")))
+      .limit(SemContamBenchN)
+    val benchArr = bench
       .agg(sort_array(collect_list(struct(
         col("vec_id").as("b_id"), col("embedding").as("b_em")))).as("bench"))
     val scored = aggregate(
@@ -819,7 +833,7 @@ object Dedup {
             when(round(c, 4) >= SemContamTau, 1L).otherwise(0L)).as("hits"),
           greatest(acc.getField("best"), c).as("best"))
       })
-    e.filter(!isBench)
+    e.join(broadcast(bench.select(col("vec_id"))), Seq("vec_id"), "left_anti")
       .crossJoin(broadcast(benchArr))
       .select(col("vec_id"), scored.as("r"))
       .select(col("vec_id"),
@@ -922,6 +936,18 @@ object Dedup {
     * the 8+-edit rewrites at every SF. */
   val MaxEditBudget = 6
 
+  /** Per-doc witness bound for the d16 Levenshtein refine: each doc_a
+    * carries at most this many J-best partners into the edit-distance
+    * stage. A dedup decision needs a bounded number of near-dup
+    * WITNESSES per document, not the full quadratic pair census a
+    * template-heavy crawl produces (a k-doc boilerplate cluster is
+    * k(k−1)/2 pairs — the measured α = 2.12 scale-killer of round 10);
+    * with the cap the refine workload is ≤ N·[[MaxRefinePartnersPerDoc]]
+    * pairs by construction. 16 is far above any per-doc dup count the
+    * planted corpora (or a deduplicated crawl slice) reach, so the cap
+    * only bites in the adversarial dup-dense regime it exists for. */
+  val MaxRefinePartnersPerDoc = 16
+
   /** d16: edit-distance fuzzy dedup — the d03 LSH candidates refined
     * with an exact Levenshtein budget: keep pairs with shingle-Jaccard
     * ≥ 0.6 AND normalized-text edit distance ≤ [[MaxEditBudget]]. The
@@ -929,34 +955,50 @@ object Dedup {
     * bag-of-shingles, so a REORDERED document (paragraphs swapped)
     * stays J-high while its edit distance explodes — the lev filter
     * kills exactly those (the corpus's J=0.97/lev=12 pair), while a
-    * handful of in-place edits passes both. Scale shape: candidates
-    * come from the bounded inverted index (never all-pairs); the text
-    * join touches only candidate rows (a broadcast-size list, bodies
-    * never shuffle); and the Levenshtein runs BOUNDED — Spark's
-    * threshold variant costs O(budget·len) per pair, not O(len²), and
-    * the J ≥ 0.6 gate has already capped the pair count. The composed
-    * output is exact (LSH misses at J ≥ 0.6 are p ≈ 6e-7 — see
+    * handful of in-place edits passes both.
+    *
+    * Scale shape (rebuilt in round 11 after the α = 2.12 finding):
+    * candidates come from the bounded inverted index (never all-pairs);
+    * per-doc fan-out into the expensive stage is CAPPED at
+    * [[MaxRefinePartnersPerDoc]] J-best partners (rank on the rounded
+    * jaccard, doc_b tie-break — deterministic in both engines), so the
+    * Levenshtein workload is O(N·cap) even on a dup-dense corpus; and
+    * the text fetches are PARTITIONED id-keyed shuffle joins — the pair
+    * list grows with the dup structure, so it must never be a broadcast
+    * build side (round 10 broadcast the pairs, then re-broadcast them
+    * WITH their na text payloads for the second join — quadratic driver
+    * bytes on exactly the corpora this row targets). The Levenshtein
+    * itself runs bounded: Spark's threshold variant costs
+    * O(budget·len) per pair, not O(len²). The composed output is exact
+    * under the cap (LSH misses at J ≥ 0.6 are p ≈ 6e-7 — see
     * [[NumHashes]]), so the oracle restates it as the exact-Jaccard
-    * pair list + a plain `levenshtein()` filter. */
+    * pair list, the same per-doc_a rank cap, and a plain
+    * `levenshtein()` filter. */
   def d16EditRefine(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val ds = docShingles(s, d).repartition(col("doc_id"))
-    val pairs = jaccardVerify(minhashCandidates(ds), ds)
-      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    val ranked = jaccardVerify(minhashCandidates(ds), ds)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("doc_a"))
+          .orderBy(col("jaccard").desc, col("doc_b"))))
+      .filter(col("rk") <= MaxRefinePartnersPerDoc)
+      .drop("rk")
     val norm = Tables.documents(s, d)
       .select(col("doc_id"), normText(col("text")).as("norm"))
-    // the CANDIDATE side is the build side, explicitly: at toy SF AQE
-    // happily broadcasts the text frame instead (both are tiny), but at
-    // corpus scale the texts must stay partitioned at their scan — only
-    // candidate rows (and, in the second join, their na payload — text
-    // bounded by pair count) may travel
-    pairs.hint("broadcast")
-      .join(norm.select(col("doc_id").as("doc_a"), col("norm").as("na")), "doc_a")
-      .hint("broadcast")
-      .join(norm.select(col("doc_id").as("doc_b"), col("norm").as("nb")), "doc_b")
+    // shuffle_hash on the TEXT side: both joins co-partition pairs and
+    // texts on the id and build the per-partition hash table over the
+    // text partition (bounded by maxPartitionBytes); the hint also stops
+    // AQE from flipping to broadcast at toy SF, which would put the
+    // growing pair list (or the whole corpus text) on the driver
+    ranked
+      .join(norm.select(col("doc_id").as("doc_a"), col("norm").as("na"))
+        .hint("shuffle_hash"), "doc_a")
+      .join(norm.select(col("doc_id").as("doc_b"), col("norm").as("nb"))
+        .hint("shuffle_hash"), "doc_b")
       .withColumn("lev", levenshtein(col("na"), col("nb"), MaxEditBudget))
       .filter(col("lev") >= 0) // threshold variant returns -1 past the budget
-      .select(col("doc_a"), col("doc_b"),
-        round(col("jaccard"), 6).as("jaccard"), col("lev"))
+      .select(col("doc_a"), col("doc_b"), col("jaccard"), col("lev"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
@@ -1471,9 +1513,10 @@ object Dedup {
     "d14_semantic_decontam" -> s"""
       WITH e AS (SELECT vec_id, embedding FROM embeddings),
       b AS (SELECT vec_id AS b_id, embedding AS b_em
-            FROM e WHERE vec_id % $ContaminationBenchMod = 0),
+            FROM e ORDER BY md5(CAST(vec_id AS VARCHAR))
+            LIMIT $SemContamBenchN),
       t AS (SELECT vec_id, embedding
-            FROM e WHERE vec_id % $ContaminationBenchMod <> 0),
+            FROM e WHERE vec_id NOT IN (SELECT b_id FROM b)),
       p AS (
         SELECT t.vec_id,
                round(list_sum(list_transform(range(1, len(t.embedding) + 1),
@@ -1519,14 +1562,23 @@ object Dedup {
       nrm AS (
         SELECT doc_id, ${graft.text.TextAnalysis.NormSql} AS norm
         FROM documents),
+      -- the same per-doc_a witness cap the engine applies: rank on the
+      -- ROUNDED jaccard (identical doubles in both engines) with doc_b
+      -- tie-break, keep the J-best MaxRefinePartnersPerDoc partners
+      ranked AS (
+        SELECT doc_a, doc_b, jaccard,
+               row_number() OVER (PARTITION BY doc_a
+                                  ORDER BY jaccard DESC, doc_b) AS rk
+        FROM jpairs),
       scored AS (
         -- levenshtein computed ONCE per pair (no cross-clause CSE
         -- guarantee; the O(len^2) distance dominates this oracle)
-        SELECT j.doc_a, j.doc_b, j.jaccard,
+        SELECT r.doc_a, r.doc_b, r.jaccard,
                CAST(levenshtein(ta.norm, tb.norm) AS INT) AS lev
-        FROM jpairs j
-        JOIN nrm ta ON j.doc_a = ta.doc_id
-        JOIN nrm tb ON j.doc_b = tb.doc_id)
+        FROM ranked r
+        JOIN nrm ta ON r.doc_a = ta.doc_id
+        JOIN nrm tb ON r.doc_b = tb.doc_id
+        WHERE r.rk <= $MaxRefinePartnersPerDoc)
       SELECT doc_a, doc_b, jaccard, lev
       FROM scored
       WHERE lev <= $MaxEditBudget

@@ -649,6 +649,96 @@ object Similarity {
       .orderBy(col("true_label"), col("pred_label"))
   }
 
+  /** s21 query-panel size — FIXED, not a corpus fraction (the d14
+    * round-11 rule): a pseudo-labeling ACCURACY AUDIT runs on a bounded
+    * eval panel, not the whole holdout, so the exact-vote side is
+    * O(panel·N) — one corpus scan against a broadcast panel — and the
+    * IVF side is O(panel·nprobe·cellsize). Both scale linearly in the
+    * corpus; the full-holdout labeling pass itself is s13 (exact,
+    * honestly all-pairs) or this row's IVF side sans panel filter. */
+  val KnnPanelN = 200
+
+  /** s21 agreement floor: fraction of panel queries where the IVF vote
+    * equals the exact vote, judged over the WHOLE panel (per-label
+    * slices of ~15-25 queries swing 0.43-0.91 run-to-SF on this
+    * near-isotropic corpus — no honest per-label floor exists).
+    * Measured overall at sf0.01 / sf0.1 / sf0.3: 0.83 / 0.68 / 0.77.
+    * Floor at 0.5 keeps real margin under the worst measured value and
+    * still bites hard: a broken cell assignment feeds the vote
+    * near-random candidates, and two independent near-random votes over
+    * 10 labels agree at ~0.1-0.2. */
+  val IvfVoteAgreeFloor = 0.5
+
+  /** s21: kNN-vote with the labeled side in s03's IVF cells — the
+    * composition [[s13KnnClassify]]'s scaladoc promises ("at 100 TB the
+    * labeled side sits in s03's IVF cells and the vote runs over probed
+    * candidates"), now a first-class row. A fixed [[KnnPanelN]]-query
+    * panel (smallest md5(vec_id) among the holdout — deterministic in
+    * any engine) is voted twice: EXACTLY (all labeled vectors — one
+    * corpus scan against the broadcast panel, the all-pairs space never
+    * materializes wider than the map-side WindowGroupLimit top-k) and
+    * via IVF (labeled vectors in the panel's [[NProbe]] probed cells
+    * only — the production serving path). Output per true_label: panel
+    * count and exact-vote accuracy (both SQL-restatable facts) plus the
+    * agreement contract judged over the WHOLE panel
+    * ([[IvfVoteAgreeFloor]] — the same boolean on every row).
+    *
+    * Every decision is engine-stable (s13's rules): ranking by
+    * (round(cos,6) DESC, nb_id), vote argmax by (count DESC, label
+    * ASC); a panel query with NO labeled vector in any probed cell
+    * counts as a disagreement (pred_ivf null ≠ pred_exact). */
+  def s21IvfKnnVote(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"), col("label"))
+    val centroids = coarseCentroids(s, d)
+    val panel = e.filter(pmod(col("vec_id"), lit(5)) === 0)
+      .orderBy(md5(col("vec_id").cast("string")))
+      .limit(KnnPanelN)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("label").as("true_label"))
+    val lab = e.filter(pmod(col("vec_id"), lit(5)) =!= 0)
+      .select(col("vec_id").as("nb_id"), col("embedding").as("nb_em"),
+        col("label").as("nb_label"))
+    // shared vote pipeline over a (qid, true_label, qe, nb_id, nb_em,
+    // nb_label) candidate frame; the rn<=k filter right above the
+    // window plans as a Partial WindowGroupLimit, so each map partition
+    // ships at most k rows per query into the qid exchange
+    def voteOf(cands: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("cos").desc, col("nb_id"))
+      cands
+        .withColumn("cos", round(cosine(col("qe"), col("nb_em")), 6))
+        .select(col("qid"), col("true_label"), col("nb_id"),
+          col("nb_label"), col("cos"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= KnnVoteK)
+        .groupBy(col("qid"), col("true_label"), col("nb_label"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("qid"), col("true_label"))
+        .agg(max(struct(col("c"), (-col("nb_label")).as("nl"))).as("best"))
+        .select(col("qid"), col("true_label"), (-col("best.nl")).as("pred"))
+    }
+    val exact = voteOf(lab.crossJoin(broadcast(panel)))
+      .withColumnRenamed("pred", "pred_exact")
+    val assigned = lab.withColumn("cell", cellOf(centroids, col("nb_em")))
+    val probes = panel.select(col("qid"), col("qe"), col("true_label"),
+      explode(probeCells(centroids, col("qe"))).as("cell"))
+    val ivf = voteOf(assigned.join(broadcast(probes), Seq("cell")))
+      .select(col("qid"), col("pred").as("pred_ivf"))
+    val votes = exact.join(ivf, Seq("qid"), "left")
+    val overall = votes.agg(
+      (sum(when(col("pred_ivf") === col("pred_exact"), 1).otherwise(0))
+        .cast("double") / count(lit(1))).as("agree"))
+    votes.groupBy(col("true_label"))
+      .agg(count(lit(1)).as("n_queries"),
+        sum(when(col("pred_exact") === col("true_label"), 1L).otherwise(0L))
+          .as("n_exact_correct"))
+      .crossJoin(broadcast(overall))
+      .select(col("true_label"), col("n_queries"), col("n_exact_correct"),
+        (col("agree") >= IvfVoteAgreeFloor).as("agree_ok"))
+      .orderBy(col("true_label"))
+  }
+
   /** s05 geometry: 16 corpus-organization clusters; separation contract
     * slack calibrated against the measured SSW/SST ≈ 0.89 on this corpus
     * (near-orthogonal vectors — clustering helps, but no toy-tight
@@ -1321,15 +1411,25 @@ object Similarity {
         count(lit(1)).as("c"), max(abs(col("x"))).as("mx"))
       .groupBy(col("label"))
       .agg(sum(col("t") * col("t")).as("sum_t2"), sum(col("s2")).as("ss"),
-        max(col("c")).as("n_vecs"), max(col("mx")).as("mx"))
+        max(col("c")).as("n_vecs"), max(col("mx")).as("mx"),
+        max(abs(col("t"))).as("mt"), count(lit(1)).as("dim"))
       // the documented bound fails loudly instead of wrapping: a filter
       // (not a dropped column) so the optimizer cannot prune the assert;
-      // it evaluates on the #labels-bounded frame, costing nothing
+      // it evaluates on the #labels-bounded frame, costing nothing.
+      // Two layers: the n_vecs/mx pair keeps each position total t
+      // itself inside BIGINT (|t| <= n*mx ~ 6e11), and the DIRECT bound
+      // dim * max|t|^2 <= ~0.98 * Long.Max keeps sum(t*t) from wrapping
+      // (the n_vecs/mx pair alone under-constrains it: 64 positions at
+      // the individually-passing extremes reach 2.3e19 > 9.2e18). max|t|
+      // can square past BIGINT, so the comparison runs in double with a
+      // 2% headroom for the 53-bit mantissa.
       .filter(assert_true(
         col("n_vecs") <= lit(GramMaxVecsPerLabel) &&
-          col("mx") <= lit(2L * PairQuant),
-        lit(s"g34: per-label count > $GramMaxVecsPerLabel or |component| > " +
-          "2x unit scale - the squared position totals would leave BIGINT; " +
+          col("mx") <= lit(2L * PairQuant) &&
+          col("mt").cast("double") <=
+            sqrt(lit(Long.MaxValue.toDouble * 0.98) / col("dim").cast("double")),
+        lit(s"g34: per-label count > $GramMaxVecsPerLabel, |component| > " +
+          "2x unit scale, or dim * max|position total|^2 leaves BIGINT - " +
           "shard the position sums by vec_id bucket (p32) before squaring"))
         .isNull)
       .selectExpr("label", "n_vecs",
@@ -1359,6 +1459,7 @@ object Similarity {
     "s13_knn_classify"    -> s13KnnClassify _,
     "s15_ivf_append"      -> s15IvfAppendRecall _,
     "s16_jl_project"      -> s16JlRecall _,
+    "s21_ivf_vote"        -> s21IvfKnnVote _,
     "g11_class_tightness" -> g11ClassTightness _,
     "g12_label_centroids" -> g12LabelCentroids _,
     "g34_pair_moments"    -> g34PairMoments _,
@@ -1374,6 +1475,47 @@ object Similarity {
       ORDER BY query_id"""
 
   val oracleSql: Map[String, String] = Map(
+    // s21: the panel census and the EXACT vote's per-label accuracy are
+    // plain SQL over the embeddings table (fixed md5-gated panel, so the
+    // oracle is O(panel x corpus), linear in SF); the IVF-vote agreement
+    // is the engine-side contract boolean
+    "s21_ivf_vote" -> s"""
+      WITH pool AS (SELECT vec_id, embedding, label FROM embeddings),
+      panel AS (
+        SELECT vec_id AS qid, embedding AS qe, label AS true_label
+        FROM pool WHERE vec_id % 5 = 0
+        ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT $KnnPanelN),
+      l AS (SELECT vec_id AS nb_id, embedding AS nb_em, label AS nb_label
+            FROM pool WHERE vec_id % 5 <> 0),
+      p AS (
+        SELECT panel.qid, panel.true_label, l.nb_id, l.nb_label,
+               round(list_sum(list_transform(range(1, len(panel.qe) + 1),
+                 i -> CAST(panel.qe[i] AS DOUBLE) * CAST(l.nb_em[i] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(panel.qe,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                * sqrt(list_sum(list_transform(l.nb_em,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS cos
+        FROM panel CROSS JOIN l),
+      r AS (
+        SELECT *, row_number() OVER (PARTITION BY qid
+                                     ORDER BY cos DESC, nb_id) AS rn
+        FROM p),
+      v AS (
+        SELECT qid, true_label, nb_label, count(*) AS c
+        FROM r WHERE rn <= $KnnVoteK
+        GROUP BY qid, true_label, nb_label),
+      pr AS (
+        SELECT qid, true_label, nb_label AS pred,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY c DESC, nb_label) AS vr
+        FROM v)
+      SELECT true_label, count(*) AS n_queries,
+             CAST(sum(CASE WHEN pred = true_label THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_exact_correct,
+             TRUE AS agree_ok
+      FROM pr WHERE vr = 1
+      GROUP BY true_label
+      ORDER BY true_label""",
     "s02_topk_lsh" -> contractOracle,
     "s03_topk_ivf" -> contractOracle,
     "s04_topk_pq"  -> contractOracle,

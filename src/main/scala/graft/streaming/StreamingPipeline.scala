@@ -294,6 +294,18 @@ object StreamingPipeline {
   class TtlSessionProcessor(retentionMs: Long)
       extends StatefulProcessor[Long, (Long, java.sql.Timestamp), (Long, Long)] {
     @transient private var state: ValueState[RetainedState] = _
+    /** Eviction horizon in ms, rounded UP to the next millisecond from
+      * the microsecond-precision horizon: timers are ms-granular but the
+      * gap logic and the st17 oracle compare at microseconds
+      * (`last_ts >= max - retention`, inclusive), so a floor here could
+      * evict a key whose true horizon falls inside the truncated
+      * millisecond — the stream must never evict EARLIER than the
+      * oracle's inclusive boundary. */
+    private def evictAtMs(last: java.sql.Timestamp): Long = {
+      val lastMicros = last.getTime / 1000L * 1000000L + last.getNanos / 1000L
+      val horizon = lastMicros + retentionMs * 1000L
+      (horizon + 999L) / 1000L
+    }
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
       state = getHandle.getValueState[RetainedState]("retained",
         org.apache.spark.sql.Encoders.product[RetainedState], TTLConfig.NONE)
@@ -320,14 +332,14 @@ object StreamingPipeline {
       // one eviction timer per key: re-arm at the new horizon, dropping
       // the stale one (timers are per-key; listTimers sees this key's)
       getHandle.listTimers().foreach(t => getHandle.deleteTimer(t))
-      getHandle.registerTimer(st.lastTs.getTime + retentionMs)
+      getHandle.registerTimer(evictAtMs(st.lastTs))
       Iterator.empty
     }
     override def handleExpiredTimer(key: Long, timerValues: TimerValues,
                                     expiredTimerInfo: ExpiredTimerInfo): Iterator[(Long, Long)] = {
       // fire only if no newer activity moved the horizon past this timer
       if (state.exists() &&
-          state.get().lastTs.getTime + retentionMs <= expiredTimerInfo.getExpiryTimeInMs)
+          evictAtMs(state.get().lastTs) <= expiredTimerInfo.getExpiryTimeInMs)
         state.clear()
       Iterator.empty
     }

@@ -161,13 +161,21 @@ class DedupSimilaritySpec extends SparkSpec {
     }
     val texts = Tables.documents(spark, sf)
       .select(col("doc_id"), col("text")).as[(Long, String)].collect().toMap
-    val d03Pairs = Dedup.d03MinHashLsh(spark, sf).collect()
-      .map(r => (r.getLong(0), r.getLong(1)))
+    val d03Rows = Dedup.d03MinHashLsh(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // the engine's per-doc_a witness cap, restated in plain Scala (it
+    // does not bind on this corpus — every doc has far fewer than
+    // MaxRefinePartnersPerDoc partners — but the contract includes it)
+    val d03Pairs = d03Rows.groupBy(_._1).values.toSeq.flatMap(
+      _.sortBy(t => (-t._3, t._2)).take(Dedup.MaxRefinePartnersPerDoc))
+      .map(t => (t._1, t._2))
     val expect = d03Pairs
       .map(p => p -> lev(norm(texts(p._1)), norm(texts(p._2))))
       .filter(_._2 <= Dedup.MaxEditBudget).toMap
     assert(got == expect, s"got ${got.size} expect ${expect.size}")
-    assert(expect.size < d03Pairs.length, "budget must actually drop a pair")
+    assert(d03Pairs.size == d03Rows.length,
+      "cap must not bind on this corpus — every kept pair is a true pair")
+    assert(expect.size < d03Pairs.size, "budget must actually drop a pair")
     assert(got.nonEmpty)
   }
 

@@ -205,9 +205,16 @@ class RoundSevenOpsSpec extends SparkSpec {
     }
     def rnd(x: Double, s: Int): Double =
       BigDecimal(x).setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble
-    val bench = vecs.filter(_._1 % Dedup.ContaminationBenchMod == 0)
-    val train = vecs.filterNot(_._1 % Dedup.ContaminationBenchMod == 0)
-    assert(bench.nonEmpty && got.size == train.length)
+    // the engine's fixed-size md5-gated bench suite, restated in plain
+    // Scala: the SemContamBenchN smallest md5(vec_id) hex strings
+    def md5hex(x: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val bench = vecs.sortBy(v => md5hex(v._1.toString))
+      .take(Dedup.SemContamBenchN)
+    val benchIds = bench.map(_._1).toSet
+    val train = vecs.filterNot(v => benchIds(v._1))
+    assert(bench.length == Dedup.SemContamBenchN && got.size == train.length)
     train.foreach { case (id, emb) =>
       val cs = bench.map { case (_, be) => rnd(cos(emb, be), 6) }
       val hits = cs.count(c => rnd(c, 4) >= Dedup.SemContamTau).toLong
