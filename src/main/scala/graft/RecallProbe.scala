@@ -38,6 +38,26 @@ object RecallProbe {
       println(f"RECALL codes=$codes%-3d refine=$refine%-4d worst=${r.getDouble(0)}%.2f " +
         f"mean=${r.getDouble(1)}%.2f time=$dt%.1fs")
     }
+    // Hard-regime sweep (VERDICT r10 item 7): IVF recall on the planted
+    // corpus as the mixing weight alpha shrinks toward the isotropic
+    // boundary — sets s22's floor from measured degradation.
+    for (alpha <- Seq(0.35, 0.30, 0.25, 0.20, 0.15, 0.10)) {
+      val hc = graft.similarity.Planted.plantedCorpus(spark, sfDir, alpha)
+        .select(col("vec_id"), col("embedding"))
+      val ex = Similarity.bruteTopKOn(hc)
+        .select(col("query_id"), col("neighbor_id"))
+      val a = Similarity.ivfTopKOn(hc, Similarity.fitCoarse(hc))
+        .select(col("query_id"), col("neighbor_id"))
+      val r = ex
+        .join(a.withColumn("hit", lit(1)), Seq("query_id", "neighbor_id"), "left")
+        .groupBy(col("query_id"))
+        .agg((sum(coalesce(col("hit"), lit(0))).cast("double") / Similarity.TopK)
+          .as("recall"))
+        .agg(min(col("recall")).as("worst"), avg(col("recall")).as("mean"))
+        .head()
+      println(f"HARD-IVF alpha=$alpha%.2f worst=${r.getDouble(0)}%.2f " +
+        f"mean=${r.getDouble(1)}%.2f")
+    }
     spark.stop()
   }
 }

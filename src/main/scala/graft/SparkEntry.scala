@@ -64,7 +64,7 @@ object SparkEntry {
       // planted-regime recall contracts: full index pipelines vs a
       // boolean-stating oracle — contract rows by construction
       "s17_planted_lsh", "s18_planted_ivf", "s19_planted_pq",
-      "s20_planted_jl", "d19_planted_neardup",
+      "s20_planted_jl", "s22_planted_hard", "d19_planted_neardup",
       // s21 runs BOTH the exact panel vote and the IVF pipeline against
       // an oracle that restates only the exact side — contract
       "s21_ivf_vote",

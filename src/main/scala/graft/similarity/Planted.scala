@@ -107,8 +107,11 @@ object Planted {
   /** The planted clustered corpus: (vec_id, embedding, label) with
     * embedding = normalize(α·m̂_label + (1−α)·v̂), cast back to
     * array<float> so every downstream index pipeline runs byte-identical
-    * to the real-corpus rows. */
-  def plantedCorpus(s: SparkSession, d: String): DataFrame = {
+    * to the real-corpus rows. `alpha` defaults to the tight-regime
+    * [[Alpha]]; [[HardAlpha]] reuses the same construction for the
+    * deliberately-hard boundary contract (s22). */
+  def plantedCorpus(s: SparkSession, d: String,
+                    alpha: Double = Alpha): DataFrame = {
     val means = labelMeans(s, d)
     val marr = array(means.toIndexedSeq.map(m => lit(m)): _*)
     Tables.embeddings(s, d)
@@ -118,7 +121,7 @@ object Planted {
       .withColumn("nrm", sqrt(dot(col("embedding"), col("embedding"))))
       .withColumn("mhat", element_at(marr, col("label") + 1))
       .withColumn("praw", zip_with(col("mhat"), col("embedding"),
-        (m, x) => m * lit(Alpha) + (x / col("nrm")) * lit(1 - Alpha)))
+        (m, x) => m * lit(alpha) + (x / col("nrm")) * lit(1 - alpha)))
       .withColumn("pn", sqrt(dot(col("praw"), col("praw"))))
       .select(col("vec_id"),
         transform(col("praw"), x => x / col("pn")).cast("array<float>")
@@ -177,6 +180,45 @@ object Planted {
     val pc = plantedVectors(s, d)
     Similarity.recallContractOn(Similarity.bruteTopKOn(pc),
       Similarity.jlTopKOn(pc, clusterRefine(s, d, pc)), PlantedFloor)
+  }
+
+  // --- s22: the deliberately-hard boundary contract --------------------
+
+  /** s22 mixing weight — deliberately pushed DOWN until the within/cross
+    * label bands nearly touch (the r9 lesson: a contract that never
+    * bites is weak evidence). Swept with RecallProbe's HARD-IVF mode:
+    * α 0.35+ still measures worst-query recall 0.9–1.0 everywhere;
+    * α = 0.20 is the first stable degradation point — worst-query
+    * recall 0.80 / 0.80 / 0.70 at sf0.01 / sf0.1 / sf0.3 (mean
+    * 0.88–0.92); below it the curve turns noisy across corpora
+    * (α = 0.10 measures 0.50–0.80 worst depending on SF). */
+  val HardAlpha = 0.20
+
+  /** s22 floor, set FROM the measured degradation (within 0.1 of every
+    * measured worst-query recall, equal to sf0.3's exact 0.70 — the
+    * pipelines are fully deterministic per corpus: seeded KMeans, fixed
+    * probe order, so the boundary value is a corpus fact, not noise).
+    * The floor provably separates working from broken: PlantedSpec runs
+    * the same contract with a garbage quantizer (random centroids) and
+    * asserts it FAILS this floor — the harness distinguishes a working
+    * index from a broken one near the boundary, which the 1.0-recall
+    * tight-regime rows (s17-s20) cannot demonstrate. */
+  val HardFloor = 0.7
+
+  /** s22: IVF recall at the clustered/isotropic BOUNDARY — same
+    * machinery as s18 (trained coarse quantizer, [[Similarity.NProbe]]
+    * probes), judged on the α = [[HardAlpha]] corpus where the index is
+    * EXPECTED to degrade, at the measured-degradation floor
+    * [[HardFloor]]. s17-s20 prove the indexes work where they should
+    * work; this row proves the harness would notice if they stopped. */
+  def s22PlantedHardIvf(s: SparkSession, d: String): DataFrame = {
+    val hc = plantedCorpus(s, d, HardAlpha)
+      .select(col("vec_id"), col("embedding"))
+    val centroids = Similarity.memoizedCentroids(s, s"$d#planted-hard") {
+      Similarity.fitCoarse(hc)
+    }
+    Similarity.recallContractOn(Similarity.bruteTopKOn(hc),
+      Similarity.ivfTopKOn(hc, centroids), HardFloor)
   }
 
   // --- d19: planted near-duplicates recovered via LSH candidates ------
@@ -297,6 +339,7 @@ object Planted {
     "s18_planted_ivf" -> s18PlantedIvf _,
     "s19_planted_pq"  -> s19PlantedPq _,
     "s20_planted_jl"  -> s20PlantedJl _,
+    "s22_planted_hard" -> s22PlantedHardIvf _,
     "d19_planted_neardup" -> d19PlantedNearDup _,
   )
 
@@ -305,6 +348,7 @@ object Planted {
     "s18_planted_ivf" -> Similarity.contractOracle,
     "s19_planted_pq"  -> Similarity.contractOracle,
     "s20_planted_jl"  -> Similarity.contractOracle,
+    "s22_planted_hard" -> Similarity.contractOracle,
     // d19: the oracle rebuilds the planted corpus (originals ∪ nudged
     // copies, d05's list-lambda arithmetic) and counts the TRUE ≥ τ
     // pair census exactly — the planted pairs plus any genuine

@@ -293,7 +293,7 @@ object Similarity {
     * coarseCentroids/frozenCentroids pattern opened to [[Planted]]
     * (index artifacts are built once per (session, corpus), never per
     * query). */
-  private[similarity] def memoizedCentroids(s: SparkSession, key: String)(
+  private[graft] def memoizedCentroids(s: SparkSession, key: String)(
       train: => Array[Array[Double]]): Array[Array[Double]] = {
     val m = quantMemo.synchronized {
       var c = quantMemo.get(s)
@@ -306,7 +306,7 @@ object Similarity {
     m.computeIfAbsent(key, _ => train)
   }
 
-  private[similarity] def fitCoarse(e: org.apache.spark.sql.DataFrame): Array[Array[Double]] = {
+  private[graft] def fitCoarse(e: org.apache.spark.sql.DataFrame): Array[Array[Double]] = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val trainFrac = math.min(1.0, 4000.0 / math.max(1L, e.count()).toDouble)
@@ -511,13 +511,18 @@ object Similarity {
       coarseCentroids(s, d))
 
   /** The s03 pipeline over an arbitrary corpus and coarse quantizer
-    * (shared with [[Planted]]). */
-  private[similarity] def ivfTopKOn(e: DataFrame,
-                                    centroids: Array[Array[Double]]): DataFrame = {
+    * (shared with [[Planted]]). `probe` is the nprobe serving knob —
+    * cells probed per query (recall rises, scan cost ∝ probe/nlist);
+    * PlantedSpec's s22 boundary test drives it to 1 to prove the
+    * hard-regime floor distinguishes a well-configured index from a
+    * starved one. */
+  private[graft] def ivfTopKOn(e: DataFrame,
+                               centroids: Array[Array[Double]],
+                               probe: Int = NProbe): DataFrame = {
     val assigned = e.withColumn("cell", cellOf(centroids, col("embedding")))
     val q = e.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
-        explode(probeCells(centroids, col("embedding"))).as("cell"))
+        explode(probeCells(centroids, col("embedding"), probe)).as("cell"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("vec_id"))
     assigned.join(broadcast(q), Seq("cell"))

@@ -170,8 +170,8 @@ object StreamReplay {
     * output deterministically. Files are range-partitioned on `ts`
     * (file i's max ts ≤ file i+1's min ts), so in-order rows are never
     * late by construction. */
-  private def stageOrderedJson(df: DataFrame, nFiles: Int, dir: String,
-                               prefix: String, baseModTime: Long): Unit = {
+  private[graft] def stageOrderedJson(df: DataFrame, nFiles: Int, dir: String,
+                                      prefix: String, baseModTime: Long): Unit = {
     import org.apache.hadoop.fs.Path
     val s = df.sparkSession
     val stage = s"$dir-stage-$prefix"
@@ -1111,9 +1111,20 @@ object StreamReplay {
     * least one key was actually evicted at this SF.
     *
     * Scale: state is O(keys live within the horizon) — the property
-    * this row exists to prove; per-batch work is O(batch); the RocksDB
-    * provider keeps the store off-heap, the production posture for
-    * billion-key state. */
+    * this row exists to prove, and StreamingSpec's multi-horizon drain
+    * pins it at EVERY checkpoint of a staged replay, not just the
+    * final one; per-batch work is O(batch); the RocksDB provider keeps
+    * the store off-heap, the production posture for billion-key state.
+    *
+    * RocksDB compaction note: `state.clear()` writes a DELETE to the
+    * store, which RocksDB records as a tombstone — the ROW-COUNT bound
+    * (what the statestore source reads and the spec asserts) holds at
+    * every checkpoint, while on-disk bytes shrink lazily as background
+    * compaction drops tombstoned entries; with changelog checkpointing
+    * the delete also rides the per-batch changelog, so a restored store
+    * replays the eviction rather than resurrecting the key. Sizing a
+    * production store, budget for live keys + not-yet-compacted
+    * tombstones, not live keys alone. */
   def st17TtlReplay(s: SparkSession, d: String): DataFrame =
     withReplayTmp(s, "graft-st17-") { tmp =>
       val s2 = s.newSession()

@@ -75,6 +75,39 @@ class PlantedSpec extends SparkSpec {
     assert(worst == 1.0, s"worst planted LSH recall $worst")
   }
 
+  test("s22: the hard-regime floor is measured-tight and provably bites (starved index fails it)") {
+    val hc = Planted.plantedCorpus(spark, sf, Planted.HardAlpha)
+      .select(col("vec_id"), col("embedding"))
+    val exact = Similarity.bruteTopKOn(hc)
+      .select(col("query_id"), col("neighbor_id"))
+    def worstOf(approx: DataFrame): Double =
+      exact.join(approx.select(col("query_id"), col("neighbor_id"))
+          .withColumn("hit", lit(1)), Seq("query_id", "neighbor_id"), "left")
+        .groupBy("query_id")
+        .agg((sum(coalesce(col("hit"), lit(0))) * lit(1.0) / Similarity.TopK)
+          .as("r"))
+        .agg(min("r")).as[Double].head()
+    val trained = Similarity.fitCoarse(hc)
+    val working = worstOf(Similarity.ivfTopKOn(hc, trained))
+    // green at this SF, and the floor is not vacuous slack (the
+    // cross-SF proximity claim — 0.80/0.80/0.70 measured vs floor 0.7 —
+    // lives in the HardFloor scaladoc; here we guard a 0.2 band)
+    assert(working >= Planted.HardFloor && working <= Planted.HardFloor + 0.2 + 1e-9,
+      s"measured worst-query recall $working vs floor ${Planted.HardFloor}")
+    // the same contract with a STARVED index (nprobe 1 — the classic
+    // misconfiguration: probe only the query's own cell while the hard
+    // clusters fragment across 2-3 cells each) must FAIL the floor:
+    // near the boundary the harness distinguishes a well-configured
+    // index from a broken one — the property the 1.0-recall
+    // tight-regime rows cannot demonstrate. (A geometry-consistent
+    // quantizer can't be "randomed" into failure: Voronoi assignment +
+    // Voronoi probing is self-consistent for ANY centroids, so the
+    // realistic breakage is the serving knob, not the codebook.)
+    val starvedWorst = worstOf(Similarity.ivfTopKOn(hc, trained, probe = 1))
+    assert(starvedWorst < Planted.HardFloor,
+      s"starved index worst-query recall $starvedWorst cleared the floor")
+  }
+
   test("d19: planted pairs sit above tau, background below; recovery is exact") {
     val row = Planted.d19PlantedNearDup(spark, sf)
       .as[(Long, Long, Boolean, Long)].head()

@@ -521,4 +521,79 @@ class StreamingSpec extends SparkSpec {
       (r.getLong(0), r.getLong(1), r.getTimestamp(2))).toSeq
     assert(got == expect, s"stream state ${got.take(3)}... != batch ${expect.take(3)}...")
   }
+
+  test("st17: multi-horizon drain — state rows never exceed the live-key bound at ANY checkpoint") {
+    // VERDICT r10 item 6: the single-drain test proves the FINAL state is
+    // bounded; this one replays the same feed in three staged drains
+    // against one checkpoint and asserts the statestore row count at
+    // every intermediate horizon — a state-size CEILING law, not an
+    // end-state fact. Bound per checkpoint: keys whose last event so far
+    // sits within (max ts so far − retention − 1 ms); the 1 ms slack is
+    // the eviction timer's ceil-to-next-millisecond rounding, which by
+    // design never evicts EARLIER than the oracle's inclusive boundary.
+    val retention = graft.streaming.StreamReplay.TtlRetentionMs
+    val tmp = Files.createTempDirectory("graft-st17-multi-").toString
+    try {
+      val s2 = spark.newSession()
+      s2.conf.set("spark.sql.session.timeZone", "UTC")
+      s2.conf.set("spark.sql.shuffle.partitions", "8")
+      s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      import s2.implicits._
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("ts"), col("user_id"))
+      val ranked = Tables.events(s2, sf).select(col("user_id"), col("ts"))
+        .withColumn("rn", row_number().over(w))
+        .localCheckpoint(eager = true)
+      val n = ranked.count()
+      val stages = 3
+      val incoming = s"$tmp/incoming"
+      val feedSchema = new StructType()
+        .add("user_id", "long").add("ts", "timestamp")
+      var evictedSomewhere = false
+      (1 to stages).foreach { k =>
+        val hi = k * n / stages
+        val lo = (k - 1) * n / stages
+        graft.streaming.StreamReplay.stageOrderedJson(
+          ranked.filter(col("rn") > lo && col("rn") <= hi)
+            .select(col("user_id"), col("ts")),
+          nFiles = 4, incoming, prefix = f"s$k",
+          baseModTime = 1000000L + k * 100000L)
+        val source = StreamingPipeline.jsonFileSource(
+          s2, incoming, feedSchema, maxFilesPerTrigger = 2,
+          options = Map("timestampFormat" ->
+            graft.streaming.StreamReplay.JsonTsFormat))
+        val typed = source
+          .withWatermark("ts", "0 seconds")
+          .select(col("user_id"), col("ts"))
+          .as[(Long, Timestamp)]
+        val q = StreamingPipeline.ttlSessionTrack(typed, retention)
+          .writeStream.format("noop")
+          .outputMode("update")
+          .option("checkpointLocation", s"$tmp/ckpt")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        val stateRows = s2.read.format("statestore")
+          .option("stateVarName", "retained")
+          .load(s"$tmp/ckpt").count()
+        val pfx = ranked.filter(col("rn") <= hi)
+        val maxUs = pfx
+          .agg(max((col("ts").cast("decimal(26,6)") * 1000000).cast("long")))
+          .head().getLong(0)
+        val live = pfx.groupBy(col("user_id"))
+          .agg(max((col("ts").cast("decimal(26,6)") * 1000000).cast("long"))
+            .as("lastus"))
+          .filter(col("lastus") >= maxUs - retention * 1000L - 1000L)
+          .count()
+        assert(stateRows <= live,
+          s"stage $k: $stateRows state rows > $live live keys within horizon")
+        val seenKeys = pfx.select(countDistinct(col("user_id"))).head().getLong(0)
+        if (stateRows < seenKeys) evictedSomewhere = true
+      }
+      assert(evictedSomewhere, "bound never bit: no key evicted at any horizon")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp)); ()
+    }
+  }
 }
