@@ -1056,9 +1056,26 @@ object Similarity {
     * so the doubles agree bitwise (constant-folding 1+k1 in Scala could
     * land one ulp off the SQL literal). */
   def s06Bm25TopK(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id"))
+    bm25Scored(s, d, Tables.documents(s, d))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("score"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** The s06 BM25 scorer up to (query_id, doc_id, score) — shared with
+    * s23's candidate-generation stage so the lexical leg can never
+    * drift between the two rows. `docs` is the retrieval universe
+    * (s06: the whole corpus; s23: the embedded slice) — corpus stats
+    * (n_docs, avgdl, df) are computed over the SAME universe the
+    * candidates come from. */
+  private def bm25Scored(s: SparkSession, d: String,
+      docs: DataFrame): DataFrame = {
     import s.implicits._
     val vocab = Bm25Queries.flatMap(_._2).distinct
-    val toks = Tables.documents(s, d)
+    val toks = docs
       .select(col("doc_id"), graft.text.TextAnalysis.tokens(col("text")).as("toks"))
     val stats = toks
       .select(size(col("toks")).cast("long").as("dl"))
@@ -1077,18 +1094,94 @@ object Similarity {
         (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)) *
       (col("tf") * 2.2) /
       (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
-    val scored = tf
-      .join(broadcast(dfreq), "term")
+    tf.join(broadcast(dfreq), "term")
       .join(broadcast(q), "term")
       .crossJoin(broadcast(stats))
       .groupBy(col("query_id"), col("doc_id"))
       .agg(round(sum(contrib), 6).as("score"))
-    val w = Window.partitionBy(col("query_id"))
+  }
+
+  /** s23 stage-1 lexical pool depth (candidates handed to the dense
+    * rerank) and the Rocchio pseudo-relevance depth. */
+  val HybridCands = 20
+  val HybridPrf = 3
+
+  /** s23 reciprocal-rank-fusion constant (Cormack, Clarke & Büttcher,
+    * SIGIR '09 — the k=60 the paper found robust and search engines
+    * shipped). */
+  val RrfK = 60
+
+  /** s23: hybrid retrieval — the two-stage lexical→dense pipeline RAG
+    * stacks run in production: (1) s06's BM25 scorer (shared code, the
+    * leg can't drift) generates the top-[[HybridCands]] lexical
+    * candidates per query; (2) the dense query vector is built by
+    * Rocchio pseudo-relevance feedback — the element-wise mean of the
+    * top-[[HybridPrf]] candidates' embeddings; the queries are term
+    * pairs with no embedding of their own, which is exactly what PRF
+    * was invented for; (3) candidates re-rank by cosine to the PRF
+    * centroid; (4) the lexical and dense rankings fuse by reciprocal
+    * rank fusion 1/(K+r_lex) + 1/(K+r_dense), K=[[RrfK]] — rank-space
+    * fusion is scale-free, so BM25 and cosine need no score
+    * normalization against each other.
+    *
+    * Scale shape: stage 1 scales with query-vocabulary posting hits
+    * (s06's map-side prune), never the corpus token stream; the
+    * rank_lex cut plans as a window group limit, so partitions ship ≤
+    * [[HybridCands]] rows per query into the rank exchange; everything
+    * downstream touches Q·C rows — candidate embeddings come from ONE
+    * pass over the embeddings table against the broadcast candidate
+    * list, and the PRF/fusion windows run over the bounded pool.
+    * Determinism: PRF summation in rank order 1→2→3 with the same
+    * left-assoc literals in both engines, centroid rounded to 6 dp
+    * before the cosine, cosine rounded to 6 dp before ranking, ranks
+    * integer, every tie-break (·desc, doc_id). The embedded slice
+    * guarantees the pool fills (every query term's df is ~75 % of the
+    * slice at every SF); a corpus with < [[HybridPrf]] hits for some
+    * query would null its centroid, which the spec guards against. */
+  def s23HybridRerank(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.VectorFunctions.cosine
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id").as("doc_id"), col("embedding"))
+    // Retrieval universe = the EMBEDDED slice of the corpus: a dense
+    // rerank is only defined where a vector exists (at sf0.1 only 2 of
+    // 5 corpus docs carry one — the partially-embedded-corpus reality),
+    // and BM25's corpus stats must describe the same universe the
+    // candidates come from or idf/avgdl silently describe documents the
+    // second stage can never return.
+    val docs = Tables.documents(s, d)
+      .join(emb.select(col("doc_id")), Seq("doc_id"), "left_semi")
+    val wLex = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("doc_id"))
-    scored
-      .withColumn("rank", row_number().over(w))
+    val cands = bm25Scored(s, d, docs)
+      .withColumn("rank_lex", row_number().over(wLex))
+      .filter(col("rank_lex") <= HybridCands)
+    val ce = emb.join(broadcast(cands), "doc_id")
+    val prf = ce.filter(col("rank_lex") <= HybridPrf)
+      .groupBy(col("query_id"))
+      .agg(
+        max(when(col("rank_lex") === 1, col("embedding"))).as("v1"),
+        max(when(col("rank_lex") === 2, col("embedding"))).as("v2"),
+        max(when(col("rank_lex") === 3, col("embedding"))).as("v3"))
+      .select(col("query_id"), expr(
+        s"transform(v1, (x, i) -> round((CAST(x AS DOUBLE) " +
+          s"+ CAST(v2[i] AS DOUBLE) + CAST(v3[i] AS DOUBLE)) " +
+          s"/ $HybridPrf.0D, 6))").as("centroid"))
+    val wDense = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_prf").desc, col("doc_id"))
+    val fused = ce.join(broadcast(prf), "query_id")
+      .withColumn("cos_prf", round(cosine(col("centroid"), col("embedding")), 6))
+      .withColumn("rank_dense", row_number().over(wDense))
+      .withColumn("rrf", round(
+        lit(1.0) / (lit(RrfK) + col("rank_lex")) +
+          lit(1.0) / (lit(RrfK) + col("rank_dense")), 9))
+    val wFuse = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+    fused
+      .withColumn("rank", row_number().over(wFuse))
       .filter(col("rank") <= TopK)
-      .select(col("query_id"), col("rank"), col("doc_id"), col("score"))
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        col("rank_lex"), col("rank_dense"), col("score").as("bm25"),
+        col("cos_prf"), col("rrf"))
       .orderBy(col("query_id"), col("rank"))
   }
 
@@ -1465,6 +1558,7 @@ object Similarity {
     "s15_ivf_append"      -> s15IvfAppendRecall _,
     "s16_jl_project"      -> s16JlRecall _,
     "s21_ivf_vote"        -> s21IvfKnnVote _,
+    "s23_hybrid_rerank"   -> s23HybridRerank _,
     "g11_class_tightness" -> g11ClassTightness _,
     "g12_label_centroids" -> g12LabelCentroids _,
     "g34_pair_moments"    -> g34PairMoments _,
@@ -1703,6 +1797,86 @@ object Similarity {
         FROM sc)
       SELECT query_id, rank, doc_id, score
       FROM r WHERE rank <= $TopK
+      ORDER BY query_id, rank""",
+    // s23: the full two-stage pipeline restated — s06's BM25 CTEs (same
+    // literals/association), the rank-1/2/3 PRF centroid summed in rank
+    // order and rounded 6 dp, the s01-form cosine rounded 6 dp before
+    // the dense rank, and the RRF sum over integer ranks (two-operand
+    // double addition — bitwise stable) rounded 9 dp before the fused
+    // rank; every window tie-breaks on doc_id.
+    "s23_hybrid_rerank" -> s"""
+      WITH t AS (
+        SELECT doc_id, ${graft.text.TextAnalysis.ToksSql} AS toks
+        FROM documents
+        WHERE doc_id IN (SELECT vec_id FROM embeddings)),
+      d AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, toks FROM t),
+      s AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM d),
+      tf AS (
+        SELECT doc_id, dl, term, count(*) AS tf
+        FROM (SELECT doc_id, dl, unnest(toks) AS term FROM d)
+        WHERE term IN (${Bm25Queries.flatMap(_._2).distinct
+          .map(t => s"'$t'").mkString(", ")})
+        GROUP BY doc_id, dl, term),
+      df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+      q(query_id, term) AS (VALUES ${Bm25Queries
+        .flatMap { case (qid, ts) => ts.map(t => s"($qid, '$t')") }
+        .mkString(", ")}),
+      c AS (
+        SELECT q.query_id, tf.doc_id,
+               ln(1.0 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+               * (tf.tf * 2.2)
+               / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / s.avgdl)) AS contrib
+        FROM tf JOIN df USING (term) JOIN q ON q.term = tf.term
+        CROSS JOIN s),
+      sc AS (
+        SELECT query_id, doc_id, round(sum(contrib), 6) AS score
+        FROM c GROUP BY query_id, doc_id),
+      cand AS (
+        SELECT query_id, doc_id, score,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY score DESC, doc_id) AS rank_lex
+        FROM sc QUALIFY rank_lex <= $HybridCands),
+      ce AS (
+        SELECT cand.query_id, cand.doc_id, cand.score, cand.rank_lex,
+               e.embedding
+        FROM cand JOIN embeddings e ON e.vec_id = cand.doc_id),
+      p1 AS (SELECT query_id, embedding AS v FROM ce WHERE rank_lex = 1),
+      p2 AS (SELECT query_id, embedding AS v FROM ce WHERE rank_lex = 2),
+      p3 AS (SELECT query_id, embedding AS v FROM ce WHERE rank_lex = 3),
+      prf AS (
+        SELECT p1.query_id,
+               list_transform(range(1, len(p1.v) + 1), i -> round(
+                 (CAST(p1.v[i] AS DOUBLE) + CAST(p2.v[i] AS DOUBLE)
+                  + CAST(p3.v[i] AS DOUBLE)) / $HybridPrf.0, 6)) AS centroid
+        FROM p1 JOIN p2 USING (query_id) JOIN p3 USING (query_id)),
+      dn AS (
+        SELECT ce.query_id, ce.doc_id, ce.score, ce.rank_lex,
+               round(
+                 list_sum(list_transform(range(1, len(prf.centroid) + 1),
+                   i -> prf.centroid[i] * CAST(ce.embedding[i] AS DOUBLE)))
+                 / (sqrt(list_sum(list_transform(prf.centroid,
+                      x -> x * x)))
+                  * sqrt(list_sum(list_transform(ce.embedding,
+                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+                 6) AS cos_prf
+        FROM ce JOIN prf USING (query_id)),
+      dr AS (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos_prf DESC, doc_id)
+                  AS rank_dense
+        FROM dn),
+      f AS (
+        SELECT query_id, doc_id, rank_lex, rank_dense, score, cos_prf,
+               round(1.0 / ($RrfK + rank_lex)
+                     + 1.0 / ($RrfK + rank_dense), 9) AS rrf
+        FROM dr),
+      fr AS (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY rrf DESC, doc_id) AS rank
+        FROM f)
+      SELECT query_id, rank, doc_id, rank_lex, rank_dense,
+             score AS bm25, cos_prf, rrf
+      FROM fr WHERE rank <= $TopK
       ORDER BY query_id, rank""",
     // g12: the same (label, dim) cell sums and norm averages in long
     // form; division/multiplication association written identically

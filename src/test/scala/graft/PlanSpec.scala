@@ -657,6 +657,24 @@ class PlanSpec extends SparkSpec {
     // sizes those at runtime, never forced)
   }
 
+  test("s23: both rank cuts are group-limited; the corpus never rides a broadcast") {
+    val plan = executed(graft.similarity.Similarity.s23HybridRerank(spark, sf))
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the only nested-loop join allowed is the scalar corpus-stats
+    // attach (a 1-row broadcast crossJoin — s06's shape)
+    assert(plan.linesIterator.count(_.contains("BroadcastNestedLoopJoin")) <= 1,
+      plan)
+    // the lexical top-C cut and both rerank windows must prune map-side
+    // (rank<=k over a window plans as WindowGroupLimit) — without the
+    // partial, every BM25-scored doc rides the query_id exchange
+    assert(plan.linesIterator.count(_.contains("WindowGroupLimit")) >= 3, plan)
+    // candidate/PRF frames are Q·C-bounded and broadcast; the embeddings
+    // side stays a partitioned scan probe (no shuffle of the corpus, no
+    // sort-merge — every join in this pipeline is a broadcast probe)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
   test("d17: bloom gate keeps one anti-join leg; the definitely-new leg is join-free") {
     val plan = executed(graft.dedup.Dedup.d17BloomDedup(spark, sf))
     assert(!plan.contains("BroadcastNestedLoopJoin") &&

@@ -69,6 +69,98 @@ class RoundElevenOpsSpec extends SparkSpec {
     assert(got.values.head._3, "IVF vote agreement fell below the floor")
   }
 
+  test("s23: the hybrid pipeline matches a plain-Scala rebuild; fused ranks respect leg dominance") {
+    val got = Similarity.s23HybridRerank(spark, sf).collect()
+    assert(got.length == Similarity.Bm25Queries.size * Similarity.TopK)
+    assert(got.forall(r => !r.isNullAt(r.fieldIndex("cos_prf"))),
+      "a null PRF centroid leaked into the rerank")
+
+    def rnd(x: Double, s: Int): Double =
+      BigDecimal(x).setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+    // rebuild all four stages in plain Scala over the embedded slice
+    // (tokenization itself is the t01/t05 oracles' problem — reuse the
+    // engine's tokens column as the rebuild input)
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect().toMap
+    val toksById = Tables.documents(spark, sf)
+      .select(col("doc_id"), graft.text.TextAnalysis.tokens(col("text")))
+      .as[(Long, Seq[String])].collect()
+      .filter { case (id, _) => emb.contains(id) }
+    val dl = toksById.map { case (id, ts) => id -> ts.size.toLong }.toMap
+    val nDocs = dl.size
+    val avgdl = dl.values.sum.toDouble / nDocs
+    val vocab = Similarity.Bm25Queries.flatMap(_._2).distinct.toSet
+    val tf: Map[(Long, String), Long] = toksById
+      .flatMap { case (id, ts) => ts.filter(vocab).map(t => (id, t)) }
+      .groupBy(identity).map { case (k, xs) => k -> xs.size.toLong }
+    val df: Map[String, Long] =
+      tf.keys.groupBy(_._2).map { case (t, xs) => t -> xs.size.toLong }
+
+    val expect = Similarity.Bm25Queries.flatMap { case (qid, terms) =>
+      val scored = toksById.map(_._1).flatMap { id =>
+        val contribs = terms.flatMap { t =>
+          tf.get((id, t)).map { n =>
+            math.log(1.0 + (nDocs - df(t) + 0.5) / (df(t) + 0.5)) *
+              (n * 2.2) /
+              (n + 1.2 * (0.25 + 0.75 * dl(id) / avgdl))
+          }
+        }
+        if (contribs.isEmpty) None
+        else Some(id -> rnd(contribs.sum, 6))
+      }
+      val cands = scored.sortBy { case (id, sc) => (-sc, id) }
+        .take(Similarity.HybridCands).zipWithIndex
+        .map { case ((id, sc), i) => (id, sc, i + 1) } // (doc, bm25, rank_lex)
+      val Seq(v1, v2, v3) = cands.take(Similarity.HybridPrf)
+        .map(c => emb(c._1)).toSeq
+      val centroid = v1.indices.map(i => rnd(
+        (v1(i).toDouble + v2(i).toDouble + v3(i).toDouble) /
+          Similarity.HybridPrf.toDouble, 6))
+      def cos(c: Seq[Double], b: Seq[Float]): Double = {
+        var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+        while (i < math.min(c.size, b.size)) {
+          val x = c(i); val y = b(i).toDouble
+          dot += x * y; na += x * x; nb += y * y; i += 1
+        }
+        dot / (math.sqrt(na) * math.sqrt(nb))
+      }
+      val dense = cands.map { case (id, sc, rl) =>
+        (id, sc, rl, rnd(cos(centroid, emb(id)), 6))
+      }.sortBy { case (id, _, _, c) => (-c, id) }.zipWithIndex
+        .map { case ((id, sc, rl, c), i) => (id, sc, rl, c, i + 1) }
+      dense.map { case (id, sc, rl, c, rd) =>
+        (qid.toLong, id, rl, rd, sc, c,
+          rnd(1.0 / (Similarity.RrfK + rl) + 1.0 / (Similarity.RrfK + rd), 9))
+      }.sortBy { case (_, id, _, _, _, _, rrf) => (-rrf, id) }
+        .take(Similarity.TopK).zipWithIndex
+        .map { case (row, i) => (row, i + 1) }
+    }.map { case ((qid, id, rl, rd, sc, c, rrf), rank) =>
+      (qid, rank) -> ((id, rl, rd, sc, c, rrf))
+    }.toMap
+
+    got.foreach { r =>
+      val key = (r.getAs[Int]("query_id").toLong, r.getAs[Int]("rank"))
+      val (id, rl, rd, sc, c, rrf) = expect(key)
+      assert(r.getAs[Long]("doc_id") == id, s"$key doc")
+      assert(r.getAs[Int]("rank_lex") == rl && r.getAs[Int]("rank_dense") == rd,
+        s"$key leg ranks")
+      assert(r.getAs[Double]("bm25") == sc && r.getAs[Double]("cos_prf") == c &&
+        r.getAs[Double]("rrf") == rrf, s"$key scores")
+    }
+
+    // RRF Pareto law: a doc that beats another on BOTH legs must beat it
+    // in the fusion — on every returned frame
+    got.groupBy(_.getAs[Int]("query_id")).values.foreach { rows =>
+      for (a <- rows; b <- rows)
+        if (a.getAs[Int]("rank_lex") < b.getAs[Int]("rank_lex") &&
+            a.getAs[Int]("rank_dense") < b.getAs[Int]("rank_dense"))
+          assert(a.getAs[Int]("rank") < b.getAs[Int]("rank"),
+            s"dominated doc outranked its dominator in query ${a.get(0)}")
+    }
+  }
+
   test("d14: the bench suite is fixed-size and md5-deterministic (O(1) broadcast law)") {
     val vecs = Tables.embeddings(spark, sf)
       .select(col("vec_id")).as[Long].collect()
