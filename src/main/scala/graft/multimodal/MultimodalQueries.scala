@@ -134,11 +134,68 @@ object MultimodalQueries {
       .orderBy(col("kind"), col("shard"))
   }
 
+  /** m05 sequence budget, in token units. Small enough that the
+    * oversize-drop lane bites on this corpus: a 30-frame video at the
+    * largest raster carries 480 patch tokens before its caption. */
+  val VlmSeqLen = 512L
+
+  /** ViT patch edge — raster dims are multiples of 16 by construction. */
+  val PatchPx = 16L
+
+  /** m05: multimodal sequence packing — the VLM-training shard layout
+    * problem. An interleaved training sample costs caption tokens PLUS
+    * vision tokens derived from typed metadata: image = (w/[[PatchPx]])
+    * ·(h/[[PatchPx]]) ViT patches; video = sampled frames (m02's
+    * cadence) × patches per frame; audio in this corpus carries no
+    * duration, so it costs caption only. Whole samples pack into
+    * fixed-[[VlmSeqLen]] sequences — an image cannot straddle two
+    * sequences, so unlike p21 the packer is whole-item (t08's
+    * first-fit-by-offset rule), and a sample whose TOTAL cost exceeds
+    * the budget is dropped to a reject lane (seq_id = −1) instead of
+    * packed: the real packer's behavior is resize-or-reject, never
+    * split. Costing reads METADATA ONLY (m01's account-without-
+    * touching-bytes argument — the only payload access is the caption
+    * decode); the pack window rides (kind, media_id, counts) tuples;
+    * the manifest accounts text and vision tokens separately — the
+    * vision:text ratio per shard is the number a VLM data board
+    * actually watches. */
+  def m05VlmPack(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("kind")).orderBy(col("media_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val costed = fromDocuments(s, d).toDF()
+      .select(col("media_id"), col("meta.kind").as("kind"),
+        size(graft.text.TextAnalysis.tokens(decode(col("data"), "UTF-8")))
+          .cast("long").as("text_tok"),
+        expr(s"""CASE meta.kind
+                 WHEN 'image' THEN (meta.width div $PatchPx)
+                                 * (meta.height div $PatchPx)
+                 WHEN 'video' THEN (meta.durationMs div $FrameEveryMs)
+                                 * (meta.width div $PatchPx)
+                                 * (meta.height div $PatchPx)
+                 ELSE 0 END""").cast("long").as("media_tok"))
+      .withColumn("total", col("text_tok") + col("media_tok"))
+    val kept = costed.filter(col("total") <= VlmSeqLen)
+      .withColumn("prior", coalesce(sum(col("total")).over(w), lit(0L)))
+      .select(col("kind"), expr(s"prior div $VlmSeqLen").as("seq_id"),
+        col("text_tok"), col("media_tok"))
+    val dropped = costed.filter(col("total") > VlmSeqLen)
+      .select(col("kind"), lit(-1L).as("seq_id"),
+        col("text_tok"), col("media_tok"))
+    kept.unionByName(dropped)
+      .groupBy(col("kind"), col("seq_id"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("text_tok")).as("text_tokens"),
+        sum(col("media_tok")).as("vision_tokens"))
+      .orderBy(col("kind"), col("seq_id"))
+  }
+
   val queries: Map[String, Q] = Map(
     "m01_media_meta"   -> m01MediaMeta _,
     "m02_frame_sample" -> m02FrameSample _,
     "m03_media_dedup"  -> m03MediaDedup _,
     "m04_shard_pack"   -> m04ShardPack _,
+    "m05_vlm_pack"     -> m05VlmPack _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -199,5 +256,45 @@ object MultimodalQueries {
       FROM c
       GROUP BY kind, shard
       ORDER BY kind, shard""",
+    // m05: the meta functions of doc_id + the tokenizer restated; the
+    // window (filter-then-cumsum) evaluates after WHERE in both engines,
+    // so dropped items consume no pack space in either
+    "m05_vlm_pack" -> s"""
+      WITH m AS (
+        SELECT doc_id AS media_id,
+               CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+                    WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+               CASE WHEN doc_id % 3 = 1 THEN 0
+                    ELSE 16 * (1 + doc_id % 4) END AS w,
+               CASE WHEN doc_id % 3 = 2 THEN 1000 * (1 + doc_id % 30)
+                    ELSE 0 END AS dur,
+               CAST(len(${graft.text.TextAnalysis.ToksSql}) AS BIGINT)
+                 AS text_tok
+        FROM documents),
+      c AS (
+        SELECT media_id, kind, text_tok,
+               CAST(CASE kind
+                 WHEN 'image' THEN (w // $PatchPx) * (w // $PatchPx)
+                 WHEN 'video' THEN (dur // $FrameEveryMs)
+                                 * (w // $PatchPx) * (w // $PatchPx)
+                 ELSE 0 END AS BIGINT) AS media_tok
+        FROM m),
+      t AS (SELECT *, text_tok + media_tok AS total FROM c),
+      kept AS (
+        SELECT kind, text_tok, media_tok,
+               CAST(coalesce(sum(total) OVER (PARTITION BY kind
+                 ORDER BY media_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 // $VlmSeqLen AS BIGINT) AS seq_id
+        FROM t WHERE total <= $VlmSeqLen),
+      lanes AS (
+        SELECT kind, seq_id, text_tok, media_tok FROM kept
+        UNION ALL
+        SELECT kind, CAST(-1 AS BIGINT) AS seq_id, text_tok, media_tok
+        FROM t WHERE total > $VlmSeqLen)
+      SELECT kind, seq_id, count(*) AS n_items,
+             CAST(sum(text_tok) AS BIGINT) AS text_tokens,
+             CAST(sum(media_tok) AS BIGINT) AS vision_tokens
+      FROM lanes GROUP BY kind, seq_id ORDER BY kind, seq_id""",
   )
 }

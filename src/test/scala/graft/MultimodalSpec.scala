@@ -112,4 +112,51 @@ class MultimodalSpec extends SparkSpec {
       assert(r.getLong(3) == w * w, s"px_per_frame for $id")
     }
   }
+
+  test("m05: the VLM pack matches a plain-Scala rebuild; the reject lane bites; tokens conserve") {
+    import org.apache.spark.sql.functions.col
+    val d = "/root/testdata/sf0.001"
+    val got = MultimodalQueries.m05VlmPack(spark, d).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+
+    // rebuild per-item costs in plain Scala (tokenizer reused from the
+    // engine — its content is t01's oracle's problem)
+    val items = graft.Tables.documents(spark, d)
+      .select(col("doc_id"),
+        graft.text.TextAnalysis.tokens(col("text")))
+      .as[(Long, Seq[String])].collect().sortBy(_._1)
+      .map { case (id, toks) =>
+        val kind = (id % 3) match {
+          case 0 => "image"; case 1 => "audio"; case _ => "video"
+        }
+        val w = if (kind == "audio") 0L else 16L * (1 + id % 4)
+        val p = (w / MultimodalQueries.PatchPx) * (w / MultimodalQueries.PatchPx)
+        val media = kind match {
+          case "image" => p
+          case "video" => (1000L * (1 + id % 30) / MultimodalQueries.FrameEveryMs) * p
+          case _       => 0L
+        }
+        (id, kind, toks.size.toLong, media)
+      }
+    val expect = items.groupBy(_._2).flatMap { case (kind, ks) =>
+      var off = 0L
+      val lanes = ks.sortBy(_._1).map { case (_, _, t, m) =>
+        val total = t + m
+        if (total > MultimodalQueries.VlmSeqLen) (-1L, t, m)
+        else { val seq = off / MultimodalQueries.VlmSeqLen; off += total; (seq, t, m) }
+      }
+      lanes.groupBy(_._1).map { case (seq, xs) =>
+        (kind, seq) -> (xs.length.toLong, xs.map(_._2).sum, xs.map(_._3).sum)
+      }
+    }
+    assert(got == expect)
+    // the reject lane is non-empty (a contract that never bites is weak
+    // evidence) and rejects are exactly the over-budget items
+    assert(got.keys.exists(_._2 == -1L), "no oversize sample was rejected")
+    // conservation: every item lands in exactly one lane
+    assert(got.values.map(_._1).sum == items.length.toLong)
+    assert(got.values.map(_._2).sum == items.map(_._3).sum)
+    assert(got.values.map(_._3).sum == items.map(_._4).sum)
+  }
 }
