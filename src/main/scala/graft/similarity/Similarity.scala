@@ -1455,6 +1455,80 @@ object Similarity {
       .orderBy(col("label"))
   }
 
+  /** g37 shift-decision threshold on the BIAS-CORRECTED statistic, in
+    * the integer micro² units the row computes in: 0.05 ⇔ 5×10¹⁰. */
+  val MmdShiftMinU12 = 50000000000L
+
+  /** g37: embedding-space source drift — the linear-kernel MMD² between
+    * every pair of sources: MMD²_lin(a,b) = ‖μ_a − μ_b‖², the two-sample
+    * distance over mean embeddings (the linear member of Gretton et
+    * al.'s MMD family). g03 watches drift over CATEGORICAL event
+    * distributions; this is its semantic-space counterpart over the
+    * documents-with-vectors slice — the check a data board runs before
+    * trusting p13's mixture weights. The raw plug-in statistic is
+    * BIASED upward by tr(Σ_a)/n_a + tr(Σ_b)/n_b (E‖x̄−ȳ‖² under H₀ —
+    * measured here: 187/190 pairs cross a 0.05 floor at sf0.001's 25
+    * vectors per source, 0/190 at sf0.1, same iid corpus), so the row
+    * reports BOTH the raw mmd2 and the bias-corrected mmd2_adj with
+    * tr(Σ_s)/n_s = (mean‖x‖² − ‖μ_s‖²)/n_s, and the decision rides the
+    * corrected statistic — which correctly never fires on this iid
+    * corpus at ANY sample size. All cross-dimension arithmetic is
+    * integer (g34's discipline on the μ cells and the mean-squared-norm:
+    * the only FP steps are two per-source means and their one rounding
+    * each; envelope 64·(4×10⁶)² ≈ 10¹⁵ ≪ 2⁶³). Scale shape: one
+    * (source, dim) cell aggregate over the embedded slice (shuffle key
+    * cardinality |S|·d, partial map-side) plus one per-source norm
+    * aggregate; everything downstream runs on the |S|·d cell frame and
+    * the |S|²/2-row pair rollup. */
+  def g37SourceMmd(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.VectorFunctions.dot
+    val src = Tables.documents(s, d)
+      .select(col("doc_id").as("vec_id"), col("source"))
+    val withSrc = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"))
+      .join(src, "vec_id")
+    val cells = withSrc
+      .select(col("source"), posexplode(col("embedding")).as(Seq("i", "x")))
+      .groupBy(col("source"), col("i"))
+      .agg(sum(col("x").cast("double")).as("sx"), count(lit(1)).as("n"))
+      .select(col("source"), col("i"),
+        round(col("sx") / col("n") * 1000000L).cast("long").as("mu_u"))
+    // per-source: n, mean‖x‖² in micro (q2_u), ‖μ‖² in micro² — the
+    // tr(Σ)/n correction is then exact integer division on positives
+    // (mean‖x‖² ≥ ‖μ‖² by Jensen; quantization slack ≪ the gap here)
+    val musq = cells.groupBy(col("source"))
+      .agg(sum(col("mu_u") * col("mu_u")).as("musq_u12"))
+    val stats = withSrc.groupBy(col("source"))
+      .agg(count(lit(1)).as("n"),
+        round(avg(dot(col("embedding"), col("embedding"))) * 1000000L)
+          .cast("long").as("q2_u"))
+      .join(musq, "source")
+      .select(col("source"), col("n"),
+        expr("(q2_u * 1000000 - musq_u12) div n").as("corr_u12"))
+    val pairs = cells.select(col("source").as("src_a"), col("i"),
+        col("mu_u").as("mu_a"))
+      .join(cells.select(col("source").as("src_b"), col("i"),
+        col("mu_u").as("mu_b")), Seq("i"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(sum((col("mu_a") - col("mu_b")) * (col("mu_a") - col("mu_b")))
+        .as("mmd2_u12"))
+    pairs
+      .join(broadcast(stats.select(col("source").as("src_a"),
+        col("n").as("n_a"), col("corr_u12").as("corr_a"))), "src_a")
+      .join(broadcast(stats.select(col("source").as("src_b"),
+        col("n").as("n_b"), col("corr_u12").as("corr_b"))), "src_b")
+      .withColumn("adj_u12",
+        col("mmd2_u12") - col("corr_a") - col("corr_b"))
+      .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
+        col("mmd2_u12"),
+        round(col("mmd2_u12") / 1e12, 6).as("mmd2"),
+        col("adj_u12"),
+        round(col("adj_u12") / 1e12, 6).as("mmd2_adj"),
+        (col("adj_u12") > MmdShiftMinU12).as("is_shifted"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
   /** g34 quantization scale: embedding components land as
     * round(x·10³) BIGINTs, so every downstream sum is exact integer
     * arithmetic in both engines. 10³ (not 10⁶) because the second-moment
@@ -1562,6 +1636,7 @@ object Similarity {
     "g11_class_tightness" -> g11ClassTightness _,
     "g12_label_centroids" -> g12LabelCentroids _,
     "g34_pair_moments"    -> g34PairMoments _,
+    "g37_source_mmd"      -> g37SourceMmd _,
   )
 
   /** The recall-contract oracle: every query id must come back with a full
@@ -1878,6 +1953,55 @@ object Similarity {
              score AS bm25, cos_prf, rrf
       FROM fr WHERE rank <= $TopK
       ORDER BY query_id, rank""",
+    // g37: the same (source, dim) cell means and mean-squared-norms
+    // quantized to integer micro-units with identical association
+    // (mean*1e6, one round each), then EXACT BIGINT pair + correction
+    // arithmetic — DuckDB's sum over BIGINT promotes to HUGEINT, so
+    // every total CASTs back (the r08 lesson); // and Spark's div agree
+    // on the positive correction numerator
+    "g37_source_mmd" -> s"""
+      WITH es AS (
+        SELECT d.source, e.embedding
+        FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id),
+      cells AS (
+        SELECT source, i,
+               CAST(round(sum(CAST(x AS DOUBLE)) / count(*) * 1000000)
+                 AS BIGINT) AS mu_u
+        FROM (SELECT source, unnest(embedding) AS x,
+                     unnest(range(1, len(embedding) + 1)) AS i FROM es)
+        GROUP BY source, i),
+      musq AS (
+        SELECT source, CAST(sum(mu_u * mu_u) AS BIGINT) AS musq_u12
+        FROM cells GROUP BY source),
+      stats AS (
+        SELECT es.source, count(*) AS n,
+               CAST(round(avg(list_sum(list_transform(embedding,
+                 v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) * 1000000)
+                 AS BIGINT) AS q2_u
+        FROM es GROUP BY es.source),
+      corr AS (
+        SELECT s.source, s.n,
+               CAST((s.q2_u * 1000000 - m.musq_u12) // s.n AS BIGINT)
+                 AS corr_u12
+        FROM stats s JOIN musq m ON m.source = s.source),
+      pairs AS (
+        SELECT a.source AS src_a, b.source AS src_b,
+               CAST(sum((a.mu_u - b.mu_u) * (a.mu_u - b.mu_u)) AS BIGINT)
+                 AS mmd2_u12
+        FROM cells a JOIN cells b ON a.i = b.i AND a.source < b.source
+        GROUP BY 1, 2)
+      SELECT p.src_a, p.src_b, ca.n AS n_a, cb.n AS n_b,
+             p.mmd2_u12,
+             round(p.mmd2_u12 / 1e12, 6) AS mmd2,
+             CAST(p.mmd2_u12 - ca.corr_u12 - cb.corr_u12 AS BIGINT)
+               AS adj_u12,
+             round((p.mmd2_u12 - ca.corr_u12 - cb.corr_u12) / 1e12, 6)
+               AS mmd2_adj,
+             (p.mmd2_u12 - ca.corr_u12 - cb.corr_u12) > $MmdShiftMinU12
+               AS is_shifted
+      FROM pairs p JOIN corr ca ON ca.source = p.src_a
+                   JOIN corr cb ON cb.source = p.src_b
+      ORDER BY src_a, src_b""",
     // g12: the same (label, dim) cell sums and norm averages in long
     // form; division/multiplication association written identically
     "g12_label_centroids" -> """

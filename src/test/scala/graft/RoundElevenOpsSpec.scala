@@ -161,6 +161,56 @@ class RoundElevenOpsSpec extends SparkSpec {
     }
   }
 
+  test("g37: pair MMD + bias correction match a plain-Scala integer rebuild; the correction kills the small-n artifact") {
+    val got = Similarity.g37SourceMmd(spark, sf).collect()
+      .map(r => (r.getAs[String]("src_a"), r.getAs[String]("src_b")) ->
+        (r.getAs[Long]("n_a"), r.getAs[Long]("n_b"),
+          r.getAs[Long]("mmd2_u12"), r.getAs[Long]("adj_u12"),
+          r.getAs[Boolean]("is_shifted"))).toMap
+    assert(got.nonEmpty)
+
+    def rnd0(x: Double): Long =
+      BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val srcById = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source")).as[(Long, String)].collect().toMap
+    val vecs = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])].collect()
+      .flatMap { case (id, e) => srcById.get(id).map(s => (s, e)) }
+    val bySrc = vecs.groupBy(_._1)
+    val mus = bySrc.map { case (s, xs) =>
+      val es = xs.map(_._2)
+      s -> es.head.indices.map { i =>
+        rnd0(es.map(_(i).toDouble).sum / es.length * 1000000L)
+      }.toArray
+    }
+    val corr = bySrc.map { case (s, xs) =>
+      val es = xs.map(_._2)
+      val q2u = rnd0(es.map(e => e.map(v => v.toDouble * v.toDouble).sum)
+        .sum / es.length * 1000000L)
+      val musq = mus(s).map(u => u * u).sum
+      s -> (q2u * 1000000L - musq) / es.length
+    }
+    val sources = mus.keys.toSeq.sorted
+    for (a <- sources; b <- sources if a < b) {
+      val (ma, mb) = (mus(a), mus(b))
+      val mmd = ma.indices.map { i => val dlt = ma(i) - mb(i); dlt * dlt }.sum
+      val adj = mmd - corr(a) - corr(b)
+      val (na, nb, gm, ga, shifted) = got((a, b))
+      assert(na == bySrc(a).length.toLong && nb == bySrc(b).length.toLong)
+      assert(gm == mmd, s"($a,$b): raw got $gm expect $mmd")
+      assert(ga == adj, s"($a,$b): adj got $ga expect $adj")
+      assert(shifted == (adj > Similarity.MmdShiftMinU12))
+    }
+    assert(got.size == sources.size * (sources.size - 1) / 2)
+    // the measured lesson the scaladoc records: on this iid corpus at
+    // sf0.001's ~25 vectors/source the RAW statistic crosses the floor
+    // on most pairs (pure 1/n bias), the corrected one on none
+    val rawFires = got.values.count(_._3 > Similarity.MmdShiftMinU12)
+    val adjFires = got.values.count(_._5)
+    assert(rawFires > got.size / 2, s"raw artifact expected to fire, got $rawFires")
+    assert(adjFires == 0, s"corrected statistic fired on iid sources: $adjFires")
+  }
+
   test("d14: the bench suite is fixed-size and md5-deterministic (O(1) broadcast law)") {
     val vecs = Tables.embeddings(spark, sf)
       .select(col("vec_id")).as[Long].collect()
