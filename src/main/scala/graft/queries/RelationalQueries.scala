@@ -670,7 +670,47 @@ object RelationalQueries {
       .orderBy(col("event_type"))
   }
 
+  /** q46 burst threshold: an event is "bursty" when its user produced at
+    * least this many events in the trailing hour (itself included) —
+    * sized so the flag bites at every test SF (trailing-hour peaks are
+    * 3/3/4 at sf0.001/0.01/0.1). */
+  val BurstMin = 3L
+
+  /** q46: event-time trailing-interval windows — the per-EVENT rolling
+    * aggregate q37's fixed tumbling/sliding grid cannot express: at
+    * every event, how many events (and how much value) its user
+    * produced in the trailing hour and trailing 10 minutes. This is the
+    * rate-limiter / burst-detector shape: the decision attaches to the
+    * EVENT, not a bucket, so the frame must slide per row. Frames are
+    * RANGE over epoch MICROSECONDS — both engines order by the same
+    * BIGINT; INTERVAL literals over sub-second timestamps are a
+    * boundary-semantics trap between engines, epoch-integer ranges are
+    * not (boundary inclusive: exactly-one-hour-ago counts). Duplicate
+    * timestamps are RANGE peers in both engines, so ties cannot skew
+    * the frame. Scale: ONE shuffle on user_id; both frames ride the
+    * same sort within the partition; the rollup reuses the exchange. */
+  def q46TrailingWindow(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.events(s, d)
+      .select(col("user_id"), col("value"), unix_micros(col("ts")).as("tus"))
+    val wH = Window.partitionBy(col("user_id")).orderBy(col("tus"))
+      .rangeBetween(-3600L * 1000000L, 0L)
+    val wM = Window.partitionBy(col("user_id")).orderBy(col("tus"))
+      .rangeBetween(-600L * 1000000L, 0L)
+    base
+      .withColumn("n_1h", count(lit(1)).over(wH))
+      .withColumn("v_1h", round(sum(col("value")).over(wH), 4))
+      .withColumn("n_10m", count(lit(1)).over(wM))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        max(col("n_1h")).as("peak_1h"),
+        max(col("n_10m")).as("peak_10m"),
+        sum(when(col("n_1h") >= BurstMin, 1L).otherwise(0L)).as("n_bursty"),
+        round(max(col("v_1h")), 4).as("max_v_1h"))
+      .orderBy(col("user_id"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q46_trailing_window" -> q46TrailingWindow _,
     "q45_skew_join"       -> q45SkewJoin _,
     "q44_unpivot"         -> q44Unpivot _,
     "q43_stats_panel"     -> q43StatsPanel _,
@@ -979,6 +1019,28 @@ object RelationalQueries {
       WINDOW w AS (PARTITION BY o_orderpriority
                    ORDER BY o_totalprice DESC, o_orderkey)
       ORDER BY o_orderkey""",
+    // q46: the same epoch-microsecond RANGE frames (named windows), the
+    // same inclusive trailing boundaries, per-row round before the max
+    "q46_trailing_window" -> s"""
+      WITH b AS (
+        SELECT user_id, value, epoch_us(ts) AS tus FROM events),
+      w AS (
+        SELECT user_id, value,
+               count(*) OVER h AS n_1h,
+               round(sum(value) OVER h, 4) AS v_1h,
+               count(*) OVER m AS n_10m
+        FROM b
+        WINDOW h AS (PARTITION BY user_id ORDER BY tus
+                     RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW),
+               m AS (PARTITION BY user_id ORDER BY tus
+                     RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW))
+      SELECT user_id, count(*) AS n_events,
+             CAST(max(n_1h) AS BIGINT) AS peak_1h,
+             CAST(max(n_10m) AS BIGINT) AS peak_10m,
+             CAST(sum(CASE WHEN n_1h >= $BurstMin THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_bursty,
+             round(max(v_1h), 4) AS max_v_1h
+      FROM w GROUP BY user_id ORDER BY user_id""",
     "q45_skew_join" -> """
       WITH ev AS (
         SELECT CASE WHEN user_id % 4 <> 0 THEN 0 ELSE user_id END AS sk,

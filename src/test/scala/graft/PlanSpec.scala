@@ -657,6 +657,18 @@ class PlanSpec extends SparkSpec {
     // sizes those at runtime, never forced)
   }
 
+  test("q46: both trailing RANGE frames fuse into one window over one user exchange") {
+    val plan = executed(RelationalQueries.q46TrailingWindow(spark, sf))
+    // same (partition, order) → Catalyst folds the 1 h and 10 m frames
+    // into ONE Window node over ONE sort over ONE exchange; the rollup
+    // reuses the partitioning (no second user_id exchange)
+    assert(plan.linesIterator.count(_.contains("Exchange hashpartitioning(user_id")) == 1,
+      plan)
+    assert(plan.linesIterator.count(_.trim.startsWith("+- Window [")) == 1, plan)
+    assert(plan.contains("RangeFrame, -3600000000") &&
+      plan.contains("RangeFrame, -600000000"), plan)
+  }
+
   test("s23: both rank cuts are group-limited; the corpus never rides a broadcast") {
     val plan = executed(graft.similarity.Similarity.s23HybridRerank(spark, sf))
     assert(!plan.contains("CartesianProduct"), plan)

@@ -211,6 +211,28 @@ class RoundElevenOpsSpec extends SparkSpec {
     assert(adjFires == 0, s"corrected statistic fired on iid sources: $adjFires")
   }
 
+  test("q46: trailing-interval frames match a plain-Scala replay; the burst flag bites") {
+    import graft.queries.RelationalQueries
+    val got = RelationalQueries.q46TrailingWindow(spark, sf).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("n_events"), r.getAs[Long]("peak_1h"),
+          r.getAs[Long]("peak_10m"), r.getAs[Long]("n_bursty"))).toMap
+    assert(got.nonEmpty)
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), unix_micros(col("ts")).as("tus"))
+      .as[(Long, Long)].collect()
+    val expect = ev.groupBy(_._1).map { case (u, xs) =>
+      val ts = xs.map(_._2).sorted
+      val n1h = ts.map(t => ts.count(x => x >= t - 3600000000L && x <= t))
+      val n10 = ts.map(t => ts.count(x => x >= t - 600000000L && x <= t))
+      u -> (ts.length.toLong, n1h.max.toLong, n10.max.toLong,
+        n1h.count(_ >= RelationalQueries.BurstMin).toLong)
+    }
+    assert(got == expect)
+    // the burst flag is non-vacuous on this corpus
+    assert(got.values.map(_._4).sum > 0, "BurstMin never bit")
+  }
+
   test("d14: the bench suite is fixed-size and md5-deterministic (O(1) broadcast law)") {
     val vecs = Tables.embeddings(spark, sf)
       .select(col("vec_id")).as[Long].collect()
