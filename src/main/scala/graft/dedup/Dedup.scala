@@ -1148,8 +1148,11 @@ object Dedup {
     * run; here both sides derive in-query so the oracle can restate the
     * whole decision exactly. The best-match tie-break rides the ROUNDED
     * jaccard (d09's engine-stable arg-max idiom). */
-  def d12IncrementalNearDup(s: SparkSession, d: String): DataFrame = {
-    val ds = docShingles(s, d).repartition(col("doc_id"))
+  /** d12's MinHash-signature + banding stage over an explicit
+    * (doc_id, sh) frame — factored out so st18's in-stream admission
+    * gate computes byte-identical buckets for its micro-batches and its
+    * static history index. */
+  private[graft] def lshBuckets(ds: DataFrame): DataFrame = {
     val exploded = ds.select(col("doc_id"), explode(col("sh")).as("sg"))
       .withColumn("h", xxhash64(col("sg")))
     val mins = (0 until NumHashes).map(i => min(xxhash64(col("h"), lit(i))).as(s"m$i"))
@@ -1158,9 +1161,44 @@ object Dedup {
       struct(lit(b).as("band"),
         xxhash64((0 until BandRows).map(r => col(s"m${b * BandRows + r}")): _*).as("bh"))
     }
-    val buckets = sig
-      .select(col("doc_id"), explode(array(bands: _*)).as("bk"))
+    sig.select(col("doc_id"), explode(array(bands: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
+  }
+
+  /** d12's decision stage over explicit frames — candidates ONLY from
+    * (band, bh) bucket collisions, exact-Jaccard verify at
+    * [[NearDupJ]], per-doc match census with the rounded-jaccard
+    * arg-max. Shared with st18 so the stream's per-micro-batch decision
+    * is the same code path as the batch gate. */
+  private[graft] def nearDupGate(batchSh: DataFrame, batchBk: DataFrame,
+      histSh: DataFrame, histBk: DataFrame): DataFrame = {
+    val candidates = batchBk.as("a")
+      .join(histBk.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh"))
+      .select(col("a.doc_id").as("doc_id"), col("b.doc_id").as("hist_id"))
+      .distinct()
+    candidates
+      .join(batchSh.select(col("doc_id"), col("sh").as("sha")), "doc_id")
+      .join(histSh.select(col("doc_id").as("hist_id"), col("sh").as("shb")),
+        "hist_id")
+      .withColumn("jaccard",
+        size(array_intersect(col("sha"), col("shb"))).cast("double") /
+        size(array_union(col("sha"), col("shb"))).cast("double"))
+      .filter(col("jaccard") >= NearDupJ)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_matches"),
+        max(struct(round(col("jaccard"), 6).as("j"), (-col("hist_id")).as("nid")))
+          .as("best"))
+      .select(col("doc_id"), col("n_matches"),
+        (-col("best.nid")).as("best_match_id"), col("best.j").as("best_jaccard"))
+  }
+
+  /** d12's exact-Jaccard admission floor. */
+  val NearDupJ = 0.6
+
+  def d12IncrementalNearDup(s: SparkSession, d: String): DataFrame = {
+    val ds = docShingles(s, d).repartition(col("doc_id"))
+    val buckets = lshBuckets(ds)
     val candidates = buckets.filter(col("doc_id") % 2 === 1).as("a")
       .join(buckets.filter(col("doc_id") % 2 === 0).as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh"))

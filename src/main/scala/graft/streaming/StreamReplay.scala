@@ -1125,6 +1125,70 @@ object StreamReplay {
     * replays the eviction rather than resurrecting the key. Sizing a
     * production store, budget for live keys + not-yet-compacted
     * tombstones, not live keys alone. */
+  /** st18: in-stream near-dup ADMISSION replay — d12's ingest gate run
+    * where it lives in production: inside the stream. The history side
+    * (even ids) is a maintained LSH index (shingle sets + banded-MinHash
+    * buckets, persisted ONCE — d12's "maintained bucketed table"
+    * scaladoc made literal); the batch side (odd ids) drains through the
+    * real JSON file source in 4 micro-batches, and every micro-batch
+    * runs the SAME gate code path ([[graft.dedup.Dedup.lshBuckets]] +
+    * [[graft.dedup.Dedup.nearDupGate]] — byte-identical bucketing)
+    * against the static index inside `foreachBatch`, appending its
+    * flags to the sink. A doc's decision depends only on (doc, history),
+    * so micro-batch boundaries cannot change any decision and the landed
+    * union must equal d12's single-shot output EXACTLY — the oracle IS
+    * d12's oracle, verbatim (st02's state≡batch discipline applied to an
+    * approximate-similarity operator).
+    *
+    * Scale: the history index loads once and is reused per batch (on a
+    * real cluster: a bucketed table refreshed out-of-band); per batch
+    * the stream computes signatures for ITS rows only, and candidates
+    * come from (band, bh) collisions only. State store: none — the
+    * admission state lives in the index, not the stream. */
+  def st18NearDupReplay(s: SparkSession, d: String): DataFrame =
+    withReplayTmp(s, "graft-st18-") { tmp =>
+      import graft.dedup.Dedup
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.session.timeZone",
+        s.conf.get("spark.sql.session.timeZone", "UTC"))
+      s2.conf.set("spark.sql.shuffle.partitions", "8")
+      def shingled(df: DataFrame): DataFrame = df
+        .select(col("doc_id"), graft.text.TextAnalysis.tokens(col("text")).as("toks"))
+        .select(col("doc_id"), Dedup.shingles(col("toks")).as("sh"))
+      val hist = shingled(Tables.documents(s2, d)
+        .filter(col("doc_id") % 2 === 0)).persist()
+      val histBk = Dedup.lshBuckets(hist).persist()
+      hist.count(); histBk.count()
+      val feed = Tables.documents(s2, d).filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), col("text"),
+          timestamp_seconds(col("doc_id")).as("ts"))
+      stageOrderedJson(feed, nFiles = 4, s"$tmp/incoming", prefix = "a",
+        baseModTime = 1000000L)
+      // pre-create the sink with the gate's schema so an all-clean batch
+      // series still leaves a readable (empty) table
+      Dedup.nearDupGate(hist.limit(0), histBk.limit(0), hist, histBk)
+        .write.mode("overwrite").parquet(s"$tmp/out")
+      val source = StreamingPipeline.jsonFileSource(
+        s2, s"$tmp/incoming", feed.schema, maxFilesPerTrigger = 1,
+        options = Map("timestampFormat" -> JsonTsFormat))
+      val q = source.writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val bSh = shingled(batch)
+          Dedup.nearDupGate(bSh, Dedup.lshBuckets(bSh), hist, histBk)
+            .write.mode("append").parquet(s"$tmp/out")
+          ()
+        }
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val out = s.read.parquet(s"$tmp/out")
+        .orderBy(col("doc_id"))
+        .localCheckpoint(eager = true)
+      hist.unpersist(); histBk.unpersist()
+      out
+    }
+
   def st17TtlReplay(s: SparkSession, d: String): DataFrame =
     withReplayTmp(s, "graft-st17-") { tmp =>
       val s2 = s.newSession()
@@ -1166,6 +1230,7 @@ object StreamReplay {
 
   val queries: Map[String, Q] = Map(
     "st17_ttl_replay" -> st17TtlReplay _,
+    "st18_neardup_replay" -> st18NearDupReplay _,
     "st16_reservoir_replay" -> st16ReservoirReplay _,
     "st01_stream_replay"   -> st01StreamReplay _,
     "st15_sizeflush_replay" -> st15SizeFlushReplay _,
@@ -1190,6 +1255,11 @@ object StreamReplay {
     // the batch restatement of event-time-timer eviction. Interval
     // arithmetic keeps full microsecond precision on both sides (the
     // processor compares gaps in microseconds for exactly this reason).
+    // st18: the stream must land EXACTLY d12's single-shot gate output
+    // (micro-batch boundaries cannot change any (doc, history) decision)
+    // — the oracle is d12's, reused verbatim
+    "st18_neardup_replay" ->
+      graft.dedup.Dedup.oracleSql("d12_incremental_neardup"),
     "st17_ttl_replay" -> """
       WITH brk AS (
         SELECT user_id, ts,

@@ -233,6 +233,17 @@ class RoundElevenOpsSpec extends SparkSpec {
     assert(got.values.map(_._4).sum > 0, "BurstMin never bit")
   }
 
+  test("st18: the streamed admission gate lands exactly d12's batch decisions") {
+    val streamed = graft.streaming.StreamReplay.st18NearDupReplay(spark, sf)
+      .collect().map(_.toSeq).toSet
+    val batch = Dedup.d12IncrementalNearDup(spark, sf)
+      .collect().map(_.toSeq).toSet
+    assert(streamed.nonEmpty, "the gate flagged nothing — vacuous replay")
+    assert(streamed == batch,
+      s"stream/batch divergence: only-stream=${(streamed -- batch).take(3)} " +
+        s"only-batch=${(batch -- streamed).take(3)}")
+  }
+
   test("d14: the bench suite is fixed-size and md5-deterministic (O(1) broadcast law)") {
     val vecs = Tables.embeddings(spark, sf)
       .select(col("vec_id")).as[Long].collect()
