@@ -709,7 +709,53 @@ object RelationalQueries {
       .orderBy(col("user_id"))
   }
 
+  /** q47: running DISTINCT-count window — per user, ordered by event
+    * time, how many DISTINCT event types the user has produced so far,
+    * and when the user first covered the full set. Spark has no
+    * `count(DISTINCT) OVER`, so the operator is re-expressed with the
+    * standard two-window identity: a row is a "discovery" iff it is the
+    * first row of its (user, type) block when the partition is sorted
+    * by (type, time) — `lag(event_type)` detects the block edge — and
+    * the running distinct count is then the running SUM of the
+    * discovery flag in time order. Both windows share ONE hash
+    * partition on user_id (one Exchange, two in-partition Sorts,
+    * PlanSpec-pinned) — the naive per-(user,type) row_number would add
+    * a second full shuffle. The DuckDB oracle runs its NATIVE
+    * `count(DISTINCT …) OVER` — an independently-engineered
+    * implementation of the semantics, not a restatement (a06's oracle
+    * discipline). ROWS frames on a (tus, event_id)-unique ordering on
+    * both sides, so tie-peers cannot differ.
+    *
+    * Scale: one shuffle on user_id; the rollup reuses the partitioning.
+    * Per-row state is O(1) — the discovery flag carries the distinct
+    * set implicitly, where a naive collect_set-over-window materializes
+    * an O(#types) array per ROW. */
+  def q47WindowDistinct(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("tus"))
+    val byType = Window.partitionBy(col("user_id"))
+      .orderBy(col("event_type"), col("tus"), col("event_id"))
+    val byTime = Window.partitionBy(col("user_id"))
+      .orderBy(col("tus"), col("event_id"))
+    base
+      .withColumn("is_first",
+        (lag(col("event_type"), 1).over(byType).isNull ||
+          lag(col("event_type"), 1).over(byType) =!= col("event_type"))
+          .cast("long"))
+      .withColumn("d_sofar", sum(col("is_first")).over(byTime))
+      .withColumn("rn", row_number().over(byTime).cast("long"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("is_first")).as("n_types"),
+        max(when(col("is_first") === 1L, col("rn"))).as("cover_rn"),
+        max(when(col("is_first") === 1L, col("tus"))).as("cover_tus"),
+        max(col("d_sofar")).as("max_d_sofar"))
+      .orderBy(col("user_id"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q47_window_distinct" -> q47WindowDistinct _,
     "q46_trailing_window" -> q46TrailingWindow _,
     "q45_skew_join"       -> q45SkewJoin _,
     "q44_unpivot"         -> q44Unpivot _,
@@ -1019,6 +1065,38 @@ object RelationalQueries {
       WINDOW w AS (PARTITION BY o_orderpriority
                    ORDER BY o_totalprice DESC, o_orderkey)
       ORDER BY o_orderkey""",
+    // q47: DuckDB's NATIVE count(DISTINCT) OVER — an independently-
+    // engineered implementation of the running-distinct semantics, not
+    // a restatement of Spark's two-window identity. cover_rn/cover_tus
+    // are derived the independent way too: the first row where the
+    // running distinct count reaches the user's total.
+    "q47_window_distinct" -> """
+      WITH b AS (
+        SELECT user_id, event_type, event_id, epoch_us(ts) AS tus
+        FROM events),
+      w AS (
+        SELECT user_id, tus,
+               count(DISTINCT event_type) OVER (
+                 PARTITION BY user_id ORDER BY tus, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS d,
+               row_number() OVER (
+                 PARTITION BY user_id ORDER BY tus, event_id) AS rn
+        FROM b),
+      t AS (
+        SELECT user_id, count(*) AS n_events,
+               count(DISTINCT event_type) AS n_types
+        FROM b GROUP BY user_id)
+      SELECT t.user_id,
+             CAST(t.n_events AS BIGINT) AS n_events,
+             CAST(t.n_types AS BIGINT) AS n_types,
+             CAST(min(CASE WHEN w.d = t.n_types THEN w.rn END) AS BIGINT)
+               AS cover_rn,
+             CAST(min(CASE WHEN w.d = t.n_types THEN w.tus END) AS BIGINT)
+               AS cover_tus,
+             CAST(max(w.d) AS BIGINT) AS max_d_sofar
+      FROM w JOIN t USING (user_id)
+      GROUP BY t.user_id, t.n_events, t.n_types
+      ORDER BY t.user_id""",
     // q46: the same epoch-microsecond RANGE frames (named windows), the
     // same inclusive trailing boundaries, per-row round before the max
     "q46_trailing_window" -> s"""

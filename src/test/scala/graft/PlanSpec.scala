@@ -657,6 +657,17 @@ class PlanSpec extends SparkSpec {
     // sizes those at runtime, never forced)
   }
 
+  test("q47: both distinct-count windows share one user exchange (two sorts, no second shuffle)") {
+    val plan = executed(RelationalQueries.q47WindowDistinct(spark, sf))
+    // the (type,time) lag window and the (time) running-sum window need
+    // different in-partition ORDERS but the same user_id DISTRIBUTION —
+    // the plan must pay one Exchange and re-sort in place, and the
+    // rollup must reuse the partitioning
+    assert(plan.linesIterator.count(_.contains("Exchange hashpartitioning(user_id")) == 1,
+      plan)
+    assert(plan.linesIterator.count(_.trim.startsWith("+- Window [")) == 2, plan)
+  }
+
   test("q46: both trailing RANGE frames fuse into one window over one user exchange") {
     val plan = executed(RelationalQueries.q46TrailingWindow(spark, sf))
     // same (partition, order) → Catalyst folds the 1 h and 10 m frames

@@ -233,6 +233,37 @@ class RoundElevenOpsSpec extends SparkSpec {
     assert(got.values.map(_._4).sum > 0, "BurstMin never bit")
   }
 
+  test("q47: running-distinct window matches a plain-Scala replay; coverage precedes the last event somewhere") {
+    import graft.queries.RelationalQueries
+    val got = RelationalQueries.q47WindowDistinct(spark, sf).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("n_events"), r.getAs[Long]("n_types"),
+          r.getAs[Long]("cover_rn"), r.getAs[Long]("cover_tus"),
+          r.getAs[Long]("max_d_sofar"))).toMap
+    assert(got.nonEmpty)
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("tus"))
+      .as[(Long, String, Long, Long)].collect()
+    val expect = ev.groupBy(_._1).map { case (u, xs) =>
+      // time order with the event_id tie-break — the replayed stream
+      val ordered = xs.sortBy(x => (x._4, x._3))
+      val seen = scala.collection.mutable.Set[String]()
+      var coverRn = 0L; var coverTus = 0L; var rn = 0L
+      ordered.foreach { x =>
+        rn += 1
+        if (seen.add(x._2)) { coverRn = rn; coverTus = x._4 }
+      }
+      u -> (ordered.length.toLong, seen.size.toLong, coverRn, coverTus,
+        seen.size.toLong)
+    }
+    assert(got == expect)
+    // non-vacuous: some user keeps producing events after covering its
+    // full type set (cover_rn < n_events), and some user has > 1 type
+    assert(got.values.exists(v => v._3 < v._1), "coverage never precedes the last event")
+    assert(got.values.exists(_._2 > 1L), "every user is single-typed")
+  }
+
   test("st18: the streamed admission gate lands exactly d12's batch decisions") {
     val streamed = graft.streaming.StreamReplay.st18NearDupReplay(spark, sf)
       .collect().map(_.toSeq).toSet
