@@ -110,6 +110,97 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** d20's Jaccard threshold. 0.5 (vs d02's 0.6) so the row has its own
+    * census; exactly representable in binary, so the `ceil(τ·n)` prefix
+    * arithmetic cannot sit on an FP boundary in either engine. */
+  val PrefixTau = 0.5
+
+  /** d20: prefix-filtered set-similarity self-join (the SSJoin/PPJoin
+    * candidate discipline — Chaudhuri et al. ICDE'06, Xiao et al.
+    * WWW'08): exact Jaccard ≥ [[PrefixTau]] pairs, with candidates
+    * generated from token PREFIXES instead of the full inverted index.
+    *
+    * Every shingle gets a global rarity order (document frequency asc,
+    * hash asc); each document keeps only its first `n − ⌈τ·n⌉ + 1`
+    * shingles in that order as its prefix. Two sets with J ≥ τ overlap
+    * in ≥ ⌈τ·max(|x|,|y|)⌉ elements (union ≥ |x| forces o ≥ τ·|x|), and
+    * sets sharing ≥ o elements must collide inside their
+    * `len − o + 1`-prefixes (the SSJoin lemma), so prefix collisions
+    * lose NO true pair — the spec proves the census equals the
+    * all-shingles census, and the oracle recomputes it without any
+    * prefix at all.
+    *
+    * Why this beats d02's full inverted index at scale: the index join
+    * costs Σ_shingle df² — dominated by the boilerplate HEAD (stopword
+    * shingles with df in the thousands). Rarity ordering puts exactly
+    * those last, so they fall OUTSIDE every prefix and never enter the
+    * join; candidate work concentrates on rare shingles where df ≈ 1.
+    * The size gate `min ≥ ⌈τ·max⌉` (J ≤ min/max) prunes cross-length
+    * collisions before the verify. Verification joins the (bounded)
+    * candidate list back to the shingle sets BY ID — partitioned
+    * shuffle-hash joins, never a pair-list broadcast (d16's rule).
+    *
+    * Plan: one exchange on `h` builds the rarity-ranked index (df join),
+    * one on doc_id ranks prefixes, the prefix frame funnels through one
+    * `repartition(h)` both self-join sides reuse (d02's ReusedExchange
+    * pattern), and the verify is id-keyed. */
+  def d20PrefixJoin(s: SparkSession, d: String): DataFrame = {
+    val ds = docShingles(s, d)
+    val inv = ds.select(col("doc_id"), explode(col("sh")).as("sg"))
+      .select(col("doc_id"), xxhash64(col("sg")).as("h"))
+    val dfreq = inv.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val wDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("df"), col("h"))
+    val wSize = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+    val prefix = inv.join(dfreq, "h")
+      .withColumn("pos", row_number().over(wDoc))
+      .withColumn("n", count(lit(1)).over(wSize))
+      .filter(col("pos") <= col("n") - ceil(col("n") * PrefixTau) + 1)
+      .select(col("doc_id"), col("h"), col("n"))
+      .repartition(col("h"))
+    val cand = prefix.as("a").join(prefix.as("b").hint("merge"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id") &&
+          least(col("a.n"), col("b.n")) >=
+            ceil(greatest(col("a.n"), col("b.n")) * PrefixTau))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(ds.select(col("doc_id").as("doc_a"), col("sh").as("sha")).hint("shuffle_hash"), "doc_a")
+      .join(ds.select(col("doc_id").as("doc_b"), col("sh").as("shb")).hint("shuffle_hash"), "doc_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("sha"), col("shb"))).cast("double") /
+          size(array_union(col("sha"), col("shb"))).cast("double"))
+      .filter(col("jaccard") >= PrefixTau)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** d20's candidate pair list before verification — exposed for the
+    * spec's completeness/efficiency laws (output census ⊆ candidates;
+    * candidates strictly fewer than the full inverted-index meets). */
+  private[graft] def d20Candidates(s: SparkSession, d: String): DataFrame = {
+    val ds = docShingles(s, d)
+    val inv = ds.select(col("doc_id"), explode(col("sh")).as("sg"))
+      .select(col("doc_id"), xxhash64(col("sg")).as("h"))
+    val dfreq = inv.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val wDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("df"), col("h"))
+    val wSize = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+    val prefix = inv.join(dfreq, "h")
+      .withColumn("pos", row_number().over(wDoc))
+      .withColumn("n", count(lit(1)).over(wSize))
+      .filter(col("pos") <= col("n") - ceil(col("n") * PrefixTau) + 1)
+      .select(col("doc_id"), col("h"), col("n"))
+    prefix.as("a").join(prefix.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id") &&
+          least(col("a.n"), col("b.n")) >=
+            ceil(greatest(col("a.n"), col("b.n")) * PrefixTau))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
   /** MinHash parameters: 64 hashes = 32 bands × 2 rows.
     *
     * Geometry chosen for detection certainty AT the decision threshold,
@@ -1449,6 +1540,7 @@ object Dedup {
   val queries: Map[String, Q] = Map(
     "d01_exact_dedup"       -> d01ExactDedup _,
     "d02_ngram_jaccard"     -> d02NgramJaccard _,
+    "d20_prefix_join"       -> d20PrefixJoin _,
     "d03_minhash_lsh"       -> d03MinHashLsh _,
     "d04_simhash"           -> d04SimHashContract _,
     "d05_embedding_neardup" -> d05EmbeddingNearDup _,
@@ -1490,10 +1582,10 @@ object Dedup {
                row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn
         FROM l)"""
 
-  /** Jaccard-pair CTE body shared by the d02/d03 oracles and d07's
-    * recursive component oracle: `jpairs` is the exact J ≥ 0.6 pair
-    * list. */
-  private val JaccardPairsCte = s"""
+  /** Jaccard-pair CTE body shared by the d02/d03 oracles, d07's
+    * recursive component oracle, and d20 (at its own threshold):
+    * `jpairs` is the exact J ≥ `tau` pair list. */
+  private def jaccardPairsCte(tau: Double) = s"""
     toks AS (
       SELECT doc_id, ${graft.text.TextAnalysis.ToksSql} AS t
       FROM documents),
@@ -1511,7 +1603,9 @@ object Dedup {
       FROM common
       JOIN sizes sa ON doc_a = sa.doc_id
       JOIN sizes sb ON doc_b = sb.doc_id
-      WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.6)"""
+      WHERE c * 1.0 / (sa.n + sb.n - c) >= $tau)"""
+
+  private val JaccardPairsCte = jaccardPairsCte(0.6)
 
   /** Jaccard-pair SQL shared by d02 and d03 (LSH verified output = exact
     * output; see [[NumHashes]]). d04 is hash-defined → its oracle states
@@ -1791,6 +1885,13 @@ object Dedup {
       GROUP BY user_id, event_type
       ORDER BY user_id, event_type""",
     "d02_ngram_jaccard" -> JaccardPairsSql,
+    // d20: the SAME exact census at τ = 0.5 with NO prefix filter at
+    // all — oracle-side completeness is structural, so a missing pair
+    // in the Spark output (a broken prefix) is a hash mismatch
+    "d20_prefix_join" -> s"""
+      WITH ${jaccardPairsCte(PrefixTau)}
+      SELECT doc_a, doc_b, jaccard FROM jpairs
+      ORDER BY doc_a, doc_b""",
     "d03_minhash_lsh"   -> JaccardPairsSql,
     "d08_contamination" -> s"""
       WITH toks AS (

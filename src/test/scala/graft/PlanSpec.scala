@@ -657,6 +657,21 @@ class PlanSpec extends SparkSpec {
     // sizes those at runtime, never forced)
   }
 
+  test("d20: prefix self-join reuses one exchange; verify joins are id-partitioned, never a pair broadcast") {
+    val plan = executed(graft.dedup.Dedup.d20PrefixJoin(spark, sf))
+    // the prefix frame funnels through one repartition(h) that both
+    // self-join sides consume (d02's ReusedExchange pattern)
+    assert(plan.contains("ReusedExchange"), plan)
+    // the exact-Jaccard verify must fetch texts with PARTITIONED joins
+    // (d16's rule: a pair list grows with dup structure and must never
+    // be a broadcast build side carrying shingle payloads)
+    assert(plan.linesIterator.count(l =>
+      l.contains("ShuffledHashJoin [doc_a") || l.contains("ShuffledHashJoin [doc_b")) == 2,
+      plan)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("q47: both distinct-count windows share one user exchange (two sorts, no second shuffle)") {
     val plan = executed(RelationalQueries.q47WindowDistinct(spark, sf))
     // the (type,time) lag window and the (time) running-sum window need

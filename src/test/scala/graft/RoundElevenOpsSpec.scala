@@ -264,6 +264,48 @@ class RoundElevenOpsSpec extends SparkSpec {
     assert(got.values.exists(_._2 > 1L), "every user is single-typed")
   }
 
+  test("d20: prefix-filter census equals brute force; candidates are complete AND strictly pruned") {
+    // plain-Scala exact τ=0.5 census: the same norm/tokenize/3-gram
+    // pipeline rebuilt independently of Catalyst
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    def shingleSet(text: String): Set[String] =
+      text.trim.toLowerCase.replaceAll("\\s+", " ").split(" ")
+        .sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+    val sets = docs.map { case (id, t) => id -> shingleSet(t) }.toMap
+    val ids = sets.keys.toSeq.sorted
+    val expect = (for {
+      i <- ids.indices.iterator; j <- (i + 1) until ids.length
+      a = ids(i); b = ids(j)
+      inter = (sets(a) & sets(b)).size
+      uni = (sets(a) | sets(b)).size
+      if uni > 0 && inter.toDouble / uni >= Dedup.PrefixTau
+    } yield (a, b)).toSet
+
+    val got = Dedup.d20PrefixJoin(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(got == expect)
+    assert(got.nonEmpty, "τ=0.5 census empty — the law is vacuous")
+
+    // completeness: every true pair is a prefix-collision candidate
+    val cands = Dedup.d20Candidates(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(expect.subsetOf(cands),
+      s"prefix filter lost true pairs: ${(expect -- cands).take(3)}")
+
+    // efficiency: prefix candidates are STRICTLY fewer than the full
+    // inverted-index meet census (the Σ df² head never joins)
+    val fullMeets = docs.length.toLong * (docs.length - 1) / 2 min {
+      val invPairs = (for {
+        i <- ids.indices.iterator; j <- (i + 1) until ids.length
+        if (sets(ids(i)) & sets(ids(j))).nonEmpty
+      } yield 1L).sum
+      invPairs
+    }
+    assert(cands.size < fullMeets,
+      s"prefix filter pruned nothing: ${cands.size} vs $fullMeets meets")
+  }
+
   test("st18: the streamed admission gate lands exactly d12's batch decisions") {
     val streamed = graft.streaming.StreamReplay.st18NearDupReplay(spark, sf)
       .collect().map(_.toSeq).toSet
