@@ -679,7 +679,11 @@ object TextAnalysis {
     * Token-less documents have no feature rows and thus no score row, in
     * both engines. `keep` thresholds the ROUNDED score so the cut is
     * engine-stable at the boundary. */
-  def t18Classifier(s: SparkSession, d: String): DataFrame = {
+  /** The hashed-linear-classifier scored frame shared by t18 and g38:
+    * (doc_id, n_tokens, score), score = sigmoid of the mean hashed
+    * token weight, rounded 6 dp (the rounding is the cross-engine
+    * determinism seam — g38 bins the ROUNDED value). */
+  private def hashedClfScored(s: SparkSession, d: String): DataFrame = {
     val weights = s.range(DsirBuckets.toLong)
       .select(col("id").cast("int").as("b"),
         (conv(substring(md5(concat(lit("clf"), col("id").cast("int"))), 1, 3),
@@ -694,9 +698,46 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_tokens"),
         round(lit(1.0) / (lit(1.0) +
           exp(-(sum(col("w")) / count(lit(1))))), 6).as("score"))
+  }
+
+  def t18Classifier(s: SparkSession, d: String): DataFrame =
+    hashedClfScored(s, d)
       .select(col("doc_id"), col("n_tokens"), col("score"),
         (col("score") >= 0.5).as("keep"))
       .orderBy(col("doc_id"))
+
+  /** g38: calibration audit (reliability diagram + ECE) of the hashed
+    * classifier against a deterministic ground truth (lang = 'en') —
+    * the model-quality check a data board runs before trusting a cheap
+    * quality filter's scores as probabilities (Guo et al. '17). Scores
+    * bin by decile of the 6-dp-ROUNDED sigmoid (both engines bin the
+    * identical value, so bin edges cannot split between them); per bin
+    * the row reports n, positives, and the exact integer gap
+    * n·|mean_pred − obs_rate|·1e6 = |Σ score_micros − n_pos·1e6| — no
+    * division ever happens, so there is no accumulation-order FP to
+    * drift. The bin = −1 row is the corpus rollup whose gap_micros is
+    * ECE·N·1e6 (the sum of per-bin gaps, not the gap of sums).
+    *
+    * Scale: one token-explode scan (the t18 pipeline), a ≤10-key
+    * aggregate, and a 10-row rollup — nothing beyond t18's cost. */
+  def g38Calibration(s: SparkSession, d: String): DataFrame = {
+    val truth = Tables.documents(s, d)
+      .select(col("doc_id"), (col("lang") === "en").as("y"))
+    val scored = hashedClfScored(s, d).join(truth, "doc_id")
+      .select(least(floor(col("score") * 10).cast("long"), lit(9L)).as("bin"),
+        round(col("score") * 1000000).cast("long").as("score_micros"),
+        col("y").cast("long").as("pos"))
+    val bins = scored.groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("pos")).as("n_pos"),
+        sum(col("score_micros")).as("sum_score_micros"))
+      .withColumn("gap_micros",
+        abs(col("sum_score_micros") - col("n_pos") * 1000000L))
+    val total = bins.agg(sum(col("n")).as("n"), sum(col("n_pos")).as("n_pos"),
+        sum(col("sum_score_micros")).as("sum_score_micros"),
+        sum(col("gap_micros")).as("gap_micros"))
+      .select(lit(-1L).as("bin"), col("n"), col("n_pos"),
+        col("sum_score_micros"), col("gap_micros"))
+    bins.unionByName(total).orderBy(col("bin"))
   }
 
   /** t19 low-entropy gate: a doc whose character distribution carries
@@ -1251,6 +1292,7 @@ object TextAnalysis {
     "t16_dsir_weights" -> t16DsirWeights _,
     "t17_gopher_rules" -> t17GopherRules _,
     "t18_classifier"   -> t18Classifier _,
+    "g38_calibration"  -> g38Calibration _,
     "t19_char_entropy" -> t19CharEntropy _,
     "t20_readability" -> t20Readability _,
     "t21_bigram_lm"   -> t21BigramLm _,
@@ -1267,6 +1309,25 @@ object TextAnalysis {
     * default. */
   val NormSql = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
   val ToksSql = s"string_split($NormSql, ' ')"
+
+  /** The t18 hashed-classifier scored frame as DuckDB CTEs (`f`/`w`/`s`)
+    * — shared by the t18 and g38 oracles so the scoring formula cannot
+    * drift between the rows that consume it. */
+  private val HashedClfCteSql = s"""
+      f AS (
+        SELECT doc_id,
+               CAST(CAST('0x' || substr(md5(term), 1, 3) AS INT) AS INT) AS b
+        FROM (SELECT doc_id, unnest($ToksSql) AS term FROM documents)
+        WHERE term <> ''),
+      w AS (
+        SELECT CAST(range AS INT) AS b,
+               CAST(CAST('0x' || substr(md5('clf' || range), 1, 3) AS INT)
+                 AS DOUBLE) / $ClfWeightScale - 1.0 AS w
+        FROM range($DsirBuckets)),
+      s AS (
+        SELECT f.doc_id, count(*) AS n_tokens,
+               round(1.0 / (1.0 + exp(-(sum(w.w) / count(*)))), 6) AS score
+        FROM f JOIN w USING (b) GROUP BY f.doc_id)"""
 
   /** The t04 content fingerprint — shared by the t04/d06/p16 oracles. */
   val FpSql = s"md5($NormSql)"
@@ -1691,23 +1752,36 @@ object TextAnalysis {
     // stub, same sigmoid; keep thresholds the rounded score in both
     // engines so the 0.5 cut cannot flip on float noise
     "t18_classifier" -> s"""
-      WITH f AS (
-        SELECT doc_id,
-               CAST(CAST('0x' || substr(md5(term), 1, 3) AS INT) AS INT) AS b
-        FROM (SELECT doc_id, unnest($ToksSql) AS term FROM documents)
-        WHERE term <> ''),
-      w AS (
-        SELECT CAST(range AS INT) AS b,
-               CAST(CAST('0x' || substr(md5('clf' || range), 1, 3) AS INT)
-                 AS DOUBLE) / $ClfWeightScale - 1.0 AS w
-        FROM range($DsirBuckets)),
-      s AS (
-        SELECT f.doc_id, count(*) AS n_tokens,
-               round(1.0 / (1.0 + exp(-(sum(w.w) / count(*)))), 6) AS score
-        FROM f JOIN w USING (b) GROUP BY f.doc_id)
+      WITH $HashedClfCteSql
       SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, score,
              score >= 0.5 AS keep
       FROM s ORDER BY doc_id""",
+    // g38: the identical scored CTE; bins on the 6-dp-rounded score,
+    // all gaps in exact integer micro-units (no division anywhere)
+    "g38_calibration" -> s"""
+      WITH $HashedClfCteSql,
+      sc AS (
+        SELECT least(CAST(floor(s.score * 10) AS BIGINT), 9) AS bin,
+               CAST(round(s.score * 1000000) AS BIGINT) AS score_micros,
+               CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS pos
+        FROM s JOIN documents d USING (doc_id)),
+      bins AS (
+        SELECT bin, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(pos) AS BIGINT) AS n_pos,
+               CAST(sum(score_micros) AS BIGINT) AS sum_score_micros
+        FROM sc GROUP BY bin),
+      g AS (
+        SELECT bin, n, n_pos, sum_score_micros,
+               abs(sum_score_micros - n_pos * 1000000) AS gap_micros
+        FROM bins)
+      SELECT bin, n, n_pos, sum_score_micros,
+             CAST(gap_micros AS BIGINT) AS gap_micros FROM g
+      UNION ALL
+      SELECT -1, CAST(sum(n) AS BIGINT), CAST(sum(n_pos) AS BIGINT),
+             CAST(sum(sum_score_micros) AS BIGINT),
+             CAST(sum(gap_micros) AS BIGINT)
+      FROM g
+      ORDER BY bin""",
     // t19: the same H = ln n − Σ c·ln c / n identity over per-doc char
     // counts; string_split(s, '') splits to characters in both engines
     "t19_char_entropy" -> s"""

@@ -306,6 +306,46 @@ class RoundElevenOpsSpec extends SparkSpec {
       s"prefix filter pruned nothing: ${cands.size} vs $fullMeets meets")
   }
 
+  test("g38: calibration bins match a plain-Scala sigmoid rebuild; ECE row is the sum of per-bin gaps") {
+    import graft.text.TextAnalysis
+    val got = TextAnalysis.g38Calibration(spark, sf).collect()
+      .map(r => r.getAs[Long]("bin") ->
+        (r.getAs[Long]("n"), r.getAs[Long]("n_pos"),
+          r.getAs[Long]("sum_score_micros"), r.getAs[Long]("gap_micros"))).toMap
+    assert(got.contains(-1L))
+
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"), col("lang"))
+      .as[(Long, String, String)].collect()
+    def weight(term: String): Double =
+      Integer.parseInt(md5hex("clf" +
+        Integer.parseInt(md5hex(term).take(3), 16) % TextAnalysis.DsirBuckets)
+        .take(3), 16) / TextAnalysis.ClfWeightScale - 1.0
+    val rebuilt = docs.flatMap { case (_, text, lang) =>
+      val toks = text.trim.toLowerCase.replaceAll("\\s+", " ")
+        .split(" ").filter(_.nonEmpty)
+      if (toks.isEmpty) None else {
+        val mean = toks.map(weight).sum / toks.length
+        val score = BigDecimal(1.0 / (1.0 + math.exp(-mean)))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        val bin = math.min(math.floor(score * 10).toLong, 9L)
+        Some((bin, math.round(score * 1000000), if (lang == "en") 1L else 0L))
+      }
+    }
+    val bins = rebuilt.groupBy(_._1).map { case (b, xs) =>
+      b -> (xs.length.toLong, xs.map(_._3).sum, xs.map(_._2).sum,
+        math.abs(xs.map(_._2).sum - xs.map(_._3).sum * 1000000L))
+    }
+    val totalGap = bins.values.map(_._4).sum
+    val expect = bins + (-1L -> (rebuilt.length.toLong,
+      rebuilt.map(_._3).sum, rebuilt.map(_._2).sum, totalGap))
+    assert(got == expect)
+    // the rollup gap is the SUM of per-bin gaps (ECE·N·1e6), not the
+    // gap of the sums — miscalibration in opposite directions must not
+    // cancel
+    assert(got(-1L)._4 == got.filter(_._1 >= 0).values.map(_._4).sum)
+  }
+
   test("st18: the streamed admission gate lands exactly d12's batch decisions") {
     val streamed = graft.streaming.StreamReplay.st18NearDupReplay(spark, sf)
       .collect().map(_.toSeq).toSet
