@@ -101,7 +101,8 @@ object SparkEntry {
     "d16_edit_refine",        // levenshtein over the full pair census
     "s11_knn_graph",          // all-pairs kNN edge census
     "s13_knn_classify",       // full-holdout x labeled cross join
-    "g11_class_tightness")    // within-class all-pairs statistics
+    "g11_class_tightness",    // within-class all-pairs statistics
+    "p34_skyline")            // NOT EXISTS dominance census (all-pairs)
     .map(_ -> "quadratic").toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -1764,7 +1764,88 @@ object PipelineQueries {
       .orderBy(col("rank"))
   }
 
+  /** p34 sample size: the pruning set is the exact skyline of the
+    * [[SkylineSampleN]] docs with the smallest md5(doc_id) — the d14
+    * fixed-size rule, so the broadcast is O(1) in corpus size. */
+  val SkylineSampleN = 200
+
+  /** The p34 per-document metric frame: three maximize-all criteria a
+    * curation board trades off — length (n_toks), lexical diversity
+    * (distinct-token ratio), and substance (stopword-free ratio), the
+    * ratios as exact integer micro-units (`1e6·a DIV b`, `//` ≡ `DIV`
+    * on non-negatives). One scan, no shuffle. */
+  private[graft] def p34Metrics(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        split(graft.text.TextAnalysis.normText(col("text")), " ").as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n_toks"),
+        size(array_distinct(col("toks"))).cast("long").as("n_dis"),
+        size(filter(col("toks"),
+          t => t.isin(graft.text.TextAnalysis.Stopwords: _*)))
+          .cast("long").as("n_stop"))
+      .select(col("doc_id"), col("n_toks"),
+        expr("n_dis * 1000000 DIV n_toks").as("div_micros"),
+        expr("(n_toks - n_stop) * 1000000 DIV n_toks").as("nsw_micros"))
+
+  /** `y` strictly dominates `x`: ≥ on every criterion, > on at least
+    * one. Ties and duplicate metric tuples dominate nothing, so equal
+    * frontier points all survive — the standard skyline definition. */
+  private def p34Dominates(y: String, x: String): Column = {
+    val ge = col(s"$y.n_toks") >= col(s"$x.n_toks") &&
+      col(s"$y.div_micros") >= col(s"$x.div_micros") &&
+      col(s"$y.nsw_micros") >= col(s"$x.nsw_micros")
+    val gt = col(s"$y.n_toks") > col(s"$x.n_toks") ||
+      col(s"$y.div_micros") > col(s"$x.div_micros") ||
+      col(s"$y.nsw_micros") > col(s"$x.nsw_micros")
+    ge && gt
+  }
+
+  /** The corpus after the sample-skyline prune — exposed so the spec
+    * can assert the prune BITES (survivors ≪ corpus) as well as stays
+    * sound (equality law covers that). */
+  private[graft] def p34Survivors(s: SparkSession, d: String): DataFrame = {
+    val m = p34Metrics(s, d)
+    val sample = m.orderBy(md5(col("doc_id").cast("string")))
+      .limit(SkylineSampleN)
+    val sampleSky = sample.as("x")
+      .join(sample.as("y"), p34Dominates("y", "x"), "left_anti")
+    m.as("x").join(broadcast(sampleSky).as("y"),
+      p34Dominates("y", "x"), "left_anti")
+  }
+
+  /** p34: Pareto-frontier (skyline) curation — the documents no other
+    * document beats on ALL of length, lexical diversity, and
+    * stopword-free substance at once (Börzsönyi et al. ICDE'01): the
+    * multi-criteria "best of corpus" cut a data board takes when no
+    * single quality score is trusted to weigh the criteria.
+    *
+    * Dominance is a partial order with no equi-join key, so a naive
+    * skyline is an all-pairs product. The distributed plan is
+    * sample-prune-verify: (1) the exact skyline of a FIXED
+    * [[SkylineSampleN]]-doc md5-gated sample (bounded 200² check)
+    * broadcasts as the pruning set; (2) one anti-join drops every
+    * corpus doc strictly dominated by a sample-skyline point — each
+    * sample frontier point eliminates a whole dominated ORTHANT, the
+    * classic sample-prune bound, and the prune is sound because
+    * dominance is transitive; (3) the exact skyline of the survivors.
+    * Stage 3 is all-pairs over survivors only — correct because every
+    * dominator of a survivor is itself a survivor (z dom y dom x ⇒
+    * z dom x would have pruned x), honest about the worst case (an
+    * anti-correlated corpus keeps survivors large; this corpus prunes
+    * ~97 % — the spec pins it). The oracle is the premise-free
+    * NOT EXISTS dominance census over the whole corpus, so a prune
+    * that ever dropped a frontier doc is a hash mismatch. */
+  def p34Skyline(s: SparkSession, d: String): DataFrame = {
+    val surv = p34Survivors(s, d).localCheckpoint(true)
+    surv.as("x").join(surv.as("y"), p34Dominates("y", "x"), "left_anti")
+      .select(col("doc_id"), col("n_toks"), col("div_micros"),
+        col("nsw_micros"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "p34_skyline"           -> p34Skyline _,
     "p33_weighted_reservoir" -> p33WeightedReservoir _,
     "p32_pps_sample"        -> p32PpsSample _,
     "g20_sketch_overlap"    -> g20SketchOverlap _,
@@ -1857,6 +1938,32 @@ object PipelineQueries {
       FROM kept GROUP BY 1 ORDER BY 1"""
 
   val oracleSql: Map[String, String] = Map(
+    // p34: the premise-free dominance census — NOT EXISTS over the full
+    // corpus, no sample and no prune, so the Spark plan's pruning logic
+    // is judged by an oracle that never heard of it (quadratic oracle
+    // by construction; see SparkEntry.oracleCost)
+    "p34_skyline" -> s"""
+      WITH t AS (
+        SELECT doc_id, ${graft.text.TextAnalysis.ToksSql} AS toks
+        FROM documents),
+      m AS (
+        SELECT doc_id,
+               CAST(len(toks) AS BIGINT) AS n_toks,
+               CAST(len(list_distinct(toks)) * 1000000 // len(toks)
+                 AS BIGINT) AS div_micros,
+               CAST((len(toks) - len(list_filter(toks, x ->
+                 list_contains(['the','a','of','to','in','and','is'], x))))
+                 * 1000000 // len(toks) AS BIGINT) AS nsw_micros
+        FROM t WHERE len(toks) > 0)
+      SELECT doc_id, n_toks, div_micros, nsw_micros
+      FROM m x
+      WHERE NOT EXISTS (
+        SELECT 1 FROM m y
+        WHERE y.n_toks >= x.n_toks AND y.div_micros >= x.div_micros
+          AND y.nsw_micros >= x.nsw_micros
+          AND (y.n_toks > x.n_toks OR y.div_micros > x.div_micros
+               OR y.nsw_micros > x.nsw_micros))
+      ORDER BY doc_id""",
     // p32: the same integer slot rule over a plain single-pass cumsum
     // (the oracle engine may single-partition; the Spark side must not)
     // p33: the identical A-ES key on the identical 48-bit md5 integers

@@ -346,6 +346,32 @@ class RoundElevenOpsSpec extends SparkSpec {
     assert(got(-1L)._4 == got.filter(_._1 >= 0).values.map(_._4).sum)
   }
 
+  test("p34: skyline matches a brute-force dominance census; the sample prune bites and stays sound") {
+    import graft.queries.PipelineQueries
+    val metrics = PipelineQueries.p34Metrics(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_toks"),
+        r.getAs[Long]("div_micros"), r.getAs[Long]("nsw_micros")))
+    def dom(y: (Long, Long, Long, Long), x: (Long, Long, Long, Long)): Boolean =
+      y._2 >= x._2 && y._3 >= x._3 && y._4 >= x._4 &&
+        (y._2 > x._2 || y._3 > x._3 || y._4 > x._4)
+    val expect = metrics.filter(x => !metrics.exists(y => dom(y, x)))
+      .map(_._1).toSet
+
+    val got = PipelineQueries.p34Skyline(spark, sf).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(got == expect)
+    assert(got.size >= 2 && got.size < metrics.length,
+      s"degenerate frontier: ${got.size} of ${metrics.length}")
+
+    // the prune is effective (survivors ≪ corpus) and sound
+    // (survivors ⊇ frontier — soundness is also implied by equality)
+    val surv = PipelineQueries.p34Survivors(spark, sf).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(expect.subsetOf(surv))
+    assert(surv.size < metrics.length / 2,
+      s"sample prune barely bit: ${surv.size} of ${metrics.length}")
+  }
+
   test("st18: the streamed admission gate lands exactly d12's batch decisions") {
     val streamed = graft.streaming.StreamReplay.st18NearDupReplay(spark, sf)
       .collect().map(_.toSeq).toSet
