@@ -1537,10 +1537,49 @@ object Dedup {
       .orderBy(col("vec_id"))
   }
 
+  /** p35's prune fraction: within every cluster, the ⌈25 %⌉ most
+    * prototypical vectors (highest cosine to their centroid) drop. */
+  val PrototypePruneFrac = 0.25
+
+  /** p35: prototype-based data pruning (the SSL-prototypes rule of
+    * Sorscher et al. '22 / Abbas et al.'s D4 stage after SemDeDup):
+    * where d13 removes vectors too close to EACH OTHER, this removes
+    * the ⌈[[PrototypePruneFrac]]·n⌉ vectors closest to their cluster
+    * CENTROID — the most prototypical examples carry the least
+    * marginal training signal, so the kept set is the "hard" remainder.
+    * Assignment reuses d13's exact rounded-cosine codebook
+    * ([[labelCodebook]]: #labels × #dims bounded literals — the coarse
+    * quantizer discipline), so the whole row is an exact oracle fact;
+    * at production scale s05's k-means centers drop in unchanged.
+    *
+    * Scale: one scan to assign (codebook rides the plan), ONE shuffle
+    * on cluster for the rank/size windows, no pairwise work at all —
+    * the contrast with d13's within-cluster pair screen is the point:
+    * prototype pruning is the O(N) member of the family. */
+  def p35PrototypePrune(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val assigned = e
+      .select(col("vec_id"),
+        nearestCentroid(labelCodebook(s, d), col("embedding")).as("b"))
+      .select(col("vec_id"), col("b.cluster").as("cluster"),
+        col("b.ccos").as("ccos"))
+    val byProto = Window.partitionBy(col("cluster"))
+      .orderBy(col("ccos").desc, col("vec_id"))
+    val bySize = Window.partitionBy(col("cluster"))
+    assigned
+      .withColumn("rank", row_number().over(byProto).cast("long"))
+      .withColumn("n_cluster", count(lit(1)).over(bySize))
+      .withColumn("kept",
+        col("rank") > ceil(col("n_cluster") * PrototypePruneFrac))
+      .orderBy(col("vec_id"))
+  }
+
   val queries: Map[String, Q] = Map(
     "d01_exact_dedup"       -> d01ExactDedup _,
     "d02_ngram_jaccard"     -> d02NgramJaccard _,
     "d20_prefix_join"       -> d20PrefixJoin _,
+    "p35_prototype_prune"   -> p35PrototypePrune _,
     "d03_minhash_lsh"       -> d03MinHashLsh _,
     "d04_simhash"           -> d04SimHashContract _,
     "d05_embedding_neardup" -> d05EmbeddingNearDup _,
@@ -1606,6 +1645,34 @@ object Dedup {
       WHERE c * 1.0 / (sa.n + sb.n - c) >= $tau)"""
 
   private val JaccardPairsCte = jaccardPairsCte(0.6)
+
+  /** The label-mean codebook assignment as DuckDB CTEs (`cm`/`c`/`ac`/
+    * `a`) — shared by the d13 and p35 oracles so the assignment rule
+    * (rounded cosine, ccos DESC / label DESC argmax) cannot drift
+    * between the rows that consume it. */
+  private val CentroidAssignCteSql = s"""
+      cm AS (
+        SELECT label, i, round(avg(CAST(embedding[i] AS DOUBLE)), 9) AS v
+        FROM (SELECT label, embedding,
+                     unnest(range(1, len(embedding) + 1)) AS i
+              FROM embeddings)
+        GROUP BY label, i),
+      c AS (SELECT label, list(v ORDER BY i) AS cen FROM cm GROUP BY label),
+      ac AS (
+        SELECT e.vec_id, e.embedding, c.label,
+               round(
+                 list_sum(list_transform(range(1, len(e.embedding) + 1),
+                   i -> CAST(e.embedding[i] AS DOUBLE) * c.cen[i]))
+                 / (sqrt(list_sum(list_transform(e.embedding,
+                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(c.cen, x -> x * x)))),
+                 6) AS ccos
+        FROM embeddings e CROSS JOIN c),
+      a AS (
+        SELECT vec_id, embedding, label AS cluster, ccos
+        FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                     ORDER BY ccos DESC, label DESC) AS rn FROM ac)
+        WHERE rn = 1)"""
 
   /** Jaccard-pair SQL shared by d02 and d03 (LSH verified output = exact
     * output; see [[NumHashes]]). d04 is hash-defined → its oracle states
@@ -1885,6 +1952,21 @@ object Dedup {
       GROUP BY user_id, event_type
       ORDER BY user_id, event_type""",
     "d02_ngram_jaccard" -> JaccardPairsSql,
+    // p35: the identical assignment CTE; rank/size windows restated,
+    // the prune boundary as the same ceil comparison
+    "p35_prototype_prune" -> s"""
+      WITH $CentroidAssignCteSql,
+      r AS (
+        SELECT vec_id, cluster, ccos,
+               CAST(row_number() OVER (PARTITION BY cluster
+                 ORDER BY ccos DESC, vec_id) AS BIGINT) AS rank,
+               CAST(count(*) OVER (PARTITION BY cluster) AS BIGINT)
+                 AS n_cluster
+        FROM a)
+      SELECT vec_id, cluster, ccos, rank, n_cluster,
+             rank > CAST(ceil(n_cluster * $PrototypePruneFrac) AS BIGINT)
+               AS kept
+      FROM r ORDER BY vec_id""",
     // d20: the SAME exact census at τ = 0.5 with NO prefix filter at
     // all — oracle-side completeness is structural, so a missing pair
     // in the Spark output (a broken prefix) is a hash mismatch
@@ -1960,28 +2042,7 @@ object Dedup {
       FROM a GROUP BY true_label, assigned
       ORDER BY label, assigned""",
     "d13_semdedup" -> s"""
-      WITH cm AS (
-        SELECT label, i, round(avg(CAST(embedding[i] AS DOUBLE)), 9) AS v
-        FROM (SELECT label, embedding,
-                     unnest(range(1, len(embedding) + 1)) AS i
-              FROM embeddings)
-        GROUP BY label, i),
-      c AS (SELECT label, list(v ORDER BY i) AS cen FROM cm GROUP BY label),
-      ac AS (
-        SELECT e.vec_id, e.embedding, c.label,
-               round(
-                 list_sum(list_transform(range(1, len(e.embedding) + 1),
-                   i -> CAST(e.embedding[i] AS DOUBLE) * c.cen[i]))
-                 / (sqrt(list_sum(list_transform(e.embedding,
-                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-                  * sqrt(list_sum(list_transform(c.cen, x -> x * x)))),
-                 6) AS ccos
-        FROM embeddings e CROSS JOIN c),
-      a AS (
-        SELECT vec_id, embedding, label AS cluster, ccos
-        FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
-                     ORDER BY ccos DESC, label DESC) AS rn FROM ac)
-        WHERE rn = 1),
+      WITH $CentroidAssignCteSql,
       p AS (
         SELECT x.vec_id, CAST(count(*) AS BIGINT) AS n_dup_above
         FROM a x JOIN a y

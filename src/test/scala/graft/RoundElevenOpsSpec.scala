@@ -372,6 +372,54 @@ class RoundElevenOpsSpec extends SparkSpec {
       s"sample prune barely bit: ${surv.size} of ${metrics.length}")
   }
 
+  test("p35: prototype prune matches a plain-Scala rebuild; every cluster drops exactly ceil(frac*n)") {
+    val got = Dedup.p35PrototypePrune(spark, sf).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Int]("cluster"), r.getAs[Long]("rank"),
+          r.getAs[Long]("n_cluster"), r.getAs[Boolean]("kept"))).toMap
+    assert(got.nonEmpty)
+
+    // plain-Scala rebuild: label-mean codebook, rounded-cosine argmax
+    // (ties to the larger label), prototypicality rank, ceil prune
+    val vecs = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"), col("label"))
+      .as[(Long, Seq[Float], Int)].collect()
+    val dims = vecs.head._2.length
+    val cents = vecs.groupBy(_._3).map { case (lab, xs) =>
+      lab -> (0 until dims).map(i =>
+        BigDecimal(xs.map(_._2(i).toDouble).sum / xs.length)
+          .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble).toArray
+    }
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val assigned = vecs.map { case (id, em, _) =>
+      val emd = em.map(_.toDouble).toSeq
+      val (lab, cc) = cents.map { case (l, c) =>
+        l -> BigDecimal(cos(emd, c.toSeq))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }.maxBy { case (l, c) => (c, l) }
+      (id, lab, cc)
+    }
+    val expect = assigned.groupBy(_._2).iterator.flatMap { case (_, xs) =>
+      val ranked = xs.sortBy(x => (-x._3, x._1)).zipWithIndex
+      val cut = math.ceil(xs.length * Dedup.PrototypePruneFrac).toLong
+      ranked.map { case ((id, lab, _), i) =>
+        id -> (lab, i + 1L, xs.length.toLong, (i + 1L) > cut)
+      }
+    }.toMap
+    assert(got == expect)
+    // the prune bites in every cluster, and keeps the hard remainder
+    val byCluster = got.values.groupBy(_._1)
+    byCluster.foreach { case (c, xs) =>
+      val n = xs.head._3
+      val kept = xs.count(_._4)
+      assert(kept == n - math.ceil(n * Dedup.PrototypePruneFrac).toLong,
+        s"cluster $c kept $kept of $n")
+    }
+  }
+
   test("st18: the streamed admission gate lands exactly d12's batch decisions") {
     val streamed = graft.streaming.StreamReplay.st18NearDupReplay(spark, sf)
       .collect().map(_.toSeq).toSet
