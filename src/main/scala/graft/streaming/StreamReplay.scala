@@ -1228,7 +1228,64 @@ object StreamReplay {
         .localCheckpoint(eager = true)
     }
 
+  /** st19: running-DISTINCT replay — q47's per-user distinct-coverage
+    * rollup maintained in stream state
+    * ([[StreamingPipeline.trackDistinct]]): the feed drains through the
+    * real JSON file source in 4 range-ordered micro-batches, each batch
+    * folds into the per-key seen-set state sorted by (tus, event_id),
+    * and the final state per user must equal the batch two-window
+    * rollup EXACTLY — the oracle IS q47's oracle verbatim (st02's
+    * state ≡ batch discipline). The final row per user is the one with
+    * the largest running n (monotone across batches).
+    *
+    * Scale: state per key is the distinct-type SET (bounded by the
+    * type domain, not the stream — see [[StreamingPipeline.DistinctState]]);
+    * the memory sink sees one row per (key, batch), never per event. */
+  def st19DistinctReplay(s: SparkSession, d: String): DataFrame =
+    withReplayTmp(s, "graft-st19-") { tmp =>
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.session.timeZone",
+        s.conf.get("spark.sql.session.timeZone", "UTC"))
+      s2.conf.set("spark.sql.shuffle.partitions", "8")
+      import s2.implicits._
+      val qname = "graft_st19_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      try {
+        val ev = Tables.events(s2, d)
+          .select(col("user_id"), col("event_type"), col("event_id"), col("ts"))
+        stageOrderedJson(ev, nFiles = 4, s"$tmp/incoming", prefix = "a",
+          baseModTime = 1000000L)
+        val source = StreamingPipeline.jsonFileSource(
+          s2, s"$tmp/incoming", ev.schema, maxFilesPerTrigger = 1,
+          options = Map("timestampFormat" -> JsonTsFormat))
+        val typed = source
+          .select(col("user_id"), col("event_type"), col("event_id"),
+            unix_micros(col("ts")).as("tus"))
+          .as[(Long, String, Long, Long)]
+        val query = StreamingPipeline.trackDistinct(typed).writeStream
+          .format("memory")
+          .queryName(qname)
+          .outputMode("update")
+          .option("checkpointLocation", s"$tmp/ckpt")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        query.awaitTermination()
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("_1")).orderBy(col("_2").desc)
+        s2.table(qname)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("_1").as("user_id"), col("_2").as("n_events"),
+            col("_3").as("n_types"), col("_4").as("cover_rn"),
+            col("_5").as("cover_tus"), col("_3").as("max_d_sofar"))
+          .orderBy(col("user_id"))
+          .localCheckpoint(eager = true)
+      } finally {
+        try { s2.catalog.dropTempView(qname); () } catch { case _: Throwable => () }
+      }
+    }
+
   val queries: Map[String, Q] = Map(
+    "st19_distinct_replay" -> st19DistinctReplay _,
     "st17_ttl_replay" -> st17TtlReplay _,
     "st18_neardup_replay" -> st18NearDupReplay _,
     "st16_reservoir_replay" -> st16ReservoirReplay _,
@@ -1260,6 +1317,10 @@ object StreamReplay {
     // — the oracle is d12's, reused verbatim
     "st18_neardup_replay" ->
       graft.dedup.Dedup.oracleSql("d12_incremental_neardup"),
+    // st19: the final stream state must equal q47's batch two-window
+    // rollup exactly — the oracle is q47's, reused verbatim
+    "st19_distinct_replay" ->
+      graft.queries.RelationalQueries.oracleSql("q47_window_distinct"),
     "st17_ttl_replay" -> """
       WITH brk AS (
         SELECT user_id, ts,

@@ -261,6 +261,50 @@ object StreamingPipeline {
   /** [[trackState]] semantics on `transformWithState`. Requires the
     * RocksDB state store provider
     * (`spark.sql.streaming.stateStore.providerClass`). */
+  /** Per-key running-distinct state for [[trackDistinct]]: the seen-type
+    * SET rides in state (sorted for a stable encoding), plus the running
+    * row count and the coverage point. State size is O(#distinct types
+    * per key) — bounded by the type DOMAIN, not the stream length; for
+    * an unbounded domain the production swap-in is a KMV/HLL sketch in
+    * the same slot (g20's machinery), which this exact form is the
+    * reference implementation for. */
+  final case class DistinctState(seen: Seq[String], n: Long,
+                                 coverRn: Long, coverTus: Long)
+
+  /** Running DISTINCT tracker (q47's semantics run where they live in
+    * production — inside the stream): per user, count events, track the
+    * distinct event-type set, and record the row index / event time at
+    * which the full set so far was last extended (the coverage point).
+    * Rows are (user, type, event_id, tus); each micro-batch's rows sort
+    * by (tus, event_id) before the fold — within-batch arrival order is
+    * not guaranteed — and the staged feed is range-partitioned on ts,
+    * so cross-batch order is the contract. The decision at each row
+    * depends only on (row, state), so micro-batch boundaries cannot
+    * change any output: the final state equals q47's batch rollup
+    * EXACTLY (st02's state ≡ batch discipline). */
+  def trackDistinct(events: Dataset[(Long, String, Long, Long)])
+      : Dataset[(Long, Long, Long, Long, Long)] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_._1)
+      .mapGroupsWithState[DistinctState, (Long, Long, Long, Long, Long)](
+        GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, String, Long, Long)],
+         state: GroupState[DistinctState]) =>
+          val sorted = rows.toArray.sortBy(x => (x._4, x._3))
+          val prev = state.getOption.getOrElse(DistinctState(Nil, 0L, 0L, 0L))
+          var seen = prev.seen.toSet
+          var n = prev.n; var coverRn = prev.coverRn; var coverTus = prev.coverTus
+          sorted.foreach { x =>
+            n += 1
+            if (!seen.contains(x._2)) {
+              seen += x._2; coverRn = n; coverTus = x._4
+            }
+          }
+          state.update(DistinctState(seen.toSeq.sorted, n, coverRn, coverTus))
+          (user, n, seen.size.toLong, coverRn, coverTus)
+      }
+  }
+
   def trackStateTws(events: Dataset[(String, java.sql.Timestamp)]): Dataset[KeyState] = {
     import events.sparkSession.implicits._
     events.groupByKey(_._1)

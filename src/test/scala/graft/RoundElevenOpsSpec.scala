@@ -420,6 +420,17 @@ class RoundElevenOpsSpec extends SparkSpec {
     }
   }
 
+  test("st19: the streamed distinct tracker's final state equals q47's batch rollup") {
+    val streamed = graft.streaming.StreamReplay.st19DistinctReplay(spark, sf)
+      .collect().map(_.toSeq).toSet
+    val batch = graft.queries.RelationalQueries.q47WindowDistinct(spark, sf)
+      .collect().map(_.toSeq).toSet
+    assert(streamed.nonEmpty)
+    assert(streamed == batch,
+      s"stream/batch divergence: only-stream=${(streamed -- batch).take(3)} " +
+        s"only-batch=${(batch -- streamed).take(3)}")
+  }
+
   test("st18: the streamed admission gate lands exactly d12's batch decisions") {
     val streamed = graft.streaming.StreamReplay.st18NearDupReplay(spark, sf)
       .collect().map(_.toSeq).toSet
