@@ -1269,7 +1269,50 @@ object TextAnalysis {
       .orderBy(col("vocab_size"))
   }
 
+  /** g39's heuristic-keep threshold: splits every test SF near 50/50
+    * (measured medians 0.4317/0.4300/0.4286), so all four agreement
+    * cells stay populated. */
+  val KappaQualityTau = 0.43
+
+  /** g39: inter-signal agreement (Cohen's κ, Cohen '60) between the two
+    * cheap quality raters the engine ships — t18's hashed classifier
+    * (score ≥ 0.5) and t02's heuristic gate (quality ≥
+    * [[KappaQualityTau]]): the audit a data board runs before swapping
+    * one filter for the other, since raw percent-agreement rewards two
+    * raters that both just say "keep". κ = (N·(a+d) − pe) / (N² − pe)
+    * with pe = (a+b)(a+c) + (c+d)(b+d) — emitted as the EXACT BIGINT
+    * numerator/denominator pair (a07's rational-output discipline) plus
+    * the rounded micro-value; the only FP is the one final division,
+    * on identical integers in both engines.
+    *
+    * Scale: both raters are one-scan token aggregates over the same
+    * documents table; the contingency table is a 4-cell aggregate. */
+  def g39Kappa(s: SparkSession, d: String): DataFrame = {
+    val clf = hashedClfScored(s, d)
+      .select(col("doc_id"), (col("score") >= 0.5).as("ka"))
+    val heur = t02Quality(s, d)
+      .select(col("doc_id"), (col("quality") >= KappaQualityTau).as("kb"))
+    val cells = clf.join(heur, "doc_id")
+      .agg(
+        sum(when(col("ka") && col("kb"), 1L).otherwise(0L)).as("a"),
+        sum(when(col("ka") && !col("kb"), 1L).otherwise(0L)).as("b"),
+        sum(when(!col("ka") && col("kb"), 1L).otherwise(0L)).as("c"),
+        sum(when(!col("ka") && !col("kb"), 1L).otherwise(0L)).as("d"))
+    cells
+      .withColumn("n", col("a") + col("b") + col("c") + col("d"))
+      .withColumn("pe_num",
+        (col("a") + col("b")) * (col("a") + col("c")) +
+          (col("c") + col("d")) * (col("b") + col("d")))
+      .withColumn("kappa_num", col("n") * (col("a") + col("d")) - col("pe_num"))
+      .withColumn("kappa_den", col("n") * col("n") - col("pe_num"))
+      .select(col("a"), col("b"), col("c"), col("d"), col("n"),
+        col("kappa_num"), col("kappa_den"),
+        round(col("kappa_num").cast("double") / col("kappa_den").cast("double")
+          * 1000000).cast("long").as("kappa_micros"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "g39_kappa"        -> g39Kappa _,
     "t24_feature_hash" -> t24FeatureHash _,
     "t25_vocab_growth" -> t25VocabGrowth _,
     "t26_bpe_pairs"   -> t26BpePairs _,
@@ -1756,6 +1799,37 @@ object TextAnalysis {
       SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, score,
              score >= 0.5 AS keep
       FROM s ORDER BY doc_id""",
+    // g39: both rater CTEs restated (classifier CTE shared verbatim,
+    // heuristic quality via the shared QualityExprSql), κ as exact
+    // integer numerator/denominator with one final rounded division
+    "g39_kappa" -> s"""
+      WITH $HashedClfCteSql,
+      qh AS (
+        SELECT doc_id, $QualityExprSql AS quality
+        FROM (SELECT doc_id, $ToksSql AS toks, $NormSql AS norm
+              FROM documents)),
+      cells AS (
+        SELECT
+          CAST(sum(CASE WHEN s.score >= 0.5 AND qh.quality >= $KappaQualityTau
+            THEN 1 ELSE 0 END) AS BIGINT) AS a,
+          CAST(sum(CASE WHEN s.score >= 0.5 AND qh.quality < $KappaQualityTau
+            THEN 1 ELSE 0 END) AS BIGINT) AS b,
+          CAST(sum(CASE WHEN s.score < 0.5 AND qh.quality >= $KappaQualityTau
+            THEN 1 ELSE 0 END) AS BIGINT) AS c,
+          CAST(sum(CASE WHEN s.score < 0.5 AND qh.quality < $KappaQualityTau
+            THEN 1 ELSE 0 END) AS BIGINT) AS d
+        FROM s JOIN qh USING (doc_id)),
+      k AS (
+        SELECT a, b, c, d, a + b + c + d AS n,
+               (a + b) * (a + c) + (c + d) * (b + d) AS pe_num
+        FROM cells)
+      SELECT a, b, c, d, n,
+             CAST(n * (a + d) - pe_num AS BIGINT) AS kappa_num,
+             CAST(n * n - pe_num AS BIGINT) AS kappa_den,
+             CAST(round(CAST(n * (a + d) - pe_num AS DOUBLE)
+               / CAST(n * n - pe_num AS DOUBLE) * 1000000) AS BIGINT)
+               AS kappa_micros
+      FROM k""",
     // g38: the identical scored CTE; bins on the 6-dp-rounded score,
     // all gaps in exact integer micro-units (no division anywhere)
     "g38_calibration" -> s"""

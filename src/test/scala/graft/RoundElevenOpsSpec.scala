@@ -420,6 +420,37 @@ class RoundElevenOpsSpec extends SparkSpec {
     }
   }
 
+  test("g39: kappa cells match the raters' own row outputs; the rational identity holds") {
+    import graft.text.TextAnalysis
+    val r = TextAnalysis.g39Kappa(spark, sf).collect().head
+    val (a, b, c, d) = (r.getAs[Long]("a"), r.getAs[Long]("b"),
+      r.getAs[Long]("c"), r.getAs[Long]("d"))
+    val n = r.getAs[Long]("n")
+    // all four cells populated — κ is measuring real disagreement, not
+    // a degenerate rater
+    assert(a > 0 && b > 0 && c > 0 && d > 0, s"degenerate cells: $a $b $c $d")
+    assert(n == a + b + c + d)
+    // rebuild the contingency table from the two raters' OWN driver
+    // rows — the cells must be their join, not an independent formula
+    val ka = TextAnalysis.t18Classifier(spark, sf).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x.getAs[Boolean]("keep")).toMap
+    val kb = TextAnalysis.t02Quality(spark, sf).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        (x.getAs[Double]("quality") >= TextAnalysis.KappaQualityTau)).toMap
+    val cells = ka.keySet.intersect(kb.keySet).toSeq
+      .map(id => (ka(id), kb(id)))
+    assert(a == cells.count(x => x._1 && x._2))
+    assert(b == cells.count(x => x._1 && !x._2))
+    assert(c == cells.count(x => !x._1 && x._2))
+    assert(d == cells.count(x => !x._1 && !x._2))
+    // the rational identity: kappa_num/den restate (po-pe)/(1-pe)
+    val peNum = (a + b) * (a + c) + (c + d) * (b + d)
+    assert(r.getAs[Long]("kappa_num") == n * (a + d) - peNum)
+    assert(r.getAs[Long]("kappa_den") == n * n - peNum)
+    assert(r.getAs[Long]("kappa_micros") ==
+      math.round((n * (a + d) - peNum).toDouble / (n * n - peNum) * 1000000))
+  }
+
   test("st19: the streamed distinct tracker's final state equals q47's batch rollup") {
     val streamed = graft.streaming.StreamReplay.st19DistinctReplay(spark, sf)
       .collect().map(_.toSeq).toSet
