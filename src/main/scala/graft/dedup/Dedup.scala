@@ -145,17 +145,25 @@ object Dedup {
     * `repartition(h)` both self-join sides reuse (d02's ReusedExchange
     * pattern), and the verify is id-keyed. */
   def d20PrefixJoin(s: SparkSession, d: String): DataFrame = {
-    val ds = docShingles(s, d)
-    val inv = ds.select(col("doc_id"), explode(col("sh")).as("sg"))
-      .select(col("doc_id"), xxhash64(col("sg")).as("h"))
-    val dfreq = inv.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    // ONE shingle pass total, eagerly materialized (the round-9
+    // localCheckpoint discipline): the interpreted-HOF shingle pipeline
+    // is the row's dominant CPU, and every later stage — df window,
+    // prefix ranking, candidate self-join, and the verify counting
+    // joins — reads the 16-byte-per-row (doc_id, n, h) frame, never the
+    // text or the shingle arrays. The join-based df census could never
+    // share the explode (column pruning makes its exchange
+    // non-canonical → no ReusedExchange; measured 63 cpu-s vs d02's 14).
+    val inv = docShingles(s, d)
+      .select(col("doc_id"), size(col("sh")).cast("long").as("n"),
+        explode(col("sh")).as("sg"))
+      .select(col("doc_id"), col("n"), xxhash64(col("sg")).as("h"))
+      .localCheckpoint(true)
+    val wDf = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
     val wDoc = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("df"), col("h"))
-    val wSize = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id"))
-    val prefix = inv.join(dfreq, "h")
+    val prefix = inv
+      .withColumn("df", count(lit(1)).over(wDf))
       .withColumn("pos", row_number().over(wDoc))
-      .withColumn("n", count(lit(1)).over(wSize))
       .filter(col("pos") <= col("n") - ceil(col("n") * PrefixTau) + 1)
       .select(col("doc_id"), col("h"), col("n"))
       .repartition(col("h"))
@@ -163,14 +171,22 @@ object Dedup {
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id") &&
           least(col("a.n"), col("b.n")) >=
             ceil(greatest(col("a.n"), col("b.n")) * PrefixTau))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.n").as("na"), col("b.n").as("nb"))
       .distinct()
+    // exact verify WITHOUT materializing shingle sets: count common
+    // hashes per candidate pair (d02's counting form restricted to
+    // candidates) — two partitioned joins on ids/hashes, so neither the
+    // pair list (grows with dup structure) nor the index (grows with
+    // the corpus) is ever a broadcast build side
     cand
-      .join(ds.select(col("doc_id").as("doc_a"), col("sh").as("sha")).hint("shuffle_hash"), "doc_a")
-      .join(ds.select(col("doc_id").as("doc_b"), col("sh").as("shb")).hint("shuffle_hash"), "doc_b")
+      .join(inv.select(col("doc_id").as("doc_a"), col("h")).hint("shuffle_hash"), "doc_a")
+      .join(inv.select(col("doc_id").as("doc_b"), col("h")).hint("shuffle_hash"),
+        Seq("doc_b", "h"))
+      .groupBy(col("doc_a"), col("doc_b"), col("na"), col("nb"))
+      .agg(count(lit(1)).as("c"))
       .withColumn("jaccard",
-        size(array_intersect(col("sha"), col("shb"))).cast("double") /
-          size(array_union(col("sha"), col("shb"))).cast("double"))
+        col("c").cast("double") / (col("na") + col("nb") - col("c")).cast("double"))
       .filter(col("jaccard") >= PrefixTau)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
@@ -180,17 +196,16 @@ object Dedup {
     * spec's completeness/efficiency laws (output census ⊆ candidates;
     * candidates strictly fewer than the full inverted-index meets). */
   private[graft] def d20Candidates(s: SparkSession, d: String): DataFrame = {
-    val ds = docShingles(s, d)
-    val inv = ds.select(col("doc_id"), explode(col("sh")).as("sg"))
-      .select(col("doc_id"), xxhash64(col("sg")).as("h"))
-    val dfreq = inv.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val inv = docShingles(s, d)
+      .select(col("doc_id"), size(col("sh")).cast("long").as("n"),
+        explode(col("sh")).as("sg"))
+      .select(col("doc_id"), col("n"), xxhash64(col("sg")).as("h"))
+    val wDf = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
     val wDoc = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("df"), col("h"))
-    val wSize = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id"))
-    val prefix = inv.join(dfreq, "h")
+    val prefix = inv
+      .withColumn("df", count(lit(1)).over(wDf))
       .withColumn("pos", row_number().over(wDoc))
-      .withColumn("n", count(lit(1)).over(wSize))
       .filter(col("pos") <= col("n") - ceil(col("n") * PrefixTau) + 1)
       .select(col("doc_id"), col("h"), col("n"))
     prefix.as("a").join(prefix.as("b"),
