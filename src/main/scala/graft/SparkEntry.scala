@@ -54,7 +54,7 @@ object SparkEntry {
       .map(_ -> "e2e").toMap +
       ("k01_format_roundtrip" -> "e2e") + ("k02_bucketed_join" -> "e2e") +
       ("k03_json_roundtrip" -> "e2e") + ("k04_schema_evolution" -> "e2e") +
-      ("k05_dpp_prune" -> "e2e") +
+      ("k05_dpp_prune" -> "e2e") + ("k06_file_layout" -> "e2e") +
       // p30 lands three real parquet write/read cycles plus bookmark
       // audit writes against a one-GROUP-BY oracle — the k01 rule
       ("p30_bookmark_ingest" -> "e2e")

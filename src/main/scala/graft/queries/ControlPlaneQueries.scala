@@ -552,7 +552,52 @@ object ControlPlaneQueries {
         .localCheckpoint(eager = true)
     }
 
+  /** k06's per-file row cap — sized so the ceil law bites at every test
+    * SF (≥2 files per key from sf0.001 up). At production scale this is
+    * the 128 MB-target row count; the LAW is what matters. */
+  val LayoutMaxRecords = 150L
+
+  /** k06: physical write-layout contract — the small-files/giant-files
+    * control a 100 TB lake lives or dies by: a Hive-partitioned parquet
+    * write with `maxRecordsPerFile` must land EXACTLY
+    * ⌈rows_key / cap⌉ files per partition key, no more (runaway file
+    * counts kill the namenode/listing) and no fewer (the cap is the
+    * reader's parallelism floor). The precondition that makes the law
+    * exact is the plan, not luck: `repartition(event_type)` puts each
+    * key's rows in ONE task, so the writer's per-task file roll is the
+    * only splitter (without it, task-fragmenting inflates the count
+    * nondeterministically). The row writes the real files, re-reads
+    * them, measures actual files per key via `input_file_name()`, and
+    * emits measured-vs-law columns; the oracle restates the law from
+    * the source table — a writer that ignored the cap, double-rolled,
+    * or lost rows is a hash mismatch. */
+  def k06FileLayout(s: SparkSession, d: String): DataFrame =
+    withTmp(s, "graft-k06-") { tmp =>
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("event_type"), col("value"))
+      ev.repartition(col("event_type"))
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", LayoutMaxRecords)
+        .partitionBy("event_type")
+        .parquet(s"$tmp/lake")
+      val back = s.read.parquet(s"$tmp/lake")
+      back
+        .select(col("event_type"),
+          input_file_name().as("f"), col("event_id"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("f")).as("n_files"))
+        .withColumn("law_files",
+          ceil(col("n_rows").cast("double") / LayoutMaxRecords).cast("long"))
+        .withColumn("law_ok", col("n_files") === col("law_files"))
+        .select(col("event_type"), col("n_rows"), col("n_files"),
+          col("law_files"), col("law_ok"))
+        .orderBy(col("event_type"))
+        .localCheckpoint(eager = true)
+    }
+
   val queries: Map[String, Q] = Map(
+    "k06_file_layout"     -> k06FileLayout _,
     "x01_pipeline_e2e"    -> x01PipelineE2e _,
     "x02_catalog_sql"     -> x02CatalogSql _,
     "x03_parallel_scatter" -> x03ParallelScatter _,
@@ -567,6 +612,19 @@ object ControlPlaneQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // k06: the layout law restated from the SOURCE table — n_files and
+    // law_files must both equal ceil(rows/cap), and the writer must
+    // have lost no rows; the oracle never sees the written files, so
+    // any writer deviation lands as a hash mismatch
+    "k06_file_layout" -> s"""
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(ceil(count(*) / $LayoutMaxRecords.0) AS BIGINT) AS n_files,
+             CAST(ceil(count(*) / $LayoutMaxRecords.0) AS BIGINT) AS law_files,
+             TRUE AS law_ok
+      FROM events
+      GROUP BY event_type
+      ORDER BY event_type""",
     // k05: the same hot-day join straight off the parquet corpus; the
     // DPP fact is pinned TRUE — a plan that stopped pruning fails the row
     "k05_dpp_prune" -> """

@@ -462,6 +462,40 @@ class RoundElevenOpsSpec extends SparkSpec {
         s"only-batch=${(batch -- streamed).take(3)}")
   }
 
+  test("k06: the write-layout law holds physically — no file exceeds the cap, counts match the ceil law") {
+    import graft.queries.ControlPlaneQueries
+    val out = ControlPlaneQueries.k06FileLayout(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Boolean]("law_ok"),
+        s"${r.getAs[String]("event_type")}: ${r.getAs[Long]("n_files")} files " +
+          s"vs law ${r.getAs[Long]("law_files")}")
+      // the law must BITE: a single-file-per-key outcome would also
+      // satisfy a writer that ignored the cap
+      assert(r.getAs[Long]("n_files") >= 2L,
+        s"cap never split ${r.getAs[String]("event_type")}")
+    }
+    // physical per-file bound: re-write and count rows inside each file
+    val tmp = java.nio.file.Files.createTempDirectory("graft-k06-spec-").toString
+    try {
+      Tables.events(spark, sf)
+        .select(col("event_id"), col("event_type"), col("value"))
+        .repartition(col("event_type"))
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", ControlPlaneQueries.LayoutMaxRecords)
+        .partitionBy("event_type")
+        .parquet(s"$tmp/lake")
+      val perFile = spark.read.parquet(s"$tmp/lake")
+        .groupBy(input_file_name().as("f"))
+        .agg(count(lit(1)).as("n"))
+        .collect()
+      assert(perFile.forall(_.getAs[Long]("n") <=
+        ControlPlaneQueries.LayoutMaxRecords))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    }
+  }
+
   test("st18: the streamed admission gate lands exactly d12's batch decisions") {
     val streamed = graft.streaming.StreamReplay.st18NearDupReplay(spark, sf)
       .collect().map(_.toSeq).toSet
