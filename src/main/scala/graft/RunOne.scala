@@ -26,6 +26,28 @@ object RunOne {
     SparkEntry.oracleSql.get(name).foreach { sql =>
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get(s"$outDir/oracle_one.sql"), sql)
+      // Rebuild outDir/oracle_sql.json (selfcheck.py's input) covering
+      // every query already dumped into outDir, so incremental RunOne
+      // dumps are directly checkable with
+      //   python3 scripts/selfcheck.py <sfDir> <outDir>
+      // No JSON parsing needed: the dump dirs ARE the key set.
+      def esc(s2: String): String = "\"" + s2.flatMap {
+        case '"'  => "\\\""
+        case '\\' => "\\\\"
+        case '\n' => "\\n"
+        case '\r' => "\\r"
+        case '\t' => "\\t"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      } + "\""
+      val dumped = Option(new java.io.File(outDir).listFiles()).toSeq.flatten
+        .filter(_.isDirectory).map(_.getName)
+        .filter(SparkEntry.oracleSql.contains).sorted
+      val body = dumped
+        .map(k => s"${esc(k)}: ${esc(SparkEntry.oracleSql(k))}")
+        .mkString("{", ",", "}")
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$outDir/oracle_sql.json"), body)
     }
     spark.stop()
   }

@@ -580,7 +580,11 @@ object ControlPlaneQueries {
         .option("maxRecordsPerFile", LayoutMaxRecords)
         .partitionBy("event_type")
         .parquet(s"$tmp/lake")
-      val back = s.read.parquet(s"$tmp/lake")
+      // Pin the read-back schema: partition-column type INFERENCE would
+      // round-trip a numeric- or date-looking event_type as INT/DATE
+      // (and rewrite '01'-style values), diverging from the oracle's
+      // VARCHAR grouping. The writer's schema is the contract.
+      val back = s.read.schema(ev.schema).parquet(s"$tmp/lake")
       back
         .select(col("event_type"),
           input_file_name().as("f"), col("event_id"))

@@ -1307,8 +1307,13 @@ object TextAnalysis {
       .withColumn("kappa_den", col("n") * col("n") - col("pe_num"))
       .select(col("a"), col("b"), col("c"), col("d"), col("n"),
         col("kappa_num"), col("kappa_den"),
-        round(col("kappa_num").cast("double") / col("kappa_den").cast("double")
-          * 1000000).cast("long").as("kappa_micros"))
+        // degenerate contingency table (either rater constant → pe = n²)
+        // has κ undefined; emit NULL on BOTH sides rather than let Spark's
+        // null-on-div-0 diverge from DuckDB's round(inf) cast error
+        when(col("kappa_den") === 0L, lit(null).cast("long"))
+          .otherwise(
+            round(col("kappa_num").cast("double") / col("kappa_den").cast("double")
+              * 1000000).cast("long")).as("kappa_micros"))
   }
 
   val queries: Map[String, Q] = Map(
@@ -1826,9 +1831,10 @@ object TextAnalysis {
       SELECT a, b, c, d, n,
              CAST(n * (a + d) - pe_num AS BIGINT) AS kappa_num,
              CAST(n * n - pe_num AS BIGINT) AS kappa_den,
-             CAST(round(CAST(n * (a + d) - pe_num AS DOUBLE)
-               / CAST(n * n - pe_num AS DOUBLE) * 1000000) AS BIGINT)
-               AS kappa_micros
+             CASE WHEN n * n - pe_num = 0 THEN NULL
+                  ELSE CAST(round(CAST(n * (a + d) - pe_num AS DOUBLE)
+                    / CAST(n * n - pe_num AS DOUBLE) * 1000000) AS BIGINT)
+             END AS kappa_micros
       FROM k""",
     // g38: the identical scored CTE; bins on the 6-dp-rounded score,
     // all gaps in exact integer micro-units (no division anywhere)
