@@ -14,8 +14,17 @@ vs Spark's fixed ~0.1-0.5 s of job scheduling), so exponents are only
 meaningful for rows whose larger-SF time is above FLOOR_SEC; smaller rows
 are reported as "floor" and never flagged.
 
+A sweep flag is an IN-SESSION reading: 236 queries share one JVM, and small
+rows swing 2-6x episodically (the d07-family pattern). The adjudication
+channel (VERDICT r11 item 3) is a SOLO probe at both SFs — run
+`runMain graft.BenchProbe <sfDir> <q1,q2,...>` at each SF (it writes
+tmp/probe_<sf>.json) and pass the files via --probe-lo/--probe-hi: a row
+whose SOLO exponent is linear is reclassified `probe_adjudicated` instead of
+flagged, with both exponents printed side by side.
+
 Usage:
   python3 scripts/sfsweep.py <bench_lo.json> <sf_lo> <bench_hi.json> <sf_hi> [out.json]
+      [--probe-lo tmp/probe_sfA.json --probe-hi tmp/probe_sfB.json]
 """
 import json
 import math
@@ -24,13 +33,27 @@ import sys
 ALPHA_FLAG = 1.3   # superlinear threshold (1.0 = linear; log-factors ~1.1)
 FLOOR_SEC = 1.0    # below this at the larger SF, the row is scheduling floor
 
-if len(sys.argv) < 5:
-    sys.exit("usage: sfsweep.py <bench_lo.json> <sf_lo> <bench_hi.json> <sf_hi> [out.json]")
-lo_path, sf_lo, hi_path, sf_hi = sys.argv[1], float(sys.argv[2]), sys.argv[3], float(sys.argv[4])
+argv = sys.argv[1:]
+probe_lo_path = probe_hi_path = None
+pos = []
+i = 0
+while i < len(argv):
+    if argv[i] == "--probe-lo":
+        probe_lo_path = argv[i + 1]; i += 2
+    elif argv[i] == "--probe-hi":
+        probe_hi_path = argv[i + 1]; i += 2
+    else:
+        pos.append(argv[i]); i += 1
+if len(pos) < 4:
+    sys.exit("usage: sfsweep.py <bench_lo.json> <sf_lo> <bench_hi.json> <sf_hi> "
+             "[out.json] [--probe-lo p.json --probe-hi p.json]")
+lo_path, sf_lo, hi_path, sf_hi = pos[0], float(pos[1]), pos[2], float(pos[3])
 if not (sf_hi > sf_lo > 0):
     sys.exit(f"usage: sf_hi ({sf_hi}) must be > sf_lo ({sf_lo}) > 0 — "
              "swapped or equal SFs would negate or zero every exponent")
-out_path = sys.argv[5] if len(sys.argv) > 5 else None
+out_path = pos[4] if len(pos) > 4 else None
+probe_lo = json.load(open(probe_lo_path)) if probe_lo_path else {}
+probe_hi = json.load(open(probe_hi_path)) if probe_hi_path else {}
 
 lo = json.load(open(lo_path))
 hi = json.load(open(hi_path))
@@ -84,17 +107,35 @@ for q, t_hi in hi["queries"].items():
         "by_construction": cost.get(q) == "quadratic",
         "floor": t_hi < FLOOR_SEC,
     })
+    # solo-probe override (VERDICT r11 item 3): if BenchProbe artifacts for
+    # both SFs cover this row, its SOLO exponent adjudicates the in-session
+    # one — episodic session effects (codegen-cache eviction, GC debt from
+    # the 200 preceding queries) don't exist in a solo probe.
+    p_lo, p_hi = probe_lo.get(q), probe_hi.get(q)
+    if isinstance(p_lo, (int, float)) and isinstance(p_hi, (int, float)) \
+            and p_lo > 0 and p_hi > 0:
+        pa = math.log(p_hi / p_lo) / ratio
+        rows[-1]["alpha_probe"] = round(pa, 3)
+        rows[-1]["probe_adjudicated"] = pa <= ALPHA_FLAG
+    else:
+        rows[-1]["alpha_probe"] = None
+        rows[-1]["probe_adjudicated"] = False
 
 rows.sort(key=lambda r: -r["alpha"])
 batch = [r for r in rows if r["tag"] == "batch"]
 hot = [r for r in batch if not r["floor"] and r["alpha"] > ALPHA_FLAG]
 flagged = [r for r in hot
-           if not (r["output_driven"] or r["cpu_linear"] or r["by_construction"])]
+           if not (r["output_driven"] or r["cpu_linear"] or r["by_construction"]
+                   or r["probe_adjudicated"])]
 output_driven = [r for r in hot if r["output_driven"]]
 cpu_linear = [r for r in hot if r["cpu_linear"] and not r["output_driven"]]
 by_construction = [r for r in hot
                    if r["by_construction"]
                    and not (r["output_driven"] or r["cpu_linear"])]
+probe_adjudicated = [r for r in hot
+                     if r["probe_adjudicated"]
+                     and not (r["output_driven"] or r["cpu_linear"]
+                              or r["by_construction"])]
 
 summary = {
     "sf_lo": sf_lo, "sf_hi": sf_hi,
@@ -111,6 +152,7 @@ summary = {
     "superlinear_output_driven": [r["query"] for r in output_driven],
     "superlinear_cpu_linear": [r["query"] for r in cpu_linear],
     "superlinear_by_construction": [r["query"] for r in by_construction],
+    "superlinear_probe_adjudicated": [r["query"] for r in probe_adjudicated],
     "alpha_flag": ALPHA_FLAG, "floor_sec": FLOOR_SEC,
     "queries": rows,
 }
@@ -137,3 +179,7 @@ for r in cpu_linear:
 for r in by_construction:
     print(f"  by-construction (not flagged): {r['query']} alpha {r['alpha']} — "
           f"deliberate brute-force baseline (oracle_cost=quadratic)")
+for r in probe_adjudicated:
+    print(f"  probe-adjudicated (not flagged): {r['query']} in-session alpha "
+          f"{r['alpha']} but SOLO probe alpha {r['alpha_probe']} — episodic "
+          f"session effect, not a plan regression")

@@ -1,5 +1,58 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Contamination-sentinel logic, factored out of [[Bench]] so the
+  * detection thresholds are spec-testable without a 15-minute bench run
+  * (VERDICT r11 item 1: the committed BENCH_r11.json shipped 10×-inflated
+  * cpu_sec while self-reporting clean — the official artifact must never
+  * be able to do that again). */
+object BenchSentinel {
+  /** Clean-vs-clean calibration (two r11 solo artifacts, rows with
+    * baseline cpu ≥ 1 s): ratio max 2.55×, zero rows over 3×. The r11
+    * contaminated run read ~10× on its heavy rows. */
+  val CpuInflateRatio = 3.0
+  val CpuInflateFloor = 1.0
+  val CpuInflateMinRows = 5
+  /** A codegen-count burst above baseline is a legitimate cpu adder
+    * (Janino recompile) — such rows are excused, not counted. */
+  val CpuCodegenSlack = 10L
+  /** In-run bars: above the bench's own local[32] burst readings
+    * (measured in-run max load1 ~3-4, PSI < ~3 % on this 32-core box),
+    * below a real co-runner (+16 steady load from a 16-thread spinner,
+    * tens of % PSI inside one avg10 window). */
+  val InRunLoadBar = 8.0
+  val InRunPsiBar = 10.0
+
+  /** Parse the committed baseline TSV: `name<TAB>cpu_sec<TAB>codegen`,
+    * '#' comments. Returns name -> (cpu_sec, codegen). */
+  def parseBaseline(lines: Seq[String]): Map[String, (Double, Long)] =
+    lines.filterNot(l => l.startsWith("#") || l.isBlank).flatMap { l =>
+      l.split("\t") match {
+        case Array(n, cpu, cg) =>
+          try Some(n -> (cpu.toDouble, cg.toLong))
+          catch { case _: Throwable => None }
+        case _ => None
+      }
+    }.toMap
+
+  /** Rows whose run cpu exceeds CpuInflateRatio× a ≥-floor baseline at a
+    * codegen count not above baseline + slack. ≥ CpuInflateMinRows such
+    * rows ⇒ the run is contaminated regardless of what load/PSI said. */
+  def inflatedRows(baseline: Map[String, (Double, Long)],
+                   run: Seq[(String, Double, Long)]): Seq[(String, Double, Double)] =
+    run.flatMap { case (name, cpu, cg) =>
+      baseline.get(name).collect {
+        case (baseCpu, baseCg)
+          if baseCpu >= CpuInflateFloor && cpu > CpuInflateRatio * baseCpu &&
+            (cg < 0 || cg <= baseCg + CpuCodegenSlack) =>
+          (name, baseCpu, cpu)
+      }
+    }
+
+  def cpuInflated(rows: Seq[(String, Double, Double)]): Boolean =
+    rows.size >= CpuInflateMinRows
+}
+
 object Bench {
   /** Timed action: a noop-sink write executes the FULL plan (projection,
     * sort, every output column) — a bare `count()` lets ColumnPruning /
@@ -185,6 +238,23 @@ object Bench {
     })
     val envStart =
       (loadAvg, cpuPsiAvg10, procCount, System.currentTimeMillis())
+    // --- in-run contention sampling (VERDICT r11 item 1a) -----------------
+    // The r11 incident: a run contended AFTER the first-line sample shipped
+    // 10x-inflated cpu_sec while self-reporting clean. Sample load/PSI at
+    // EVERY query boundary and keep the max; bars are above anything the
+    // bench's own local[32] bursts produce (measured: own-run in-run max
+    // load1 ~3-4 on this 32-core box, PSI avg10 < ~3 %) and below a real
+    // co-runner (a 16-thread spinner adds +16 steady load and tens of %
+    // PSI within one 10 s avg10 window).
+    import BenchSentinel.{InRunLoadBar, InRunPsiBar}
+    var inRunMaxLoad = -1.0; var inRunMaxLoadAt = ""
+    var inRunMaxPsi = -1.0; var inRunMaxPsiAt = ""
+    def sampleInRun(at: String): Unit = {
+      val l = loadAvg.headOption.getOrElse(-1.0)
+      val p = cpuPsiAvg10
+      if (l > inRunMaxLoad) { inRunMaxLoad = l; inRunMaxLoadAt = at }
+      if (p > inRunMaxPsi) { inRunMaxPsi = p; inRunMaxPsiAt = at }
+    }
     val provenance = scala.collection.mutable.LinkedHashMap
       .empty[String, (Long, Long, Long, Double, Long, Long, Long, Long)]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
@@ -221,6 +291,7 @@ object Bench {
       provenance(name) = (j1 - j0, s1 - s0, t1 - t0, best._2,
         best._3, worse._3, if (cg1 >= 0 && cg0 >= 0) cg1 - cg0 else -1L,
         lastRows.get())
+      sampleInRun(name)
       name -> best._1
     }.toMap
     val envEnd =
@@ -260,24 +331,81 @@ object Bench {
     // 32-thread verify/bench; the r4/r6/r9 incidents) reads load 3+ and
     // PSI at several-to-tens of %. Bars sit at 2x the worst observed
     // self-boot reading and well under any real-contention reading.
-    val contaminated =
+    val preContaminated =
       envPre._1.headOption.exists(_ > 3.0) || envPre._2 > 2.5
-    if (contaminated)
+    // (1a) in-run trip: contention that STARTED mid-run (the r11 incident
+    // window) crosses the in-run bars at some query boundary even though
+    // the pre-warmup sample was clean.
+    val inRunContaminated = inRunMaxLoad > InRunLoadBar || inRunMaxPsi > InRunPsiBar
+    // (1b) provenance self-check (VERDICT r11 item 1b): compare per-query
+    // cpu_sec against the committed clean-run baseline. Cache/bandwidth
+    // interference from a co-runner in another cgroup inflates OUR
+    // process's cpu cycles at identical plans while /proc/loadavg and PSI
+    // in this namespace stay silent (BENCH_r11: d02 172 vs 16 cpu-s,
+    // codegen identical, load1 2.5, PSI 0.0). Calibration over the two
+    // r11 clean solo artifacts: among rows with baseline cpu >= 1.0 s the
+    // clean-vs-clean ratio maxes at 2.55x with zero rows over 3x, so
+    // >= CpuInflateMinRows rows over CpuInflateRatio x (at codegen count
+    // not above baseline — a recompile burst is a legitimate cpu adder)
+    // is machine-distinguishable contamination, not jitter.
+    import BenchSentinel.CpuInflateRatio
+    val baselinePath = {
+      val sfName = new java.io.File(sfDir).getName
+      java.nio.file.Paths.get(s"scripts/bench_cpu_baseline_$sfName.tsv")
+    }
+    val cpuBaseline: Map[String, (Double, Long)] =
+      if (java.nio.file.Files.exists(baselinePath))
+        BenchSentinel.parseBaseline(
+          scala.jdk.CollectionConverters.ListHasAsScala(
+            java.nio.file.Files.readAllLines(baselinePath)).asScala.toSeq)
+      else Map.empty
+    val cpuInflatedRows = BenchSentinel.inflatedRows(
+      cpuBaseline,
+      provenance.toSeq.map { case (name, (_, _, _, cpu, _, _, cg, _)) =>
+        (name, cpu, cg)
+      })
+    val cpuInflated = BenchSentinel.cpuInflated(cpuInflatedRows)
+    val contaminated = preContaminated || inRunContaminated || cpuInflated
+    if (preContaminated)
       System.err.println(
         s"WARNING: bench started on a contended host (pre-warmup " +
           s"loadavg1=${envPre._1.headOption.getOrElse(-1.0)}, " +
           s"psi_cpu_avg10=${envPre._2}) — timings are contaminated; " +
           "rerun on an idle box before quoting them.")
+    if (inRunContaminated)
+      System.err.println(
+        s"WARNING: in-run contention — max load1 $inRunMaxLoad at " +
+          s"'$inRunMaxLoadAt', max psi_cpu_avg10 $inRunMaxPsi at " +
+          s"'$inRunMaxPsiAt' crossed the ($InRunLoadBar, $InRunPsiBar) bars " +
+          "mid-run; timings are contaminated.")
+    if (cpuInflated)
+      System.err.println(
+        s"WARNING: per-query cpu_sec inflated >= ${CpuInflateRatio}x the " +
+          s"committed clean baseline on ${cpuInflatedRows.size} rows at " +
+          s"unchanged codegen (e.g. ${cpuInflatedRows.take(3).map { case (n, b, c) =>
+            f"$n $b%.1f->$c%.1f" }.mkString(", ")}) — cache/bandwidth " +
+          "contamination invisible to load/PSI; timings are contaminated.")
+    val sentinelJson = {
+      val rowsJson = cpuInflatedRows.sortBy(-_._3).take(20).map {
+        case (n, b, c) => s"""{"query":"$n","cpu_base":${fmt(b)},"cpu_run":${fmt(c)}}"""
+      }.mkString("[", ",", "]")
+      s"""{"pre":$preContaminated,"in_run":$inRunContaminated,""" +
+        s""""cpu_inflated":$cpuInflated,"cpu_inflated_n":${cpuInflatedRows.size},""" +
+        s""""cpu_inflated_rows":$rowsJson,""" +
+        s""""cpu_baseline":"${if (cpuBaseline.nonEmpty) baselinePath.toString else ""}",""" +
+        s""""inrun_max_load1":${fmt(inRunMaxLoad)},"inrun_max_load1_at":"$inRunMaxLoadAt",""" +
+        s""""inrun_max_psi10":${fmt(inRunMaxPsi)},"inrun_max_psi10_at":"$inRunMaxPsiAt"}"""
+    }
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_full.json"),
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","contaminated":$contaminated,"queries":$fullJson,"provenance":$provJson,"env_pre_warmup":${envJson(envPre)},"env_start":${envJson(envStart)},"env_end":${envJson(envEnd)},"tags":$tagsJson,"oracle_cost":$costJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","contaminated":$contaminated,"sentinel":$sentinelJson,"queries":$fullJson,"provenance":$provJson,"env_pre_warmup":${envJson(envPre)},"env_start":${envJson(envStart)},"env_end":${envJson(envEnd)},"tags":$tagsJson,"oracle_cost":$costJson,"sf":"$sfDir"}"""
     ) catch { case _: Throwable => () }
     // Compact contention stamp on the one-line JSON the driver captures:
     // load1 at start/end + PSI so a >1.5× anomaly is self-explaining from
     // BENCH_r{N}.json alone (a solo clean run on this box shows load1 well
     // under the 32 cores and psi_avg10 near 0).
     val envLine =
-      s""""contaminated":$contaminated,"env":{"load1_start":${fmt(envStart._1.headOption.getOrElse(-1.0))},"load1_end":${fmt(envEnd._1.headOption.getOrElse(-1.0))},"psi10_start":${fmt(envStart._2)},"psi10_end":${fmt(envEnd._2)},"nprocs_end":${envEnd._3}},"""
+      s""""contaminated":$contaminated,"env":{"load1_start":${fmt(envStart._1.headOption.getOrElse(-1.0))},"load1_end":${fmt(envEnd._1.headOption.getOrElse(-1.0))},"psi10_start":${fmt(envStart._2)},"psi10_end":${fmt(envEnd._2)},"load1_inrun_max":${fmt(inRunMaxLoad)},"psi10_inrun_max":${fmt(inRunMaxPsi)},"cpu_inflated_n":${cpuInflatedRows.size},"nprocs_end":${envEnd._3}},"""
     val budget = 1500
     val header = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir",$envLine"queries":"""
     var used = header.length + 80

@@ -36,8 +36,10 @@ object BenchProbe {
       runToNoop(SparkEntry.queries(name)(spark, sfDir))
       (System.nanoTime() - t0) / 1e9
     }
-    def report(tag: String): Unit = targets.foreach { n =>
+    val mins = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    def report(tag: String, record: Boolean = false): Unit = targets.foreach { n =>
       val ts = time(n)
+      if (record) mins(n) = ts.min
       println(f"PROBE $tag $n min=${ts.min}%.3f runs=" +
         ts.map(t => f"$t%.3f").mkString(","))
     }
@@ -47,11 +49,35 @@ object BenchProbe {
     SparkEntry.queries.foreach { case (_, fn) =>
       try runToNoop(fn(spark, warmDir)) catch { case _: Throwable => () }
     }
-    report("after-warmup-loop")
+    report("after-warmup-loop", record = true)
     Seq("x01_pipeline_e2e", "x02_catalog_sql").foreach { n =>
       SparkEntry.queries.get(n).foreach(fn => runToNoop(fn(spark, sfDir)))
     }
     report("after-x01-x02")
+    // Probe adjudication artifact (VERDICT r11 item 3): the solo
+    // steady-state mins, as a file sfsweep.py consumes via --probe-lo/-hi
+    // so an "episodic in-session swing, solo reads linear" adjudication is
+    // a FILE DIFF, not a prose claim. Merged per-SF so probes for
+    // different query sets accumulate into one artifact.
+    try {
+      val sfName = new java.io.File(sfDir).getName
+      val p = java.nio.file.Paths.get(s"tmp/probe_$sfName.json")
+      java.nio.file.Files.createDirectories(p.getParent)
+      val prev: Map[String, Double] =
+        if (java.nio.file.Files.exists(p))
+          """"([^"]+)"\s*:\s*([0-9.]+)""".r
+            .findAllMatchIn(java.nio.file.Files.readString(p))
+            .map(m => m.group(1) -> m.group(2).toDouble)
+            .filter(_._1 != "sf").toMap
+        else Map.empty
+      val merged = prev ++ mins
+      val body = merged.toSeq.sortBy(_._1)
+        .map { case (k, v) => f""""$k":$v%.3f""" }.mkString(",")
+      java.nio.file.Files.writeString(p, s"""{"sf":"$sfName",$body}""")
+      println(s"PROBE wrote $p (${merged.size} queries)")
+    } catch { case e: Throwable =>
+      System.err.println(s"PROBE artifact write failed: $e")
+    }
     spark.stop()
   }
 }

@@ -102,7 +102,8 @@ object SparkEntry {
     "s11_knn_graph",          // all-pairs kNN edge census
     "s13_knn_classify",       // full-holdout x labeled cross join
     "g11_class_tightness",    // within-class all-pairs statistics
-    "p34_skyline")            // NOT EXISTS dominance census (all-pairs)
+    "p34_skyline",            // NOT EXISTS dominance census (all-pairs)
+    "d21_prefix_hostile")     // oracle pays the full boilerplate Σ df² (fixed slice)
     .map(_ -> "quadratic").toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -73,10 +73,13 @@ object Dedup {
     * <1 s at sf0.1), so consumers just recompute the narrow projection.
     * Tokens go through their own projection so the shingle lambda sees a
     * bound attribute (see [[shingles]]). */
-  private def docShingles(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
+  private def docShinglesOf(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .select(col("doc_id"), shingles(col("toks")).as("sh"))
+
+  private def docShingles(s: SparkSession, d: String): DataFrame =
+    docShinglesOf(Tables.documents(s, d))
 
   /** d02: n-gram Jaccard near-dup — shingle inverted index (explode →
     * self-join on shingle → common counts), exact Jaccard ≥ 0.6. The
@@ -144,7 +147,13 @@ object Dedup {
     * one on doc_id ranks prefixes, the prefix frame funnels through one
     * `repartition(h)` both self-join sides reuse (d02's ReusedExchange
     * pattern), and the verify is id-keyed. */
-  def d20PrefixJoin(s: SparkSession, d: String): DataFrame = {
+  def d20PrefixJoin(s: SparkSession, d: String): DataFrame =
+    prefixJoinOver(docShingles(s, d))
+
+  /** The d20 pipeline over an arbitrary (doc_id, sh) shingle frame —
+    * factored out so d21 can run the identical plan on its hostile-df
+    * corpus (same prefixes, same hints, same verify). */
+  private[graft] def prefixJoinOver(ds: DataFrame): DataFrame = {
     // ONE shingle pass total, eagerly materialized (the round-9
     // localCheckpoint discipline): the interpreted-HOF shingle pipeline
     // is the row's dominant CPU, and every later stage — df window,
@@ -153,7 +162,7 @@ object Dedup {
     // text or the shingle arrays. The join-based df census could never
     // share the explode (column pruning makes its exchange
     // non-canonical → no ReusedExchange; measured 63 cpu-s vs d02's 14).
-    val inv = docShingles(s, d)
+    val inv = ds
       .select(col("doc_id"), size(col("sh")).cast("long").as("n"),
         explode(col("sh")).as("sg"))
       .select(col("doc_id"), col("n"), xxhash64(col("sg")).as("h"))
@@ -195,8 +204,11 @@ object Dedup {
   /** d20's candidate pair list before verification — exposed for the
     * spec's completeness/efficiency laws (output census ⊆ candidates;
     * candidates strictly fewer than the full inverted-index meets). */
-  private[graft] def d20Candidates(s: SparkSession, d: String): DataFrame = {
-    val inv = docShingles(s, d)
+  private[graft] def d20Candidates(s: SparkSession, d: String): DataFrame =
+    candidatesOver(docShingles(s, d))
+
+  private[graft] def candidatesOver(ds: DataFrame): DataFrame = {
+    val inv = ds
       .select(col("doc_id"), size(col("sh")).cast("long").as("n"),
         explode(col("sh")).as("sg"))
       .select(col("doc_id"), col("n"), xxhash64(col("sg")).as("h"))
@@ -215,6 +227,70 @@ object Dedup {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
   }
+
+  // --- d21: the adversarial document-frequency regime -------------------
+
+  /** d21's planted boilerplate block (20 lowercase words → 18 distinct
+    * high-df internal shingles after the 3-gram shingler): the SSJoin
+    * papers' worst case is a corpus where (nearly) every document shares
+    * a block, making Σ df² over the inverted index quadratic in N while
+    * the true ≥ τ census stays small. */
+  val HostileBoilerplate: String =
+    "all rights reserved this document is provided as is without " +
+      "warranty of any kind subscribe to our newsletter for updates"
+
+  /** 9 of 10 docs get the block — the papers' "90 % df head". */
+  val HostileMod = 10L
+
+  /** Docs shorter than ~2× the block keep their original text: a prefix
+    * of length n − ⌈τn⌉ + 1 ≈ n/2 can only exclude the 18-shingle block
+    * when the doc has comfortably more ORIGINAL shingles than that — for
+    * a doc whose identity mostly IS the boilerplate, no ordering can
+    * exile it (measured at sf0.001: including sub-block docs leaks a
+    * 3.4k-pair short-doc candidate clique, quadratic in the short-doc
+    * count — that population belongs to t14 boilerplate-strip / d11
+    * line-level dedup, not a set-similarity prefix filter). 44 tokens →
+    * ≥ 42 original shingles ≥ 2·18 + 6. */
+  val HostileMinToks = 44L
+
+  /** Fixed slice size: the REGIME is what's under test (like s22's
+    * planted boundary), and the row's DuckDB oracle is the prefix-free
+    * census, whose cost is Σ df² ≈ 18·(0.9·slice)²/2 — a fixed slice
+    * keeps the oracle exact and bounded at EVERY SF while the hostile
+    * df structure (and the prefix filter's job) is unchanged. */
+  val HostileSliceN = 2000L
+
+  /** The hostile corpus: the first [[HostileSliceN]] documents, 9 of 10
+    * with [[HostileBoilerplate]] appended. */
+  private[graft] def hostileDocs(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .filter(col("doc_id") < HostileSliceN)
+      .select(col("doc_id"),
+        when(col("doc_id") % HostileMod =!= 0 &&
+            size(tokens(col("text"))) >= HostileMinToks,
+          concat(col("text"), lit(" " + HostileBoilerplate)))
+          .otherwise(col("text")).as("text"))
+
+  /** d21: d20's prefix-filtered set-similarity join under the
+    * adversarial df regime — 90 % of documents share a boilerplate
+    * block, so a full inverted-index join would pay ≈ 18·(0.9N)²/2
+    * meets on the boilerplate shingles ALONE, while d20's global
+    * rarity order ranks exactly those shingles last: any document with
+    * more original than boilerplate shingles exiles the whole block
+    * from its `n − ⌈τn⌉ + 1`-prefix, so the block never generates a
+    * candidate for it. The row's output is the exact J ≥ [[PrefixTau]]
+    * census of the hostile corpus (completeness hash-checked by the
+    * prefix-FREE oracle — boilerplate raises many short-doc pairs
+    * ABOVE τ, so the census itself moves and a prefix filter that
+    * dropped a boilerplate-carried true pair would mismatch);
+    * the efficiency half — candidates stay output-sized, ≥ 100× under
+    * the inverted-index meet count — is asserted in RoundTwelveOpsSpec
+    * (it has no SQL form). */
+  def d21PrefixHostile(s: SparkSession, d: String): DataFrame =
+    prefixJoinOver(docShinglesOf(hostileDocs(s, d)))
+
+  private[graft] def d21Candidates(s: SparkSession, d: String): DataFrame =
+    candidatesOver(docShinglesOf(hostileDocs(s, d)))
 
   /** MinHash parameters: 64 hashes = 32 bands × 2 rows.
     *
@@ -1594,6 +1670,7 @@ object Dedup {
     "d01_exact_dedup"       -> d01ExactDedup _,
     "d02_ngram_jaccard"     -> d02NgramJaccard _,
     "d20_prefix_join"       -> d20PrefixJoin _,
+    "d21_prefix_hostile"    -> d21PrefixHostile _,
     "p35_prototype_prune"   -> p35PrototypePrune _,
     "d03_minhash_lsh"       -> d03MinHashLsh _,
     "d04_simhash"           -> d04SimHashContract _,
@@ -1639,10 +1716,10 @@ object Dedup {
   /** Jaccard-pair CTE body shared by the d02/d03 oracles, d07's
     * recursive component oracle, and d20 (at its own threshold):
     * `jpairs` is the exact J ≥ `tau` pair list. */
-  private def jaccardPairsCte(tau: Double) = s"""
+  private def jaccardPairsCte(tau: Double, from: String = "documents") = s"""
     toks AS (
       SELECT doc_id, ${graft.text.TextAnalysis.ToksSql} AS t
-      FROM documents),
+      FROM $from),
     sh AS (
       SELECT doc_id, unnest(${graft.text.TextAnalysis.shinglesSql("t")}) AS s
       FROM toks),
@@ -1987,6 +2064,21 @@ object Dedup {
     // in the Spark output (a broken prefix) is a hash mismatch
     "d20_prefix_join" -> s"""
       WITH ${jaccardPairsCte(PrefixTau)}
+      SELECT doc_a, doc_b, jaccard FROM jpairs
+      ORDER BY doc_a, doc_b""",
+    // d21: the hostile corpus restated, then the PREFIX-FREE census —
+    // the oracle pays the full Σ df² the prefix filter exists to avoid
+    // (bounded by the fixed slice), so filter completeness under the
+    // boilerplate regime is hash-checked, not assumed
+    "d21_prefix_hostile" -> s"""
+      WITH hostile AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % $HostileMod <> 0
+                     AND len(${graft.text.TextAnalysis.ToksSql}) >= $HostileMinToks
+                    THEN text || ' $HostileBoilerplate'
+                    ELSE text END AS text
+        FROM documents WHERE doc_id < $HostileSliceN),
+      ${jaccardPairsCte(PrefixTau, "hostile")}
       SELECT doc_a, doc_b, jaccard FROM jpairs
       ORDER BY doc_a, doc_b""",
     "d03_minhash_lsh"   -> JaccardPairsSql,

@@ -1284,7 +1284,80 @@ object StreamReplay {
       }
     }
 
+  /** st20's skew construction: 3 of 4 USERS collapse onto one hot key,
+    * the rest spread by user id — the Zipf head a real event stream's
+    * per-key aggregation sees (one tenant/page dominating the traffic).
+    * Keyed off user_id, NOT event_id: event ids are row-ordered, and an
+    * id-parity hot key correlates with SaltedAggregate's row-index salt
+    * (id%4≠0 rows can never land on salts ≡ 0,4 mod 8 — measured), which
+    * would understate the spread the spec asserts. */
+  val SaltHotMod = 4L
+  val SaltColdKeys = 64L
+  /** Salt fan-out: the hot key's rows split across 8 phase-1 reducers. */
+  val SaltBuckets = 8
+
+  /** The skewed key + exact-cents projection shared by the stream, the
+    * batch oracle restatement, and the spec's spread probe. */
+  private[graft] def saltKeyed(df: DataFrame): DataFrame =
+    df.select(
+      when(col("user_id") % SaltHotMod =!= 0, lit(0L))
+        .otherwise(pmod(col("user_id"), lit(SaltColdKeys)) + 1L).as("zkey"),
+      col("event_id"),
+      expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+
+  /** st20: SKEWED stateful aggregation through two-phase salting inside
+    * foreachBatch — the streaming-side answer to q45's batch skew join.
+    * AQE (and so its skew mitigation) is DISABLED in stateful streaming,
+    * which is exactly where a Zipf-keyed running aggregate melts one
+    * reducer at 100 TB/day: every micro-batch funnels the hot key's rows
+    * to a single task. Here each micro-batch aggregates through
+    * [[graft.transform.SaltedAggregate]] — phase 1 groups on (key, salt)
+    * so the hot key fans across [[SaltBuckets]] tasks, phase 2 merges
+    * per key — and appends the per-batch partials to the state store
+    * (a parquet journal, the K5 idiom); the final state is the partials'
+    * algebraic merge. Batch boundaries, salt boundaries, and the final
+    * merge all commute because every aggregate is algebraic
+    * (count/sum/min/max), so the stream must land EXACTLY the batch
+    * rollup the oracle computes — which is what makes the salting safe
+    * to deploy, not just fast. Per-task spread under the salt is
+    * asserted in RoundTwelveOpsSpec (no SQL form). */
+  def st20SaltedReplay(s: SparkSession, d: String): DataFrame =
+    withReplayTmp(s, "graft-st20-") { tmp =>
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.session.timeZone",
+        s.conf.get("spark.sql.session.timeZone", "UTC"))
+      s2.conf.set("spark.sql.shuffle.partitions", "8")
+      val ev = Tables.events(s2, d)
+        .select(col("event_id"), col("user_id"), col("value"), col("ts"))
+      stageOrderedJson(ev, nFiles = 4, s"$tmp/incoming", prefix = "a",
+        baseModTime = 1000000L)
+      val source = StreamingPipeline.jsonFileSource(
+        s2, s"$tmp/incoming", ev.schema, maxFilesPerTrigger = 1,
+        options = Map("timestampFormat" -> JsonTsFormat))
+      val keyed = saltKeyed(source)
+      val query = keyed.writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          graft.transform.SaltedAggregate(batch.toDF(), "zkey", SaltBuckets,
+            partials = Seq(count(lit(1)).as("n"), sum(col("cents")).as("sc"),
+              min(col("event_id")).as("mn"), max(col("event_id")).as("mx")),
+            merges = Seq(sum(col("n")).as("n"), sum(col("sc")).as("sc"),
+              min(col("mn")).as("mn"), max(col("mx")).as("mx")))
+            .write.mode("append").parquet(s"$tmp/partials")
+        }
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+      s2.read.parquet(s"$tmp/partials")
+        .groupBy(col("zkey"))
+        .agg(sum(col("n")).as("n_events"), sum(col("sc")).as("sum_cents"),
+          min(col("mn")).as("min_event_id"), max(col("mx")).as("max_event_id"))
+        .orderBy(col("zkey"))
+        .localCheckpoint(eager = true)
+    }
+
   val queries: Map[String, Q] = Map(
+    "st20_salted_replay" -> st20SaltedReplay _,
     "st19_distinct_replay" -> st19DistinctReplay _,
     "st17_ttl_replay" -> st17TtlReplay _,
     "st18_neardup_replay" -> st18NearDupReplay _,
@@ -1321,6 +1394,18 @@ object StreamReplay {
     // rollup exactly — the oracle is q47's, reused verbatim
     "st19_distinct_replay" ->
       graft.queries.RelationalQueries.oracleSql("q47_window_distinct"),
+    // st20: salted two-phase streaming aggregation must land EXACTLY the
+    // plain batch rollup — salt, micro-batch, and merge all commute for
+    // algebraic aggregates, and this hash-check is what proves it
+    "st20_salted_replay" -> s"""
+      SELECT CASE WHEN user_id % $SaltHotMod <> 0 THEN 0
+                  ELSE user_id % $SaltColdKeys + 1 END AS zkey,
+             CAST(count(*) AS BIGINT) AS n_events,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+             min(event_id) AS min_event_id,
+             max(event_id) AS max_event_id
+      FROM events
+      GROUP BY 1 ORDER BY 1""",
     "st17_ttl_replay" -> """
       WITH brk AS (
         SELECT user_id, ts,

@@ -133,6 +133,47 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** t28 core over an arbitrary documents frame (factored out so the
+    * multi-script fixture spec can drive it without a parquet corpus). */
+  def fertilityOf(docs: DataFrame): DataFrame = {
+    val base = docs.select(col("lang"), normText(col("text")).as("norm"))
+    base
+      .select(col("lang"),
+        size(split(col("norm"), " ")).as("nw"),
+        size(regexp_extract_all(col("norm"), lit(SubwordPattern), lit(0)))
+          .as("nsub"),
+        octet_length(col("norm")).as("nb"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("nw")).as("n_ws_tokens"),
+        sum(col("nsub")).as("n_subwords"),
+        sum(col("nb")).as("n_bytes"))
+      .withColumn("fertility_ppm",
+        expr("(n_subwords * 1000000) div n_ws_tokens"))
+      .withColumn("bytes_per_subword_ppm",
+        when(col("n_subwords") === 0L, lit(null).cast("long"))
+          .otherwise(expr("(n_bytes * 1000000) div n_subwords")))
+      .orderBy(col("lang"))
+  }
+
+  /** t28: tokenizer-fertility audit — per-language subword fertility
+    * (subword tokens per whitespace word, exact ppm) and byte economy
+    * (bytes per subword token), the go/no-go metric before committing a
+    * tokenizer to a multilingual corpus: a language whose fertility is
+    * 2× another's costs 2× the training tokens for the same text volume.
+    * All-integer outputs; one scan + one |langs|-row groupBy, fully
+    * map-side combinable — at 100 TB this is a single pass with a
+    * handful-of-rows result. On the driver corpus every lang is the same
+    * ASCII soup so the measured fertilities are flat BY CORPUS (lang is
+    * a label only) — the oracle still hash-checks the computation; the
+    * SPREAD contract (≥ 1.5× across langs) is asserted in
+    * RoundTwelveOpsSpec over a multi-script in-memory fixture
+    * (CJK/Cyrillic per-char subwording), and scripts/gen_langmix.py
+    * regenerates a parquet corpus for the cross-engine parity check of
+    * this same row on non-ASCII text. */
+  def t28TokenizerFertility(s: SparkSession, d: String): DataFrame =
+    fertilityOf(Tables.documents(s, d))
+
   /** t06: TF-IDF keyword extraction — top 3 terms per document by
     * tf·ln(N/df), stopwords excluded, ties broken by term. The shape is
     * the scale story: term counts shuffle on (doc, term), the document
@@ -1327,6 +1368,7 @@ object TextAnalysis {
     "t03_langid"      -> t03LangId _,
     "t04_fingerprint" -> t04Fingerprint _,
     "t05_subword_tokens" -> t05SubwordTokens _,
+    "t28_tokenizer_fertility" -> t28TokenizerFertility _,
     "t06_keywords"    -> t06Keywords _,
     "t07_sentiment"   -> t07Sentiment _,
     "t08_token_pack"  -> t08TokenPack _,
@@ -1593,6 +1635,27 @@ object TextAnalysis {
              len(subs) AS n_subwords,
              len(list_distinct(subs)) AS n_distinct_subwords
       FROM t ORDER BY doc_id""",
+    // t28: same normalizer/tokenizer fragments as t01/t05 (shared NormSql/
+    // ToksSql so the regexes cannot drift); sums CAST back to BIGINT
+    // (DuckDB sum() promotes to HUGEINT — the r08 lesson); the byte-
+    // economy division NULL-guarded identically on both sides
+    "t28_tokenizer_fertility" -> s"""
+      WITH t AS (
+        SELECT lang,
+               len($ToksSql) AS nw,
+               len(regexp_extract_all($NormSql, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS nsub,
+               strlen($NormSql) AS nb
+        FROM documents)
+      SELECT lang,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(nw) AS BIGINT) AS n_ws_tokens,
+             CAST(sum(nsub) AS BIGINT) AS n_subwords,
+             CAST(sum(nb) AS BIGINT) AS n_bytes,
+             CAST(sum(nsub) * 1000000 // sum(nw) AS BIGINT) AS fertility_ppm,
+             CASE WHEN sum(nsub) = 0 THEN NULL
+                  ELSE CAST(sum(nb) * 1000000 // sum(nsub) AS BIGINT)
+             END AS bytes_per_subword_ppm
+      FROM t GROUP BY lang ORDER BY lang""",
     "t06_keywords" -> s"""
       WITH terms AS (
         SELECT doc_id, unnest($ToksSql) AS term FROM documents),
