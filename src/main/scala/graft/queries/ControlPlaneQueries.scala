@@ -571,6 +571,66 @@ object ControlPlaneQueries {
     * emits measured-vs-law columns; the oracle restates the law from
     * the source table — a writer that ignored the cap, double-rolled,
     * or lost rows is a hash mismatch. */
+  /** k07's deliberate fragmentation fan-out and compaction scope. */
+  val FragTasks = 8
+  val CompactDay = 15
+
+  /** k07: small-file compaction contract — k06's sibling for the OTHER
+    * lifecycle moment. A streaming lake accretes one file per
+    * (micro-batch × partition-dir); `Sinks.compactPartitioned` is the
+    * steady-state maintenance pass, and this row contracts the three
+    * facts that make it safe to run against 100 TB of live data:
+    *  1. CONTENT: per-day row counts after the swap equal the source
+    *     census (the oracle recomputes them from `events` — a compactor
+    *     that lost or duplicated a row is a hash mismatch);
+    *  2. LAYOUT: the scoped day lands exactly one file per hour dir
+    *     (writePartitioned's REBALANCE puts each partition-col group in
+    *     one task at this size; at real scale AQE may split a >64 MB
+    *     hour and the law relaxes to files ≥ dirs — documented, and the
+    *     contract pins the regime the test runs in);
+    *  3. ISOLATION: out-of-scope days keep their EXACT file paths (the
+    *     swap renames only staged leaves — set-equality on
+    *     `input_file_name`, not just counts).
+    * The before-census is eagerly checkpointed BEFORE the swap (a lazy
+    * frame would silently re-scan the post-compact directory and the
+    * isolation law would compare the lake to itself). */
+  def k07CompactionLayout(s: SparkSession, d: String): DataFrame =
+    withTmp(s, "graft-k07-") { tmp =>
+      val ev = Tables.events(s, d).select(col("event_id"), col("ts"), col("value"))
+      graft.transform.Transform.derivePartitions("ts")(ev)
+        .repartition(FragTasks) // row-hash spray: every task hits most dirs
+        .write.mode("overwrite")
+        .partitionBy("year", "month", "day", "hour")
+        .parquet(s"$tmp/lake")
+      def census(): DataFrame = s.read.parquet(s"$tmp/lake")
+        .select(col("year"), col("month"), col("day"), col("hour"),
+          input_file_name().as("f"))
+        .groupBy(col("year"), col("month"), col("day"))
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("hour")).as("n_hours"),
+          countDistinct(col("f")).as("n_files"),
+          sort_array(collect_set(col("f"))).as("paths"))
+      val before = census()
+        .select(col("year"), col("month"), col("day"),
+          col("n_files").as("files_before"), col("paths").as("paths_before"))
+        .localCheckpoint(eager = true)
+      Sinks.compactPartitioned(s, s"$tmp/lake",
+        scope = Some(col("day") === CompactDay))
+      census().join(before, Seq("year", "month", "day"))
+        .withColumn("in_scope", col("day") === CompactDay)
+        .withColumn("layout_ok",
+          when(col("in_scope"), col("n_files") === col("n_hours"))
+            .otherwise(lit(true)))
+        .withColumn("untouched_ok",
+          when(!col("in_scope"), col("paths") === col("paths_before"))
+            .otherwise(lit(true)))
+        .select(col("year"), col("month"), col("day"), col("n_rows"),
+          col("n_hours"), col("in_scope"), col("layout_ok"),
+          col("untouched_ok"))
+        .orderBy(col("year"), col("month"), col("day"))
+        .localCheckpoint(eager = true)
+    }
+
   def k06FileLayout(s: SparkSession, d: String): DataFrame =
     withTmp(s, "graft-k06-") { tmp =>
       val ev = Tables.events(s, d)
@@ -602,6 +662,7 @@ object ControlPlaneQueries {
 
   val queries: Map[String, Q] = Map(
     "k06_file_layout"     -> k06FileLayout _,
+    "k07_compaction"      -> k07CompactionLayout _,
     "x01_pipeline_e2e"    -> x01PipelineE2e _,
     "x02_catalog_sql"     -> x02CatalogSql _,
     "x03_parallel_scatter" -> x03ParallelScatter _,
@@ -629,6 +690,20 @@ object ControlPlaneQueries {
       FROM events
       GROUP BY event_type
       ORDER BY event_type""",
+    // k07: the content law restated from the SOURCE (per-day row and
+    // hour counts — a compactor that lost/duplicated rows or invented
+    // hours mismatches) plus the layout/isolation laws as pinned TRUEs
+    // (physical facts the oracle cannot see; the Spark side measures
+    // them from the real files and any violation lands as FALSE)
+    "k07_compaction" -> s"""
+      SELECT year(ts) AS year, month(ts) AS month, day(ts) AS day,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(count(DISTINCT hour(ts)) AS BIGINT) AS n_hours,
+             day(ts) = $CompactDay AS in_scope,
+             TRUE AS layout_ok,
+             TRUE AS untouched_ok
+      FROM events
+      GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
     // k05: the same hot-day join straight off the parquet corpus; the
     // DPP fact is pinned TRUE — a plan that stopped pruning fails the row
     "k05_dpp_prune" -> """

@@ -114,6 +114,44 @@ class RoundTwelveOpsSpec extends SparkSpec {
       s"hostile candidates $nCands vs natural floor $nNatural over $nDocs docs")
   }
 
+  // --- k07: the compaction law must BITE -------------------------------
+  // The row's oracle pins content/layout/isolation; this proves the pass
+  // had real work to do (the scoped day WAS fragmented beyond one file
+  // per hour dir) and that the swap physically shrank it.
+  test("k07: the scoped day is genuinely fragmented before and physically shrinks after") {
+    import graft.queries.ControlPlaneQueries._
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-k07-spec-").toString
+    try {
+      val ev = Tables.events(spark, sf)
+        .select(col("event_id"), col("ts"), col("value"))
+      graft.transform.Transform.derivePartitions("ts")(ev)
+        .repartition(FragTasks)
+        .write.mode("overwrite")
+        .partitionBy("year", "month", "day", "hour")
+        .parquet(s"$tmp/lake")
+      def scopedCensus(): (Long, Long, Long) = {
+        val r = spark.read.parquet(s"$tmp/lake")
+          .filter(col("day") === CompactDay)
+          .select(col("hour"), input_file_name().as("f"))
+          .agg(count(lit(1)), countDistinct(col("hour")),
+            countDistinct(col("f"))).collect()(0)
+        (r.getLong(0), r.getLong(1), r.getLong(2))
+      }
+      val (rows0, hours0, files0) = scopedCensus()
+      assert(files0 > hours0,
+        s"compaction vacuous: $files0 files over $hours0 hour dirs")
+      val (before, after) = graft.sink.Sinks.compactPartitioned(
+        spark, s"$tmp/lake", Some(col("day") === CompactDay))
+      assert(before > after, s"swap did not shrink: $before -> $after")
+      val (rows1, hours1, files1) = scopedCensus()
+      assert((rows1, hours1) == (rows0, hours0), "content changed")
+      assert(files1 == hours1, s"not one file per hour dir: $files1 vs $hours1")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    }
+  }
+
   // --- st20: the salt actually spreads the hot key ----------------------
   // The row's oracle proves correctness (stream ≡ batch rollup); this
   // proves the POINT of the salt: phase 1 splits the hot key's rows
