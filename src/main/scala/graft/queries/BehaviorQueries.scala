@@ -453,6 +453,68 @@ object BehaviorQueries {
 
   // --- g30: Mann–Whitney rank-sum test ------------------------------------
 
+  /** g40's x-axis bucket width over the cents key: values span ≤ ~5×10⁴
+    * cents → ≤ ~192 x-buckets; with the 24-hour y-domain the dense grid
+    * is ≤ ~4.6 k cells, INDEPENDENT of corpus size. */
+  val KendallXBucket = 256L
+
+  /** g40: Kendall τ-b rank correlation between bucketed spend and
+    * hour-of-day — the tie-robust monotone-dependence statistic a data
+    * board asks for ("do high-value events cluster late in the day?").
+    * The naive statistic is an O(N²) pair census — infeasible at 100 TB
+    * and the reason τ is usually approximated. Over BOUNDED discrete
+    * axes it is EXACT and linear: reduce the corpus to a (x-bucket,
+    * hour) contingency census (one map-side-combinable groupBy — the
+    * only pass over data), densify onto the bounded grid (missing cells
+    * carry n = 0 so prefix sums are total), and count concordant /
+    * discordant pairs by 2-D prefix sums: cum_lt_x(x,y) = Σ_{x'<x}
+    * n(x',y) (window by y over x), then ll(x,y) = Σ_{y'<y} cum_lt_x
+    * (window by x over y) — every concordant pair is counted exactly
+    * once at its higher-y cell as n·ll, discordant as n·gl with the
+    * column-total complement. Ties come off the axis marginals. All
+    * integers end-to-end; the ONLY floating point is the final
+    * τ-b = (C−D)/√((n0−Tx)(n0−Ty)) evaluated on identical BIGINTs in
+    * both engines (g30's shared-expression discipline). Windows are
+    * partitioned by the OPPOSITE axis — never partition-less. */
+  def g40KendallTau(s: SparkSession, d: String): DataFrame = {
+    val cells = Tables.events(s, d)
+      .select(
+        expr(s"CAST(round(value * 100) AS BIGINT) div $KendallXBucket").as("xb"),
+        hour(col("ts")).cast("long").as("yb"))
+      .groupBy(col("xb"), col("yb")).agg(count(lit(1)).as("n"))
+      .localCheckpoint(eager = true) // one corpus pass; grid/ties/cd reuse it
+    val grid = cells.select(col("xb")).distinct()
+      .crossJoin(broadcast(s.range(0, 24).toDF("yb")))
+    val dense = grid.join(cells, Seq("xb", "yb"), "left")
+      .select(col("xb"), col("yb"), coalesce(col("n"), lit(0L)).as("n"))
+    val wX = Window.partitionBy(col("yb")).orderBy(col("xb"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wColTot = Window.partitionBy(col("yb"))
+    val cum = dense
+      .withColumn("cum_lt_x", coalesce(sum(col("n")).over(wX), lit(0L)))
+      .withColumn("gt_x",
+        sum(col("n")).over(wColTot) - col("cum_lt_x") - col("n"))
+    val wY = Window.partitionBy(col("xb")).orderBy(col("yb"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cd = cum
+      .withColumn("ll", coalesce(sum(col("cum_lt_x")).over(wY), lit(0L)))
+      .withColumn("gl", coalesce(sum(col("gt_x")).over(wY), lit(0L)))
+      .agg(sum(col("n") * col("ll")).as("conc"),
+        sum(col("n") * col("gl")).as("disc"),
+        sum(col("n")).as("n_total"))
+    val tieX = cells.groupBy(col("xb")).agg(sum(col("n")).as("nx"))
+      .agg(sum(expr("nx * (nx - 1) div 2")).as("tie_x"))
+    val tieY = cells.groupBy(col("yb")).agg(sum(col("n")).as("ny"))
+      .agg(sum(expr("ny * (ny - 1) div 2")).as("tie_y"))
+    cd.crossJoin(broadcast(tieX)).crossJoin(broadcast(tieY))
+      .withColumn("n0", expr("n_total * (n_total - 1) div 2"))
+      .select(col("n_total"), col("conc"), col("disc"),
+        col("tie_x"), col("tie_y"), col("n0"),
+        expr("CAST(round((conc - disc) / sqrt(CAST(n0 - tie_x AS DOUBLE) " +
+          "* CAST(n0 - tie_y AS DOUBLE)) * 1000000) AS BIGINT)")
+          .as("tau_b_micros"))
+  }
+
   /** The two samples compared by g30: does spend (`value`) distribute
     * differently across these event types? */
   val RankSumA = "purchase"
@@ -829,6 +891,7 @@ object BehaviorQueries {
   }
 
   val queries: Map[String, Q] = Map(
+    "g40_kendall_tau" -> g40KendallTau _,
     "g26_chi_square" -> g26ChiSquare _,
     "g27_acf" -> g27Acf _,
     "g28_benford" -> g28Benford _,
@@ -846,6 +909,52 @@ object BehaviorQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // g40: the identical dense-grid prefix-sum construction in SQL —
+    // same bucketing, same window frames, HUGEINT sums cast back, the
+    // one FP step (tau) on identical BIGINTs
+    "g40_kendall_tau" -> s"""
+      WITH pts AS (
+        SELECT CAST(round(value * 100) AS BIGINT) // $KendallXBucket AS xb,
+               CAST(hour(ts) AS BIGINT) AS yb
+        FROM events),
+      cells AS (SELECT xb, yb, CAST(count(*) AS BIGINT) AS n
+                FROM pts GROUP BY 1, 2),
+      grid AS (
+        SELECT x.xb, y.yb
+        FROM (SELECT DISTINCT xb FROM cells) x
+        CROSS JOIN (SELECT CAST(unnest(range(0, 24)) AS BIGINT) AS yb) y),
+      dense AS (
+        SELECT g.xb, g.yb, COALESCE(c.n, 0) AS n
+        FROM grid g LEFT JOIN cells c USING (xb, yb)),
+      cum AS (
+        SELECT xb, yb, n,
+          COALESCE(sum(n) OVER (PARTITION BY yb ORDER BY xb
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_lt_x,
+          sum(n) OVER (PARTITION BY yb) AS coly
+        FROM dense),
+      lg AS (
+        SELECT xb, yb, n,
+          COALESCE(sum(cum_lt_x) OVER (PARTITION BY xb ORDER BY yb
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS ll,
+          COALESCE(sum(coly - cum_lt_x - n) OVER (PARTITION BY xb ORDER BY yb
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS gl
+        FROM cum),
+      cd AS (
+        SELECT CAST(sum(n * ll) AS BIGINT) AS conc,
+               CAST(sum(n * gl) AS BIGINT) AS disc,
+               CAST(sum(n) AS BIGINT) AS n_total
+        FROM lg),
+      tx AS (SELECT CAST(sum(nx * (nx - 1) // 2) AS BIGINT) AS tie_x
+             FROM (SELECT CAST(sum(n) AS BIGINT) AS nx FROM cells GROUP BY xb)),
+      ty AS (SELECT CAST(sum(ny * (ny - 1) // 2) AS BIGINT) AS tie_y
+             FROM (SELECT CAST(sum(n) AS BIGINT) AS ny FROM cells GROUP BY yb))
+      SELECT n_total, conc, disc, tie_x, tie_y,
+             CAST(n_total * (n_total - 1) // 2 AS BIGINT) AS n0,
+             CAST(round((conc - disc)
+               / sqrt(CAST(n_total * (n_total - 1) // 2 - tie_x AS DOUBLE)
+                    * CAST(n_total * (n_total - 1) // 2 - tie_y AS DOUBLE))
+               * 1000000) AS BIGINT) AS tau_b_micros
+      FROM cd, tx, ty""",
     "g22_pagerank" -> PageRankOracleSql,
     "g27_acf" -> s"""
       WITH o AS (

@@ -152,6 +152,48 @@ class RoundTwelveOpsSpec extends SparkSpec {
     }
   }
 
+  // --- g40: the prefix-sum Kendall census equals the O(N²) truth --------
+  // The row's point is replacing the infeasible all-pairs census with 2-D
+  // prefix sums over the bounded grid; this rebuilds the census the slow
+  // way (500k pairs at sf0.001) and demands exact integer equality, plus
+  // the partition identity C + D + ties(any) = n0.
+  test("g40: concordant/discordant/tie census matches a brute-force pair loop exactly") {
+    import graft.queries.BehaviorQueries
+    import org.apache.spark.sql.functions._
+    val out = BehaviorQueries.g40KendallTau(spark, sf).collect()(0)
+    val pts = Tables.events(spark, sf)
+      .select(expr(s"CAST(round(value * 100) AS BIGINT) div ${BehaviorQueries.KendallXBucket}"),
+        hour(col("ts")).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    var conc = 0L; var disc = 0L; var tieX = 0L; var tieY = 0L; var tieXY = 0L
+    var i = 0
+    while (i < pts.length) {
+      var j = i + 1
+      while (j < pts.length) {
+        val (x1, y1) = pts(i); val (x2, y2) = pts(j)
+        if (x1 == x2 && y1 == y2) tieXY += 1
+        else if (x1 == x2) tieX += 1
+        else if (y1 == y2) tieY += 1
+        else if ((x1 < x2) == (y1 < y2)) conc += 1
+        else disc += 1
+        j += 1
+      }
+      i += 1
+    }
+    val n = pts.length.toLong
+    assert(out.getAs[Long]("n_total") == n)
+    assert(out.getAs[Long]("conc") == conc, s"conc ${out.getAs[Long]("conc")} vs $conc")
+    assert(out.getAs[Long]("disc") == disc, s"disc ${out.getAs[Long]("disc")} vs $disc")
+    // marginal tie counts INCLUDE both-tied pairs (the τ-b convention)
+    assert(out.getAs[Long]("tie_x") == tieX + tieXY)
+    assert(out.getAs[Long]("tie_y") == tieY + tieXY)
+    val n0 = n * (n - 1) / 2
+    assert(out.getAs[Long]("n0") == n0)
+    assert(conc + disc + tieX + tieY + tieXY == n0, "pair partition broken")
+    // census must be non-degenerate for the row to mean anything
+    assert(conc > 0 && disc > 0 && tieXY > 0)
+  }
+
   // --- st20: the salt actually spreads the hot key ----------------------
   // The row's oracle proves correctness (stream ≡ batch rollup); this
   // proves the POINT of the salt: phase 1 splits the hot key's rows
