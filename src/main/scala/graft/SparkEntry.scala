@@ -55,6 +55,9 @@ object SparkEntry {
       ("k01_format_roundtrip" -> "e2e") + ("k02_bucketed_join" -> "e2e") +
       ("k03_json_roundtrip" -> "e2e") + ("k04_schema_evolution" -> "e2e") +
       ("k05_dpp_prune" -> "e2e") + ("k06_file_layout" -> "e2e") +
+      // k07 writes a deliberately fragmented 1300-file lake and
+      // physically compacts it against a one-GROUP-BY oracle — k01's rule
+      ("k07_compaction" -> "e2e") +
       // p30 lands three real parquet write/read cycles plus bookmark
       // audit writes against a one-GROUP-BY oracle — the k01 rule
       ("p30_bookmark_ingest" -> "e2e")

@@ -571,9 +571,13 @@ object ControlPlaneQueries {
     * emits measured-vs-law columns; the oracle restates the law from
     * the source table — a writer that ignored the cap, double-rolled,
     * or lost rows is a hash mismatch. */
-  /** k07's deliberate fragmentation fan-out and compaction scope. */
+  /** k07's deliberate fragmentation fan-out, lake extent, and compaction
+    * scope. One WEEK of hour dirs (168) is the same per-directory law at
+    * 1/4 the file churn of the full month — the laws are per-dir, so the
+    * extent buys bench time, not contract strength. */
   val FragTasks = 8
-  val CompactDay = 15
+  val FragDays = 7
+  val CompactDay = 5
 
   /** k07: small-file compaction contract — k06's sibling for the OTHER
     * lifecycle moment. A streaming lake accretes one file per
@@ -596,7 +600,9 @@ object ControlPlaneQueries {
     * isolation law would compare the lake to itself). */
   def k07CompactionLayout(s: SparkSession, d: String): DataFrame =
     withTmp(s, "graft-k07-") { tmp =>
-      val ev = Tables.events(s, d).select(col("event_id"), col("ts"), col("value"))
+      val ev = Tables.events(s, d)
+        .filter(dayofmonth(col("ts")) <= FragDays)
+        .select(col("event_id"), col("ts"), col("value"))
       graft.transform.Transform.derivePartitions("ts")(ev)
         .repartition(FragTasks) // row-hash spray: every task hits most dirs
         .write.mode("overwrite")
@@ -703,6 +709,7 @@ object ControlPlaneQueries {
              TRUE AS layout_ok,
              TRUE AS untouched_ok
       FROM events
+      WHERE day(ts) <= $FragDays
       GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
     // k05: the same hot-day join straight off the parquet corpus; the
     // DPP fact is pinned TRUE — a plan that stopped pruning fails the row

@@ -124,6 +124,7 @@ class RoundTwelveOpsSpec extends SparkSpec {
     val tmp = java.nio.file.Files.createTempDirectory("graft-k07-spec-").toString
     try {
       val ev = Tables.events(spark, sf)
+        .filter(dayofmonth(col("ts")) <= FragDays)
         .select(col("event_id"), col("ts"), col("value"))
       graft.transform.Transform.derivePartitions("ts")(ev)
         .repartition(FragTasks)
