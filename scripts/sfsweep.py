@@ -57,6 +57,21 @@ probe_hi = json.load(open(probe_hi_path)) if probe_hi_path else {}
 
 lo = json.load(open(lo_path))
 hi = json.load(open(hi_path))
+
+# Probe files must be FOR the SFs being swept (ADVICE r12): BenchProbe
+# stamps 'sf' with the sf-dir basename; a wrong-SF probe file would
+# compute a meaningless alpha_probe that silently un-flags a genuine
+# superlinear row. Fail loudly instead.
+def _check_probe_sf(probe, path, bench):
+    if not probe:
+        return
+    psf = probe.get("sf")
+    bsf = bench.get("sf", "").rstrip("/").split("/")[-1]
+    if psf != bsf:
+        sys.exit(f"probe file {path} is for sf '{psf}' but the bench "
+                 f"artifact was taken at '{bsf}' — wrong probe file")
+_check_probe_sf(probe_lo, probe_lo_path, lo)
+_check_probe_sf(probe_hi, probe_hi_path, hi)
 ratio = math.log(sf_hi / sf_lo)
 tags = hi.get("tags", lo.get("tags", {}))
 
@@ -116,7 +131,9 @@ for q, t_hi in hi["queries"].items():
             and p_lo > 0 and p_hi > 0:
         pa = math.log(p_hi / p_lo) / ratio
         rows[-1]["alpha_probe"] = round(pa, 3)
-        rows[-1]["probe_adjudicated"] = pa <= ALPHA_FLAG
+        # a floor-level solo reading (p_hi < FLOOR_SEC) carries no scaling
+        # signal — record the exponent but never let it adjudicate
+        rows[-1]["probe_adjudicated"] = pa <= ALPHA_FLAG and p_hi >= FLOOR_SEC
     else:
         rows[-1]["alpha_probe"] = None
         rows[-1]["probe_adjudicated"] = False

@@ -458,6 +458,14 @@ object BehaviorQueries {
     * is ≤ ~4.6 k cells, INDEPENDENT of corpus size. */
   val KendallXBucket = 256L
 
+  /** Hard ceiling on g40's dense grid (VERDICT r12: the "bounded axes"
+    * premise was derived from the value domain but never asserted — a
+    * corpus with values ≫ 5×10⁴ cents would silently grow the grid the
+    * whole prefix-sum construction rests on). ~3.5× the current-domain
+    * 4.6 k cells; a wide-domain corpus fails loudly with the re-bucket
+    * instruction instead of degrading. */
+  val KendallMaxCells = 16384L
+
   /** g40: Kendall τ-b rank correlation between bucketed spend and
     * hour-of-day — the tie-robust monotone-dependence statistic a data
     * board asks for ("do high-value events cluster late in the day?").
@@ -483,6 +491,13 @@ object BehaviorQueries {
         hour(col("ts")).cast("long").as("yb"))
       .groupBy(col("xb"), col("yb")).agg(count(lit(1)).as("n"))
       .localCheckpoint(eager = true) // one corpus pass; grid/ties/cd reuse it
+    // grid-premise guard (bounded driver-side aggregate off the
+    // checkpoint — one scalar): the construction is linear ONLY while
+    // the dense grid stays domain-bounded
+    val nxb = cells.agg(countDistinct(col("xb"))).first().getLong(0)
+    require(nxb * 24 <= KendallMaxCells,
+      s"g40 grid premise broken: $nxb x-buckets x 24 hours > " +
+        s"$KendallMaxCells cells — widen KendallXBucket for this value domain")
     val grid = cells.select(col("xb")).distinct()
       .crossJoin(broadcast(s.range(0, 24).toDF("yb")))
     val dense = grid.join(cells, Seq("xb", "yb"), "left")
@@ -510,8 +525,12 @@ object BehaviorQueries {
       .withColumn("n0", expr("n_total * (n_total - 1) div 2"))
       .select(col("n_total"), col("conc"), col("disc"),
         col("tie_x"), col("tie_y"), col("n0"),
-        expr("CAST(round((conc - disc) / sqrt(CAST(n0 - tie_x AS DOUBLE) " +
-          "* CAST(n0 - tie_y AS DOUBLE)) * 1000000) AS BIGINT)")
+        // degenerate constant-axis guard (ADVICE r12): a 0 divisor is
+        // NULL in Spark but a round(inf)-cast error in DuckDB — emit
+        // NULL explicitly on BOTH sides (the t11/g39 kappa rule)
+        expr("CASE WHEN n0 = tie_x OR n0 = tie_y THEN CAST(NULL AS BIGINT) " +
+          "ELSE CAST(round((conc - disc) / sqrt(CAST(n0 - tie_x AS DOUBLE) " +
+          "* CAST(n0 - tie_y AS DOUBLE)) * 1000000) AS BIGINT) END")
           .as("tau_b_micros"))
   }
 
@@ -950,10 +969,13 @@ object BehaviorQueries {
              FROM (SELECT CAST(sum(n) AS BIGINT) AS ny FROM cells GROUP BY yb))
       SELECT n_total, conc, disc, tie_x, tie_y,
              CAST(n_total * (n_total - 1) // 2 AS BIGINT) AS n0,
-             CAST(round((conc - disc)
-               / sqrt(CAST(n_total * (n_total - 1) // 2 - tie_x AS DOUBLE)
-                    * CAST(n_total * (n_total - 1) // 2 - tie_y AS DOUBLE))
-               * 1000000) AS BIGINT) AS tau_b_micros
+             CASE WHEN n_total * (n_total - 1) // 2 = tie_x
+                    OR n_total * (n_total - 1) // 2 = tie_y
+                  THEN CAST(NULL AS BIGINT)
+                  ELSE CAST(round((conc - disc)
+                    / sqrt(CAST(n_total * (n_total - 1) // 2 - tie_x AS DOUBLE)
+                         * CAST(n_total * (n_total - 1) // 2 - tie_y AS DOUBLE))
+                    * 1000000) AS BIGINT) END AS tau_b_micros
       FROM cd, tx, ty""",
     "g22_pagerank" -> PageRankOracleSql,
     "g27_acf" -> s"""
