@@ -106,7 +106,8 @@ object SparkEntry {
     "s13_knn_classify",       // full-holdout x labeled cross join
     "g11_class_tightness",    // within-class all-pairs statistics
     "p34_skyline",            // NOT EXISTS dominance census (all-pairs)
-    "d21_prefix_hostile")     // oracle pays the full boilerplate Σ df² (fixed slice)
+    "d21_prefix_hostile",     // oracle pays the full boilerplate Σ df² (fixed slice)
+    "d22_dfcap_index")        // same hostile census, cap-free, at τ = 0.6
     .map(_ -> "quadratic").toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

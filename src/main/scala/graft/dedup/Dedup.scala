@@ -292,6 +292,87 @@ object Dedup {
   private[graft] def d21Candidates(s: SparkSession, d: String): DataFrame =
     candidatesOver(docShinglesOf(hostileDocs(s, d)))
 
+  // --- d22: posting-list df-cap for the exact inverted index ------------
+
+  /** d22's document-frequency cap: postings with df > cap are dropped
+    * from the CANDIDATE-GENERATION index (never from the verify sets).
+    * Measured on the hostile slice at sf0.01: the natural df head ends
+    * at 32 (15 shingles in df 9–32, zero in 33–256) while the planted
+    * boilerplate shingles sit at df ≥ 279, so 64 separates the two
+    * regimes with ≥ 2× margin each way; Σ df·(df−1)/2 falls 713 k →
+    * 15.3 k (47×), and every true J ≥ 0.6 pair still shares ≥ 9 sub-cap
+    * shingles (min over the census) — the exactness premise holds with
+    * an order-of-magnitude margin, and RoundThirteenOpsSpec asserts it
+    * per run so corpus drift fails loudly. */
+  val DfCap = 64L
+
+  /** d22: the standard df-cap mitigation for d02's EXACT inverted-index
+    * join, proven on d21's hostile corpus (VERDICT r12 item 2). d02's
+    * self-join pays Σ_shingle df² — on a 90 %-boilerplate corpus that is
+    * quadratic in N on the head shingles alone (measured: d02's pipeline
+    * over [[hostileDocs]] pays 713 k index meets at sf0.01 where this
+    * row's capped index pays 15.3 k). The fix that keeps EXACTNESS:
+    * candidates come from the df ≤ [[DfCap]] postings only, then every
+    * candidate is verified against the FULL shingle sets (d20's
+    * id-keyed counting joins), so the output equals the cap-free
+    * J ≥ 0.6 census whenever every true pair shares at least one
+    * sub-cap shingle — which the hash-checking cap-FREE oracle proves
+    * per run, not assumes (a boilerplate-only true pair would mismatch).
+    *
+    * Scale: one shingle pass (localCheckpoint, d20's discipline) feeds
+    * the df filter, the sizes aggregate, and both verify sides; the df
+    * window and self-join shuffle on `h`; the verify joins are id-keyed
+    * shuffle-hash — no pair-list or index broadcast. The cap turns the
+    * index join's worst case from Σ df² (unbounded, corpus-shaped) into
+    * ≤ cap·|postings| (linear in the corpus), the same bound the
+    * SSJoin prefix gives d20 by ordering instead of dropping. */
+  def d22DfCapIndex(s: SparkSession, d: String): DataFrame = {
+    val inv = docShinglesOf(hostileDocs(s, d))
+      .select(col("doc_id"), explode(col("sh")).as("sg"))
+      .select(col("doc_id"), xxhash64(col("sg")).as("h"))
+      .localCheckpoint(true)
+    val cand = d22CandidatesOver(inv)
+    val sizes = inv.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    // exact verify on FULL sets — d20's counting form: candidates join
+    // back to the uncapped index BY ID, so dropped head postings still
+    // count toward c and the Jaccard is the true one
+    cand
+      .join(inv.select(col("doc_id").as("doc_a"), col("h")).hint("shuffle_hash"),
+        "doc_a")
+      .join(inv.select(col("doc_id").as("doc_b"), col("h")).hint("shuffle_hash"),
+        Seq("doc_b", "h"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("c"))
+      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .withColumn("jaccard",
+        col("c").cast("double") / (col("sa.n") + col("sb.n") - col("c")).cast("double"))
+      .filter(col("jaccard") >= 0.6)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** d22's candidate pairs from the df-capped index — factored for the
+    * spec's efficiency/premise laws. */
+  private[graft] def d22CandidatesOver(inv: DataFrame): DataFrame = {
+    val wDf = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
+    val capped = inv
+      .withColumn("df", count(lit(1)).over(wDf))
+      .filter(col("df") <= DfCap)
+      .select(col("doc_id"), col("h"))
+      .repartition(col("h"))
+    capped.as("a").join(capped.as("b").hint("merge"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  private[graft] def d22Candidates(s: SparkSession, d: String): DataFrame =
+    d22CandidatesOver(
+      docShinglesOf(hostileDocs(s, d))
+        .select(col("doc_id"), explode(col("sh")).as("sg"))
+        .select(col("doc_id"), xxhash64(col("sg")).as("h")))
+
   /** MinHash parameters: 64 hashes = 32 bands × 2 rows.
     *
     * Geometry chosen for detection certainty AT the decision threshold,
@@ -1671,6 +1752,7 @@ object Dedup {
     "d02_ngram_jaccard"     -> d02NgramJaccard _,
     "d20_prefix_join"       -> d20PrefixJoin _,
     "d21_prefix_hostile"    -> d21PrefixHostile _,
+    "d22_dfcap_index"       -> d22DfCapIndex _,
     "p35_prototype_prune"   -> p35PrototypePrune _,
     "d03_minhash_lsh"       -> d03MinHashLsh _,
     "d04_simhash"           -> d04SimHashContract _,
@@ -1765,6 +1847,17 @@ object Dedup {
         FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
                      ORDER BY ccos DESC, label DESC) AS rn FROM ac)
         WHERE rn = 1)"""
+
+  /** The d21/d22 hostile corpus as one shared DuckDB CTE (`hostile`) —
+    * one definition so the two adversarial-regime oracles cannot drift
+    * from each other or from [[hostileDocs]]. */
+  private val HostileCteSql = s"""hostile AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % $HostileMod <> 0
+                     AND len(${graft.text.TextAnalysis.ToksSql}) >= $HostileMinToks
+                    THEN text || ' $HostileBoilerplate'
+                    ELSE text END AS text
+        FROM documents WHERE doc_id < $HostileSliceN)"""
 
   /** Jaccard-pair SQL shared by d02 and d03 (LSH verified output = exact
     * output; see [[NumHashes]]). d04 is hash-defined → its oracle states
@@ -2071,14 +2164,17 @@ object Dedup {
     // (bounded by the fixed slice), so filter completeness under the
     // boilerplate regime is hash-checked, not assumed
     "d21_prefix_hostile" -> s"""
-      WITH hostile AS (
-        SELECT doc_id,
-               CASE WHEN doc_id % $HostileMod <> 0
-                     AND len(${graft.text.TextAnalysis.ToksSql}) >= $HostileMinToks
-                    THEN text || ' $HostileBoilerplate'
-                    ELSE text END AS text
-        FROM documents WHERE doc_id < $HostileSliceN),
+      WITH $HostileCteSql,
       ${jaccardPairsCte(PrefixTau, "hostile")}
+      SELECT doc_a, doc_b, jaccard FROM jpairs
+      ORDER BY doc_a, doc_b""",
+    // d22: same hostile corpus, CAP-FREE census at d02's τ = 0.6 — the
+    // oracle pays the full boilerplate Σ df², so a df-capped candidate
+    // pass that LOST a true pair (one whose every shared shingle is
+    // above the cap) is a hash mismatch, not an assumption
+    "d22_dfcap_index" -> s"""
+      WITH $HostileCteSql,
+      ${jaccardPairsCte(0.6, "hostile")}
       SELECT doc_a, doc_b, jaccard FROM jpairs
       ORDER BY doc_a, doc_b""",
     "d03_minhash_lsh"   -> JaccardPairsSql,
