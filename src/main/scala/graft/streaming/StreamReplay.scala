@@ -1356,7 +1356,68 @@ object StreamReplay {
         .localCheckpoint(eager = true)
     }
 
+  /** st21: st20's stateful-API twin — the salt lives IN the state store
+    * (VERDICT r12 item 6). st20 salts inside foreachBatch and journals
+    * partials to parquet; the form a long-running 100 TB/day pipeline
+    * deploys keeps the salted partials in the checkpoint's RocksDB state
+    * store itself: keys are (zkey, salt) composites
+    * ([[StreamingPipeline.SaltedPartialProcessor]]), so the hot key's
+    * running aggregate updates through [[SaltBuckets]] parallel state
+    * slots every micro-batch, and the merged answer is read from the
+    * SURVIVING STATE after the drain (st17's statestore-source
+    * discipline) and folded per zkey in batch.
+    *
+    * The salt is CONTENT-ADDRESSED — `xxhash64(event_id) mod buckets` —
+    * not row-position (st20's phase-1 can use a positional salt because
+    * its partials are per-batch-transient; state-store slots survive
+    * retries, so a replayed micro-batch must land each row in the SAME
+    * slot for exactly-once semantics). Algebraic partials make salt,
+    * batch, and merge boundaries commute, so the stream must land
+    * EXACTLY the batch rollup — st20's oracle, reused verbatim. Spread
+    * across slots is asserted in RoundThirteenOpsSpec (no SQL form). */
+  def st21SaltedStateReplay(s: SparkSession, d: String): DataFrame =
+    withReplayTmp(s, "graft-st21-") { tmp =>
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.session.timeZone",
+        s.conf.get("spark.sql.session.timeZone", "UTC"))
+      s2.conf.set("spark.sql.shuffle.partitions", "8")
+      s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      import s2.implicits._
+      val ev = Tables.events(s2, d)
+        .select(col("event_id"), col("user_id"), col("value"), col("ts"))
+      stageOrderedJson(ev, nFiles = 4, s"$tmp/incoming", prefix = "a",
+        baseModTime = 1000000L)
+      val source = StreamingPipeline.jsonFileSource(
+        s2, s"$tmp/incoming", ev.schema, maxFilesPerTrigger = 1,
+        options = Map("timestampFormat" -> JsonTsFormat))
+      val typed = saltKeyed(source)
+        .select(col("zkey"),
+          pmod(xxhash64(col("event_id")), lit(SaltBuckets.toLong)).as("salt"),
+          col("event_id"), col("cents"))
+        .as[(Long, Long, Long, Long)]
+      val query = StreamingPipeline.saltedStateTrack(typed)
+        .writeStream.format("noop")
+        .outputMode("update")
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+      s2.read.format("statestore")
+        .option("stateVarName", "partial")
+        .load(s"$tmp/ckpt")
+        .select(col("key._1").as("zkey"),
+          col("value.n").as("n"), col("value.sc").as("sc"),
+          col("value.mn").as("mn"), col("value.mx").as("mx"))
+        .groupBy(col("zkey"))
+        .agg(sum(col("n")).as("n_events"), sum(col("sc")).as("sum_cents"),
+          min(col("mn")).as("min_event_id"), max(col("mx")).as("max_event_id"))
+        .orderBy(col("zkey"))
+        .localCheckpoint(eager = true)
+    }
+
   val queries: Map[String, Q] = Map(
+    "st21_salted_state_replay" -> st21SaltedStateReplay _,
     "st20_salted_replay" -> st20SaltedReplay _,
     "st19_distinct_replay" -> st19DistinctReplay _,
     "st17_ttl_replay" -> st17TtlReplay _,
@@ -1379,6 +1440,19 @@ object StreamReplay {
     "st14_quality_replay"  -> st14QualityReplay _,
   )
 
+  /** The plain batch rollup both salted replays (st20 journal-side,
+    * st21 state-store-side) must land exactly — one definition so the
+    * twins' contracts cannot drift. */
+  private val SaltedRollupOracleSql = s"""
+      SELECT CASE WHEN user_id % $SaltHotMod <> 0 THEN 0
+                  ELSE user_id % $SaltColdKeys + 1 END AS zkey,
+             CAST(count(*) AS BIGINT) AS n_events,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+             min(event_id) AS min_event_id,
+             max(event_id) AS max_event_id
+      FROM events
+      GROUP BY 1 ORDER BY 1"""
+
   val oracleSql: Map[String, String] = Map(
     // st17: gap-reset final session per key, retained iff the key's
     // last event is within the retention horizon of the stream's end —
@@ -1397,15 +1471,11 @@ object StreamReplay {
     // st20: salted two-phase streaming aggregation must land EXACTLY the
     // plain batch rollup — salt, micro-batch, and merge all commute for
     // algebraic aggregates, and this hash-check is what proves it
-    "st20_salted_replay" -> s"""
-      SELECT CASE WHEN user_id % $SaltHotMod <> 0 THEN 0
-                  ELSE user_id % $SaltColdKeys + 1 END AS zkey,
-             CAST(count(*) AS BIGINT) AS n_events,
-             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
-             min(event_id) AS min_event_id,
-             max(event_id) AS max_event_id
-      FROM events
-      GROUP BY 1 ORDER BY 1""",
+    "st20_salted_replay" -> SaltedRollupOracleSql,
+    // st21: identical contract through the state-store salt — the same
+    // batch rollup, verbatim (salt/batch/merge commute for algebraic
+    // aggregates wherever the partials live)
+    "st21_salted_state_replay" -> SaltedRollupOracleSql,
     "st17_ttl_replay" -> """
       WITH brk AS (
         SELECT user_id, ts,

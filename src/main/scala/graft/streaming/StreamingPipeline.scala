@@ -399,6 +399,50 @@ object StreamingPipeline {
         TimeMode.EventTime(), OutputMode.Update())
   }
 
+  /** st21: the salted partial for ONE (key, salt) state slot — the
+    * running algebraic aggregate (count / sum / min / max) a hot key's
+    * rows fold into across micro-batches. */
+  final case class SaltPartial(n: Long, sc: Long, mn: Long, mx: Long)
+
+  /** st21's stateful processor: keys are (zkey, salt) COMPOSITES, so a
+    * Zipf-hot zkey's running aggregate lives in [[graft.streaming.StreamReplay.SaltBuckets]]
+    * independent state-store slots — each micro-batch updates the hot
+    * key through SaltBuckets parallel tasks instead of funneling it to
+    * one (the state-store form of st20's two-phase salt; AQE skew
+    * handling does not exist in stateful streaming). Emits nothing: the
+    * merged answer is read from the SURVIVING STATE (st17's statestore-
+    * source discipline) and folded per zkey in batch — safe because
+    * every partial is algebraic, so salt boundaries, micro-batch
+    * boundaries, and the final merge all commute. */
+  class SaltedPartialProcessor
+      extends StatefulProcessor[(Long, Long), (Long, Long, Long, Long), SaltPartial] {
+    @transient private var state: ValueState[SaltPartial] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[SaltPartial]("partial",
+        org.apache.spark.sql.Encoders.product[SaltPartial], TTLConfig.NONE)
+    override def handleInputRows(key: (Long, Long),
+                                 rows: Iterator[(Long, Long, Long, Long)],
+                                 timerValues: TimerValues): Iterator[SaltPartial] = {
+      var st = if (state.exists()) state.get()
+               else SaltPartial(0L, 0L, Long.MaxValue, Long.MinValue)
+      rows.foreach { case (_, _, eventId, cents) =>
+        st = SaltPartial(st.n + 1L, st.sc + cents,
+          math.min(st.mn, eventId), math.max(st.mx, eventId))
+      }
+      state.update(st)
+      Iterator.empty
+    }
+  }
+
+  /** The st21 stream: (zkey, salt, event_id, cents) rows folded into
+    * per-(zkey, salt) [[SaltPartial]] state. */
+  def saltedStateTrack(events: Dataset[(Long, Long, Long, Long)]): Dataset[SaltPartial] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(r => (r._1, r._2))
+      .transformWithState(new SaltedPartialProcessor, TimeMode.None(),
+        OutputMode.Update())
+  }
+
   /** Stream-stream interval join (§2.3 as-of/interval streaming enrich):
     * left rows match right rows of the same key within
     * [leftTs - window, leftTs]. Both sides carry watermarks so the join
