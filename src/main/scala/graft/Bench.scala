@@ -67,6 +67,61 @@ object BenchSentinel {
     rows.size >= CpuInflateMinRows
 }
 
+/** Self-healing retime state machine (VERDICT r12 item 1): when the
+  * in-run sentinel trips at a query boundary, the run should not just
+  * flag itself — it quarantines the queries timed while any bar was
+  * crossed, waits (bounded) for the bars to clear, re-times them under
+  * verified-clean bracketing samples, and ships clean numbers with
+  * `retimed` provenance. A run where the bars never clear still ships
+  * `contaminated: true`; a solo clean run never enters this path.
+  * Factored pure so RoundThirteenOpsSpec drives the state machine
+  * without a 15-minute bench run. */
+object BenchRetimer {
+  /** One boundary sample: 1-min loadavg, cpu PSI avg10, foreign-cpu share. */
+  final case class Sample(load1: Double, psi: Double, foreign: Double)
+
+  /** A boundary is dirty iff any in-run bar is crossed — the same three
+    * levers the sentinel flags on ([[BenchSentinel.InRunLoadBar]] /
+    * [[BenchSentinel.InRunPsiBar]] / [[BenchSentinel.ForeignCpuBar]]). */
+  def dirty(s: Sample): Boolean =
+    s.load1 > BenchSentinel.InRunLoadBar || s.psi > BenchSentinel.InRunPsiBar ||
+      s.foreign > BenchSentinel.ForeignCpuBar
+
+  /** Queries bracketed by a dirty boundary. `samples(0)` precedes the
+    * first query and `samples(i + 1)` follows query `i`, so query `i` is
+    * quarantined iff either of its bracketing samples is dirty —
+    * contention observed at a query's start OR end taints its timing
+    * (contention that both started and stopped strictly inside one
+    * query's window is what the cpu-baseline lever exists for). */
+  def quarantined(names: Seq[String], samples: Seq[Sample]): Seq[String] = {
+    require(samples.length == names.length + 1,
+      s"need ${names.length + 1} boundary samples, got ${samples.length}")
+    names.zipWithIndex.collect {
+      case (n, i) if dirty(samples(i)) || dirty(samples(i + 1)) => n
+    }
+  }
+
+  /** Total healing budget: bounded so a permanently-contended box ships
+    * `contaminated: true` after 5 min instead of hanging the driver. */
+  val MaxWaitMs = 300000L
+  /** Poll cadence while waiting for the bars to clear. */
+  val PollMs = 5000L
+  /** Consecutive clean polls required before retiming resumes — a single
+    * clean sample mid-oscillation must not restart timing. */
+  val CleanStreak = 3
+
+  /** Retiming may proceed iff the trailing [[CleanStreak]] polls are all
+    * clean. */
+  def cleanToProceed(recent: Seq[Sample]): Boolean =
+    recent.length >= CleanStreak &&
+      recent.takeRight(CleanStreak).forall(s => !dirty(s))
+
+  /** A retimed reading is accepted iff its own bracketing samples are
+    * clean — otherwise the query goes back in quarantine. */
+  def retimeAccepted(before: Sample, after: Sample): Boolean =
+    !dirty(before) && !dirty(after)
+}
+
 object Bench {
   /** Timed action: a noop-sink write executes the FULL plan (projection,
     * sort, every output column) — a bare `count()` lets ColumnPruning /
@@ -162,6 +217,27 @@ object Bench {
     val envPre = (loadAvg, cpuPsiAvg10, procCount, System.currentTimeMillis())
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // The committed clean-run cpu baseline for this SF (the 1b sentinel
+    // lever's reference). Loaded up front so both the heal pass and the
+    // final verdict read the same map — and so a DISARMED sentinel is
+    // loud (ADVICE r12): an absent baseline file used to leave
+    // cpuInflated silently false with only an empty JSON field as trace.
+    val benchBaselinePath = {
+      val sfName = new java.io.File(sfDir).getName
+      java.nio.file.Paths.get(s"scripts/bench_cpu_baseline_$sfName.tsv")
+    }
+    val benchCpuBaseline: Map[String, (Double, Long)] =
+      if (java.nio.file.Files.exists(benchBaselinePath))
+        BenchSentinel.parseBaseline(
+          scala.jdk.CollectionConverters.ListHasAsScala(
+            java.nio.file.Files.readAllLines(benchBaselinePath)).asScala.toSeq)
+      else Map.empty
+    if (benchCpuBaseline.isEmpty)
+      System.err.println(
+        s"WARNING: cpu-inflation sentinel DISARMED — baseline file " +
+          s"$benchBaselinePath is missing or empty for this SF; the run " +
+          "can NOT self-detect cache/bandwidth contamination (refresh it " +
+          "from a clean solo run before trusting this artifact).")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -254,16 +330,14 @@ object Bench {
       (loadAvg, cpuPsiAvg10, procCount, System.currentTimeMillis())
     // --- in-run contention sampling (VERDICT r11 item 1a) -----------------
     // The r11 incident: a run contended AFTER the first-line sample shipped
-    // 10x-inflated cpu_sec while self-reporting clean. Sample load/PSI at
-    // EVERY query boundary and keep the max; bars are above anything the
-    // bench's own local[32] bursts produce (measured: own-run in-run max
-    // load1 ~3-4 on this 32-core box, PSI avg10 < ~3 %) and below a real
-    // co-runner (a 16-thread spinner adds +16 steady load and tens of %
-    // PSI within one 10 s avg10 window).
-    import BenchSentinel.{InRunLoadBar, InRunPsiBar, ForeignCpuBar}
-    var inRunMaxLoad = -1.0; var inRunMaxLoadAt = ""
-    var inRunMaxPsi = -1.0; var inRunMaxPsiAt = ""
-    var inRunMaxForeign = -1.0; var inRunMaxForeignAt = ""
+    // 10x-inflated cpu_sec while self-reporting clean. Sample load/PSI/
+    // foreign-cpu at EVERY query boundary; bars are above anything the
+    // bench's own local[32] bursts produce (measured round 12, this box:
+    // the bench's OWN sf0.1 run pushes 1-min loadavg to ~11 during the
+    // sustained heavy stretches — the InRunLoadBar=24 margin in
+    // BenchSentinel is ~2x that own-run max; PSI avg10 stays < ~3 %) and
+    // below a real co-runner (a 16-thread spinner adds +16 steady load
+    // and tens of % PSI within one 10 s avg10 window).
     def foreignCpu: Double =
       osBean.map { b =>
         val sys = b.getCpuLoad
@@ -271,17 +345,16 @@ object Bench {
         if (sys >= 0 && self >= 0) math.max(0.0, sys - self) else -1.0
       }.getOrElse(-1.0)
     foreignCpu // first call primes the MXBean's sampling window
-    def sampleInRun(at: String): Unit = {
-      val l = loadAvg.headOption.getOrElse(-1.0)
-      val p = cpuPsiAvg10
-      val f = foreignCpu
-      if (l > inRunMaxLoad) { inRunMaxLoad = l; inRunMaxLoadAt = at }
-      if (p > inRunMaxPsi) { inRunMaxPsi = p; inRunMaxPsiAt = at }
-      if (f > inRunMaxForeign) { inRunMaxForeign = f; inRunMaxForeignAt = at }
-    }
+    def sampleNow(): BenchRetimer.Sample =
+      BenchRetimer.Sample(loadAvg.headOption.getOrElse(-1.0), cpuPsiAvg10,
+        foreignCpu)
     val provenance = scala.collection.mutable.LinkedHashMap
       .empty[String, (Long, Long, Long, Double, Long, Long, Long, Long)]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // One measured (wall, provenance) reading for a query: two timed
+    // noop-sink runs, min; shared verbatim by the main pass and the
+    // retime pass so a retimed number is the same measurement.
+    def timeQuery(name: String,
+                  fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       def once(): (Double, Double, Long) = {
         val c0 = jvmCpuSec
         val g0 = gcMillis
@@ -315,9 +388,103 @@ object Bench {
       provenance(name) = (j1 - j0, s1 - s0, t1 - t0, best._2,
         best._3, worse._3, if (cg1 >= 0 && cg0 >= 0) cg1 - cg0 else -1L,
         lastRows.get())
-      sampleInRun(name)
-      name -> best._1
-    }.toMap
+      best._1
+    }
+    val order = SparkEntry.queries.toSeq.sortBy(_._1)
+    val boundarySamples = scala.collection.mutable.ArrayBuffer(sampleNow())
+    val resultsM = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    order.foreach { case (name, fn) =>
+      resultsM(name) = timeQuery(name, fn)
+      boundarySamples += sampleNow()
+    }
+    // in-run maxima provenance (boundary i=0 precedes query 1)
+    val boundaryLabels = "<pre-first-query>" +: order.map(_._1)
+    def maxAt(get: BenchRetimer.Sample => Double): (Double, String) =
+      boundarySamples.zip(boundaryLabels).maxBy(p => get(p._1)) match {
+        case (s, at) => (get(s), at)
+      }
+    val (inRunMaxLoad, inRunMaxLoadAt) = maxAt(_.load1)
+    val (inRunMaxPsi, inRunMaxPsiAt) = maxAt(_.psi)
+    val (inRunMaxForeign, inRunMaxForeignAt) = maxAt(_.foreign)
+    // --- self-heal (VERDICT r12 item 1) -----------------------------------
+    // Queries timed while any bar was crossed are quarantined and RE-TIMED
+    // once the bars clear (bounded wait), so a transient co-runner costs
+    // retimed provenance instead of a contaminated official artifact. A
+    // solo clean run never enters this block; a box that never clears
+    // ships `contaminated: true` with the unhealed rows listed.
+    val names = order.map(_._1)
+    val healDeadline = System.currentTimeMillis() + BenchRetimer.MaxWaitMs
+    var retimedLog = List.empty[(String, Double, Double)]
+    // One healing wave over `targets`: wait for CleanStreak clean polls,
+    // retime, accept only under clean bracketing samples. Returns the
+    // queries still unhealed at the deadline.
+    def heal(targets: Seq[String]): Seq[String] = {
+      def waitClean(): Boolean = {
+        val recent = scala.collection.mutable.ArrayBuffer(sampleNow())
+        while (!BenchRetimer.cleanToProceed(recent.toSeq)) {
+          if (System.currentTimeMillis() >= healDeadline) return false
+          Thread.sleep(BenchRetimer.PollMs)
+          recent += sampleNow()
+        }
+        true
+      }
+      var pending = targets.toList
+      var live = true
+      // the CleanStreak verdict costs (CleanStreak-1) polls, so it is
+      // established ONCE and re-established only after a rejected retime
+      // (contention returned) — each accepted retime's own bracketing
+      // samples already prove its window was clean
+      var cleared = false
+      while (pending.nonEmpty && live && System.currentTimeMillis() < healDeadline) {
+        if (!cleared) {
+          cleared = waitClean()
+          if (!cleared) live = false
+        } else {
+          val name = pending.head
+          val prevProv = provenance.get(name)
+          val s0 = sampleNow()
+          val wall = timeQuery(name, SparkEntry.queries(name))
+          val s1 = sampleNow()
+          if (BenchRetimer.retimeAccepted(s0, s1)) {
+            retimedLog ::= ((name, resultsM(name), wall))
+            resultsM(name) = wall
+            pending = pending.tail
+          } else {
+            // contention returned mid-retime: restore the original
+            // provenance and loop back to the wait state
+            prevProv.foreach(provenance(name) = _)
+            cleared = false
+          }
+        }
+      }
+      pending
+    }
+    val quarantine0 = BenchRetimer.quarantined(names, boundarySamples.toSeq)
+    if (quarantine0.nonEmpty)
+      System.err.println(
+        s"WARNING: in-run contention bracketed ${quarantine0.size} queries " +
+          s"(${quarantine0.take(5).mkString(", ")}${if (quarantine0.size > 5) ", ..." else ""}) " +
+          "— waiting for the bars to clear and retiming them.")
+    val unhealedWave1 = if (quarantine0.nonEmpty) heal(quarantine0) else Nil
+    // Wave 2: rows whose cpu_sec still reads inflated vs the committed
+    // clean baseline (cross-namespace contention the bars never see) get
+    // one retime pass under the same budget — recomputed from the final
+    // provenance afterwards, so a heal that didn't actually help still
+    // flags.
+    def provCpuRows: Seq[(String, Double, Long)] =
+      provenance.toSeq.map { case (n, (_, _, _, cpu, _, _, cg, _)) => (n, cpu, cg) }
+    val baselineForHeal = benchCpuBaseline
+    val inflatedAfterWave1 = BenchSentinel.inflatedRows(baselineForHeal, provCpuRows)
+    val unhealedWave2 =
+      if (BenchSentinel.cpuInflated(inflatedAfterWave1)) {
+        System.err.println(
+          s"WARNING: ${inflatedAfterWave1.size} rows still cpu-inflated vs " +
+            "the clean baseline after the boundary heal — retiming them.")
+        heal(inflatedAfterWave1.map(_._1).filterNot(unhealedWave1.contains))
+      } else Nil
+    val unhealed = (unhealedWave1 ++ unhealedWave2).distinct
+    val inRunTripped = boundarySamples.exists(BenchRetimer.dirty)
+    val results = resultsM.toMap
     val envEnd =
       (loadAvg, cpuPsiAvg10, procCount, System.currentTimeMillis())
     val total = if (results.nonEmpty) results.values.sum else 0.0
@@ -359,9 +526,11 @@ object Bench {
       envPre._1.headOption.exists(_ > 3.0) || envPre._2 > 2.5
     // (1a) in-run trip: contention that STARTED mid-run (the r11 incident
     // window) crosses the in-run bars at some query boundary even though
-    // the pre-warmup sample was clean.
-    val inRunContaminated = inRunMaxLoad > InRunLoadBar ||
-      inRunMaxPsi > InRunPsiBar || inRunMaxForeign > ForeignCpuBar
+    // the pre-warmup sample was clean. Since round 13 a trip is HEALED —
+    // the bracketed queries were retimed under verified-clean samples —
+    // unless the bars never cleared inside the heal budget, in which case
+    // the unhealed rows keep the run contaminated.
+    val inRunContaminated = unhealed.nonEmpty
     // (1b) provenance self-check (VERDICT r11 item 1b): compare per-query
     // cpu_sec against the committed clean-run baseline. Cache/bandwidth
     // interference from a co-runner in another cgroup inflates OUR
@@ -372,23 +541,11 @@ object Bench {
     // clean-vs-clean ratio maxes at 2.55x with zero rows over 3x, so
     // >= CpuInflateMinRows rows over CpuInflateRatio x (at codegen count
     // not above baseline — a recompile burst is a legitimate cpu adder)
-    // is machine-distinguishable contamination, not jitter.
-    import BenchSentinel.CpuInflateRatio
-    val baselinePath = {
-      val sfName = new java.io.File(sfDir).getName
-      java.nio.file.Paths.get(s"scripts/bench_cpu_baseline_$sfName.tsv")
-    }
-    val cpuBaseline: Map[String, (Double, Long)] =
-      if (java.nio.file.Files.exists(baselinePath))
-        BenchSentinel.parseBaseline(
-          scala.jdk.CollectionConverters.ListHasAsScala(
-            java.nio.file.Files.readAllLines(baselinePath)).asScala.toSeq)
-      else Map.empty
-    val cpuInflatedRows = BenchSentinel.inflatedRows(
-      cpuBaseline,
-      provenance.toSeq.map { case (name, (_, _, _, cpu, _, _, cg, _)) =>
-        (name, cpu, cg)
-      })
+    // is machine-distinguishable contamination, not jitter. Evaluated on
+    // the FINAL (post-heal) provenance: a wave-2 retime that didn't
+    // actually help still flags.
+    import BenchSentinel.{CpuInflateRatio, InRunLoadBar, InRunPsiBar, ForeignCpuBar}
+    val cpuInflatedRows = BenchSentinel.inflatedRows(benchCpuBaseline, provCpuRows)
     val cpuInflated = BenchSentinel.cpuInflated(cpuInflatedRows)
     val contaminated = preContaminated || inRunContaminated || cpuInflated
     if (preContaminated)
@@ -397,13 +554,15 @@ object Bench {
           s"loadavg1=${envPre._1.headOption.getOrElse(-1.0)}, " +
           s"psi_cpu_avg10=${envPre._2}) — timings are contaminated; " +
           "rerun on an idle box before quoting them.")
-    if (inRunContaminated)
+    if (inRunTripped)
       System.err.println(
-        s"WARNING: in-run contention — max load1 $inRunMaxLoad at " +
+        s"NOTE: in-run contention — max load1 $inRunMaxLoad at " +
           s"'$inRunMaxLoadAt', max psi_cpu_avg10 $inRunMaxPsi at " +
           s"'$inRunMaxPsiAt', max foreign-cpu $inRunMaxForeign at " +
           s"'$inRunMaxForeignAt' crossed the ($InRunLoadBar, $InRunPsiBar, " +
-          s"$ForeignCpuBar) bars mid-run; timings are contaminated.")
+          s"$ForeignCpuBar) bars mid-run; ${retimedLog.size} queries " +
+          s"retimed clean, ${unhealed.size} unhealed" +
+          (if (unhealed.nonEmpty) " — timings are contaminated." else "."))
     if (cpuInflated)
       System.err.println(
         s"WARNING: per-query cpu_sec inflated >= ${CpuInflateRatio}x the " +
@@ -415,10 +574,16 @@ object Bench {
       val rowsJson = cpuInflatedRows.sortBy(-_._3).take(20).map {
         case (n, b, c) => s"""{"query":"$n","cpu_base":${fmt(b)},"cpu_run":${fmt(c)}}"""
       }.mkString("[", ",", "]")
+      val retimedJson = retimedLog.reverse.map { case (n, before, after) =>
+        s"""{"query":"$n","wall_before":${fmt(before)},"wall_after":${fmt(after)}}"""
+      }.mkString("[", ",", "]")
+      val unhealedJson = unhealed.map(n => s""""$n"""").mkString("[", ",", "]")
       s"""{"pre":$preContaminated,"in_run":$inRunContaminated,""" +
+        s""""in_run_tripped":$inRunTripped,"quarantined_n":${quarantine0.size},""" +
+        s""""retimed":$retimedJson,"unhealed":$unhealedJson,""" +
         s""""cpu_inflated":$cpuInflated,"cpu_inflated_n":${cpuInflatedRows.size},""" +
         s""""cpu_inflated_rows":$rowsJson,""" +
-        s""""cpu_baseline":"${if (cpuBaseline.nonEmpty) baselinePath.toString else ""}",""" +
+        s""""cpu_baseline":"${if (benchCpuBaseline.nonEmpty) benchBaselinePath.toString else ""}",""" +
         s""""inrun_max_load1":${fmt(inRunMaxLoad)},"inrun_max_load1_at":"$inRunMaxLoadAt",""" +
         s""""inrun_max_psi10":${fmt(inRunMaxPsi)},"inrun_max_psi10_at":"$inRunMaxPsiAt",""" +
         s""""inrun_max_foreign_cpu":${fmt(inRunMaxForeign)},"inrun_max_foreign_cpu_at":"$inRunMaxForeignAt"}"""
@@ -432,7 +597,7 @@ object Bench {
     // BENCH_r{N}.json alone (a solo clean run on this box shows load1 well
     // under the 32 cores and psi_avg10 near 0).
     val envLine =
-      s""""contaminated":$contaminated,"env":{"load1_start":${fmt(envStart._1.headOption.getOrElse(-1.0))},"load1_end":${fmt(envEnd._1.headOption.getOrElse(-1.0))},"psi10_start":${fmt(envStart._2)},"psi10_end":${fmt(envEnd._2)},"load1_inrun_max":${fmt(inRunMaxLoad)},"psi10_inrun_max":${fmt(inRunMaxPsi)},"cpu_inflated_n":${cpuInflatedRows.size},"nprocs_end":${envEnd._3}},"""
+      s""""contaminated":$contaminated,"env":{"load1_start":${fmt(envStart._1.headOption.getOrElse(-1.0))},"load1_end":${fmt(envEnd._1.headOption.getOrElse(-1.0))},"psi10_start":${fmt(envStart._2)},"psi10_end":${fmt(envEnd._2)},"load1_inrun_max":${fmt(inRunMaxLoad)},"psi10_inrun_max":${fmt(inRunMaxPsi)},"cpu_inflated_n":${cpuInflatedRows.size},"retimed_n":${retimedLog.size},"unhealed_n":${unhealed.size},"nprocs_end":${envEnd._3}},"""
     val budget = 1500
     val header = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir",$envLine"queries":"""
     var used = header.length + 80
