@@ -60,6 +60,22 @@ for lang, mk in sorted(LANGS.items()):
         rows.append((doc_id, text, lang, f"src{doc_id % 4}", len(text)))
         doc_id += 1
 
+# Planted NEAR-DUP pairs per language (round 13): without duplicate
+# structure the whole d-family passes VACUOUSLY on this corpus (both
+# engines compute an empty census) and d04's planted-recall contract is
+# false. Long bases (90-110 words -> ~100 3-gram shingles) with a 2-word
+# TAIL APPEND give exact Jaccard ~98/102 >= 0.95 — the driver corpus's
+# edit model (tail appends never shift chunk anchors), so plantedPairs'
+# witness construction covers them. 25 pairs per language puts non-ASCII
+# shingle/MinHash/SimHash agreement under real load.
+for lang, mk in sorted(LANGS.items()):
+    for _ in range(25):
+        base = " ".join(mk() for _ in range(rng.randint(90, 110)))
+        dup = base + " " + mk() + " " + mk()
+        for text in (base, dup):
+            rows.append((doc_id, text, lang, f"src{doc_id % 4}", len(text)))
+            doc_id += 1
+
 df = pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source", "n_chars"])
 con = duckdb.connect()
 con.sql("CREATE VIEW docs AS SELECT CAST(doc_id AS BIGINT) AS doc_id, text, "

@@ -39,7 +39,7 @@ proc = subprocess.run(
     capture_output=True, text=True)
 results, fails = {}, []
 for line in proc.stdout.splitlines():
-    m = re.match(r"(PASS|FAIL|ERROR) (\S+?):? ?(.*)", line)
+    m = re.match(r"(PASS|FAIL|ERROR) ([^\s:]+):?\s?(.*)", line)
     if not m:
         continue
     verdict, name, detail = m.groups()

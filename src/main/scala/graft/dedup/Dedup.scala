@@ -1193,10 +1193,17 @@ object Dedup {
   }
 
   /** d16 edit budget — ABSOLUTE, not relative: a fuzzy dup is "this doc
-    * with at most a few character edits" (typo fixes, a changed number),
-    * and that budget does not grow with document length the way a ratio
+    * with at most a few edits" (typo fixes, a changed number), and that
+    * budget does not grow with document length the way a ratio
     * threshold does. 6 keeps the corpus's planted 4-edit pairs and drops
-    * the 8+-edit rewrites at every SF. */
+    * the 8+-edit rewrites at every SF. The distance is BYTE-level
+    * Levenshtein over the UTF-8 encoding (d10's byte-span precedent):
+    * DuckDB's levenshtein is byte-based while Spark's is
+    * codepoint-based, so the engine reinterprets the UTF-8 bytes as
+    * Latin-1 (a bijection byte ⇄ codepoint) before the distance —
+    * identical on ASCII, and proven identical cross-engine on the
+    * multi-script langmix corpus (round 13; codepoint-vs-byte was the
+    * one real divergence the non-ASCII sweep found). */
   val MaxEditBudget = 6
 
   /** Per-doc witness bound for the d16 Levenshtein refine: each doc_a
@@ -1259,7 +1266,11 @@ object Dedup {
         .hint("shuffle_hash"), "doc_a")
       .join(norm.select(col("doc_id").as("doc_b"), col("norm").as("nb"))
         .hint("shuffle_hash"), "doc_b")
-      .withColumn("lev", levenshtein(col("na"), col("nb"), MaxEditBudget))
+      // byte-level distance (see MaxEditBudget): UTF-8 bytes re-read as
+      // Latin-1 make Spark's codepoint lev count BYTES, like DuckDB's
+      .withColumn("lev", levenshtein(
+        decode(encode(col("na"), "UTF-8"), "ISO-8859-1"),
+        decode(encode(col("nb"), "UTF-8"), "ISO-8859-1"), MaxEditBudget))
       .filter(col("lev") >= 0) // threshold variant returns -1 past the budget
       .select(col("doc_a"), col("doc_b"), col("jaccard"), col("lev"))
       .orderBy(col("doc_a"), col("doc_b"))
@@ -1358,11 +1369,12 @@ object Dedup {
     //    string: UTF8String.substringSQL scans from offset 0 for
     //    codepoint boundaries, making per-position slicing O(len²) per
     //    document (1.55 s for the gram pass at sf0.1); binary substring
-    //    is an O(1) offset slice (0.18 s, ~8×). Byte-grams equal
-    //    char-grams on ASCII corpora (this one: verified 0 non-ASCII
-    //    docs) and remain sound byte-equality spans on any corpus; the
-    //    char-based DuckDB oracle matches under exactly that ASCII
-    //    equivalence.
+    //    is an O(1) offset slice (0.18 s, ~8×). The spans are therefore
+    //    BYTE grams — sound byte-equality spans on any corpus — and the
+    //    oracle restates exactly that through hex() (byte i = hex chars
+    //    2i-1..2i), so the contract holds on multi-byte scripts too
+    //    (proven on tmp/langmix, round 13; the earlier char-based oracle
+    //    was ASCII-only and diverged there).
     val grams = Tables.documents(s, d)
       // xxhash64(null) returns the seed, so null-text docs would all
       // share gram h=seed and mark each other verbatim duplicates; the
@@ -1956,7 +1968,10 @@ object Dedup {
         FROM jpairs),
       scored AS (
         -- levenshtein computed ONCE per pair (no cross-clause CSE
-        -- guarantee; the O(len^2) distance dominates this oracle)
+        -- guarantee; the O(len^2) distance dominates this oracle).
+        -- DuckDB's levenshtein is BYTE-based — exactly the contract
+        -- (see MaxEditBudget); the ENGINE converts to byte semantics
+        -- via the Latin-1 reinterpretation, this side is native
         SELECT r.doc_a, r.doc_b, r.jaccard,
                CAST(levenshtein(ta.norm, tb.norm) AS INT) AS lev
         FROM ranked r
@@ -2055,12 +2070,25 @@ object Dedup {
              CAST(sum(CASE WHEN rn = 1 THEN nl ELSE 0 END) AS BIGINT) AS n_tokens_kept,
              md5(string_agg(CASE WHEN rn = 1 THEN line END, ' ' ORDER BY pos)) AS kept_fp
       FROM k GROUP BY doc_id ORDER BY doc_id""",
+    // d10's spans are BYTE grams (the Spark side slices the binary cast
+    // — an O(1) offset slice vs O(len²) codepoint scanning). DuckDB
+    // cannot slice BLOBs, so byte semantics are restated through hex():
+    // byte i of the UTF-8 encoding is hex chars 2i-1..2i, hex strings
+    // are ASCII so substr IS a byte slice, and hex is injective so gram
+    // equality over hex ⟺ byte equality. On ASCII corpora this equals
+    // the old char-gram oracle; on multi-byte scripts (tmp/langmix —
+    // where the char-based oracle diverged, 291 vs 139 positions on a
+    // Cyrillic doc) it now matches the engine exactly.
     "d10_verbatim_spans" -> s"""
-      WITH g AS (
+      WITH hx AS (
+        SELECT doc_id, hex(encode(text)) AS h,
+               octet_length(encode(text)) AS nb
+        FROM documents WHERE text IS NOT NULL),
+      g AS (
         SELECT doc_id,
-               unnest(list_transform(range(1, greatest(length(text) - ${SpanLen - 1}, 1) + 1),
-                 i -> substr(text, i, $SpanLen))) AS gram
-        FROM documents),
+               unnest(list_transform(range(1, greatest(nb - ${SpanLen - 1}, 1) + 1),
+                 i -> substr(h, 2 * i - 1, ${2 * SpanLen}))) AS gram
+        FROM hx),
       cnt AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
       sizes AS (SELECT doc_id, count(*) AS n_positions FROM g GROUP BY doc_id),
       dups AS (
