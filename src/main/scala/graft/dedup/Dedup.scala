@@ -309,9 +309,17 @@ object Dedup {
   /** d22: the standard df-cap mitigation for d02's EXACT inverted-index
     * join, proven on d21's hostile corpus (VERDICT r12 item 2). d02's
     * self-join pays Σ_shingle df² — on a 90 %-boilerplate corpus that is
-    * quadratic in N on the head shingles alone (measured: d02's pipeline
-    * over [[hostileDocs]] pays 713 k index meets at sf0.01 where this
-    * row's capped index pays 15.3 k). The fix that keeps EXACTNESS:
+    * quadratic in N on the head shingles alone. Measured trajectory
+    * (hostile regime, growing slices): 2 k docs → 713 k meets, 5 k →
+    * 70.6 M, 15 k → 660 M (≈ N²), while the capped index pays 15.3 k /
+    * 1.27 M / 12.1 M (≤ cap·|postings| — linear). Wall on 15 k docs at
+    * local[16]: the full-index pipeline ≈ 190-210 s, this pipeline ≈
+    * 87-111 s, and the gap is the quadratic term — at the row's FIXED
+    * 2000-doc slice the cap actually LOSES (~4 s vs ~2 s: the df window
+    * is an extra pass and 713 k meets are trivial), which is exactly the
+    * point: the cap buys an asymptotic bound, not a toy-SF win, and the
+    * fixed slice exists to bound the ORACLE. The fix that keeps
+    * EXACTNESS:
     * candidates come from the df ≤ [[DfCap]] postings only, then every
     * candidate is verified against the FULL shingle sets (d20's
     * id-keyed counting joins), so the output equals the cap-free
