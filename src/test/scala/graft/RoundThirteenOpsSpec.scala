@@ -246,6 +246,28 @@ class RoundThirteenOpsSpec extends SparkSpec {
     }
   }
 
+  // --- sentinel: baseline coverage (VERDICT r12 item 7) ------------------
+  // The cpu-inflation lever only guards rows present in the committed TSV;
+  // RoundTwelveOpsSpec checks the historical heavies, but a NEW operator
+  // row added without a baseline refresh would be silently unguarded.
+  // This closes the loop: every SparkEntry query must have a baseline row
+  // (refresh: python3 scripts/refresh_cpu_baseline.py <clean bench_full>).
+  test("sentinel: the committed sf0.1 cpu baseline covers EVERY SparkEntry query") {
+    import scala.jdk.CollectionConverters._
+    val base = BenchSentinel.parseBaseline(
+      java.nio.file.Files.readAllLines(
+        java.nio.file.Paths.get("scripts/bench_cpu_baseline_sf0.1.tsv"))
+        .asScala.toSeq)
+    val missing = SparkEntry.queries.keySet.diff(base.keySet)
+    assert(missing.isEmpty,
+      s"baseline missing ${missing.size} rows " +
+        s"(${missing.toSeq.sorted.take(5).mkString(", ")}) — refresh with " +
+        "scripts/refresh_cpu_baseline.py from a clean solo sf0.1 run")
+    // and stale rows fall OUT: nothing in the TSV that SparkEntry dropped
+    val stale = base.keySet.diff(SparkEntry.queries.keySet)
+    assert(stale.isEmpty, s"baseline has stale rows: ${stale.take(5)}")
+  }
+
   test("retimer: the heal budget is bounded and the poll cadence fits inside it") {
     // a permanently-contended box must ship contaminated:true in finite
     // time: the wait budget is minutes, not hours, and allows enough
