@@ -484,20 +484,27 @@ object BehaviorQueries {
     * τ-b = (C−D)/√((n0−Tx)(n0−Ty)) evaluated on identical BIGINTs in
     * both engines (g30's shared-expression discipline). Windows are
     * partitioned by the OPPOSITE axis — never partition-less. */
-  def g40KendallTau(s: SparkSession, d: String): DataFrame = {
+  /** The (spend-bucket, hour) contingency census shared by g40 and g41 —
+    * ONE corpus pass (map-side-combinable groupBy), eagerly
+    * checkpointed, with the grid-premise guard (bounded driver-side
+    * aggregate off the checkpoint — one scalar): both constructions are
+    * linear ONLY while the dense grid stays domain-bounded. */
+  private def rankGridCells(s: SparkSession, d: String, who: String): DataFrame = {
     val cells = Tables.events(s, d)
       .select(
         expr(s"CAST(round(value * 100) AS BIGINT) div $KendallXBucket").as("xb"),
         hour(col("ts")).cast("long").as("yb"))
       .groupBy(col("xb"), col("yb")).agg(count(lit(1)).as("n"))
-      .localCheckpoint(eager = true) // one corpus pass; grid/ties/cd reuse it
-    // grid-premise guard (bounded driver-side aggregate off the
-    // checkpoint — one scalar): the construction is linear ONLY while
-    // the dense grid stays domain-bounded
+      .localCheckpoint(eager = true)
     val nxb = cells.agg(countDistinct(col("xb"))).first().getLong(0)
     require(nxb * 24 <= KendallMaxCells,
-      s"g40 grid premise broken: $nxb x-buckets x 24 hours > " +
+      s"$who grid premise broken: $nxb x-buckets x 24 hours > " +
         s"$KendallMaxCells cells — widen KendallXBucket for this value domain")
+    cells
+  }
+
+  def g40KendallTau(s: SparkSession, d: String): DataFrame = {
+    val cells = rankGridCells(s, d, "g40")
     val grid = cells.select(col("xb")).distinct()
       .crossJoin(broadcast(s.range(0, 24).toDF("yb")))
     val dense = grid.join(cells, Seq("xb", "yb"), "left")
@@ -532,6 +539,72 @@ object BehaviorQueries {
           "ELSE CAST(round((conc - disc) / sqrt(CAST(n0 - tie_x AS DOUBLE) " +
           "* CAST(n0 - tie_y AS DOUBLE)) * 1000000) AS BIGINT) END")
           .as("tau_b_micros"))
+  }
+
+  /** g41's overflow guard: centered doubled midranks satisfy |dx2| ≤ N,
+    * so each of the three BIGINT sums is ≤ N³ — exact in 64 bits up to
+    * N ≈ 2.1 M points. Beyond that the same construction lifts to
+    * DECIMAL(38,0) sums (bound ~4.6×10¹² points) on both engines; the
+    * BIGINT form is kept because integer-sum equality is the repo's
+    * cross-engine discipline and every test corpus is ≪ the bound. */
+  val SpearmanMaxN = 2000000L
+
+  /** g41: Spearman rank correlation (tie-aware, midranks) between
+    * bucketed spend and hour-of-day — g40's companion statistic (ρ
+    * answers "how monotone is the relationship" on rank VALUES where
+    * τ-b counts pair ORDER; an analyst asks for both). The textbook
+    * computation global-sorts the corpus twice to assign ranks —
+    * a full-shuffle sort per axis at 100 TB. Over the SAME bounded
+    * contingency grid as g40 it is exact and linear with NO global
+    * sort over data: midranks come off the two marginals (≤ ~192 and
+    * 24 rows), broadcast back onto the grid cells, and ρ is Pearson
+    * over per-point midranks. All integers: the doubled midrank
+    * 2·cum_before + n_bucket + 1 is an odd BIGINT (the g30 trick), its
+    * centered form dx2 = 2·cum + n − N has Σ n·dx2 = 0 EXACTLY (the
+    * spec's identity), and the three sums Σ n·dx2·dy2 / Σ n·dx2² /
+    * Σ n·dy2² are BIGINTs the one FP division reads identically in
+    * both engines (the factor 2² cancels). Constant-axis degeneracy
+    * (sxx or syy = 0) is NULL on both sides — g40's lesson applied
+    * from the start. The marginal windows are partition-less over
+    * DOMAIN-bounded frames (≤ [[KendallMaxCells]]/24 and 24 rows —
+    * GlobalWindowBoundSpec-allowlisted with that derivation bound). */
+  def g41SpearmanRho(s: SparkSession, d: String): DataFrame = {
+    val cells = rankGridCells(s, d, "g41")
+    def marginal(axis: String): DataFrame = {
+      val w = Window.orderBy(col(axis))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      cells.groupBy(col(axis)).agg(sum(col("n")).as("nm"))
+        .withColumn("cum", coalesce(sum(col("nm")).over(w), lit(0L)))
+    }
+    val mx = marginal("xb").select(col("xb"),
+      (lit(2L) * col("cum") + col("nm")).as("rx2n")) // dx2 + N (N joins later)
+    val my = marginal("yb").select(col("yb"),
+      (lit(2L) * col("cum") + col("nm")).as("ry2n"))
+    // overflow guard — loud, not a silent empty frame (one scalar off
+    // the checkpoint, same discipline as the grid-premise require)
+    val nTotal = cells.agg(sum(col("n"))).first().getLong(0)
+    require(nTotal <= SpearmanMaxN,
+      s"g41: $nTotal points exceed the BIGINT-exact bound $SpearmanMaxN — " +
+        "lift the rank sums to DECIMAL(38,0) (see SpearmanMaxN)")
+    val n = cells.agg(sum(col("n")).as("n_total"))
+    cells
+      .join(broadcast(mx), "xb")
+      .join(broadcast(my), "yb")
+      .crossJoin(broadcast(n))
+      .select(col("n"), col("n_total"),
+        (col("rx2n") - col("n_total")).as("dx2"),
+        (col("ry2n") - col("n_total")).as("dy2"))
+      .groupBy(col("n_total"))
+      .agg(sum(col("n") * col("dx2") * col("dy2")).as("sxy"),
+        sum(col("n") * col("dx2") * col("dx2")).as("sxx"),
+        sum(col("n") * col("dy2") * col("dy2")).as("syy"),
+        sum(col("n") * col("dx2")).as("zero_x"),
+        sum(col("n") * col("dy2")).as("zero_y"))
+      .select(col("n_total"), col("sxy"), col("sxx"), col("syy"),
+        col("zero_x"), col("zero_y"),
+        expr("CASE WHEN sxx = 0 OR syy = 0 THEN CAST(NULL AS BIGINT) " +
+          "ELSE CAST(round(sxy / sqrt(CAST(sxx AS DOUBLE) * " +
+          "CAST(syy AS DOUBLE)) * 1000000) AS BIGINT) END").as("rho_micros"))
   }
 
   /** The two samples compared by g30: does spend (`value`) distribute
@@ -910,6 +983,7 @@ object BehaviorQueries {
   }
 
   val queries: Map[String, Q] = Map(
+    "g41_spearman_rho" -> g41SpearmanRho _,
     "g40_kendall_tau" -> g40KendallTau _,
     "g26_chi_square" -> g26ChiSquare _,
     "g27_acf" -> g27Acf _,
@@ -928,6 +1002,49 @@ object BehaviorQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // g41: the identical midrank-marginal construction — same census,
+    // same centered doubled midranks (integers end-to-end, HUGEINT sums
+    // cast back), the one FP division on identical BIGINTs, NULL on a
+    // constant axis on both sides
+    "g41_spearman_rho" -> s"""
+      WITH pts AS (
+        SELECT CAST(round(value * 100) AS BIGINT) // $KendallXBucket AS xb,
+               CAST(hour(ts) AS BIGINT) AS yb
+        FROM events),
+      cells AS (SELECT xb, yb, CAST(count(*) AS BIGINT) AS n
+                FROM pts GROUP BY 1, 2),
+      nt AS (SELECT CAST(sum(n) AS BIGINT) AS n_total FROM cells),
+      mx AS (
+        SELECT xb,
+               CAST(2 * COALESCE(sum(nm) OVER (ORDER BY xb
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 + nm AS BIGINT) AS rx2n
+        FROM (SELECT xb, CAST(sum(n) AS BIGINT) AS nm FROM cells GROUP BY xb)),
+      my AS (
+        SELECT yb,
+               CAST(2 * COALESCE(sum(nm) OVER (ORDER BY yb
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 + nm AS BIGINT) AS ry2n
+        FROM (SELECT yb, CAST(sum(n) AS BIGINT) AS nm FROM cells GROUP BY yb)),
+      d AS (
+        SELECT c.n, nt.n_total,
+               mx.rx2n - nt.n_total AS dx2,
+               my.ry2n - nt.n_total AS dy2
+        FROM cells c JOIN mx USING (xb) JOIN my USING (yb) CROSS JOIN nt),
+      agg AS (
+        SELECT n_total,
+               CAST(sum(n * dx2 * dy2) AS BIGINT) AS sxy,
+               CAST(sum(n * dx2 * dx2) AS BIGINT) AS sxx,
+               CAST(sum(n * dy2 * dy2) AS BIGINT) AS syy,
+               CAST(sum(n * dx2) AS BIGINT) AS zero_x,
+               CAST(sum(n * dy2) AS BIGINT) AS zero_y
+        FROM d GROUP BY n_total)
+      SELECT n_total, sxy, sxx, syy, zero_x, zero_y,
+             CASE WHEN sxx = 0 OR syy = 0 THEN CAST(NULL AS BIGINT)
+                  ELSE CAST(round(sxy / sqrt(CAST(sxx AS DOUBLE)
+                    * CAST(syy AS DOUBLE)) * 1000000) AS BIGINT) END
+               AS rho_micros
+      FROM agg""",
     // g40: the identical dense-grid prefix-sum construction in SQL —
     // same bucketing, same window frames, HUGEINT sums cast back, the
     // one FP step (tau) on identical BIGINTs

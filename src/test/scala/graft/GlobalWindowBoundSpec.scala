@@ -47,6 +47,9 @@ class GlobalWindowBoundSpec extends SparkSpec {
     "g03_drift_monitor" -> 8784L,
     "g06_anomaly"       -> 8784L,
     "g26_chi_square"    -> 4096L,
+    // g41: midrank marginals — x ≤ KendallMaxCells/24 (the grid-premise
+    // require in rankGridCells), y ≤ 24 hours
+    "g41_spearman_rho"  -> 1024L,
     "g28_benford"       -> 4096L,
     "g30_rank_sum"      -> 4096L,
     "g32_ks_test"       -> 4096L,

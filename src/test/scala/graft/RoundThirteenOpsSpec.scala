@@ -246,6 +246,49 @@ class RoundThirteenOpsSpec extends SparkSpec {
     }
   }
 
+  // --- g41: the marginal-midrank construction equals the textbook rank ---
+  // The row's point is Spearman WITHOUT a global sort over data: midranks
+  // come off the bounded marginals. This rebuilds ranks the textbook way
+  // (sort all points per axis, midrank = average position over ties) and
+  // demands exact integer equality of all three rank sums plus the
+  // centered identity Σ n·dx2 = 0 that makes the construction exact.
+  test("g41: bounded-grid midranks match a textbook sort-based rank assignment exactly") {
+    import graft.queries.BehaviorQueries
+    import org.apache.spark.sql.functions._
+    val out = BehaviorQueries.g41SpearmanRho(spark, sf).collect()(0)
+    val pts = Tables.events(spark, sf)
+      .select(expr(s"CAST(round(value * 100) AS BIGINT) div ${BehaviorQueries.KendallXBucket}"),
+        hour(col("ts")).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val n = pts.length.toLong
+    // textbook doubled midrank per value: 2*(#smaller) + (#equal) + 1
+    def rank2(vals: Seq[Long]): Map[Long, Long] = {
+      val cnt = vals.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      cnt.keys.map { v =>
+        val smaller = cnt.filter(_._1 < v).values.sum
+        v -> (2L * smaller + cnt(v) + 1L)
+      }.toMap
+    }
+    val rx = rank2(pts.map(_._1).toSeq)
+    val ry = rank2(pts.map(_._2).toSeq)
+    var sxy = 0L; var sxx = 0L; var syy = 0L; var zx = 0L; var zy = 0L
+    pts.foreach { case (x, y) =>
+      val dx = rx(x) - (n + 1); val dy = ry(y) - (n + 1)
+      sxy += dx * dy; sxx += dx * dx; syy += dy * dy; zx += dx; zy += dy
+    }
+    assert(out.getAs[Long]("n_total") == n)
+    assert(out.getAs[Long]("sxy") == sxy, s"sxy ${out.getAs[Long]("sxy")} vs $sxy")
+    assert(out.getAs[Long]("sxx") == sxx)
+    assert(out.getAs[Long]("syy") == syy)
+    // the centering identity that makes the construction exact — and the
+    // brute-force must agree it is exactly zero
+    assert(out.getAs[Long]("zero_x") == 0L && zx == 0L)
+    assert(out.getAs[Long]("zero_y") == 0L && zy == 0L)
+    // non-degenerate on this corpus, and the one FP step reproduces
+    val rho = math.round(sxy / math.sqrt(sxx.toDouble * syy.toDouble) * 1e6)
+    assert(out.getAs[Long]("rho_micros") == rho)
+  }
+
   // --- sentinel: baseline coverage (VERDICT r12 item 7) ------------------
   // The cpu-inflation lever only guards rows present in the committed TSV;
   // RoundTwelveOpsSpec checks the historical heavies, but a NEW operator
