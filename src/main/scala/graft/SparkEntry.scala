@@ -107,7 +107,8 @@ object SparkEntry {
     "g11_class_tightness",    // within-class all-pairs statistics
     "p34_skyline",            // NOT EXISTS dominance census (all-pairs)
     "d21_prefix_hostile",     // oracle pays the full boilerplate Σ df² (fixed slice)
-    "d22_dfcap_index")        // same hostile census, cap-free, at τ = 0.6
+    "d22_dfcap_index",        // same hostile census, cap-free, at τ = 0.6
+    "d23_lsh_hostile")        // same hostile census again (shared oracle)
     .map(_ -> "quadratic").toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

