@@ -47,6 +47,19 @@ for line in proc.stdout.splitlines():
     if verdict != "PASS":
         fails.append({"query": name, "detail": detail[:400]})
 
+# A selfcheck that crashed outright (missing duckdb, import error, bad
+# args) leaves results empty and would read as '0 pass / 0 fail' all-green
+# (ADVICE r13). The sweep's whole point is the compare RUNNING — fail
+# loudly instead of writing a vacuous artifact. rc=1 with parsed FAIL
+# lines is the legitimate "some rows failed" path and falls through.
+if proc.returncode != 0 and not results:
+    sys.exit(f"selfcheck.py crashed (rc={proc.returncode}) with no parsed "
+             f"verdicts — stderr:\n{proc.stderr[-2000:]}")
+if not results:
+    sys.exit("selfcheck.py produced zero PASS/FAIL verdicts — the parity "
+             "sweep did not actually run; refusing to write an all-green "
+             f"artifact. stdout tail:\n{proc.stdout[-1000:]}")
+
 # the sweep's subject: rows whose ORACLE reads documents (the repo
 # discipline makes the oracle restate the same tables as the Spark side);
 # contract rows whose oracle is constants but whose pipeline reads

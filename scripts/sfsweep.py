@@ -131,9 +131,14 @@ for q, t_hi in hi["queries"].items():
             and p_lo > 0 and p_hi > 0:
         pa = math.log(p_hi / p_lo) / ratio
         rows[-1]["alpha_probe"] = round(pa, 3)
-        # a floor-level solo reading (p_hi < FLOOR_SEC) carries no scaling
-        # signal — record the exponent but never let it adjudicate
-        rows[-1]["probe_adjudicated"] = pa <= ALPHA_FLAG and p_hi >= FLOOR_SEC
+        # a floor-level solo reading on EITHER side carries no scaling
+        # signal — a sub-floor p_lo that reads noisy-HIGH shrinks the
+        # probe exponent and silently un-flags a genuine superlinear row
+        # (ADVICE r13). Record the exponent but never let it adjudicate
+        # unless both readings are above the noise floor.
+        rows[-1]["probe_adjudicated"] = (pa <= ALPHA_FLAG
+                                         and p_lo >= FLOOR_SEC
+                                         and p_hi >= FLOOR_SEC)
     else:
         rows[-1]["alpha_probe"] = None
         rows[-1]["probe_adjudicated"] = False

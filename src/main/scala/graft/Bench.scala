@@ -37,14 +37,31 @@ object BenchSentinel {
     * the cpu-baseline lever exists for. */
   val ForeignCpuBar = 0.25
 
-  /** Parse the committed baseline TSV: `name<TAB>cpu_sec<TAB>codegen`,
-    * '#' comments. Returns name -> (cpu_sec, codegen). */
+  /** Parse the committed baseline TSV: `name<TAB>cpu_sec<TAB>codegen`
+    * with an optional 4th `wall_sec` column (round 14), '#' comments.
+    * Returns name -> (cpu_sec, codegen). */
   def parseBaseline(lines: Seq[String]): Map[String, (Double, Long)] =
     lines.filterNot(l => l.startsWith("#") || l.isBlank).flatMap { l =>
       l.split("\t") match {
-        case Array(n, cpu, cg) =>
-          try Some(n -> (cpu.toDouble, cg.toLong))
+        case arr if arr.length >= 3 =>
+          try Some(arr(0) -> (arr(1).toDouble, arr(2).toLong))
           catch { case _: Throwable => None }
+        case _ => None
+      }
+    }.toMap
+
+  /** The wall column of the baseline TSV (4th field; rows without one —
+    * pre-round-14 TSVs or refreshes that recorded -1 — are absent, so
+    * the wall lever is per-row disarmed rather than spuriously armed).
+    * Returns name -> (wall_sec, codegen). */
+  def parseWallBaseline(lines: Seq[String]): Map[String, (Double, Long)] =
+    lines.filterNot(l => l.startsWith("#") || l.isBlank).flatMap { l =>
+      l.split("\t") match {
+        case arr if arr.length >= 4 =>
+          try {
+            val w = arr(3).toDouble
+            if (w >= 0) Some(arr(0) -> (w, arr(2).toLong)) else None
+          } catch { case _: Throwable => None }
         case _ => None
       }
     }.toMap
@@ -65,6 +82,38 @@ object BenchSentinel {
 
   def cpuInflated(rows: Seq[(String, Double, Double)]): Boolean =
     rows.size >= CpuInflateMinRows
+
+  /** The wall-only-inflation lever (VERDICT r13 item 1): BENCH_r13
+    * shipped g23 at 9.89 s against a 0.27–0.36 s clean-solo range under
+    * `contaminated: false` — IO/scheduling pressure stretches WALL
+    * without inflating our own JVM's cpu, crossing none of the other
+    * levers. Clean-vs-clean calibration (four r13 solo artifacts vs
+    * their min-merged walls): max ratio 1.99×, ZERO rows over 2× at run
+    * wall ≥ 1 s, while the incident class reads 15–30× — so 3× at a 1 s
+    * run-wall floor separates jitter from contamination with ≥ 1.5×
+    * margin each way. The floor is on the RUN wall (not the baseline):
+    * g23's baseline is 0.27 s and must still be guarded; a 0.2 s row
+    * jittering to 0.7 s must not flag. */
+  val WallInflateRatio = 3.0
+  val WallRunFloor = 1.0
+
+  /** Rows whose run WALL exceeds WallInflateRatio× the committed clean
+    * wall, at ≥ WallRunFloor run wall and codegen not above baseline +
+    * slack (a Janino recompile burst legitimately adds wall). Any such
+    * row is retimed by heal wave 3; any still inflated after the heal
+    * keeps the run contaminated — per-row, no minimum count: the
+    * calibrated clean false-positive rate is zero. */
+  def wallInflatedRows(baseline: Map[String, (Double, Long)],
+                       run: Seq[(String, Double, Long)]): Seq[(String, Double, Double)] =
+    run.flatMap { case (name, wall, cg) =>
+      baseline.get(name).collect {
+        case (baseWall, baseCg)
+          if baseWall > 0 && wall >= WallRunFloor &&
+            wall > WallInflateRatio * baseWall &&
+            (cg < 0 || cg <= baseCg + CpuCodegenSlack) =>
+          (name, baseWall, wall)
+      }
+    }
 }
 
 /** Self-healing retime state machine (VERDICT r12 item 1): when the
@@ -77,15 +126,28 @@ object BenchSentinel {
   * Factored pure so RoundThirteenOpsSpec drives the state machine
   * without a 15-minute bench run. */
 object BenchRetimer {
-  /** One boundary sample: 1-min loadavg, cpu PSI avg10, foreign-cpu share. */
-  final case class Sample(load1: Double, psi: Double, foreign: Double)
+  /** One boundary sample: 1-min loadavg, cpu PSI avg10, foreign-cpu
+    * share, io PSI avg10 (round 14 — the g23 incident's contention class
+    * stretches wall through IO/scheduling pressure the cpu-only samples
+    * never see; `io` defaults to -1 = not sampled so pre-round-14 spec
+    * scenarios stay valid). */
+  final case class Sample(load1: Double, psi: Double, foreign: Double,
+                          io: Double = -1.0)
 
-  /** A boundary is dirty iff any in-run bar is crossed — the same three
-    * levers the sentinel flags on ([[BenchSentinel.InRunLoadBar]] /
-    * [[BenchSentinel.InRunPsiBar]] / [[BenchSentinel.ForeignCpuBar]]). */
+  /** io PSI bar: the bench's own solo run does real parquet/CSV/ORC
+    * writes (k07's 1300-file lake, the st replays), measured own-run
+    * boundary max io-some avg10 ≈ 12 on this box; a disk-saturating
+    * co-runner reads 60-90 within one avg10 window. 40 sits ~3× the
+    * own-run max and well under the saturation class. */
+  val InRunIoPsiBar = 40.0
+
+  /** A boundary is dirty iff any in-run bar is crossed — the same levers
+    * the sentinel flags on ([[BenchSentinel.InRunLoadBar]] /
+    * [[BenchSentinel.InRunPsiBar]] / [[BenchSentinel.ForeignCpuBar]] /
+    * [[InRunIoPsiBar]]). */
   def dirty(s: Sample): Boolean =
     s.load1 > BenchSentinel.InRunLoadBar || s.psi > BenchSentinel.InRunPsiBar ||
-      s.foreign > BenchSentinel.ForeignCpuBar
+      s.foreign > BenchSentinel.ForeignCpuBar || s.io > InRunIoPsiBar
 
   /** Queries bracketed by a dirty boundary. `samples(0)` precedes the
     * first query and `samples(i + 1)` follows query `i`, so query `i` is
@@ -120,6 +182,16 @@ object BenchRetimer {
     * clean — otherwise the query goes back in quarantine. */
   def retimeAccepted(before: Sample, after: Sample): Boolean =
     !dirty(before) && !dirty(after)
+
+  /** Per-row retime attempts for the baseline-keyed waves (2: cpu, 3:
+    * wall) before the row is declared unhealed. Bars being quiet is NOT
+    * acceptance for those waves (ADVICE r13): the retimed reading must
+    * itself clear the row's baseline check, else cross-cgroup contention
+    * the bars cannot see would launder a contaminated wall into the
+    * official numbers. Two attempts absorb one episodic swing (the
+    * min-of-two timing already damps a single GC burst) without letting
+    * a genuinely-contended box spin to the deadline on one row. */
+  val MaxRetimeAttempts = 2
 }
 
 object Bench {
@@ -142,14 +214,19 @@ object Bench {
     try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
       .trim.split("\\s+").take(3).toSeq.map(_.toDouble)
     catch { case _: Throwable => Seq.empty }
-  private def cpuPsiAvg10: Double =
+  private def psiAvg10(resource: String): Double =
     try {
       val first = java.nio.file.Files.readAllLines(
-        java.nio.file.Paths.get("/proc/pressure/cpu")).get(0)
+        java.nio.file.Paths.get(s"/proc/pressure/$resource")).get(0)
       first.split("\\s+").collectFirst {
         case f if f.startsWith("avg10=") => f.stripPrefix("avg10=").toDouble
       }.getOrElse(-1.0)
     } catch { case _: Throwable => -1.0 }
+  private def cpuPsiAvg10: Double = psiAvg10("cpu")
+  // io pressure (round 14): the g23 incident class — wall stretched by
+  // IO/scheduling contention — is invisible to cpu PSI; the 'some'
+  // avg10 of /proc/pressure/io is the direct signal for it
+  private def ioPsiAvg10: Double = psiAvg10("io")
   private def procCount: Int =
     try new java.io.File("/proc").listFiles()
       .count(f => f.isDirectory && f.getName.forall(_.isDigit))
@@ -238,6 +315,19 @@ object Bench {
           s"$benchBaselinePath is missing or empty for this SF; the run " +
           "can NOT self-detect cache/bandwidth contamination (refresh it " +
           "from a clean solo run before trusting this artifact).")
+    // The wall column of the same TSV (round 14): the reference for the
+    // wall-only-inflation lever / heal wave 3 (the BENCH_r13 g23 class).
+    val benchWallBaseline: Map[String, (Double, Long)] =
+      if (java.nio.file.Files.exists(benchBaselinePath))
+        BenchSentinel.parseWallBaseline(
+          scala.jdk.CollectionConverters.ListHasAsScala(
+            java.nio.file.Files.readAllLines(benchBaselinePath)).asScala.toSeq)
+      else Map.empty
+    if (benchWallBaseline.isEmpty && benchCpuBaseline.nonEmpty)
+      System.err.println(
+        s"WARNING: wall-inflation sentinel DISARMED — $benchBaselinePath " +
+          "has no wall column; refresh it (scripts/refresh_cpu_baseline.py) " +
+          "from clean solo artifacts to arm the g23-class lever.")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -347,7 +437,7 @@ object Bench {
     foreignCpu // first call primes the MXBean's sampling window
     def sampleNow(): BenchRetimer.Sample =
       BenchRetimer.Sample(loadAvg.headOption.getOrElse(-1.0), cpuPsiAvg10,
-        foreignCpu)
+        foreignCpu, ioPsiAvg10)
     val provenance = scala.collection.mutable.LinkedHashMap
       .empty[String, (Long, Long, Long, Double, Long, Long, Long, Long)]
     // One measured (wall, provenance) reading for a query: two timed
@@ -406,6 +496,7 @@ object Bench {
     val (inRunMaxLoad, inRunMaxLoadAt) = maxAt(_.load1)
     val (inRunMaxPsi, inRunMaxPsiAt) = maxAt(_.psi)
     val (inRunMaxForeign, inRunMaxForeignAt) = maxAt(_.foreign)
+    val (inRunMaxIo, inRunMaxIoAt) = maxAt(_.io)
     // --- self-heal (VERDICT r12 item 1) -----------------------------------
     // Queries timed while any bar was crossed are quarantined and RE-TIMED
     // once the bars clear (bounded wait), so a transient co-runner costs
@@ -416,9 +507,15 @@ object Bench {
     val healDeadline = System.currentTimeMillis() + BenchRetimer.MaxWaitMs
     var retimedLog = List.empty[(String, Double, Double)]
     // One healing wave over `targets`: wait for CleanStreak clean polls,
-    // retime, accept only under clean bracketing samples. Returns the
-    // queries still unhealed at the deadline.
-    def heal(targets: Seq[String]): Seq[String] = {
+    // retime, accept only under clean bracketing samples AND the wave's
+    // per-row predicate on the NEW reading (ADVICE r13: for the
+    // baseline-keyed waves, quiet bars alone must not launder a reading
+    // that is still inflated vs the committed baseline). `accept` reads
+    // the just-updated provenance for the row. Returns the queries still
+    // unhealed at the deadline or after MaxRetimeAttempts predicate
+    // failures under clean brackets.
+    def heal(targets: Seq[String],
+             accept: (String, Double) => Boolean = (_, _) => true): Seq[String] = {
       def waitClean(): Boolean = {
         val recent = scala.collection.mutable.ArrayBuffer(sampleNow())
         while (!BenchRetimer.cleanToProceed(recent.toSeq)) {
@@ -429,6 +526,8 @@ object Bench {
         true
       }
       var pending = targets.toList
+      var failed = List.empty[String]
+      val attempts = scala.collection.mutable.Map.empty[String, Int]
       var live = true
       // the CleanStreak verdict costs (CleanStreak-1) polls, so it is
       // established ONCE and re-established only after a rejected retime
@@ -442,22 +541,35 @@ object Bench {
         } else {
           val name = pending.head
           val prevProv = provenance.get(name)
+          val prevWall = resultsM(name)
           val s0 = sampleNow()
           val wall = timeQuery(name, SparkEntry.queries(name))
           val s1 = sampleNow()
-          if (BenchRetimer.retimeAccepted(s0, s1)) {
-            retimedLog ::= ((name, resultsM(name), wall))
-            resultsM(name) = wall
-            pending = pending.tail
-          } else {
+          if (!BenchRetimer.retimeAccepted(s0, s1)) {
             // contention returned mid-retime: restore the original
             // provenance and loop back to the wait state
             prevProv.foreach(provenance(name) = _)
             cleared = false
+          } else if (!accept(name, wall)) {
+            // clean brackets but the reading still fails the wave's
+            // baseline check — retry up to MaxRetimeAttempts, then ship
+            // the better (min) reading and list the row unhealed so the
+            // final verdict stays contaminated
+            attempts(name) = attempts.getOrElse(name, 0) + 1
+            if (attempts(name) >= BenchRetimer.MaxRetimeAttempts) {
+              if (wall < prevWall) resultsM(name) = wall
+              else prevProv.foreach(provenance(name) = _)
+              failed ::= name
+              pending = pending.tail
+            }
+          } else {
+            retimedLog ::= ((name, prevWall, wall))
+            resultsM(name) = wall
+            pending = pending.tail
           }
         }
       }
-      pending
+      pending ++ failed.reverse
     }
     val quarantine0 = BenchRetimer.quarantined(names, boundarySamples.toSeq)
     if (quarantine0.nonEmpty)
@@ -473,6 +585,7 @@ object Bench {
     // flags.
     def provCpuRows: Seq[(String, Double, Long)] =
       provenance.toSeq.map { case (n, (_, _, _, cpu, _, _, cg, _)) => (n, cpu, cg) }
+    def cgOf(n: String): Long = provenance.get(n).map(_._7).getOrElse(-1L)
     val baselineForHeal = benchCpuBaseline
     val inflatedAfterWave1 = BenchSentinel.inflatedRows(baselineForHeal, provCpuRows)
     val unhealedWave2 =
@@ -480,9 +593,35 @@ object Bench {
         System.err.println(
           s"WARNING: ${inflatedAfterWave1.size} rows still cpu-inflated vs " +
             "the clean baseline after the boundary heal — retiming them.")
-        heal(inflatedAfterWave1.map(_._1).filterNot(unhealedWave1.contains))
+        // per-row acceptance (ADVICE r13): the retime counts as healed
+        // only if the NEW cpu reading itself clears the baseline check
+        heal(inflatedAfterWave1.map(_._1).filterNot(unhealedWave1.contains),
+          (name, _) => BenchSentinel.inflatedRows(baselineForHeal,
+            provCpuRows.filter(_._1 == name)).isEmpty)
       } else Nil
-    val unhealed = (unhealedWave1 ++ unhealedWave2).distinct
+    // Wave 3 (VERDICT r13 item 1): rows whose WALL still reads inflated
+    // vs the committed clean wall at unchanged codegen — the g23 class:
+    // IO/scheduling pressure that stretches wall without inflating our
+    // own JVM's cpu and without crossing a boundary bar. Per-row trigger
+    // (calibrated zero clean false positives), per-row acceptance.
+    def wallRows: Seq[(String, Double, Long)] =
+      resultsM.toSeq.map { case (n, w) => (n, w, cgOf(n)) }
+    val wallInflatedAfterWave2 =
+      BenchSentinel.wallInflatedRows(benchWallBaseline, wallRows)
+    val unhealedWave3 =
+      if (wallInflatedAfterWave2.nonEmpty) {
+        System.err.println(
+          s"WARNING: ${wallInflatedAfterWave2.size} rows wall-inflated " +
+            s">${BenchSentinel.WallInflateRatio}x the clean baseline wall " +
+            s"(e.g. ${wallInflatedAfterWave2.sortBy(-_._3).take(3).map {
+              case (n, b, w) => f"$n $b%.2f->$w%.2f" }.mkString(", ")}) — " +
+            "the wall-only contention class; retiming them.")
+        heal(wallInflatedAfterWave2.map(_._1)
+            .filterNot((unhealedWave1 ++ unhealedWave2).contains),
+          (name, wall) => BenchSentinel.wallInflatedRows(benchWallBaseline,
+            Seq((name, wall, cgOf(name)))).isEmpty)
+      } else Nil
+    val unhealed = (unhealedWave1 ++ unhealedWave2 ++ unhealedWave3).distinct
     val inRunTripped = boundarySamples.exists(BenchRetimer.dirty)
     val results = resultsM.toMap
     val envEnd =
@@ -547,7 +686,14 @@ object Bench {
     import BenchSentinel.{CpuInflateRatio, InRunLoadBar, InRunPsiBar, ForeignCpuBar}
     val cpuInflatedRows = BenchSentinel.inflatedRows(benchCpuBaseline, provCpuRows)
     val cpuInflated = BenchSentinel.cpuInflated(cpuInflatedRows)
-    val contaminated = preContaminated || inRunContaminated || cpuInflated
+    // (1c) wall lever, FINAL (post-heal) results: a wave-3 retime that was
+    // accepted cleared this by construction; a failed/expired heal leaves
+    // its row here, so the artifact can never again ship a g23-shaped
+    // wall under contaminated:false.
+    val wallInflatedFinal = BenchSentinel.wallInflatedRows(benchWallBaseline, wallRows)
+    val wallInflated = wallInflatedFinal.nonEmpty
+    val contaminated =
+      preContaminated || inRunContaminated || cpuInflated || wallInflated
     if (preContaminated)
       System.err.println(
         s"WARNING: bench started on a contended host (pre-warmup " +
@@ -559,8 +705,10 @@ object Bench {
         s"NOTE: in-run contention — max load1 $inRunMaxLoad at " +
           s"'$inRunMaxLoadAt', max psi_cpu_avg10 $inRunMaxPsi at " +
           s"'$inRunMaxPsiAt', max foreign-cpu $inRunMaxForeign at " +
-          s"'$inRunMaxForeignAt' crossed the ($InRunLoadBar, $InRunPsiBar, " +
-          s"$ForeignCpuBar) bars mid-run; ${retimedLog.size} queries " +
+          s"'$inRunMaxForeignAt', max psi_io_avg10 $inRunMaxIo at " +
+          s"'$inRunMaxIoAt' crossed the ($InRunLoadBar, $InRunPsiBar, " +
+          s"$ForeignCpuBar, ${BenchRetimer.InRunIoPsiBar}) bars mid-run; " +
+          s"${retimedLog.size} queries " +
           s"retimed clean, ${unhealed.size} unhealed" +
           (if (unhealed.nonEmpty) " — timings are contaminated." else "."))
     if (cpuInflated)
@@ -570,9 +718,20 @@ object Bench {
           s"unchanged codegen (e.g. ${cpuInflatedRows.take(3).map { case (n, b, c) =>
             f"$n $b%.1f->$c%.1f" }.mkString(", ")}) — cache/bandwidth " +
           "contamination invisible to load/PSI; timings are contaminated.")
+    if (wallInflated)
+      System.err.println(
+        s"WARNING: per-query WALL inflated > ${BenchSentinel.WallInflateRatio}x " +
+          s"the committed clean wall on ${wallInflatedFinal.size} rows after " +
+          s"the heal (e.g. ${wallInflatedFinal.sortBy(-_._3).take(3).map {
+            case (n, b, w) => f"$n $b%.2f->$w%.2f" }.mkString(", ")}) — " +
+          "IO/scheduling contention invisible to the cpu levers; timings " +
+          "are contaminated.")
     val sentinelJson = {
       val rowsJson = cpuInflatedRows.sortBy(-_._3).take(20).map {
         case (n, b, c) => s"""{"query":"$n","cpu_base":${fmt(b)},"cpu_run":${fmt(c)}}"""
+      }.mkString("[", ",", "]")
+      val wallRowsJson = wallInflatedFinal.sortBy(-_._3).take(20).map {
+        case (n, b, w) => s"""{"query":"$n","wall_base":${fmt(b)},"wall_run":${fmt(w)}}"""
       }.mkString("[", ",", "]")
       val retimedJson = retimedLog.reverse.map { case (n, before, after) =>
         s"""{"query":"$n","wall_before":${fmt(before)},"wall_after":${fmt(after)}}"""
@@ -583,9 +742,13 @@ object Bench {
         s""""retimed":$retimedJson,"unhealed":$unhealedJson,""" +
         s""""cpu_inflated":$cpuInflated,"cpu_inflated_n":${cpuInflatedRows.size},""" +
         s""""cpu_inflated_rows":$rowsJson,""" +
+        s""""wall_inflated":$wallInflated,"wall_inflated_n":${wallInflatedFinal.size},""" +
+        s""""wall_inflated_rows":$wallRowsJson,""" +
+        s""""wall_baseline_rows":${benchWallBaseline.size},""" +
         s""""cpu_baseline":"${if (benchCpuBaseline.nonEmpty) benchBaselinePath.toString else ""}",""" +
         s""""inrun_max_load1":${fmt(inRunMaxLoad)},"inrun_max_load1_at":"$inRunMaxLoadAt",""" +
         s""""inrun_max_psi10":${fmt(inRunMaxPsi)},"inrun_max_psi10_at":"$inRunMaxPsiAt",""" +
+        s""""inrun_max_psi_io10":${fmt(inRunMaxIo)},"inrun_max_psi_io10_at":"$inRunMaxIoAt",""" +
         s""""inrun_max_foreign_cpu":${fmt(inRunMaxForeign)},"inrun_max_foreign_cpu_at":"$inRunMaxForeignAt"}"""
     }
     try java.nio.file.Files.writeString(
@@ -597,7 +760,7 @@ object Bench {
     // BENCH_r{N}.json alone (a solo clean run on this box shows load1 well
     // under the 32 cores and psi_avg10 near 0).
     val envLine =
-      s""""contaminated":$contaminated,"env":{"load1_start":${fmt(envStart._1.headOption.getOrElse(-1.0))},"load1_end":${fmt(envEnd._1.headOption.getOrElse(-1.0))},"psi10_start":${fmt(envStart._2)},"psi10_end":${fmt(envEnd._2)},"load1_inrun_max":${fmt(inRunMaxLoad)},"psi10_inrun_max":${fmt(inRunMaxPsi)},"cpu_inflated_n":${cpuInflatedRows.size},"retimed_n":${retimedLog.size},"unhealed_n":${unhealed.size},"nprocs_end":${envEnd._3}},"""
+      s""""contaminated":$contaminated,"env":{"load1_start":${fmt(envStart._1.headOption.getOrElse(-1.0))},"load1_end":${fmt(envEnd._1.headOption.getOrElse(-1.0))},"psi10_start":${fmt(envStart._2)},"psi10_end":${fmt(envEnd._2)},"load1_inrun_max":${fmt(inRunMaxLoad)},"psi10_inrun_max":${fmt(inRunMaxPsi)},"cpu_inflated_n":${cpuInflatedRows.size},"wall_inflated_n":${wallInflatedFinal.size},"retimed_n":${retimedLog.size},"unhealed_n":${unhealed.size},"nprocs_end":${envEnd._3}},"""
     val budget = 1500
     val header = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir",$envLine"queries":"""
     var used = header.length + 80

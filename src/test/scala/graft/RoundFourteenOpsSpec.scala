@@ -1,0 +1,139 @@
+package graft
+
+/** Round-14 laws. First family: the wall-only-inflation lever (VERDICT
+  * r13 item 1) — BENCH_r13 shipped `contaminated: false` with
+  * g23_cohort_retention at 9.89 s against a 0.27–0.36 s clean-solo range:
+  * IO/scheduling pressure stretched WALL without inflating our own JVM's
+  * cpu, crossing none of the four existing levers (load1 maxed 9.78 under
+  * the 24 bar, PSI 1.66, foreign-cpu clean, cpu_inflated_n 0). Round 14
+  * adds (a) a clean-solo wall column to the baseline TSV, (b) heal wave 3
+  * retiming rows over 3× that wall at unchanged codegen, (c) PSI **io**
+  * sampling at query boundaries as a fifth dirty bar, and (d) the ADVICE
+  * per-row acceptance rule: a baseline-keyed retime heals a row only if
+  * the NEW reading itself clears the row's baseline check. */
+class RoundFourteenOpsSpec extends SparkSpec {
+
+  import BenchRetimer.{Sample, dirty}
+
+  // --- the wall lever: parse ---------------------------------------------
+
+  test("wall baseline: 4-column rows parse, 3-column and -1 rows stay disarmed") {
+    val lines = Seq(
+      "# comment",
+      "q_new\t1.500\t12\t0.750",      // full round-14 row
+      "q_old\t2.000\t8",              // pre-round-14 TSV shape
+      "q_unknown\t3.000\t4\t-1",      // refresh recorded no wall
+      "",
+      "q_bad\tx\ty\tz")
+    val cpu = BenchSentinel.parseBaseline(lines)
+    assert(cpu == Map("q_new" -> (1.5, 12L), "q_old" -> (2.0, 8L),
+      "q_unknown" -> (3.0, 4L)))
+    val wall = BenchSentinel.parseWallBaseline(lines)
+    // only the row with a valid non-negative wall arms the lever
+    assert(wall == Map("q_new" -> (0.75, 12L)))
+  }
+
+  // --- the wall lever: flagging ------------------------------------------
+
+  test("wall lever: the g23 incident shape flags; calibrated clean jitter never does") {
+    val base = Map(
+      "g23_cohort_retention" -> (0.27, 10L),
+      "g27_acf"              -> (0.22, 10L),
+      "d16_edit_refine"      -> (1.45, 20L),
+      "big_row"              -> (2.00, 5L))
+    // the BENCH_r13 incident readings, codegen unchanged
+    val incident = Seq(
+      ("g23_cohort_retention", 9.89, 10L),
+      ("g27_acf", 5.46, 10L))
+    val flagged = BenchSentinel.wallInflatedRows(base, incident)
+    assert(flagged.map(_._1).toSet == Set("g23_cohort_retention", "g27_acf"),
+      s"incident rows not flagged: $flagged")
+    // worst measured clean-vs-clean jitter (four r13 solos): 1.99x on
+    // d16 — must stay silent with margin
+    assert(BenchSentinel.wallInflatedRows(base,
+      Seq(("d16_edit_refine", 1.45 * 1.99, 20L), ("big_row", 2.0 * 2.5, 5L))).isEmpty)
+  }
+
+  test("wall lever: the run-wall floor, codegen excuse and missing-baseline cases") {
+    val base = Map("tiny" -> (0.10, 5L), "mid" -> (0.27, 5L))
+    // a 0.1s row jittering to 0.7s is 7x but under the 1s run-wall
+    // floor: never flagged (the floor is on the RUN wall so g23-shaped
+    // small baselines are still guarded once the run reading is real)
+    assert(BenchSentinel.wallInflatedRows(base, Seq(("tiny", 0.99, 5L))).isEmpty)
+    assert(BenchSentinel.wallInflatedRows(base, Seq(("tiny", 1.01, 5L))).nonEmpty)
+    // a codegen burst above slack excuses the row (recompiles add wall)
+    assert(BenchSentinel.wallInflatedRows(base,
+      Seq(("mid", 9.89, 5L + BenchSentinel.CpuCodegenSlack + 1))).isEmpty)
+    // ... but an unchanged or lower codegen does not
+    assert(BenchSentinel.wallInflatedRows(base, Seq(("mid", 9.89, 5L))).nonEmpty)
+    assert(BenchSentinel.wallInflatedRows(base, Seq(("mid", 9.89, -1L))).nonEmpty)
+    // rows with no baseline never flag (per-row disarm, loud only via
+    // the run-level DISARMED warning when the whole column is missing)
+    assert(BenchSentinel.wallInflatedRows(base, Seq(("absent", 99.0, 5L))).isEmpty)
+  }
+
+  test("wall lever: separation — the flag ratio sits between clean jitter and the incident") {
+    // clean calibration max 1.99x; incident class 15-30x; the 3x bar has
+    // >= 1.5x margin both ways and must stay inside (2.0, 15.0)
+    assert(BenchSentinel.WallInflateRatio > 1.99 * 1.25,
+      "flag ratio too close to measured clean jitter")
+    assert(BenchSentinel.WallInflateRatio < 15.0 / 2.0,
+      "flag ratio too close to the incident class")
+  }
+
+  // --- the io PSI bar ------------------------------------------------------
+
+  test("io bar: io pressure independently marks a boundary dirty; unsampled stays clean") {
+    val clean = Sample(load1 = 2.0, psi = 0.5, foreign = 0.05, io = 5.0)
+    assert(!dirty(clean))
+    assert(dirty(clean.copy(io = BenchRetimer.InRunIoPsiBar + 0.1)))
+    // a kernel without /proc/pressure/io samples io = -1: never dirty
+    assert(!dirty(clean.copy(io = -1.0)))
+    // the bench's own write-heavy profile (measured own-run boundary max
+    // io-some avg10 ~12 on this box) must stay clean with margin
+    assert(!dirty(clean.copy(io = 12.0 * 2)))
+  }
+
+  // --- heal wave bookkeeping ---------------------------------------------
+
+  test("heal: per-row attempts are bounded and cheap relative to the budget") {
+    assert(BenchRetimer.MaxRetimeAttempts >= 1 && BenchRetimer.MaxRetimeAttempts <= 3)
+  }
+
+  test("heal wave selection is the lever output itself (spec-pinned row selection)") {
+    // wave 3 retimes EXACTLY wallInflatedRows' names — the selection is
+    // the pure lever, so this pins the doctored-baseline live test's
+    // expectation: deflate k rows' wall 5x => exactly those k rows enter
+    // the wave
+    val base = (1 to 20).map(i => f"q$i%02d" -> (2.0, 5L)).toMap
+    val doctored = base.map { case (n, (w, cg)) =>
+      n -> (if (n <= "q05") w / 5.0 else w, cg)
+    }
+    val run = base.toSeq.map { case (n, (w, cg)) => (n, w, cg) }
+    val wave = BenchSentinel.wallInflatedRows(doctored, run).map(_._1).sorted
+    assert(wave == (1 to 5).map(i => f"q$i%02d"),
+      s"expected q01..q05, got $wave")
+    // and the per-row acceptance predicate can never clear a doctored
+    // baseline: the same reading re-measured still flags
+    assert(BenchSentinel.wallInflatedRows(doctored,
+      Seq(("q01", 2.0, 5L))).nonEmpty)
+  }
+
+  // --- baseline TSV: the wall column covers the surface --------------------
+
+  test("sentinel: the committed sf0.1 baseline carries a wall value for EVERY SparkEntry query") {
+    import scala.jdk.CollectionConverters._
+    val lines = java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get("scripts/bench_cpu_baseline_sf0.1.tsv"))
+      .asScala.toSeq
+    val wall = BenchSentinel.parseWallBaseline(lines)
+    val missing = SparkEntry.queries.keySet.diff(wall.keySet)
+    assert(missing.isEmpty,
+      s"wall baseline missing ${missing.size} rows " +
+        s"(${missing.toSeq.sorted.take(5).mkString(", ")}) — refresh with " +
+        "scripts/refresh_cpu_baseline.py from clean solo sf0.1 artifacts")
+    wall.foreach { case (n, (w, _)) =>
+      assert(w > 0.0 && w < 600.0, s"$n: implausible baseline wall $w")
+    }
+  }
+}
