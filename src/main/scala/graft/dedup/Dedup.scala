@@ -81,19 +81,77 @@ object Dedup {
   private def docShingles(s: SparkSession, d: String): DataFrame =
     docShinglesOf(Tables.documents(s, d))
 
-  /** d02: n-gram Jaccard near-dup — shingle inverted index (explode →
-    * self-join on shingle → common counts), exact Jaccard ≥ 0.6. The
-    * shuffle key is the shingle, so only documents *sharing* a shingle ever
-    * meet; there is no all-pairs product.
+  /** d02: n-gram Jaccard near-dup — exact Jaccard ≥ 0.6 through the
+    * df-capped candidate discipline d22 proved on the hostile corpus
+    * (VERDICT r13 item 4: d02 was the last corpus-shaped unbounded plan
+    * on the surface). Candidates come from the df ≤ [[DfCap]] postings
+    * only, so the index self-join's worst case is ≤ cap·|postings|
+    * (linear in the corpus) instead of Σ df² (quadratic in a
+    * boilerplate-heavy head — the measured 660 M-meet melt at 15 k
+    * hostile docs); on THIS natural corpus the df head ends at 32 < 64,
+    * so the cap drops nothing and the plan is the old one plus a df
+    * window.
+    *
+    * EXACTNESS (the split-count form — algebraically d22's full-set
+    * verify, cheaper when the over-cap side is empty): the true common
+    * count decomposes as c = c_subcap + c_overcap. c_subcap falls out of
+    * the candidate self-join itself (the old d02 counting form,
+    * restricted to sub-cap postings); c_overcap adds the over-cap
+    * postings back per candidate pair through d20's id-keyed
+    * shuffle-hash joins — never a pair-list or index broadcast, and a
+    * no-op frame on corpora with no over-cap shingle. The output equals
+    * the cap-free census whenever every true pair shares ≥ 1 sub-cap
+    * shingle — proven per run by the cap-FREE DuckDB oracle's hash
+    * check (unchanged from the uncapped era) and pinned on this corpus
+    * by RoundFourteenOpsSpec against [[d02UncappedCensus]], the old
+    * plan kept as the spec's measurement foil.
     *
     * Plan shape: shingles are hashed to 64-bit keys immediately (the
-    * inverted index never shuffles strings), and the index is funneled
-    * through one `repartition(h)` exchange that the self-join's two sides
-    * and the per-doc size aggregate all reuse (ReusedExchange) — the
-    * shingle computation runs ONCE. The merge hint keeps AQE from
-    * flipping the self-join to broadcast, which would clone the build
-    * side and recompute the index. */
+    * inverted index never shuffles strings) and eagerly materialized
+    * ONCE (the d20 localCheckpoint discipline) — the df window, the
+    * size aggregate and both split-count sides all read the 16-byte
+    * (doc_id, h) frame. The merge hint keeps AQE from flipping the
+    * self-join to broadcast, which would clone the build side. */
   def d02NgramJaccard(s: SparkSession, d: String): DataFrame = {
+    val inv = docShingles(s, d)
+      .select(col("doc_id"), explode(col("sh")).as("sg"))
+      .select(col("doc_id"), xxhash64(col("sg")).as("h"))
+      .localCheckpoint(true)
+    val wDf = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
+    val flagged = inv.withColumn("df", count(lit(1)).over(wDf))
+    val sub = flagged.filter(col("df") <= DfCap)
+      .select(col("doc_id"), col("h"))
+      .repartition(col("h"))
+    val over = flagged.filter(col("df") > DfCap).select(col("doc_id"), col("h"))
+    val sizes = inv.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val subCommon = sub.as("a").join(sub.as("b").hint("merge"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("c_sub"))
+    val overCommon = subCommon.select(col("doc_a"), col("doc_b"))
+      .join(over.select(col("doc_id").as("doc_a"), col("h")).hint("shuffle_hash"),
+        "doc_a")
+      .join(over.select(col("doc_id").as("doc_b"), col("h")).hint("shuffle_hash"),
+        Seq("doc_b", "h"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("c_over"))
+    subCommon
+      .join(overCommon, Seq("doc_a", "doc_b"), "left")
+      .withColumn("c", col("c_sub") + coalesce(col("c_over"), lit(0L)))
+      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .withColumn("jaccard",
+        col("c").cast("double") / (col("sa.n") + col("sb.n") - col("c")).cast("double"))
+      .filter(col("jaccard") >= 0.6)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** The pre-round-14 uncapped d02 plan — the full inverted-index
+    * self-join paying Σ df² meets. Kept ONLY as the measurement foil:
+    * RoundFourteenOpsSpec pins d02 ≡ this census on the natural corpus
+    * and measures the meet accounting the cap bounds. Not in `queries`. */
+  private[graft] def d02UncappedCensus(s: SparkSession, d: String): DataFrame = {
     val inv = docShingles(s, d)
       .select(col("doc_id"), explode(col("sh")).as("sg"))
       .select(col("doc_id"), xxhash64(col("sg")).as("h"))
