@@ -541,12 +541,16 @@ object BehaviorQueries {
           .as("tau_b_micros"))
   }
 
-  /** g41's overflow guard: centered doubled midranks satisfy |dx2| ≤ N,
+  /** g41's overflow bound: centered doubled midranks satisfy |dx2| ≤ N,
     * so each of the three BIGINT sums is ≤ N³ — exact in 64 bits up to
-    * N ≈ 2.1 M points. Beyond that the same construction lifts to
-    * DECIMAL(38,0) sums (bound ~4.6×10¹² points) on both engines; the
-    * BIGINT form is kept because integer-sum equality is the repo's
-    * cross-engine discipline and every test corpus is ≪ the bound. */
+    * N ≈ 2.1 M points. Beyond that the SAME construction auto-lifts to
+    * DECIMAL(38,0) sums (round 14 — the r13 require is now a branch;
+    * products are cast per-FACTOR so no BIGINT intermediate ever forms;
+    * decimal bound ~4.6×10¹² points from 4N³ ≤ 10³⁸). The BIGINT form
+    * stays the default because integer-sum equality is the repo's
+    * cross-engine discipline and every committed corpus is ≪ the bound;
+    * RoundFourteenOpsSpec proves sum equality across the lift boundary
+    * and BigInt-exactness of the lifted sums on a >2 M-point frame. */
   val SpearmanMaxN = 2000000L
 
   /** g41: Spearman rank correlation (tie-aware, midranks) between
@@ -570,6 +574,21 @@ object BehaviorQueries {
     * GlobalWindowBoundSpec-allowlisted with that derivation bound). */
   def g41SpearmanRho(s: SparkSession, d: String): DataFrame = {
     val cells = rankGridCells(s, d, "g41")
+    // one scalar off the checkpoint (same discipline as the grid-premise
+    // require) picks the representation: BIGINT-exact up to SpearmanMaxN,
+    // DECIMAL(38,0) beyond — the r13 require, now a branch
+    val nTotal = cells.agg(sum(col("n"))).first().getLong(0)
+    spearmanOverCells(cells, lift = nTotal > SpearmanMaxN)
+  }
+
+  /** g41's computation over an arbitrary (xb, yb, n) contingency frame —
+    * factored so RoundFourteenOpsSpec can drive the DECIMAL lift on a
+    * synthetic >2 M-point frame and prove sum equality across the lift
+    * boundary. `lift = true` computes the three rank sums (and the two
+    * zero-identity sums) in DECIMAL(38,0), casting each FACTOR before any
+    * multiply so no 64-bit intermediate can overflow; the rho division
+    * reads identically in both branches (sums → DOUBLE either way). */
+  private[graft] def spearmanOverCells(cells: DataFrame, lift: Boolean): DataFrame = {
     def marginal(axis: String): DataFrame = {
       val w = Window.orderBy(col(axis))
         .rowsBetween(Window.unboundedPreceding, -1)
@@ -580,13 +599,9 @@ object BehaviorQueries {
       (lit(2L) * col("cum") + col("nm")).as("rx2n")) // dx2 + N (N joins later)
     val my = marginal("yb").select(col("yb"),
       (lit(2L) * col("cum") + col("nm")).as("ry2n"))
-    // overflow guard — loud, not a silent empty frame (one scalar off
-    // the checkpoint, same discipline as the grid-premise require)
-    val nTotal = cells.agg(sum(col("n"))).first().getLong(0)
-    require(nTotal <= SpearmanMaxN,
-      s"g41: $nTotal points exceed the BIGINT-exact bound $SpearmanMaxN — " +
-        "lift the rank sums to DECIMAL(38,0) (see SpearmanMaxN)")
     val n = cells.agg(sum(col("n")).as("n_total"))
+    def t(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      if (lift) c.cast("decimal(38,0)") else c
     cells
       .join(broadcast(mx), "xb")
       .join(broadcast(my), "yb")
@@ -595,15 +610,15 @@ object BehaviorQueries {
         (col("rx2n") - col("n_total")).as("dx2"),
         (col("ry2n") - col("n_total")).as("dy2"))
       .groupBy(col("n_total"))
-      .agg(sum(col("n") * col("dx2") * col("dy2")).as("sxy"),
-        sum(col("n") * col("dx2") * col("dx2")).as("sxx"),
-        sum(col("n") * col("dy2") * col("dy2")).as("syy"),
-        sum(col("n") * col("dx2")).as("zero_x"),
-        sum(col("n") * col("dy2")).as("zero_y"))
+      .agg(sum(t(col("n")) * t(col("dx2")) * t(col("dy2"))).as("sxy"),
+        sum(t(col("n")) * t(col("dx2")) * t(col("dx2"))).as("sxx"),
+        sum(t(col("n")) * t(col("dy2")) * t(col("dy2"))).as("syy"),
+        sum(t(col("n")) * t(col("dx2"))).as("zero_x"),
+        sum(t(col("n")) * t(col("dy2"))).as("zero_y"))
       .select(col("n_total"), col("sxy"), col("sxx"), col("syy"),
         col("zero_x"), col("zero_y"),
         expr("CASE WHEN sxx = 0 OR syy = 0 THEN CAST(NULL AS BIGINT) " +
-          "ELSE CAST(round(sxy / sqrt(CAST(sxx AS DOUBLE) * " +
+          "ELSE CAST(round(CAST(sxy AS DOUBLE) / sqrt(CAST(sxx AS DOUBLE) * " +
           "CAST(syy AS DOUBLE)) * 1000000) AS BIGINT) END").as("rho_micros"))
   }
 

@@ -158,6 +158,79 @@ class RoundFourteenOpsSpec extends SparkSpec {
         "update this law's accounting")
   }
 
+  // --- g41: the DECIMAL(38,0) lift past the BIGINT-exact bound ------------
+  // r13 shipped a loud require at N <= 2M with the lift documented but not
+  // implemented (VERDICT item 6). Now the require is a branch; these laws
+  // prove (a) the lifted sums are EXACT (BigInt reference) on a synthetic
+  // >2M-point frame whose BIGINT sums would genuinely overflow, (b) sum
+  // equality across the lift boundary on a frame valid in both
+  // representations, (c) the committed corpora stay on the BIGINT branch.
+  test("g41 lift: DECIMAL sums are BigInt-exact on a >2M-point frame that overflows BIGINT") {
+    import graft.queries.BehaviorQueries
+    import org.apache.spark.sql.functions._
+    val cellSeq = for (xb <- 0L until 40L; yb <- 0L until 24L)
+      yield (xb, yb, 2000L + (xb * yb * 997L) % 4000L + xb * 31L)
+    val n = cellSeq.map(_._3).sum
+    assert(n > BehaviorQueries.SpearmanMaxN, s"fixture too small: $n points")
+    // BigInt reference: the same marginal-midrank construction, exact
+    def marg(sel: ((Long, Long, Long)) => Long): Map[Long, BigInt] = {
+      val nm = cellSeq.groupBy(sel).view.mapValues(cs => cs.map(_._3).sum).toMap
+      val keys = nm.keys.toSeq.sorted
+      val cum = keys.scanLeft(0L)((acc, k) => acc + nm(k))
+      keys.zip(cum).map { case (k, cb) =>
+        k -> (BigInt(2) * cb + nm(k) - n) // dx2 = 2*cumBefore + nm - N
+      }.toMap
+    }
+    val dx = marg(_._1); val dy = marg(_._2)
+    var sxy = BigInt(0); var sxx = BigInt(0); var syy = BigInt(0)
+    var zx = BigInt(0); var zy = BigInt(0)
+    cellSeq.foreach { case (xb, yb, cn) =>
+      val (a, b) = (dx(xb), dy(yb))
+      sxy += cn * a * b; sxx += cn * a * a; syy += cn * b * b
+      zx += cn * a; zy += cn * b
+    }
+    // the branch is genuinely needed: the BIGINT form would overflow
+    assert(sxx > BigInt(Long.MaxValue), s"fixture sxx $sxx fits in 64 bits")
+    val cells = spark.createDataFrame(cellSeq).toDF("xb", "yb", "n")
+    val out = BehaviorQueries.spearmanOverCells(cells, lift = true).collect()(0)
+    def dec(name: String): BigInt =
+      BigInt(out.getAs[java.math.BigDecimal](name).toBigInteger)
+    assert(out.getAs[Long]("n_total") == n)
+    assert(dec("sxy") == sxy, s"sxy ${dec("sxy")} vs $sxy")
+    assert(dec("sxx") == sxx)
+    assert(dec("syy") == syy)
+    assert(dec("zero_x") == 0 && zx == 0)
+    assert(dec("zero_y") == 0 && zy == 0)
+    val rho = math.round(
+      sxy.toDouble / math.sqrt(sxx.toDouble * syy.toDouble) * 1e6)
+    assert(out.getAs[Long]("rho_micros") == rho)
+  }
+
+  test("g41 lift: both representations agree exactly across the lift boundary") {
+    import graft.queries.BehaviorQueries
+    // a frame small enough for BIGINT: run it through BOTH branches
+    val cellSeq = for (xb <- 0L until 12L; yb <- 0L until 24L)
+      yield (xb, yb, 100L + (xb * yb * 17L) % 300L)
+    val cells = spark.createDataFrame(cellSeq).toDF("xb", "yb", "n")
+    val bi = BehaviorQueries.spearmanOverCells(cells, lift = false).collect()(0)
+    val de = BehaviorQueries.spearmanOverCells(cells, lift = true).collect()(0)
+    assert(bi.getAs[Long]("n_total") == de.getAs[Long]("n_total"))
+    Seq("sxy", "sxx", "syy", "zero_x", "zero_y").foreach { c =>
+      assert(BigInt(bi.getAs[Long](c)) ==
+        BigInt(de.getAs[java.math.BigDecimal](c).toBigInteger),
+        s"$c diverges across the lift boundary")
+    }
+    assert(bi.getAs[Long]("rho_micros") == de.getAs[Long]("rho_micros"))
+  }
+
+  test("g41 lift: the committed corpus stays on the BIGINT branch (schema pinned)") {
+    import graft.queries.BehaviorQueries
+    val out = BehaviorQueries.g41SpearmanRho(spark, sf)
+    assert(out.schema("sxy").dataType ==
+      org.apache.spark.sql.types.LongType,
+      "sf0.001 landed on the DECIMAL branch — the oracle's BIGINT schema would mismatch")
+  }
+
   // --- baseline TSV: the wall column covers the surface --------------------
 
   test("sentinel: the committed sf0.1 baseline carries a wall value for EVERY SparkEntry query") {
