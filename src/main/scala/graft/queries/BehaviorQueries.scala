@@ -997,7 +997,114 @@ object BehaviorQueries {
       .orderBy(col("h"))
   }
 
+  // --- g42: hot-key join census under a planted Zipf regime --------------
+
+  /** The planted hot key — outside every natural user_id domain, so the
+    * remap mints ONE new user owning ~half of all events (VERDICT r13
+    * item 3: the d21 hostileDocs discipline, applied to join keys). */
+  val HotUserId = 888888888888L
+  /** event_id % 2 == 0 → the hot user: ~50 % of the corpus on one key. */
+  val HotEventMod = 2L
+  /** Keys owning more than this share of events are salted — detected
+    * from a count aggregate, never hard-coded to the planted id, so the
+    * plan is the one a real pipeline ships. ≤ 1/share keys can qualify,
+    * so the hot list is bounded (≤ 20 rows) and broadcast. */
+  val HotKeyShare = 0.05
+  /** Salt fan-out for hot keys: the hot key's probe rows spread across
+    * this many (user_id, salt) shuffle groups. */
+  val HotSalts = 16
+
+  /** The adversarial corpus, derived in-query (the hostileDocs pattern)
+    * so the oracle restates the same remap: half of all events land on
+    * [[HotUserId]]. */
+  private[graft] def hotEvents(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(
+        when(col("event_id") % HotEventMod === 0, lit(HotUserId))
+          .otherwise(col("user_id")).as("user_id"),
+        col("event_id"), to_date(col("ts")).as("day"))
+
+  /** g42: g23's cohort-retention shape (first-touch groupBy + join back
+    * on the key + census) on the planted-hot corpus, with the skew
+    * handled by DIFFERENTIATED SALTING — the deployable batch analog of
+    * st21's state-store salt:
+    *
+    *  1. ONE aggregate pass yields both the first-touch frame and the
+    *     per-key counts (map-side combine absorbs the hot key in the
+    *     partial phase — groupBy skew is the cheap half of the problem).
+    *  2. Hot keys are DETECTED (count > [[HotKeyShare]]·total — a
+    *     bounded, broadcastable list), never assumed.
+    *  3. The probe side salts hot rows content-addressed
+    *     (xxhash64(event_id) mod [[HotSalts]] — deterministic under
+    *     replay, st21's rule); cold rows keep salt 0. The build side
+    *     explodes hot keys into all salts and keeps cold keys at 0, so
+    *     the join on (user_id, salt) is exactly the unsalted join with
+    *     the hot key's probe rows spread across [[HotSalts]] groups.
+    *     The shuffle_hash hint pins the shuffled join at toy SF (AQE
+    *     would broadcast the build side here and hide the very skew
+    *     path this row exists to prove; at 100 TB the build side is
+    *     every user — not broadcastable).
+    *
+    * Without the salt, ONE task ingests ~50 % of the corpus (the
+    * RoundFourteenOpsSpec spread law measures exactly this); with it,
+    * the hot key's max (user_id, salt) group is ~1/[[HotSalts]] of that
+    * — per-task input bounded at ~3 % of the corpus. AQE's skew-join
+    * split (q45) solves the same problem opportunistically; the salt is
+    * the deterministic form that also survives streaming state (st21)
+    * and non-sort-merge joins. Output ≡ the unsalted census
+    * (spec-pinned) ≡ the DuckDB oracle. */
+  def g42HotCohort(s: SparkSession, d: String): DataFrame = {
+    val ev = hotEvents(s, d)
+    val first = ev.groupBy(col("user_id"))
+      .agg(min(col("day")).as("cohort_day"), count(lit(1)).as("n_ev"))
+    val tot = first.agg(sum(col("n_ev")).as("tot"))
+    val hot = first.crossJoin(broadcast(tot))
+      .filter(col("n_ev") > col("tot") * HotKeyShare)
+      .select(col("user_id"), lit(true).as("is_hot"))
+    val evSalted = ev
+      .join(broadcast(hot), Seq("user_id"), "left")
+      .withColumn("salt",
+        when(col("is_hot"),
+          pmod(xxhash64(col("event_id")), lit(HotSalts.toLong)))
+          .otherwise(lit(0L)))
+      .select(col("user_id"), col("salt"), col("day"))
+    val firstSalted = first
+      .join(broadcast(hot), Seq("user_id"), "left")
+      .select(col("user_id"), col("cohort_day"),
+        explode(when(col("is_hot"),
+          sequence(lit(0L), lit((HotSalts - 1).toLong)))
+          .otherwise(array(lit(0L)))).as("salt"))
+    evSalted
+      .join(firstSalted.hint("shuffle_hash"), Seq("user_id", "salt"))
+      .select(col("user_id"),
+        date_trunc("week", col("cohort_day")).cast("date").as("cohort_week"),
+        expr("datediff(day, cohort_day) div 7").as("offset_week"))
+      .groupBy(col("cohort_week"), col("offset_week"))
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("cohort_week"), col("offset_week"))
+  }
+
+  /** The salted probe side, exposed for the spread law (how evenly did
+    * the salt spread the hot key's rows across shuffle groups). */
+  private[graft] def g42SaltedProbe(s: SparkSession, d: String): DataFrame = {
+    val ev = hotEvents(s, d)
+    val first = ev.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_ev"))
+    val tot = first.agg(sum(col("n_ev")).as("tot"))
+    val hot = first.crossJoin(broadcast(tot))
+      .filter(col("n_ev") > col("tot") * HotKeyShare)
+      .select(col("user_id"), lit(true).as("is_hot"))
+    ev.join(broadcast(hot), Seq("user_id"), "left")
+      .withColumn("salt",
+        when(col("is_hot"),
+          pmod(xxhash64(col("event_id")), lit(HotSalts.toLong)))
+          .otherwise(lit(0L)))
+      .select(col("user_id"), col("salt"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "g42_hot_cohort" -> g42HotCohort _,
     "g41_spearman_rho" -> g41SpearmanRho _,
     "g40_kendall_tau" -> g40KendallTau _,
     "g26_chi_square" -> g26ChiSquare _,
@@ -1017,6 +1124,22 @@ object BehaviorQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // g42: the remap restated + g23's census — the oracle neither salts
+    // nor detects hot keys, so a hash match proves the salted plan
+    // computes exactly the plain join's answer on the skewed corpus
+    "g42_hot_cohort" -> s"""
+      WITH ev AS (
+        SELECT CASE WHEN event_id % $HotEventMod = 0 THEN $HotUserId
+                    ELSE user_id END AS user_id,
+               CAST(ts AS DATE) AS day
+        FROM events),
+      f AS (SELECT user_id, min(day) AS cohort_day FROM ev GROUP BY 1)
+      SELECT CAST(date_trunc('week', f.cohort_day) AS DATE) AS cohort_week,
+             (date_diff('day', f.cohort_day, ev.day) // 7) AS offset_week,
+             count(DISTINCT ev.user_id) AS n_users,
+             count(*) AS n_events
+      FROM ev JOIN f USING (user_id)
+      GROUP BY 1, 2 ORDER BY cohort_week, offset_week""",
     // g41: the identical midrank-marginal construction — same census,
     // same centered doubled midranks (integers end-to-end, HUGEINT sums
     // cast back), the one FP division on identical BIGINTs, NULL on a

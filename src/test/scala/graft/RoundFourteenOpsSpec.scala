@@ -295,6 +295,67 @@ class RoundFourteenOpsSpec extends SparkSpec {
     }
   }
 
+  // --- g42: the batch hot-key regime (VERDICT r13 item 3) -----------------
+  // The dedup family got its adversarial regime in rounds 12-13 (d21-d23);
+  // the relational family's skew story was q45 (AQE, opportunistic) and
+  // st21 (streaming state). g42 plants a Zipf-hot corpus in-query (the
+  // hostileDocs pattern — one user owns ~half the events) and lands g23's
+  // first-touch-join census through differentiated salting. These laws pin
+  // (a) the regime is real; (b) exactness vs the plain unsalted join;
+  // (c) the spread: the hot key's max (user_id, salt) group is ~1/HotSalts
+  // of its unsalted mass; (d) the plan: a SHUFFLED join keyed on salt.
+  test("g42: the planted regime is real and the salted census equals the plain join") {
+    import graft.queries.BehaviorQueries
+    import org.apache.spark.sql.functions._
+    val ev = BehaviorQueries.hotEvents(spark, sf).localCheckpoint(true)
+    val total = ev.count()
+    val hotN = ev.filter(col("user_id") === BehaviorQueries.HotUserId).count()
+    assert(hotN >= (0.4 * total).toLong && hotN <= (0.6 * total).toLong,
+      s"regime broken: hot user owns $hotN of $total events")
+    // plain unsalted reference census, built independently
+    val first = ev.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+    val want = ev.join(first, "user_id")
+      .select(col("user_id"),
+        date_trunc("week", col("cohort_day")).cast("date").as("cohort_week"),
+        expr("datediff(day, cohort_day) div 7").as("offset_week"))
+      .groupBy(col("cohort_week"), col("offset_week"))
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"))
+    val got = BehaviorQueries.g42HotCohort(spark, sf)
+    assert(got.count() > 0)
+    assert(got.except(want).isEmpty && want.except(got).isEmpty,
+      "salted census != plain join census")
+  }
+
+  test("g42: the salt bounds per-group input at ~1/HotSalts of the hot key's mass") {
+    import graft.queries.BehaviorQueries
+    import org.apache.spark.sql.functions._
+    val probe = BehaviorQueries.g42SaltedProbe(spark, sf).localCheckpoint(true)
+    val hot = probe.filter(col("user_id") === BehaviorQueries.HotUserId)
+      .groupBy(col("salt")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getAs[Long]("salt") -> r.getAs[Long]("n")).toMap
+    assert(hot.keySet == (0L until BehaviorQueries.HotSalts.toLong).toSet,
+      s"hot key missed salts: ${(0L until BehaviorQueries.HotSalts.toLong).toSet -- hot.keySet}")
+    val hotN = hot.values.sum
+    val ideal = hotN.toDouble / BehaviorQueries.HotSalts
+    assert(hot.values.max <= (ideal * 1.5).toLong + 1,
+      s"max salted group ${hot.values.max} vs ideal $ideal — salt skewed")
+    // the law the row exists for: unsalted, ONE shuffle group ingests
+    // hotN rows (~half the corpus); salted, the worst group is bounded
+    val worstShare = hot.values.max.toDouble / probe.count()
+    assert(worstShare <= 1.5 / BehaviorQueries.HotSalts,
+      f"worst per-group share $worstShare%.3f exceeds ~1/HotSalts")
+  }
+
+  test("g42: the executed plan joins SHUFFLED on (user_id, salt), not broadcast") {
+    import graft.queries.BehaviorQueries
+    val plan = BehaviorQueries.g42HotCohort(spark, sf)
+      .queryExecution.executedPlan.toString
+    val shj = "ShuffledHashJoin \\[user_id#\\d+L?, salt#\\d+L?\\]".r
+    assert(shj.findFirstIn(plan).isDefined,
+      s"no ShuffledHashJoin on (user_id, salt) in the plan:\n${plan.take(2000)}")
+  }
+
   // --- baseline TSV: the wall column covers the surface --------------------
 
   test("sentinel: the committed sf0.1 baseline carries a wall value for EVERY SparkEntry query") {
