@@ -1,17 +1,33 @@
 #!/usr/bin/env python3
 """Local replica of the driver's DuckDB-oracle compare.
 
-Usage: python3 scripts/selfcheck.py <sfDir> <verifyOutDir>
+Usage: python3 scripts/selfcheck.py <sfDir> <verifyOutDir> [--skip-quadratic]
 
 For each <name>.parquet dir under verifyOutDir, runs the matching SQL from
 oracle_sql.json in DuckDB (tables = parquet views over sfDir), sorts columns
 by name on both sides, and compares row count, schema, and values.
+
+--skip-quadratic (round 14, the sf1 sweep): skip rows whose ORACLE is
+tagged quadratic in oracle_cost.json, EXCEPT the fixed-slice hostile rows
+(d21/d22/d23 — their oracles read a fixed doc_id slice, so their cost is
+SF-invariant and they stay checkable at stress SFs). Skipped rows print
+SKIP and count as neither pass nor fail.
 """
-import json, sys, math
+import json, os, sys, math
 import duckdb
 import pandas as pd
 
-sfdir, outdir = sys.argv[1], sys.argv[2]
+args = [a for a in sys.argv[1:] if a != "--skip-quadratic"]
+skip_quadratic = "--skip-quadratic" in sys.argv
+sfdir, outdir = args[0], args[1]
+FIXED_SLICE = {"d21_prefix_hostile", "d22_dfcap_index", "d23_lsh_hostile"}
+quad = set()
+if skip_quadratic:
+    cost_path = f"{outdir}/oracle_cost.json"
+    if not os.path.exists(cost_path):
+        sys.exit(f"--skip-quadratic needs {cost_path} (rerun graft.Verify)")
+    quad = {q for q, c in json.load(open(cost_path)).items()
+            if c == "quadratic"} - FIXED_SLICE
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
@@ -48,8 +64,12 @@ def described_types(q):
     return {r[0]: r[1] for r in con.sql(f"DESCRIBE {q}").fetchall()}
 
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
-n_pass = n_fail = 0
+n_pass = n_fail = n_skip = 0
 for name, sql in sorted(oracle.items()):
+    if name in quad:
+        n_skip += 1
+        print(f"SKIP {name} (quadratic oracle at stress SF)")
+        continue
     try:
         odf = con.sql(sql).df()
         sdf = con.sql(f"SELECT * FROM '{outdir}/{name}/*.parquet'").df()
@@ -105,5 +125,6 @@ for name, sql in sorted(oracle.items()):
     except Exception as e:
         n_fail += 1
         print(f"ERROR {name}: {e}")
-print(f"\n{n_pass} pass / {n_fail} fail")
+print(f"\n{n_pass} pass / {n_fail} fail"
+      + (f" / {n_skip} skipped (quadratic oracle)" if n_skip else ""))
 sys.exit(1 if n_fail else 0)
