@@ -17,16 +17,29 @@ Two ADVICE r13 rules:
  - --reset drops the prior TSV's min-merge so an INTENTIONAL plan change
    that legitimately slowed a query gets a fresh baseline (the default
    min-merge can only ever ratchet down, which would eventually make
-   clean solo runs self-flag against a stale faster min).
+   clean solo runs self-flag against a stale faster min);
+ - --reset-row <name> is the surgical form: drop the prior min for that
+   row alone (repeatable), keeping every other row's accumulated history.
 
 Usage:
-  python3 scripts/refresh_cpu_baseline.py [--reset] <bench_full.json> [more.json ...]
+  python3 scripts/refresh_cpu_baseline.py [--reset] [--reset-row q ...] \\
+      <bench_full.json> [more.json ...]
 """
 import json
 import sys
 
 args = sys.argv[1:]
 reset = "--reset" in args
+reset_rows = set()
+i = 0
+while i < len(args):
+    if args[i] == "--reset-row":
+        if i + 1 >= len(args):
+            sys.exit("--reset-row needs a query name")
+        reset_rows.add(args[i + 1])
+        del args[i:i + 2]
+    else:
+        i += 1
 paths = [p for p in args if p != "--reset"]
 arts = [json.load(open(p)) for p in paths]
 if not arts:
@@ -52,6 +65,8 @@ if not reset:
                 continue
             parts = line.rstrip("\n").split("\t")
             n, cpu, cg = parts[0], parts[1], parts[2]
+            if n in reset_rows:
+                continue
             wall = float(parts[3]) if len(parts) > 3 else float("inf")
             old[n] = (float(cpu), int(cg), wall)
     except FileNotFoundError:
