@@ -27,6 +27,21 @@ object BenchSentinel {
   val InRunLoadBar = 24.0
   val InRunPsiBar = 10.0
 
+  /** Attribution gate on the load bar (round 14): 1-min loadavg counts
+    * OUR OWN runnable threads, so at 10× data (tmp/sf1) the solo bench
+    * itself sustains load1 ≈ 27 over its heavy dedup stretch — above
+    * the 24 bar — while the same boundary's foreign-cpu share reads
+    * 0.09 (nothing else on the box). A high load1 is only evidence of
+    * CONTENTION when someone else contributes: the bar now trips only
+    * when the boundary's foreign share also reads ≥ this threshold.
+    * Calibration: solo max foreign 0.091 (sf1 run, 10× the load of the
+    * sf0.1 calibration runs); every co-runner class the load bar exists
+    * for contributes ≥ 8 threads ≈ 0.25 share (and ≥ 16-spinner reads
+    * ~0.5 — the live spinner test's regime), so 0.15 separates with
+    * ~1.6× margin both ways. IO-bound (D-state) co-runners that load
+    * the box without burning cpu are the io-PSI bar's job. */
+  val LoadAttributionForeign = 0.15
+
   /** The decisive in-run lever: FOREIGN cpu share — system-wide cpu load
     * minus this JVM's own — sampled at every query boundary. A solo
     * clean run reads ~0-0.1 (kernel + the sbt supervisor); any
@@ -144,9 +159,15 @@ object BenchRetimer {
   /** A boundary is dirty iff any in-run bar is crossed — the same levers
     * the sentinel flags on ([[BenchSentinel.InRunLoadBar]] /
     * [[BenchSentinel.InRunPsiBar]] / [[BenchSentinel.ForeignCpuBar]] /
-    * [[InRunIoPsiBar]]). */
+    * [[InRunIoPsiBar]]). Round 14: the load bar carries an attribution
+    * gate — loadavg counts our own threads, so it is only contention
+    * evidence when the boundary's foreign share corroborates
+    * ([[BenchSentinel.LoadAttributionForeign]]); an unsampled foreign
+    * (< 0) keeps the bar armed, never disarms it. */
   def dirty(s: Sample): Boolean =
-    s.load1 > BenchSentinel.InRunLoadBar || s.psi > BenchSentinel.InRunPsiBar ||
+    (s.load1 > BenchSentinel.InRunLoadBar &&
+      (s.foreign < 0 || s.foreign >= BenchSentinel.LoadAttributionForeign)) ||
+      s.psi > BenchSentinel.InRunPsiBar ||
       s.foreign > BenchSentinel.ForeignCpuBar || s.io > InRunIoPsiBar
 
   /** Queries bracketed by a dirty boundary. `samples(0)` precedes the

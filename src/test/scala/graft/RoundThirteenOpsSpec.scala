@@ -20,13 +20,25 @@ class RoundThirteenOpsSpec extends SparkSpec {
 
   test("retimer: each in-run bar independently marks a boundary dirty") {
     assert(!dirty(clean))
-    assert(dirty(clean.copy(load1 = BenchSentinel.InRunLoadBar + 0.1)))
+    // round 14: the load bar carries an attribution gate — high load1
+    // with a corroborating foreign share is contention; with a clean
+    // foreign share it is OUR OWN 32 threads (the solo tmp/sf1 bench
+    // sustains load1 ~27 at foreign 0.09) and must NOT dirty
+    assert(dirty(clean.copy(load1 = BenchSentinel.InRunLoadBar + 0.1,
+      foreign = BenchSentinel.LoadAttributionForeign)))
+    assert(!dirty(clean.copy(load1 = 27.1, foreign = 0.091)))
+    // an unsampled foreign keeps the load bar armed (never disarms)
+    assert(dirty(clean.copy(load1 = BenchSentinel.InRunLoadBar + 0.1,
+      foreign = -1.0)))
     assert(dirty(clean.copy(psi = BenchSentinel.InRunPsiBar + 0.1)))
     assert(dirty(clean.copy(foreign = BenchSentinel.ForeignCpuBar + 0.01)))
     // the bench's own measured in-run profile (load1 ~11, psi < 3 %,
     // foreign ~0.1 on a solo run) must stay clean — a self-flagging
     // retimer would retime every run and destroy the provenance story
     assert(!dirty(Sample(11.0, 3.0, 0.10)))
+    // the live spinner-test regime (16 spinners: load 40, foreign 0.55)
+    // still trips through BOTH the load and foreign levers
+    assert(dirty(spinner))
   }
 
   test("retimer: a solo clean run quarantines nothing (the heal path is never entered)") {
