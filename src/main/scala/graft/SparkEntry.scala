@@ -61,9 +61,10 @@ object SparkEntry {
       // p30 lands three real parquet write/read cycles plus bookmark
       // audit writes against a one-GROUP-BY oracle — the k01 rule
       ("p30_bookmark_ingest" -> "e2e") +
-      // m06 runs a real PNG encode+decode per row against a closed-form
-      // arithmetic oracle — pipeline-vs-restated-facts, the k01 rule
-      ("m06_image_decode" -> "e2e")
+      // m06/m07 run a real PNG / WAV encode+decode per row against
+      // closed-form arithmetic oracles — pipeline-vs-restated-facts,
+      // the k01 rule
+      ("m06_image_decode" -> "e2e") + ("m07_audio_decode" -> "e2e")
     val contract = Seq("s02_topk_lsh", "s03_topk_ivf", "s04_topk_pq",
       "s05_cluster_profile", "s09_topk_ivfsq", "s12_filtered_ivf",
       "s15_ivf_append", "s16_jl_project", "d04_simhash", "g07_profile_approx",

@@ -20,10 +20,13 @@ import org.apache.spark.sql.{Dataset, SparkSession}
   *
   * CODEC NOTE: images decode for REAL via [[ImageIoCodec]] (the JDK's
   * pure-Java PNG/JPEG readers — round 14; m06 proves the round trip
-  * bit-exact against a closed-form oracle). [[StubCodec.decode]] remains
-  * a clearly-marked deterministic fake for the modalities the JDK cannot
-  * decode (audio frames, video) — swap in an ffmpeg-backed `Codec` in
-  * production; every signature, schema, and batch shape stays the same.
+  * bit-exact against a closed-form oracle), and audio decodes for REAL
+  * via [[decodePcmWav]] (the JDK's RIFF/WAVE reader in
+  * `javax.sound.sampled` — m07 proves that round trip the same way).
+  * [[StubCodec.decode]] remains a clearly-marked deterministic fake only
+  * for the one modality the JDK cannot decode (video frames) — swap in
+  * an ffmpeg-backed `Codec` in production; every signature, schema, and
+  * batch shape stays the same.
   */
 object Multimodal {
 
@@ -114,6 +117,60 @@ object Multimodal {
     }
     val bos = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Decode a WAV payload via the JDK's pure-Java RIFF/WAVE reader
+    * (`javax.sound.sampled` — round 14, the audio sibling of
+    * [[decodeGrayPng]]) into (sampleRate, signed 16-bit samples). Only
+    * the PCM shape the corpus writes is accepted — 16-bit mono
+    * little-endian, WAV's wire format — and undecodable bytes fail
+    * loudly (DLQ lane), never zero-fill. */
+  def decodePcmWav(data: Array[Byte]): (Int, Array[Int]) = {
+    val ais =
+      try javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(data))
+      catch {
+        case e: javax.sound.sampled.UnsupportedAudioFileException =>
+          throw new IllegalArgumentException(
+            "payload is not a decodable WAV stream", e)
+      }
+    val fmt = ais.getFormat
+    require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
+      !fmt.isBigEndian &&
+      fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+      s"expected 16-bit mono little-endian signed PCM, got $fmt")
+    val raw = ais.readAllBytes()
+    val out = new Array[Int](raw.length / 2)
+    var i = 0
+    while (i < out.length) {
+      out(i) = (raw(2 * i + 1).toInt << 8) | (raw(2 * i) & 0xFF)
+      i += 1
+    }
+    (fmt.getSampleRate.toInt, out)
+  }
+
+  /** Encode signed 16-bit samples as a real RIFF/WAVE stream (PCM is
+    * lossless, so decode∘encode is the identity on samples — the
+    * property m07's oracle hash-checks per run). */
+  def encodePcmWav(sampleRate: Int, samples: Array[Int]): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(
+      sampleRate.toFloat, 16, 1, true, false)
+    val bytes = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      val v = samples(i)
+      require(v >= Short.MinValue && v <= Short.MaxValue,
+        s"sample $i out of 16-bit range: $v")
+      bytes(2 * i) = (v & 0xFF).toByte
+      bytes(2 * i + 1) = ((v >> 8) & 0xFF).toByte
+      i += 1
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(bytes), fmt, samples.length.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
     bos.toByteArray
   }
 

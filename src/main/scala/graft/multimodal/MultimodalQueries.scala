@@ -235,6 +235,50 @@ object MultimodalQueries {
       .orderBy(col("media_id"))
   }
 
+  /** m07: REAL audio decode (round 14 — m06's audio sibling). Every
+    * audio-kind doc (doc_id % 3 = 1, the m01 metadata contract) becomes
+    * an actual RIFF/WAVE stream: a synthetic 16-bit PCM ramp (sample i =
+    * ((doc_id·17 + i) mod 256) − 128, n = 256·(4 + doc_id mod 13)
+    * samples at the contract's 16 kHz) is ENCODED with the JDK's WAV
+    * writer and DECODED back with [[Multimodal.decodePcmWav]]
+    * (`javax.sound.sampled`) inside one mapPartitions — narrow,
+    * shuffle-free, decode-scales-with-executors. Emitted columns are
+    * exact integers over the DECODED samples: rate, count, first
+    * sample, full sum, and the position-weighted checksum Σ(i+1)·vᵢ —
+    * order-sensitive over the whole stream, so one flipped, dropped, or
+    * byte-swapped sample anywhere in the container round trip breaks
+    * the hash. The oracle restates every column in closed form: with
+    * vᵢ = mᵢ − 128 the m06 telescoping sums gain only a shift term
+    * (Σvᵢ = cyc·32640 − 128n; Σ(i+1)vᵢ = m06's wsum − 128·n(n+1)/2).
+    * DuckDB never decodes audio — a hash match proves OUR container
+    * round trip (including WAV's little-endian 16-bit wire format) is
+    * bit-exact. */
+  def m07AudioDecode(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(col("doc_id"))
+      .filter(col("doc_id") % 3 === 1)
+      .as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val n = (256L * (4 + id % 13)).toInt
+          val wav = Multimodal.encodePcmWav(16000,
+            Array.tabulate(n)(i => (((id * 17 + i) % 256) - 128).toInt))
+          val (rate, xs) = Multimodal.decodePcmWav(wav)
+          var sum = 0L
+          var wsum = 0L
+          var i = 0
+          while (i < xs.length) {
+            sum += xs(i); wsum += (i + 1).toLong * xs(i); i += 1
+          }
+          (id, rate.toLong, xs.length.toLong, xs(0).toLong, sum, wsum)
+        }
+      }
+      .toDF("media_id", "sample_rate", "n_samples", "first_s", "sum_s",
+        "wsum_s")
+      .orderBy(col("media_id"))
+  }
+
   val queries: Map[String, Q] = Map(
     "m01_media_meta"   -> m01MediaMeta _,
     "m02_frame_sample" -> m02FrameSample _,
@@ -242,6 +286,7 @@ object MultimodalQueries {
     "m04_shard_pack"   -> m04ShardPack _,
     "m05_vlm_pack"     -> m05VlmPack _,
     "m06_image_decode" -> m06ImageDecode _,
+    "m07_audio_decode" -> m07AudioDecode _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -360,6 +405,27 @@ object MultimodalQueries {
              CAST(32640 * cyc * (128 * (cyc - 1) + 1)
                   + cyc * (5559680 - 32640 * s + 128 * s * (s - 1))
                   AS BIGINT) AS wsum_px
+      FROM c ORDER BY media_id""",
+    // m07: the decoded-sample facts in closed form — the m06 telescoping
+    // identities shifted by -128 per sample (see the Scaladoc
+    // derivation); DuckDB never decodes a WAV, it checks that OUR
+    // encode->decode container round trip reproduced the PCM stream
+    // bit-exactly
+    "m07_audio_decode" -> """
+      WITH au AS (
+        SELECT doc_id,
+               CAST(256 * (4 + doc_id % 13) AS BIGINT) AS n,
+               CAST((doc_id * 17) % 256 AS BIGINT) AS s
+        FROM documents WHERE doc_id % 3 = 1),
+      c AS (
+        SELECT doc_id, n, s, n // 256 AS cyc FROM au)
+      SELECT doc_id AS media_id, CAST(16000 AS BIGINT) AS sample_rate,
+             n AS n_samples, s - 128 AS first_s,
+             CAST(cyc * 32640 - 128 * n AS BIGINT) AS sum_s,
+             CAST(32640 * cyc * (128 * (cyc - 1) + 1)
+                  + cyc * (5559680 - 32640 * s + 128 * s * (s - 1))
+                  - 128 * n * (n + 1) // 2
+                  AS BIGINT) AS wsum_s
       FROM c ORDER BY media_id""",
   )
 }

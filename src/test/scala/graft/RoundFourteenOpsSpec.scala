@@ -295,6 +295,54 @@ class RoundFourteenOpsSpec extends SparkSpec {
     }
   }
 
+  // --- m07 / decodePcmWav: real WAV audio decode (m06's audio sibling) ----
+  // javax.sound.sampled ships a pure-Java RIFF/WAVE reader, so the audio
+  // decode residue drops too — StubCodec now stands in only for video.
+  // These laws pin the codec independently of m07's closed-form oracle:
+  // identity on the FULL signed 16-bit range (the corpus ramp only spans
+  // -128..127, so the spec covers what the oracle can't), the container's
+  // little-endian wire format, and the loud-failure contract.
+  test("WAV codec: decode∘encode is the identity across the full 16-bit range, loud on garbage") {
+    import graft.multimodal.Multimodal
+    // extremes, sign boundaries, and an LCG sweep across the range
+    val xs = Array(Short.MinValue.toInt, Short.MaxValue.toInt, -1, 0, 1,
+      -256, 255, -32767, 32766) ++
+      Array.tabulate(1013)(i => ((i * 40503 + 12345) % 65536) - 32768)
+    val wav = Multimodal.encodePcmWav(8000, xs)
+    assert(new String(wav.take(4), "US-ASCII") == "RIFF" &&
+      new String(wav.slice(8, 12), "US-ASCII") == "WAVE",
+      "payload is not a real RIFF/WAVE stream")
+    val (rate, ys) = Multimodal.decodePcmWav(wav)
+    assert(rate == 8000 && ys.length == xs.length)
+    xs.indices.foreach(i => assert(ys(i) == xs(i), s"sample $i"))
+    // out-of-range samples are rejected at encode (no silent wrap)
+    intercept[IllegalArgumentException] {
+      Multimodal.encodePcmWav(8000, Array(Short.MaxValue.toInt + 1))
+    }
+    // an undecodable payload fails loudly (DLQ lane), never zero-fills
+    intercept[IllegalArgumentException] {
+      Multimodal.decodePcmWav(Array[Byte](1, 2, 3, 4))
+    }
+  }
+
+  test("m07: decoded-sample digests match an independent brute force (not the closed form)") {
+    import graft.multimodal.MultimodalQueries
+    val out = MultimodalQueries.m07AudioDecode(spark, sf).collect()
+      .map(r => r.getAs[Long]("media_id") -> r).toMap
+    assert(out.nonEmpty && out.keySet.forall(_ % 3 == 1))
+    out.keys.toSeq.sorted.take(5).foreach { id =>
+      val n = (256L * (4 + id % 13)).toInt
+      val v = Array.tabulate(n)(i => (((id * 17 + i) % 256) - 128).toLong)
+      val r = out(id)
+      assert(r.getAs[Long]("sample_rate") == 16000L)
+      assert(r.getAs[Long]("n_samples") == n)
+      assert(r.getAs[Long]("first_s") == v(0))
+      assert(r.getAs[Long]("sum_s") == v.sum)
+      assert(r.getAs[Long]("wsum_s") ==
+        v.zipWithIndex.map { case (p, i) => (i + 1).toLong * p }.sum)
+    }
+  }
+
   // --- g42: the batch hot-key regime (VERDICT r13 item 3) -----------------
   // The dedup family got its adversarial regime in rounds 12-13 (d21-d23);
   // the relational family's skew story was q45 (AQE, opportunistic) and
