@@ -89,8 +89,11 @@ object Dedup {
     * (linear in the corpus) instead of Σ df² (quadratic in a
     * boilerplate-heavy head — the measured 660 M-meet melt at 15 k
     * hostile docs); on THIS natural corpus the df head ends at 32 < 64,
-    * so the cap drops nothing and the plan is the old one plus a df
-    * window.
+    * so the cap drops nothing — and a one-scalar probe (any df over the
+    * cap?) lets the plan fall back to the uncapped shape entirely,
+    * because the r14 bench measured the always-on split-count machinery
+    * at ~3× the uncapped cpu on d02/d07/d09/g10 for zero benefit when
+    * no posting crosses the cap.
     *
     * EXACTNESS (the split-count form — algebraically d22's full-set
     * verify, cheaper when the over-cap side is empty): the true common
@@ -112,32 +115,66 @@ object Dedup {
     * size aggregate and both split-count sides all read the 16-byte
     * (doc_id, h) frame. The merge hint keeps AQE from flipping the
     * self-join to broadcast, which would clone the build side. */
-  def d02NgramJaccard(s: SparkSession, d: String): DataFrame = {
-    val inv = docShingles(s, d)
+  def d02NgramJaccard(s: SparkSession, d: String): DataFrame =
+    d02Over(Tables.documents(s, d))
+
+  /** d02's discipline over an arbitrary documents frame — factored so
+    * the spec drives the SAME code on the hostile corpus (exercising the
+    * split-count branch d22 measured) while the natural corpus takes the
+    * fast path. */
+  private[graft] def d02Over(docs: DataFrame): DataFrame = {
+    val inv = docShinglesOf(docs)
       .select(col("doc_id"), explode(col("sh")).as("sg"))
       .select(col("doc_id"), xxhash64(col("sg")).as("h"))
       .localCheckpoint(true)
-    val wDf = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
-    val flagged = inv.withColumn("df", count(lit(1)).over(wDf))
-    val sub = flagged.filter(col("df") <= DfCap)
-      .select(col("doc_id"), col("h"))
-      .repartition(col("h"))
-    val over = flagged.filter(col("df") > DfCap).select(col("doc_id"), col("h"))
+    // Bounded driver scalar (0/1), documented per the repo rule: does ANY
+    // shingle's df exceed the cap? On a natural corpus (df head 32 < 64)
+    // the answer is no and the whole capped machinery degenerates — the
+    // df window and the split-count joins would be pure overhead (the
+    // r14 bench measured them at ~3x the uncapped cpu on d02/d07/d09/g10)
+    // — so the plan falls back to the uncapped shape off the SAME
+    // checkpointed index, which the cap provably equals when nothing
+    // crosses it. One map-side-combinable aggregate over the 16-byte
+    // frame, cheaper than the window it replaces.
+    val anyOverCap = inv.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > DfCap).limit(1).count() > 0
     val sizes = inv.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val subCommon = sub.as("a").join(sub.as("b").hint("merge"),
-        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("c_sub"))
-    val overCommon = subCommon.select(col("doc_a"), col("doc_b"))
-      .join(over.select(col("doc_id").as("doc_a"), col("h")).hint("shuffle_hash"),
-        "doc_a")
-      .join(over.select(col("doc_id").as("doc_b"), col("h")).hint("shuffle_hash"),
-        Seq("doc_b", "h"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("c_over"))
-    subCommon
-      .join(overCommon, Seq("doc_a", "doc_b"), "left")
-      .withColumn("c", col("c_sub") + coalesce(col("c_over"), lit(0L)))
+    val common =
+      if (!anyOverCap) {
+        val sub = inv.repartition(col("h"))
+        sub.as("a").join(sub.as("b").hint("merge"),
+            col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .agg(count(lit(1)).as("c"))
+      } else {
+        // the split-count form — algebraically d22's full-set verify:
+        // c = c_subcap (from the capped candidate self-join itself)
+        //   + c_overcap (over-cap postings added back per pair through
+        //     d20's id-keyed shuffle-hash joins — never a pair-list or
+        //     index broadcast)
+        val wDf = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
+        val flagged = inv.withColumn("df", count(lit(1)).over(wDf))
+        val sub = flagged.filter(col("df") <= DfCap)
+          .select(col("doc_id"), col("h"))
+          .repartition(col("h"))
+        val over = flagged.filter(col("df") > DfCap).select(col("doc_id"), col("h"))
+        val subCommon = sub.as("a").join(sub.as("b").hint("merge"),
+            col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .agg(count(lit(1)).as("c_sub"))
+        val overCommon = subCommon.select(col("doc_a"), col("doc_b"))
+          .join(over.select(col("doc_id").as("doc_a"), col("h")).hint("shuffle_hash"),
+            "doc_a")
+          .join(over.select(col("doc_id").as("doc_b"), col("h")).hint("shuffle_hash"),
+            Seq("doc_b", "h"))
+          .groupBy(col("doc_a"), col("doc_b"))
+          .agg(count(lit(1)).as("c_over"))
+        subCommon
+          .join(overCommon, Seq("doc_a", "doc_b"), "left")
+          .withColumn("c", col("c_sub") + coalesce(col("c_over"), lit(0L)))
+          .select(col("doc_a"), col("doc_b"), col("c"))
+      }
+    common
       .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
       .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
       .withColumn("jaccard",
@@ -151,8 +188,11 @@ object Dedup {
     * self-join paying Σ df² meets. Kept ONLY as the measurement foil:
     * RoundFourteenOpsSpec pins d02 ≡ this census on the natural corpus
     * and measures the meet accounting the cap bounds. Not in `queries`. */
-  private[graft] def d02UncappedCensus(s: SparkSession, d: String): DataFrame = {
-    val inv = docShingles(s, d)
+  private[graft] def d02UncappedCensus(s: SparkSession, d: String): DataFrame =
+    d02UncappedCensusOver(docShingles(s, d))
+
+  private[graft] def d02UncappedCensusOver(shingled: DataFrame): DataFrame = {
+    val inv = shingled
       .select(col("doc_id"), explode(col("sh")).as("sg"))
       .select(col("doc_id"), xxhash64(col("sg")).as("h"))
       .repartition(col("h"))

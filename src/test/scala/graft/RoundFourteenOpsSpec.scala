@@ -158,6 +158,27 @@ class RoundFourteenOpsSpec extends SparkSpec {
         "update this law's accounting")
   }
 
+  test("d02: the split-count branch (over-cap postings present) still equals the census") {
+    // the hostile corpus plants boilerplate shingles with df >= 279 —
+    // d02Over's probe takes the split-count branch there, and the output
+    // must STILL equal the cap-free census (every true pair shares a
+    // sub-cap shingle by construction, d22's proven premise). This pins
+    // the branch the natural corpus's fast path skips.
+    import graft.dedup.Dedup
+    val docs = Dedup.hostileDocs(spark, sf)
+    val capped = Dedup.d02Over(docs).localCheckpoint(true)
+    val uncapped = Dedup.d02UncappedCensusOver(
+      docs.select(org.apache.spark.sql.functions.col("doc_id"),
+        graft.text.TextAnalysis.tokens(
+          org.apache.spark.sql.functions.col("text")).as("toks"))
+        .select(org.apache.spark.sql.functions.col("doc_id"),
+          Dedup.shingles(org.apache.spark.sql.functions.col("toks")).as("sh")))
+      .localCheckpoint(true)
+    assert(capped.count() > 0, "hostile corpus produced no J >= 0.6 pairs")
+    assert(capped.except(uncapped).isEmpty && uncapped.except(capped).isEmpty,
+      "split-count d02 != uncapped census on the hostile corpus")
+  }
+
   // --- g41: the DECIMAL(38,0) lift past the BIGINT-exact bound ------------
   // r13 shipped a loud require at N <= 2M with the lift documented but not
   // implemented (VERDICT item 6). Now the require is a branch; these laws
