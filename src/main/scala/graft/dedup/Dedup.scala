@@ -71,12 +71,14 @@ object Dedup {
     * pathologically slow materializing array<string> columns (~50× the
     * cost of recomputing the shingles from the scan — measured 15 s vs
     * <1 s at sf0.1), so consumers just recompute the narrow projection.
-    * Tokens go through their own projection so the shingle lambda sees a
-    * bound attribute (see [[shingles]]). */
+    * Round 14: the shingle pass is the native single-scan
+    * [[graft.functions.WordShingles]] expression (byte-identical to the
+    * interpreted `shingles(tokens(text))` pipeline — ShingleExpressionSpec
+    * pins the equivalence; guide §4: the HOF chain evaluated interpreted
+    * and was the family's dominant CPU). */
   private def docShinglesOf(docs: DataFrame): DataFrame =
-    docs
-      .select(col("doc_id"), tokens(col("text")).as("toks"))
-      .select(col("doc_id"), shingles(col("toks")).as("sh"))
+    docs.select(col("doc_id"),
+      graft.functions.ShingleFunctions.shingles3(col("text")).as("sh"))
 
   private def docShingles(s: SparkSession, d: String): DataFrame =
     docShinglesOf(Tables.documents(s, d))
@@ -815,8 +817,8 @@ object Dedup {
       .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id")).distinct()
     val candSh = Tables.documents(s, d)
       .join(broadcast(candIds), Seq("doc_id"), "left_semi")
-      .select(col("doc_id"), tokens(col("text")).as("toks"))
-      .select(col("doc_id"), shingles(col("toks")).as("sh"))
+      .select(col("doc_id"),
+        graft.functions.ShingleFunctions.shingles3(col("text")).as("sh"))
       .localCheckpoint(eager = true) // consumed by both sides of the verify
     cand
       .join(candSh.select(col("doc_id").as("doc_a"), col("sh").as("sha")), "doc_a")
@@ -1183,8 +1185,8 @@ object Dedup {
                     textCol: String = "text",
                     idCol: String = "doc_id"): DataFrame = {
     def sh(df: DataFrame): DataFrame = df
-      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
-      .select(col("doc_id"), shingles(col("toks")).as("sh"))
+      .select(col(idCol).as("doc_id"),
+        graft.functions.ShingleFunctions.shingles3(col(textCol)).as("sh"))
     val benchSh = sh(bench)
       .select(explode(col("sh")).as("sg"))
       .select(xxhash64(col("sg")).as("h"))

@@ -1153,8 +1153,8 @@ object StreamReplay {
         s.conf.get("spark.sql.session.timeZone", "UTC"))
       s2.conf.set("spark.sql.shuffle.partitions", "8")
       def shingled(df: DataFrame): DataFrame = df
-        .select(col("doc_id"), graft.text.TextAnalysis.tokens(col("text")).as("toks"))
-        .select(col("doc_id"), Dedup.shingles(col("toks")).as("sh"))
+        .select(col("doc_id"),
+          graft.functions.ShingleFunctions.shingles3(col("text")).as("sh"))
       val hist = shingled(Tables.documents(s2, d)
         .filter(col("doc_id") % 2 === 0)).persist()
       val histBk = Dedup.lshBuckets(hist).persist()

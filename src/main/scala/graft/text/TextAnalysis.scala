@@ -497,7 +497,7 @@ object TextAnalysis {
     // via its left join)
     val hashed = Tables.documents(s, d)
       .select(col("doc_id"),
-        graft.dedup.Dedup.shingles(tokens(col("text"))).as("sh"))
+        graft.functions.ShingleFunctions.shingles3(col("text")).as("sh"))
       .select(col("doc_id"), size(col("sh")).cast("long").as("n_shingles"),
         explode(col("sh")).as("sg"))
       .select(col("doc_id"), col("n_shingles"), xxhash64(col("sg")).as("h"))
