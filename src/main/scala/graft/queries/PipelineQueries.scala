@@ -600,11 +600,9 @@ object PipelineQueries {
     * ≤ #sources² matrix is localCheckpoint'd (t14's measured trade) so
     * the diagonal join doesn't re-run the scan. */
   def g08SourceOverlap(s: SparkSession, d: String): DataFrame = {
-    import graft.dedup.Dedup.shingles
-    import graft.text.TextAnalysis.tokens
     val sets = Tables.documents(s, d)
       .select(col("source"),
-        explode(shingles(tokens(col("text")))).as("sg"))
+        explode(graft.functions.ShingleFunctions.shingles3(col("text"))).as("sg"))
       .select(col("source"), xxhash64(col("sg")).as("h"))
       .groupBy(col("h")).agg(collect_set(col("source")).as("ss"))
     val m = sets
@@ -1236,6 +1234,12 @@ object PipelineQueries {
       .select(col("o_orderkey").as("k"),
         diffFp(when(col("o_orderkey") % 5 === 0, col("o_totalprice") + 1.0)
           .otherwise(col("o_totalprice"))).as("fp"))
+    // Round 14 (guide §7.2, duplicated subtrees): `diff` feeds upserts,
+    // deletes, the apply and (through them) all four audit aggregates —
+    // lazily it re-ran the full-outer fingerprint diff ~6× per run
+    // (measured 16.1 cpu-s for a 1.2 s-wall row). One eager
+    // materialization of the (k, category) frame and one of the applied
+    // snapshot run each stage once; output unchanged.
     val diff = o.select(col("k"), col("fp").as("fp_old"))
       .join(n.select(col("k"), col("fp").as("fp_new")), Seq("k"), "full")
       .select(col("k"),
@@ -1243,10 +1247,12 @@ object PipelineQueries {
           .when(col("fp_new").isNull, "removed")
           .when(col("fp_old") =!= col("fp_new"), "changed")
           .otherwise("unchanged").as("category"))
+      .localCheckpoint(true)
     val upserts = diff.filter(col("category").isin("added", "changed")).select(col("k"))
     val deletes = diff.filter(col("category") === "removed").select(col("k"))
     val applied = o.join(upserts.unionAll(deletes), Seq("k"), "left_anti")
       .unionByName(n.join(upserts, Seq("k"), "left_semi"))
+      .localCheckpoint(true)
     val cmp = applied.select(col("k"), col("fp").as("fp_a"))
       .join(n.select(col("k"), col("fp").as("fp_n")), Seq("k"), "full")
       .select(when(col("fp_a").isNull or col("fp_n").isNull or

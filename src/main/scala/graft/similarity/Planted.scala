@@ -129,8 +129,14 @@ object Planted {
         col("label"))
   }
 
+  /** Round 14 (guide §7.2): the zip_with/transform corpus construction
+    * fed every consumer lazily — the brute-force baseline AND the index
+    * pipeline each re-derived it per subtree (4-5 evaluations per
+    * contract row). One eager materialization (corpus × 64 floats,
+    * ~0.5 MB at sf0.1) runs it once; output unchanged. */
   private def plantedVectors(s: SparkSession, d: String): DataFrame =
     plantedCorpus(s, d).select(col("vec_id"), col("embedding"))
+      .localCheckpoint(true)
 
   // --- tight recall contracts over the planted corpus -----------------
 
@@ -214,6 +220,7 @@ object Planted {
   def s22PlantedHardIvf(s: SparkSession, d: String): DataFrame = {
     val hc = plantedCorpus(s, d, HardAlpha)
       .select(col("vec_id"), col("embedding"))
+      .localCheckpoint(true) // same §7.2 reuse as plantedVectors
     val centroids = Similarity.memoizedCentroids(s, s"$d#planted-hard") {
       Similarity.fitCoarse(hc)
     }
@@ -300,8 +307,16 @@ object Planted {
     val corpus = pc.unionByName(copies)
     val sigs = (0 until DupTables).map(t =>
       struct(lit(t).as("t"), dupSignature(t, col("embedding")).as("sig")))
+    // Round 14 (guide §7.2, duplicated subtrees): the 16×12-plane
+    // signature pipeline fed BOTH sides of the bucket self-join (renamed
+    // projections → no ReusedExchange) and, through `found`, THREE final
+    // aggregates — the 192-dot-product pass executed ~4×/run. Eagerly
+    // materializing the (vec_id, t, sig) frame (≤ 24 bytes/row ×
+    // corpus × 16) runs it exactly once; `found` below gets the same
+    // treatment for the three aggregates reading it. Output unchanged.
     val buckets = corpus.select(col("vec_id"), explode(array(sigs: _*)).as("bk"))
       .select(col("vec_id"), col("bk.t").as("t"), col("bk.sig").as("sig"))
+      .localCheckpoint(true)
     val cand = buckets.join(
         buckets.select(col("vec_id").as("b"), col("t"), col("sig")),
         Seq("t", "sig"))
@@ -316,6 +331,7 @@ object Planted {
     val found = cand.join(ea, "a").join(eb, "b")
       .filter(round(cosine(col("ea"), col("eb")), 4) >= NearDupTau)
       .select(col("a"), col("b"))
+      .localCheckpoint(true)
     val planted = pc.filter(col("vec_id") % CopyMod === 0)
       .select(col("vec_id").as("a"), (col("vec_id") + CopyIdOffset).as("b"))
     val nPlanted = planted.agg(count(lit(1)).as("n_planted"))

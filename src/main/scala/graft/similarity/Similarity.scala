@@ -833,7 +833,14 @@ object Similarity {
   private[similarity] def recallContractOn(exact: DataFrame,
                                            approx: DataFrame,
                                            floor: Double): DataFrame = {
+    // Round 14 (guide §7.2, duplicated subtrees): `a` feeds BOTH the
+    // recall join and the n_results aggregate — without materialization
+    // the ENTIRE approx index pipeline (LSH/IVF/PQ/JL build + rerank)
+    // executed twice per contract row. The frame is NumQueries×TopK ids
+    // (~50 rows); one eager materialization halves every s-contract
+    // row's index work. Output unchanged.
     val a = approx.select(col("query_id"), col("neighbor_id"))
+      .localCheckpoint(true)
     val recall = exact
       .join(a.withColumn("hit", lit(1)), Seq("query_id", "neighbor_id"), "left")
       .groupBy(col("query_id"))
