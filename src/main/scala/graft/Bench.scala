@@ -368,7 +368,10 @@ object Bench {
       // At production SF partitions dwarf either floor, so this knob is
       // a local-bench parallelism guard, not a scale tunable. Set in the
       // BUILDER so cloned sessions (st-replays) inherit it.
-      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
+      // (round 14: parameterised for A/B measurement — the committed
+      // default is what the driver benches; see OPTIMIZATION_r14.md)
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_AQE_MINPART", "64k"))
       .config("spark.sql.files.maxPartitionBytes",
         sys.env.getOrElse("SPARK_GRAFT_MPB", "128m"))
       .config("spark.sql.files.openCostInBytes",
