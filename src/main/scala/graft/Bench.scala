@@ -359,19 +359,26 @@ object Bench {
       // re-evaluates a full linear pass per scan for zero pruning value.
       .config("spark.sql.optimizer.excludedRules",
         "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
-      // AQE coalescing floor (round 6): size-based coalescing only sees
-      // shuffle BYTES, but at toy SF several hot shuffles are small in
-      // bytes and dense in CPU (d05's cosine cells, q32/q33's JSON sort
-      // lanes) — the default 1 MB floor collapses them to 1-2 tasks and
-      // serializes the compute. 64 kB keeps them wide; measured (5-query
-      // hot sample, sf0.1/local[32]): 5.47 s → 4.63 s, no regressions.
-      // At production SF partitions dwarf either floor, so this knob is
-      // a local-bench parallelism guard, not a scale tunable. Set in the
-      // BUILDER so cloned sessions (st-replays) inherit it.
-      // (round 14: parameterised for A/B measurement — the committed
-      // default is what the driver benches; see OPTIMIZATION_r14.md)
+      // AQE coalescing floor — a LOCAL-bench parallelism guard, not a
+      // scale tunable (at production SF partitions dwarf any floor).
+      // History: round 6 set 64k because Spark's default 1 MB floor
+      // collapsed byte-tiny/CPU-dense shuffles to 1-2 tasks and
+      // serialized the compute (5-query hot sample: 5.47 → 4.63 s).
+      // Round 14 re-measured with a JFR profile: each task of the many
+      // 32-partition micro-shuffles carries a ~0.2 cpu-s constant
+      // (shuffle stream setup/serialization, BypassMergeSortShuffleWriter
+      // per-reducer files), so the 64k floor over-parallelised the SAME
+      // shuffle class it was protecting. Full-surface A/B at sf0.1
+      // (248 rows, clean solos): 64k = 222.3 s / 740 cpu-s vs 256k =
+      // 194.3 s / 608 cpu-s — wins on 2/3 of rows, CPU −18 %; the only
+      // sustained regressions were the three write-parallelism-bound
+      // rows (st15/x01/x02), which pin the narrow floor per-session at
+      // the call site. 1 MB-class floors re-serialize d22's dense stage
+      // (1.87 → 4.22 s) — 256k is the measured optimum between the two
+      // failure modes. Env knob for A/B; set in the BUILDER so cloned
+      // sessions inherit it. See OPTIMIZATION_r14.md.
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
-        sys.env.getOrElse("SPARK_GRAFT_AQE_MINPART", "64k"))
+        sys.env.getOrElse("SPARK_GRAFT_AQE_MINPART", "256k"))
       .config("spark.sql.files.maxPartitionBytes",
         sys.env.getOrElse("SPARK_GRAFT_MPB", "128m"))
       .config("spark.sql.files.openCostInBytes",

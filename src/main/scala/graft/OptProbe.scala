@@ -3,8 +3,9 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Throwaway optimization probe (round 14): decompose the dedup family's
-  * cpu into pipeline pieces. DELETE before the round ends. */
+/** Dev diagnostic (round 14): piecewise cpu/wall decomposition of the
+  * dedup-family pipelines plus per-stage cpu attribution — the probe
+  * behind OPTIMIZATION_r14.md §"Where the CPU actually goes". */
 object OptProbe {
   private def runToNoop(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

@@ -2,8 +2,9 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Throwaway A/B probe: d20/d02 cpu vs shuffle-partition count.
-  * DELETE before the round ends. */
+/** Dev diagnostic (round 14): per-session A/B of shuffle-partition count
+  * and AQE coalescing floors on the heavy dedup rows — the probe behind
+  * the §3 floor decision in OPTIMIZATION_r14.md. */
 object OptProbe2 {
   private def runToNoop(df: org.apache.spark.sql.DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

@@ -2,8 +2,9 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Throwaway profiling loop: runs d20 repeatedly for 90 s so an external
-  * JFR session can sample it. DELETE before the round ends. */
+/** Dev diagnostic (round 14): runs d20 in a loop for ~90 s so an external
+  * JFR session (jcmd <pid> JFR.start) can sample it — the profile behind
+  * the per-task shuffle-constant finding in OPTIMIZATION_r14.md. */
 object OptProbe3 {
   private def runToNoop(df: org.apache.spark.sql.DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

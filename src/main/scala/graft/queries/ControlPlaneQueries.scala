@@ -52,19 +52,29 @@ object ControlPlaneQueries {
     * an exception — means the gate scored the wrong frame. */
   def x01PipelineE2e(s: SparkSession, d: String): DataFrame =
     withTmp(s, "graft-x01-") { tmp =>
-      val ev = Tables.events(s, d)
+      // cloned session pinning the AQE coalescing floor narrow (64k):
+      // this row's wall is the staged partitioned WRITE + promote — at
+      // toy scale write parallelism is dir-count-bound, and the round-14
+      // wide floor (a per-task-constant guard for CPU-dense shuffles)
+      // serializes the pre-write rebalance (measured +1.1 s at sf0.1).
+      // Inert at real SF — st02's session-pin pattern.
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.session.timeZone",
+        s.conf.get("spark.sql.session.timeZone", "UTC"))
+      s2.conf.set("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
+      val ev = Tables.events(s2, d)
         .filter(col("ts") < lit(E2eFeedEnd).cast("timestamp"))
       val layout = PipelineLayout(s"$tmp/lake")
-      val stateLog = new StateLog(s, s"$tmp/state")
+      val stateLog = new StateLog(s2, s"$tmp/state")
       val spec = ReferencePipeline.Spec(
         rules = PipelineQueries.eventRules,
         transform = identity[DataFrame] _,
         checks = Seq(Check("value_le_300", col("value") <= 300.0)))
       val outcome = ReferencePipeline.run("x01", ev, spec, layout, stateLog)
       require(outcome.isSuccess, s"x01 reference pipeline failed: $outcome")
-      val processed = s.read.parquet(layout.processed)
+      val processed = s2.read.parquet(layout.processed)
         .groupBy(col("event_type")).agg(count(lit(1)).as("n_processed"))
-      val quarantined = Sinks.readQuarantine(s, layout.errors)
+      val quarantined = Sinks.readQuarantine(s2, layout.errors)
         .groupBy(col("event_type")).agg(count(lit(1)).as("n_quarantined"))
       processed.join(quarantined, Seq("event_type"), "full")
         .select(col("event_type"),
@@ -85,13 +95,18 @@ object ControlPlaneQueries {
     * (partition directories, not row filters — asserted in PlanSpec). */
   def x02CatalogSql(s: SparkSession, d: String): DataFrame =
     withTmp(s, "graft-x02-") { tmp =>
-      val ev = Tables.events(s, d)
+      // narrow-floor session pin, same write-parallelism rationale as x01
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.session.timeZone",
+        s.conf.get("spark.sql.session.timeZone", "UTC"))
+      s2.conf.set("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
+      val ev = Tables.events(s2, d)
         .filter(col("ts") < lit(E2eFeedEnd).cast("timestamp"))
       Sinks.writePartitioned(ev, s"$tmp/t")
       val table = "graft_x02_" + java.util.UUID.randomUUID().toString.replace("-", "")
-      CatalogSync.register(s, table, s"$tmp/t")
+      CatalogSync.register(s2, table, s"$tmp/t")
       try {
-        s.sql(
+        s2.sql(
           s"""SELECT year, month, day, hour, count(*) AS n_rows,
              |       round(sum(value), 6) AS sum_value
              |FROM $table WHERE day <= 2

@@ -1234,12 +1234,13 @@ object PipelineQueries {
       .select(col("o_orderkey").as("k"),
         diffFp(when(col("o_orderkey") % 5 === 0, col("o_totalprice") + 1.0)
           .otherwise(col("o_totalprice"))).as("fp"))
-    // Round 14 (guide §7.2, duplicated subtrees): `diff` feeds upserts,
-    // deletes, the apply and (through them) all four audit aggregates —
-    // lazily it re-ran the full-outer fingerprint diff ~6× per run
-    // (measured 16.1 cpu-s for a 1.2 s-wall row). One eager
-    // materialization of the (k, category) frame and one of the applied
-    // snapshot run each stage once; output unchanged.
+    // Round 14 note: this fan-out (diff → upserts/deletes/apply → four
+    // audit aggregates) was A/B-measured WITH eager localCheckpoints on
+    // `diff` and `applied` and they LOSE (1.0 → 1.6 s wall, cpu up):
+    // unlike d19/recallContract, the repeated subtrees here are
+    // projection-identical, so ReusedExchange already deduplicates them
+    // within the one execution and the checkpoints only added
+    // materialization jobs. Left lazy deliberately.
     val diff = o.select(col("k"), col("fp").as("fp_old"))
       .join(n.select(col("k"), col("fp").as("fp_new")), Seq("k"), "full")
       .select(col("k"),
@@ -1247,12 +1248,10 @@ object PipelineQueries {
           .when(col("fp_new").isNull, "removed")
           .when(col("fp_old") =!= col("fp_new"), "changed")
           .otherwise("unchanged").as("category"))
-      .localCheckpoint(true)
     val upserts = diff.filter(col("category").isin("added", "changed")).select(col("k"))
     val deletes = diff.filter(col("category") === "removed").select(col("k"))
     val applied = o.join(upserts.unionAll(deletes), Seq("k"), "left_anti")
       .unionByName(n.join(upserts, Seq("k"), "left_semi"))
-      .localCheckpoint(true)
     val cmp = applied.select(col("k"), col("fp").as("fp_a"))
       .join(n.select(col("k"), col("fp").as("fp_n")), Seq("k"), "full")
       .select(when(col("fp_a").isNull or col("fp_n").isNull or

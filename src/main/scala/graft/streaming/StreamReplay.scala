@@ -969,7 +969,19 @@ object StreamReplay {
     * machinery lost/duplicated nothing) and the file-cut arithmetic. */
   def st15SizeFlushReplay(s: SparkSession, d: String): DataFrame =
     withReplayTmp(s, "graft-st15-") { tmp =>
-      val ev = Tables.events(s, d)
+      // cloned session pinning the AQE coalescing floor NARROW (64k):
+      // this row's wall is the partitioned staged WRITE — at toy scale
+      // write parallelism is dir-count-bound, and the round-14 wide
+      // floor (256k, a per-task-constant guard for the CPU-dense
+      // shuffles) coalesces the pre-write rebalance into too few writer
+      // tasks (measured +2.2 s at sf0.1). At real SF partitions exceed
+      // any floor and the pin is inert — same pattern as st02's
+      // shuffle-width pin.
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.session.timeZone",
+        s.conf.get("spark.sql.session.timeZone", "UTC"))
+      s2.conf.set("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
+      val ev = Tables.events(s2, d)
         .filter(col("ts") < lit(SizeFlushFeedEnd).cast("timestamp"))
       // one staged file → exactly one AvailableNow epoch at ANY SF: rolls
       // are per-delivery-epoch (Firehose buffer semantics), so the oracle's
@@ -979,7 +991,7 @@ object StreamReplay {
         .json(s"$tmp/incoming")
       val layout = PipelineLayout(s"$tmp/lake")
       val source = StreamingPipeline.jsonFileSource(
-        s, s"$tmp/incoming", ev.schema, maxFilesPerTrigger = 1000,
+        s2, s"$tmp/incoming", ev.schema, maxFilesPerTrigger = 1000,
         options = Map("timestampFormat" -> JsonTsFormat))
       val stream = StreamingPipeline.processingStream(
         source, Seq(Rule("always_true", lit(true))))
