@@ -213,6 +213,29 @@ object BenchRetimer {
     * min-of-two timing already damps a single GC burst) without letting
     * a genuinely-contended box spin to the deadline on one row. */
   val MaxRetimeAttempts = 2
+
+  /** VERDICT r14 item 3: waves 1-3 share ONE MaxWaitMs budget opened at
+    * the first trip, so contention that persisted through that window
+    * shipped `contaminated: true` even when the box went quiet later in
+    * the run (BENCH_r14: 5 unhealed rows, load1 back to 2 by env_end).
+    * The final requeue opens a FRESH bounded budget at end-of-run for
+    * the still-unhealed rows — the run converges to clean whenever the
+    * foreign load ends before the bench does, and a permanently-noisy
+    * box still terminates contaminated after this second window. */
+  val FinalRequeueWaitMs = 300000L
+
+  /** Acceptance for a final-requeue reading: the row must clear BOTH
+    * committed-baseline levers (cpu wave-2 check at its codegen, wall
+    * wave-3 check) — strictly stronger than any single wave's own
+    * predicate, so a requeue acceptance can never launder a reading the
+    * per-wave heals would have rejected. Absent baselines disarm their
+    * lever here exactly as they do in the final verdict. */
+  def requeueAccepted(cpuBaseline: Map[String, (Double, Long)],
+                      wallBaseline: Map[String, (Double, Long)],
+                      name: String, wall: Double, cpu: Double,
+                      cg: Long): Boolean =
+    BenchSentinel.inflatedRows(cpuBaseline, Seq((name, cpu, cg))).isEmpty &&
+      BenchSentinel.wallInflatedRows(wallBaseline, Seq((name, wall, cg))).isEmpty
 }
 
 object Bench {
@@ -383,6 +406,15 @@ object Bench {
         sys.env.getOrElse("SPARK_GRAFT_MPB", "128m"))
       .config("spark.sql.files.openCostInBytes",
         sys.env.getOrElse("SPARK_GRAFT_OCB", "4194304"))
+      // r14's JFR profile put BypassMergeSortShuffleWriter stream setup /
+      // per-(map-task × reducer) shuffle-file constants high in the CPU
+      // leaves: with ≤ 200 reduce partitions every local shuffle takes
+      // the bypass writer (one file per reducer per map task — M×R tiny
+      // files). Env knob for the round-15 A/B: 0 forces the sort-based
+      // writer (one output file per map task), which is also the writer
+      // every production-scale shuffle (R ≫ 200) uses anyway.
+      .config("spark.shuffle.sort.bypassMergeThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_BYPASS", "200"))
       // AQE otherwise stays at defaults DELIBERATELY — both directions
       // were measured at sf0.1 and rejected:
       //  - coalescePartitions.parallelismFirst=false (size-based
@@ -545,12 +577,12 @@ object Bench {
     // the just-updated provenance for the row. Returns the queries still
     // unhealed at the deadline or after MaxRetimeAttempts predicate
     // failures under clean brackets.
-    def heal(targets: Seq[String],
+    def heal(targets: Seq[String], deadline: Long,
              accept: (String, Double) => Boolean = (_, _) => true): Seq[String] = {
       def waitClean(): Boolean = {
         val recent = scala.collection.mutable.ArrayBuffer(sampleNow())
         while (!BenchRetimer.cleanToProceed(recent.toSeq)) {
-          if (System.currentTimeMillis() >= healDeadline) return false
+          if (System.currentTimeMillis() >= deadline) return false
           Thread.sleep(BenchRetimer.PollMs)
           recent += sampleNow()
         }
@@ -565,7 +597,7 @@ object Bench {
       // (contention returned) — each accepted retime's own bracketing
       // samples already prove its window was clean
       var cleared = false
-      while (pending.nonEmpty && live && System.currentTimeMillis() < healDeadline) {
+      while (pending.nonEmpty && live && System.currentTimeMillis() < deadline) {
         if (!cleared) {
           cleared = waitClean()
           if (!cleared) live = false
@@ -608,7 +640,8 @@ object Bench {
         s"WARNING: in-run contention bracketed ${quarantine0.size} queries " +
           s"(${quarantine0.take(5).mkString(", ")}${if (quarantine0.size > 5) ", ..." else ""}) " +
           "— waiting for the bars to clear and retiming them.")
-    val unhealedWave1 = if (quarantine0.nonEmpty) heal(quarantine0) else Nil
+    val unhealedWave1 =
+      if (quarantine0.nonEmpty) heal(quarantine0, healDeadline) else Nil
     // Wave 2: rows whose cpu_sec still reads inflated vs the committed
     // clean baseline (cross-namespace contention the bars never see) get
     // one retime pass under the same budget — recomputed from the final
@@ -627,6 +660,7 @@ object Bench {
         // per-row acceptance (ADVICE r13): the retime counts as healed
         // only if the NEW cpu reading itself clears the baseline check
         heal(inflatedAfterWave1.map(_._1).filterNot(unhealedWave1.contains),
+          healDeadline,
           (name, _) => BenchSentinel.inflatedRows(baselineForHeal,
             provCpuRows.filter(_._1 == name)).isEmpty)
       } else Nil
@@ -649,10 +683,33 @@ object Bench {
             "the wall-only contention class; retiming them.")
         heal(wallInflatedAfterWave2.map(_._1)
             .filterNot((unhealedWave1 ++ unhealedWave2).contains),
+          healDeadline,
           (name, wall) => BenchSentinel.wallInflatedRows(benchWallBaseline,
             Seq((name, wall, cgOf(name)))).isEmpty)
       } else Nil
-    val unhealed = (unhealedWave1 ++ unhealedWave2 ++ unhealedWave3).distinct
+    val unhealedW123 = (unhealedWave1 ++ unhealedWave2 ++ unhealedWave3).distinct
+    // Final requeue (VERDICT r14 item 3): waves 1-3 drained one shared
+    // budget opened at the FIRST trip; contention that outlasted it left
+    // rows unhealed even when the box went quiet before the run ended
+    // (BENCH_r14 shipped 5 unhealed rows at load1_end 1.95). Give the
+    // leftovers one fresh bounded window now, accepted only under clean
+    // brackets AND both committed-baseline levers
+    // ([[BenchRetimer.requeueAccepted]] — strictly stronger than any
+    // single wave's own check), so the official artifact converges to
+    // clean whenever the foreign load ends before the bench does.
+    val unhealed =
+      if (unhealedW123.isEmpty) unhealedW123
+      else {
+        System.err.println(
+          s"NOTE: ${unhealedW123.size} rows unhealed after waves 1-3 " +
+            s"(${unhealedW123.take(5).mkString(", ")}) — final requeue " +
+            "under a fresh heal budget.")
+        heal(unhealedW123,
+          System.currentTimeMillis() + BenchRetimer.FinalRequeueWaitMs,
+          (name, wall) => BenchRetimer.requeueAccepted(
+            benchCpuBaseline, benchWallBaseline, name, wall,
+            provenance.get(name).map(_._4).getOrElse(-1.0), cgOf(name)))
+      }
     val inRunTripped = boundarySamples.exists(BenchRetimer.dirty)
     val results = resultsM.toMap
     val envEnd =
@@ -770,6 +827,7 @@ object Bench {
       val unhealedJson = unhealed.map(n => s""""$n"""").mkString("[", ",", "]")
       s"""{"pre":$preContaminated,"in_run":$inRunContaminated,""" +
         s""""in_run_tripped":$inRunTripped,"quarantined_n":${quarantine0.size},""" +
+        s""""final_requeue_n":${unhealedW123.size},""" +
         s""""retimed":$retimedJson,"unhealed":$unhealedJson,""" +
         s""""cpu_inflated":$cpuInflated,"cpu_inflated_n":${cpuInflatedRows.size},""" +
         s""""cpu_inflated_rows":$rowsJson,""" +

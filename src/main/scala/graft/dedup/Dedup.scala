@@ -144,7 +144,10 @@ object Dedup {
     val common =
       if (!anyOverCap) {
         val sub = inv.repartition(col("h"))
-        sub.as("a").join(sub.as("b").hint("merge"),
+        // shuffled-hash, not sort-merge (round 15, guide §3.1): same
+        // buffered-copy elimination as d20's candidate join; the hint
+        // still pins the build side against an AQE broadcast flip
+        sub.as("a").join(sub.as("b").hint("shuffle_hash"),
             col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
           .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
           .agg(count(lit(1)).as("c"))
@@ -160,7 +163,7 @@ object Dedup {
           .select(col("doc_id"), col("h"))
           .repartition(col("h"))
         val over = flagged.filter(col("df") > DfCap).select(col("doc_id"), col("h"))
-        val subCommon = sub.as("a").join(sub.as("b").hint("merge"),
+        val subCommon = sub.as("a").join(sub.as("b").hint("shuffle_hash"),
             col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
           .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
           .agg(count(lit(1)).as("c_sub"))
@@ -276,7 +279,19 @@ object Dedup {
       .filter(col("pos") <= col("n") - ceil(col("n") * PrefixTau) + 1)
       .select(col("doc_id"), col("h"), col("n"))
       .repartition(col("h"))
-    val cand = prefix.as("a").join(prefix.as("b").hint("merge"),
+    // Round 15 (guide §3.1): the candidate self-join is a shuffled-HASH
+    // join, not sort-merge — r14's JFR profile put SMJ's buffered-side
+    // UnsafeRow.copy at leaf #1 of the row's 37 cpu-s (every key group
+    // is copied into the ExternalAppendOnlyUnsafeRowArray before the
+    // within-key cross product). SHJ builds one hash map per partition
+    // and streams the probe side with zero per-group copies; both sides
+    // still funnel through the ONE repartition(h) exchange below
+    // (ReusedExchange, PlanSpec-pinned), and the explicit hint keeps AQE
+    // from flipping to broadcast (which would clone the build side) the
+    // same way the old merge hint did. Scale-safe: post-shuffle build
+    // partitions are AQE-size-bounded, and skew-join splitting applies
+    // to SHJ as it does to SMJ.
+    val cand = prefix.as("a").join(prefix.as("b").hint("shuffle_hash"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id") &&
           least(col("a.n"), col("b.n")) >=
             ceil(greatest(col("a.n"), col("b.n")) * PrefixTau))
@@ -469,7 +484,8 @@ object Dedup {
       .filter(col("df") <= DfCap)
       .select(col("doc_id"), col("h"))
       .repartition(col("h"))
-    capped.as("a").join(capped.as("b").hint("merge"),
+    // shuffled-hash (round 15, guide §3.1) — see d20's candidate join
+    capped.as("a").join(capped.as("b").hint("shuffle_hash"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
@@ -678,13 +694,14 @@ object Dedup {
     }
     // one repartition exchange on the bucket key, reused by BOTH sides of
     // the self-join (d02's pattern): without it the whole signature
-    // aggregate runs twice; the merge hint keeps AQE from flipping to
-    // broadcast and cloning the build side
+    // aggregate runs twice; the shuffle_hash hint (round 15 — SMJ's
+    // buffered-group copies were the family's top cpu leaf) keeps AQE
+    // from flipping to broadcast and cloning the build side
     val buckets = simhash.select(col("doc_id"), col("sim"),
       explode(array(chunks: _*)).as("bk"))
       .select(col("doc_id"), col("sim"), col("bk.chunk").as("chunk"), col("bk.ck").as("ck"))
       .repartition(col("chunk"), col("ck"))
-    buckets.as("a").join(buckets.as("b").hint("merge"),
+    buckets.as("a").join(buckets.as("b").hint("shuffle_hash"),
         col("a.chunk") === col("b.chunk") && col("a.ck") === col("b.ck") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
@@ -803,7 +820,7 @@ object Dedup {
       .toDF("doc_id", "ci", "cfp")
       // shared exchange for the self-join's two sides (tokenize once)
       .repartition(col("ci"), col("cfp"))
-    val cand = chunkFps.as("a").join(chunkFps.as("b").hint("merge"),
+    val cand = chunkFps.as("a").join(chunkFps.as("b").hint("shuffle_hash"),
         col("a.ci") === col("b.ci") && col("a.cfp") === col("b.cfp") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -1347,7 +1364,8 @@ object Dedup {
       .select(col("doc_id"), xxhash64(col("sg")).as("h"))
       .repartition(col("h"))
     val sizes = inv.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val common = inv.as("a").join(inv.as("b").hint("merge"),
+    // shuffled-hash (round 15, guide §3.1) — see d20's candidate join
+    val common = inv.as("a").join(inv.as("b").hint("shuffle_hash"),
         col("a.h") === col("b.h") && col("a.doc_id") =!= col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_id"), col("b.doc_id").as("host_id"))
       .agg(count(lit(1)).as("c"))

@@ -52,16 +52,13 @@ object ControlPlaneQueries {
     * an exception — means the gate scored the wrong frame. */
   def x01PipelineE2e(s: SparkSession, d: String): DataFrame =
     withTmp(s, "graft-x01-") { tmp =>
-      // cloned session pinning the AQE coalescing floor narrow (64k):
-      // this row's wall is the staged partitioned WRITE + promote — at
-      // toy scale write parallelism is dir-count-bound, and the round-14
-      // wide floor (a per-task-constant guard for CPU-dense shuffles)
-      // serializes the pre-write rebalance (measured +1.1 s at sf0.1).
-      // Inert at real SF — st02's session-pin pattern.
+      // Round 15: the round-14 narrow-floor session pin is gone — the
+      // staged write's parallelism now comes from Sinks.writePartitioned's
+      // explicit repartition (floor-insensitive by construction), so the
+      // row no longer needs a per-query AQE config patch.
       val s2 = s.newSession()
       s2.conf.set("spark.sql.session.timeZone",
         s.conf.get("spark.sql.session.timeZone", "UTC"))
-      s2.conf.set("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
       val ev = Tables.events(s2, d)
         .filter(col("ts") < lit(E2eFeedEnd).cast("timestamp"))
       val layout = PipelineLayout(s"$tmp/lake")
@@ -95,11 +92,11 @@ object ControlPlaneQueries {
     * (partition directories, not row filters — asserted in PlanSpec). */
   def x02CatalogSql(s: SparkSession, d: String): DataFrame =
     withTmp(s, "graft-x02-") { tmp =>
-      // narrow-floor session pin, same write-parallelism rationale as x01
+      // Round 15: narrow-floor pin removed — see x01 (the write path's
+      // explicit repartition made the floor irrelevant to this row).
       val s2 = s.newSession()
       s2.conf.set("spark.sql.session.timeZone",
         s.conf.get("spark.sql.session.timeZone", "UTC"))
-      s2.conf.set("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
       val ev = Tables.events(s2, d)
         .filter(col("ts") < lit(E2eFeedEnd).cast("timestamp"))
       Sinks.writePartitioned(ev, s"$tmp/t")

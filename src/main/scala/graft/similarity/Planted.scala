@@ -133,10 +133,33 @@ object Planted {
     * fed every consumer lazily — the brute-force baseline AND the index
     * pipeline each re-derived it per subtree (4-5 evaluations per
     * contract row). One eager materialization (corpus × 64 floats,
-    * ~0.5 MB at sf0.1) runs it once; output unchanged. */
+    * ~0.5 MB at sf0.1) runs it once; output unchanged.
+    *
+    * Round 15 (VERDICT r14 item 4, guide §5): the materialization is
+    * `persist(MEMORY_AND_DISK)` + count, NOT `localCheckpoint` — this
+    * frame GROWS WITH THE CORPUS, and a local checkpoint stores
+    * unreplicated executor-local partitions with the lineage severed:
+    * at 100 TB one lost executor kills the whole query. Persist keeps
+    * the lineage, so a lost block recomputes. The row functions
+    * materialize their (tiny, contract-sized) result and explicitly
+    * unpersist via [[withPinned]], so a long driver session never
+    * accumulates CacheManager entries. */
+  private def pinned(df: DataFrame): DataFrame =
+    // lazily persisted: the first consumer materializes each partition
+    // under the block-manager's get-or-compute lock, later consumers read
+    // the cache — single execution of the subtree without the extra
+    // eager count() pass localCheckpoint(true) needed
+    df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+  /** Eagerly materialize a contract-sized `result` (localCheckpoint — the
+    * KB-scale frames are exactly where localCheckpoint is right), then
+    * release the corpus-scale persisted inputs that produced it. */
+  private def withPinned(big: DataFrame*)(result: => DataFrame): DataFrame =
+    try result.localCheckpoint(true)
+    finally big.foreach { f => f.unpersist(false); () }
+
   private def plantedVectors(s: SparkSession, d: String): DataFrame =
-    plantedCorpus(s, d).select(col("vec_id"), col("embedding"))
-      .localCheckpoint(true)
+    pinned(plantedCorpus(s, d).select(col("vec_id"), col("embedding")))
 
   // --- tight recall contracts over the planted corpus -----------------
 
@@ -148,8 +171,8 @@ object Planted {
     * promises "supports sharper filtering". */
   def s17PlantedLsh(s: SparkSession, d: String): DataFrame = {
     val pc = plantedVectors(s, d)
-    Similarity.recallContractOn(Similarity.bruteTopKOn(pc),
-      Similarity.lshTopKOn(pc), PlantedFloor)
+    withPinned(pc)(Similarity.recallContractOn(Similarity.bruteTopKOn(pc),
+      Similarity.lshTopKOn(pc), PlantedFloor))
   }
 
   /** s18: IVF recall in the clustered regime — coarse quantizer trained
@@ -160,8 +183,8 @@ object Planted {
     val centroids = Similarity.memoizedCentroids(s, s"$d#planted") {
       Similarity.fitCoarse(pc)
     }
-    Similarity.recallContractOn(Similarity.bruteTopKOn(pc),
-      Similarity.ivfTopKOn(pc, centroids), PlantedFloor)
+    withPinned(pc)(Similarity.recallContractOn(Similarity.bruteTopKOn(pc),
+      Similarity.ivfTopKOn(pc, centroids), PlantedFloor))
   }
 
   /** Cluster-size-adaptive refine depth (see [[PlantedRefine]]): one
@@ -175,17 +198,17 @@ object Planted {
     * the isotropic row's 500-row refine IS the corpus at sf0.01). */
   def s19PlantedPq(s: SparkSession, d: String): DataFrame = {
     val pc = plantedVectors(s, d)
-    Similarity.recallContractOn(Similarity.bruteTopKOn(pc),
+    withPinned(pc)(Similarity.recallContractOn(Similarity.bruteTopKOn(pc),
       Similarity.pqTopKOn(pc, Similarity.PqCodes, clusterRefine(s, d, pc)),
-      PlantedFloor)
+      PlantedFloor))
   }
 
   /** s20: JL-projected (64→32) recall in the clustered regime, same
     * cluster-sized refine as s19. */
   def s20PlantedJl(s: SparkSession, d: String): DataFrame = {
     val pc = plantedVectors(s, d)
-    Similarity.recallContractOn(Similarity.bruteTopKOn(pc),
-      Similarity.jlTopKOn(pc, clusterRefine(s, d, pc)), PlantedFloor)
+    withPinned(pc)(Similarity.recallContractOn(Similarity.bruteTopKOn(pc),
+      Similarity.jlTopKOn(pc, clusterRefine(s, d, pc)), PlantedFloor))
   }
 
   // --- s22: the deliberately-hard boundary contract --------------------
@@ -218,14 +241,14 @@ object Planted {
     * [[HardFloor]]. s17-s20 prove the indexes work where they should
     * work; this row proves the harness would notice if they stopped. */
   def s22PlantedHardIvf(s: SparkSession, d: String): DataFrame = {
-    val hc = plantedCorpus(s, d, HardAlpha)
-      .select(col("vec_id"), col("embedding"))
-      .localCheckpoint(true) // same §7.2 reuse as plantedVectors
+    // same §7.2 reuse as plantedVectors, same round-15 persist rationale
+    val hc = pinned(plantedCorpus(s, d, HardAlpha)
+      .select(col("vec_id"), col("embedding")))
     val centroids = Similarity.memoizedCentroids(s, s"$d#planted-hard") {
       Similarity.fitCoarse(hc)
     }
-    Similarity.recallContractOn(Similarity.bruteTopKOn(hc),
-      Similarity.ivfTopKOn(hc, centroids), HardFloor)
+    withPinned(hc)(Similarity.recallContractOn(Similarity.bruteTopKOn(hc),
+      Similarity.ivfTopKOn(hc, centroids), HardFloor))
   }
 
   // --- d19: planted near-duplicates recovered via LSH candidates ------
@@ -314,9 +337,14 @@ object Planted {
     // materializing the (vec_id, t, sig) frame (≤ 24 bytes/row ×
     // corpus × 16) runs it exactly once; `found` below gets the same
     // treatment for the three aggregates reading it. Output unchanged.
-    val buckets = corpus.select(col("vec_id"), explode(array(sigs: _*)).as("bk"))
-      .select(col("vec_id"), col("bk.t").as("t"), col("bk.sig").as("sig"))
-      .localCheckpoint(true)
+    // Round 15 (VERDICT r14 item 4): both frames are corpus-/pair-scale,
+    // so the materialization is persist (lineage kept, lost blocks
+    // recompute at 100 TB) instead of an unreplicated localCheckpoint;
+    // the one-row result below is eagerly materialized and both frames
+    // explicitly unpersisted before return.
+    val buckets = pinned(
+      corpus.select(col("vec_id"), explode(array(sigs: _*)).as("bk"))
+        .select(col("vec_id"), col("bk.t").as("t"), col("bk.sig").as("sig")))
     val cand = buckets.join(
         buckets.select(col("vec_id").as("b"), col("t"), col("sig")),
         Seq("t", "sig"))
@@ -328,10 +356,9 @@ object Planted {
     // d05's round(·,4) threshold convention keeps the admission boundary
     // engine-identical (nothing sits near τ on any test corpus — planted
     // ≥ 0.9987, background ≤ 0.52 — but the convention costs nothing)
-    val found = cand.join(ea, "a").join(eb, "b")
+    val found = pinned(cand.join(ea, "a").join(eb, "b")
       .filter(round(cosine(col("ea"), col("eb")), 4) >= NearDupTau)
-      .select(col("a"), col("b"))
-      .localCheckpoint(true)
+      .select(col("a"), col("b")))
     val planted = pc.filter(col("vec_id") % CopyMod === 0)
       .select(col("vec_id").as("a"), (col("vec_id") + CopyIdOffset).as("b"))
     val nPlanted = planted.agg(count(lit(1)).as("n_planted"))
@@ -344,10 +371,11 @@ object Planted {
     // contract is found ≡ truth, premise-free at any SF
     val nBackground = found.join(planted, Seq("a", "b"), "left_anti")
       .agg(count(lit(1)).as("n_background"))
-    nPlanted.crossJoin(nRecovered).crossJoin(nBackground)
-      .select(col("n_planted"), col("n_recovered"),
-        (col("n_recovered") === col("n_planted")).as("all_recovered"),
-        col("n_background"))
+    withPinned(buckets, found)(
+      nPlanted.crossJoin(nRecovered).crossJoin(nBackground)
+        .select(col("n_planted"), col("n_recovered"),
+          (col("n_recovered") === col("n_planted")).as("all_recovered"),
+          col("n_background")))
   }
 
   val queries: Map[String, Q] = Map(

@@ -23,13 +23,30 @@ object Sinks {
     * keeps re-runs idempotent per partition (only touched partitions are
     * replaced, never the whole table).
     *
-    * Rows are REBALANCED on the partition columns before the write:
+    * Rows are REPARTITIONED on the partition columns before the write:
     * without it every input task writes a file into every hour directory
     * it touches — tasks × partitions small files (the classic
     * small-files catastrophe; at 1000 executors × hourly partitions that
-    * is the table's death by metadata). The rebalance hint clusters each
-    * partition's rows, and AQE still splits an oversized (skewed) hour
-    * across tasks, so file sizes stay bounded both ways.
+    * is the table's death by metadata). Round 15: an EXPLICIT
+    * `repartition(shuffle.partitions, partCols)` replaced the round-6
+    * `REBALANCE` hint. The rebalance's AQE coalescing made write
+    * parallelism a function of `coalescePartitions.minPartitionSize` —
+    * at toy SF the round-14 256k floor coalesced the pre-write exchange
+    * to a handful of tasks and serialized the dir-count-bound write
+    * (st15 +2.2 s, x01 +1.1 s, x02 +0.8 s measured), which then needed
+    * per-query 64k session pins. An explicit partition count is
+    * floor-insensitive (AQE never coalesces REPARTITION_BY_NUM), sized
+    * by the session's shuffle parallelism (the cluster-scale knob), and
+    * still gives exactly one file per hour dir per write (each dir's
+    * rows hash to one task). Trade stated: on the hot path a single
+    * monster hour is no longer AQE-skew-split across tasks — at that
+    * point file-size bounds are the contract and
+    * [[writePartitionedSizeBudget]] is the sink. The SIZE-DRIVEN rewrite
+    * path ([[compactPartitioned]], whose whole purpose is re-cutting
+    * files by bytes) keeps the REBALANCE hint via `rebalance = true`:
+    * there AQE's oversized-partition split IS the contract
+    * (RoundThirteenOpsSpec's relaxed-regime law), and a maintenance
+    * window tolerates the floor-coupled parallelism the hot path cannot.
     *
     * Rows are then SORTED within each task by (partition cols, ts). The
     * partition-column prefix satisfies the ordering the dynamic-partition
@@ -38,7 +55,8 @@ object Sinks {
     * tight — a time-range scan inside an hour skips row groups instead
     * of reading the whole file. */
   def writePartitioned(df: DataFrame, path: String, tsCol: String = "ts",
-                       mode: SaveMode = SaveMode.Append): Unit = {
+                       mode: SaveMode = SaveMode.Append,
+                       rebalance: Boolean = false): Unit = {
     val withParts =
       if (df.columns.contains("year")) df
       else Transform.derivePartitions(tsCol)(df)
@@ -49,7 +67,11 @@ object Sinks {
       .filter(withParts.columns.contains)
     val ordering = (partCols ++ Seq(tsCol).filter(withParts.columns.contains)).map(col)
     val rebalanced =
-      if (partCols.isEmpty) withParts else withParts.hint("rebalance", partCols: _*)
+      if (partCols.isEmpty) withParts
+      else if (rebalance) withParts.hint("rebalance", partCols: _*)
+      else withParts.repartition(
+        withParts.sparkSession.sessionState.conf.numShufflePartitions,
+        partCols.map(col): _*)
     val sorted =
       if (ordering.isEmpty) rebalanced else rebalanced.sortWithinPartitions(ordering: _*)
     sorted
@@ -122,8 +144,13 @@ object Sinks {
     // lands in one task, and the dynamic writer opens one file per
     // partition DIRECTORY per task — exactly one file per roll. (Two
     // combos hash-colliding into one task still write to different dirs.)
+    // Explicit partition count (round 15): same floor-insensitivity
+    // rationale as [[writePartitioned]] — one-file-per-roll holds at ANY
+    // count, so write parallelism must not swing with the AQE floor.
     rolled
-      .repartition(allParts.map(col): _*)
+      .repartition(
+        withParts.sparkSession.sessionState.conf.numShufflePartitions,
+        allParts.map(col): _*)
       .sortWithinPartitions((allParts ++ Seq(tsCol).filter(withParts.columns.contains)).map(col): _*)
       .write
       .mode(mode)
@@ -318,7 +345,11 @@ object Sinks {
           "the partition columns (year/month/day/hour)")
     }
     val scoped = scope.fold(base)(base.filter)
-    writePartitioned(scoped, staging, mode = SaveMode.Overwrite)
+    // rebalance = true: compaction is the size-driven rewrite — AQE must
+    // keep splitting an over-advisory hour across tasks/files (the
+    // relaxed-regime law); see writePartitioned's scaladoc
+    writePartitioned(scoped, staging, mode = SaveMode.Overwrite,
+      rebalance = true)
     val fs = new Path(livePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
     // leaf partition dirs of the staged tree, relative to the staging root
     def leaves(dir: Path, rel: String): Seq[(Path, String)] = {

@@ -969,18 +969,14 @@ object StreamReplay {
     * machinery lost/duplicated nothing) and the file-cut arithmetic. */
   def st15SizeFlushReplay(s: SparkSession, d: String): DataFrame =
     withReplayTmp(s, "graft-st15-") { tmp =>
-      // cloned session pinning the AQE coalescing floor NARROW (64k):
-      // this row's wall is the partitioned staged WRITE — at toy scale
-      // write parallelism is dir-count-bound, and the round-14 wide
-      // floor (256k, a per-task-constant guard for the CPU-dense
-      // shuffles) coalesces the pre-write rebalance into too few writer
-      // tasks (measured +2.2 s at sf0.1). At real SF partitions exceed
-      // any floor and the pin is inert — same pattern as st02's
-      // shuffle-width pin.
+      // Round 15: the round-14 narrow-floor session pin is gone — the
+      // size-budget sink's writer exchange now carries an explicit
+      // partition count (Sinks.writePartitionedSizeBudget), so write
+      // parallelism no longer swings with the AQE coalescing floor and
+      // the per-query config patch is unnecessary.
       val s2 = s.newSession()
       s2.conf.set("spark.sql.session.timeZone",
         s.conf.get("spark.sql.session.timeZone", "UTC"))
-      s2.conf.set("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
       val ev = Tables.events(s2, d)
         .filter(col("ts") < lit(SizeFlushFeedEnd).cast("timestamp"))
       // one staged file → exactly one AvailableNow epoch at ANY SF: rolls
